@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Exact._
+
+/** A-block (SURVEY §2): the reference's transform surface, re-expressed as
+  * declarative Spark so Catalyst owns the physical plan. Each query is the
+  * DataFrame realization; the `Pipe` DSL in graft.pipeline carries the
+  * API-level parity (DoFn lifecycle, CombineFn, side-input views).
+  */
+object BeamParity {
+
+  /** A1 Create — in-memory source (reference: transform_evaluators.py:16). */
+  def createValues(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"), (4L, "delta"), (5L, "echo"))
+      .toDF("id", "name")
+      .orderBy("id")
+  }
+
+  /** A3 source scan with pushdown: projection + predicate reach parquet. */
+  def sourceScanPushdown(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** A4 ParDo/Map — per-element computation as codegen'd column exprs
+    * (reference evaluates a Python fn per element; here it's one IEEE
+    * multiply inside whole-stage codegen).
+    */
+  def pardoMap(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** A5 ParDo/FlatMap — explode(split) instead of a per-element generator. */
+  def pardoFlatmap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .orderBy(col("doc_id"), col("word"))
+
+  /** A6 ParDo/Filter — predicate pushed to the scan. */
+  def pardoFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_discount") >= 0.05 && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** A8 Flatten — union, partition concatenation, no shuffle
+    * (reference: sc.union, transform_evaluators.py:84).
+    */
+  def flattenUnion(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_name").as("name"), lit("customer").as("side"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_name").as("name"), lit("supplier").as("side"))
+    c.union(sup).orderBy("side", "name")
+  }
+
+  /** A9 GroupByKey — values per key, sorted for determinism. The reference's
+    * groupByKey().mapValues(list) has nondeterministic value order; we
+    * canonicalize with sort_array so the oracle can hash-match.
+    */
+  def groupByKey(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("orderkeys"))
+      .orderBy(col("o_custkey"))
+
+  /** A10 CombinePerKey — groupBy.agg gives Catalyst partial (map-side)
+    * aggregation, the contract the reference builds with aggregateByKey.
+    */
+  def combinePerKey(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
+
+  /** A11 CombineGlobally — one global aggregate, partials per partition. */
+  def combineGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+
+  /** A12 custom CombineFn — price-weighted average quantity per return flag,
+    * via the typed Aggregator in the Pipe DSL (decimal-exact accumulators so
+    * the oracle matches bit-for-bit).
+    */
+  def combineAggregator(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.{CombineFn, Pipe}
+    import graft.pipeline.Pipe._
+    val fn = new CombineFn[(Double, Double), (BigDecimal, BigDecimal), Double] {
+      def createAccumulator(): (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
+      def addInput(a: (BigDecimal, BigDecimal), in: (Double, Double)) =
+        (a._1 + BigDecimal(in._1).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(in._2).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+         a._2 + BigDecimal(in._2).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      def mergeAccumulators(a: (BigDecimal, BigDecimal), b: (BigDecimal, BigDecimal)) =
+        (a._1 + b._1, a._2 + b._2)
+      def extractOutput(a: (BigDecimal, BigDecimal)): Double =
+        BigDecimal((a._1.toDouble / a._2.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val keyed = Pipe(Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .as[(String, Double, Double)])
+      .map { case (f, q, p) => (f, (q, p)) }
+    keyed.combinePerKey(fn).ds.toDF("l_returnflag", "wavg_qty")
+      .orderBy("l_returnflag")
+  }
+
+  /** A13 AsSingleton side input — scalar threshold broadcast into the plan
+    * (scalar subquery; never collected to the driver mid-pipeline).
+    */
+  def sideSingleton(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val thr = o.agg((sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") /
+      count(lit(1))).as("thr"))
+    o.join(broadcast(thr))
+      .filter(col("o_totalprice") > col("thr"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A14 AsDict side input — broadcast hash join on the small dim. */
+  def sideDictJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("n_name"))
+
+  /** A15 AsList side input — membership filter as a broadcast semi-join. */
+  def sideListFilter(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    Tables.customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "create_values" -> createValues _,
+    "source_scan_pushdown" -> sourceScanPushdown _,
+    "pardo_map" -> pardoMap _,
+    "pardo_flatmap" -> pardoFlatmap _,
+    "pardo_filter" -> pardoFilter _,
+    "flatten_union" -> flattenUnion _,
+    "group_by_key" -> groupByKey _,
+    "combine_per_key" -> combinePerKey _,
+    "combine_global" -> combineGlobal _,
+    "combine_aggregator" -> combineAggregator _,
+    "side_singleton" -> sideSingleton _,
+    "side_dict_join" -> sideDictJoin _,
+    "side_list_filter" -> sideListFilter _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "create_values" ->
+      "SELECT * FROM (VALUES (CAST(1 AS BIGINT),'alpha'),(2,'bravo'),(3,'charlie'),(4,'delta'),(5,'echo')) t(id, name) ORDER BY id",
+    "source_scan_pushdown" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0 ORDER BY o_orderkey",
+    "pardo_map" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "pardo_flatmap" ->
+      "SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents WHERE doc_id < 50 ORDER BY doc_id, word",
+    "pardo_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10 ORDER BY l_orderkey, l_linenumber",
+    "flatten_union" ->
+      "SELECT c_name AS name, 'customer' AS side FROM customer UNION ALL SELECT s_name, 'supplier' FROM supplier ORDER BY side, name",
+    "group_by_key" ->
+      "SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+    "combine_per_key" ->
+      s"SELECT user_id, COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value FROM events GROUP BY user_id ORDER BY user_id",
+    "combine_global" ->
+      s"SELECT COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty FROM lineitem",
+    "combine_aggregator" ->
+      """SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS wavg_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "side_singleton" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+          FROM orders
+          WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) FROM orders)
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "side_dict_join" ->
+      s"""SELECT n_name, COUNT(*) AS n_customers, ${sqlDsum("c_acctbal")} AS sum_acctbal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""",
+    "side_list_filter" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+         WHERE c_nationkey IN (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+  )
+}

@@ -1,30 +1,216 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.operators.Exact._
 
-/** Relational query block (SURVEY §2 B): the "same query capabilities"
-  * surface, expressed declaratively so Catalyst plans pushdown, partial
-  * aggregation, and join strategy.
+/** Relational query block (SURVEY §2 B + C1/C2): the engine's query surface,
+  * expressed declaratively so Catalyst plans pushdown, partial aggregation,
+  * and join strategy. Dim joins are explicitly broadcast; fact-fact joins
+  * shuffle on their keys and AQE re-plans skew at runtime.
   */
 object Relational {
 
-  /** B1 — TPC-H Q1-style pricing summary. Scan-heavy: one shuffle on the
-    * two group keys, partial aggregation map-side, filter pushed to parquet.
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** B1 — TPC-H Q1-style pricing summary: one shuffle on the group keys,
+    * map-side partial aggregation, filter pushed to parquet.
     */
   def q1Pricing(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .filter(col("l_shipdate") < expr("timestamp'1995-06-01 00:00:00'"))
+      .filter(col("l_shipdate") < expr("timestamp'1999-06-01 00:00:00'"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(revenue).as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** B2 — Q3-style: broadcast the filtered dim side, shuffle-agg the fact,
+    * decimal-exact revenue so top-k ordering matches the oracle exactly.
+    */
+  def q3Shipping(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue.cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** B3 — Q5-style star join: all dims broadcast, facts shuffle once. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** B4 — broadcast hash join: small dim to every executor, zero shuffle of
+    * the fact side.
+    */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  /** B5 — large×large join: shuffles on the join key; AQE picks the physical
+    * strategy and splits skewed partitions at runtime.
+    */
+  def joinShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).hint("shuffle_merge")
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(revenue).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** B6 — EXISTS as left-semi (no row multiplication, no dedup pass). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  /** B7 — NOT EXISTS as left-anti. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  /** B8 — outer join with unmatched-side preservation. */
+  def joinOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  /** B9 — ranked window: top-3 orders per customer. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** B10 — running aggregate per key (decimal-exact cumulative sum). */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("running_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B11 — distinct via partial-aggregate (no global collect). */
+  def distinctOp(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  /** B12 — global top-k: TakeOrdered (per-partition heaps), not a full sort. */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(20)
+
+  /** B13 — rollup: hierarchical aggregates in one pass. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** B14 — as-of join via the union+window algorithm: tag both sides, union,
+    * one shuffle on the key, running max over prior right-side rows. No
+    * range-condition row explosion, so it survives 100× data (a naive
+    * `o2.date < o1.date` theta-join is quadratic per key).
+    *
+    * Demonstrated as a strict self as-of: each order → customer's most
+    * recent PRIOR order date.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val left = o.select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      col("o_orderkey"), lit(0).as("side"), lit(null).cast("timestamp").as("rdate"))
+    val right = o.select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(null).cast("long").as("o_orderkey"), lit(1).as("side"),
+      col("o_orderdate").as("rdate"))
+    // left rows sort before right rows at equal t => strict "<" semantics
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("prev_date", max(col("rdate")).over(w))
+      .filter(col("side") === 0)
+      .select(col("o_orderkey"), col("prev_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** B15 — JSON extraction with codegen'd path evaluation. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** C1 — tumbling-window aggregation (epoch-aligned 1h buckets). */
+  def eventsWindowAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** C2 — sessionization (30-min inactivity gap) as lag/cumsum windows: one
+    * shuffle on the user key, no driver state. The streaming equivalent
+    * (flatMapGroupsWithState) lives in graft.streaming.
+    */
+  def eventsSession(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
 
   val q1PricingSql: String = s"""
     SELECT l_returnflag, l_linestatus,
@@ -35,15 +221,122 @@ object Relational {
       ${sqlDavg("l_discount")} AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
-    WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+    WHERE l_shipdate < TIMESTAMP '1999-06-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing" -> q1Pricing _
+    "q1_pricing" -> q1Pricing _,
+    "q3_shipping" -> q3Shipping _,
+    "q5_local_supplier" -> q5LocalSupplier _,
+    "join_broadcast" -> joinBroadcast _,
+    "join_shuffle" -> joinShuffle _,
+    "join_semi" -> joinSemi _,
+    "join_anti" -> joinAnti _,
+    "join_outer" -> joinOuter _,
+    "window_rank" -> windowRank _,
+    "window_running" -> windowRunning _,
+    "distinct_op" -> distinctOp _,
+    "topk_orders" -> topkOrders _,
+    "rollup_agg" -> rollupAgg _,
+    "asof_join" -> asofJoin _,
+    "json_extract" -> jsonExtract _,
+    "events_window_agg" -> eventsWindowAgg _,
+    "events_session" -> eventsSession _
   )
 
   val oracles: Map[String, String] = Map(
-    "q1_pricing" -> q1PricingSql
+    "q1_pricing" -> q1PricingSql,
+    "q3_shipping" -> s"""
+      SELECT l_orderkey, o_orderdate,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" -> s"""
+      SELECT n_name, ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY n_name""",
+    "join_broadcast" -> s"""
+      SELECT p_brand, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
+    "join_shuffle" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "join_semi" -> """
+      SELECT c_mktsegment, COUNT(*) AS n FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_anti" -> """
+      SELECT c_mktsegment, COUNT(*) AS n FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_outer" -> """
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+    "window_rank" -> """
+      SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window_running" -> """
+      SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      FROM events ORDER BY event_id""",
+    "distinct_op" -> """
+      SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      ORDER BY c_mktsegment, c_nationkey""",
+    "topk_orders" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "rollup_agg" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "asof_join" -> """
+      SELECT o1.o_orderkey,
+        (SELECT max(o2.o_orderdate) FROM orders o2
+         WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderdate < o1.o_orderdate) AS prev_date
+      FROM orders o1 ORDER BY o1.o_orderkey""",
+    "json_extract" -> """
+      SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_window_agg" -> s"""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_session" -> s"""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      numbered AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged)
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_seq
+      ORDER BY user_id, session_start"""
   )
 }

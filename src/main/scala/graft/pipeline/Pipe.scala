@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.storage.StorageLevel
+
+/** Per-worker lifecycle contract, mirroring the reference DoFn semantics
+  * (reference: beam_pyspark_runner/transform_evaluators.py:56-76 —
+  * setup/start_bundle/process/finish_bundle/teardown). A "bundle" here is a
+  * Spark partition: setup+startBundle run once per partition before the first
+  * element, finishBundle may emit trailing elements, teardown runs after.
+  */
+trait DoFn[-I, O] extends Serializable {
+  def setup(): Unit = ()
+  def startBundle(): Unit = ()
+  def process(elem: I): Iterator[O]
+  def finishBundle(): Iterator[O] = Iterator.empty
+  def teardown(): Unit = ()
+}
+
+/** Combiner contract, mirroring beam.CombineFn
+  * (reference: tests/pyspark_runner_test.py:23-49): create/add/merge/extract.
+  * Executed as a Spark typed [[Aggregator]], which gives map-side partial
+  * aggregation — the same contract the reference gets from `aggregateByKey`
+  * (transform_evaluators.py:92-104).
+  */
+trait CombineFn[-I, A, O] extends Serializable {
+  def createAccumulator(): A
+  def addInput(acc: A, input: I): A
+  def mergeAccumulators(a: A, b: A): A
+  def extractOutput(acc: A): O
+}
+
+private[pipeline] class CombineAggregator[I, A, O](
+    fn: CombineFn[I, A, O])(implicit encA: Encoder[A], encO: Encoder[O])
+  extends Aggregator[I, A, O] {
+  override def zero: A = fn.createAccumulator()
+  override def reduce(acc: A, in: I): A = fn.addInput(acc, in)
+  override def merge(a: A, b: A): A = fn.mergeAccumulators(a, b)
+  override def finish(acc: A): O = fn.extractOutput(acc)
+  override def bufferEncoder: Encoder[A] = encA
+  override def outputEncoder: Encoder[O] = encO
+}
+
+/** Broadcast side input, mirroring the reference's AsSingleton / AsIter /
+  * AsList / AsDict views (transform_evaluators.py:35-49). Unlike the
+  * reference — which `collect()`s side-input stages to the *driver* between
+  * stages (pyspark_runner.py:86-92) — the value is broadcast once and read
+  * per-executor; the size contract (must fit in memory) is the same as
+  * Beam's.
+  */
+final class SideInput[S] private (bc: Broadcast[S]) extends Serializable {
+  def value: S = bc.value
+}
+
+object SideInput {
+  def asList[T](p: Pipe[T]): SideInput[Seq[T]] =
+    of(p, (xs: Array[T]) => xs.toSeq)
+  def asIter[T](p: Pipe[T]): SideInput[Iterable[T]] =
+    of(p, (xs: Array[T]) => xs.toSeq)
+  def asSingleton[T: ClassTag](p: Pipe[T]): SideInput[T] =
+    of(p, (xs: Array[T]) => {
+      require(xs.length == 1, s"AsSingleton side input had ${xs.length} elements")
+      xs.head
+    })
+  def asDict[K, V](p: Pipe[(K, V)]): SideInput[Map[K, V]] =
+    of(p, (xs: Array[(K, V)]) => xs.toMap)
+  /** Beam's AsMultimap: key -> all values. */
+  def asMultimap[K, V](p: Pipe[(K, V)]): SideInput[Map[K, Seq[V]]] =
+    of(p, (xs: Array[(K, V)]) =>
+      xs.groupBy(_._1).map { case (k, vs) => k -> vs.toSeq.map(_._2) })
+
+  private def of[T, S: ClassTag](p: Pipe[T], view: Array[T] => S): SideInput[S] = {
+    val sc = p.ds.sparkSession.sparkContext
+    new SideInput(sc.broadcast(view(p.ds.collect())))
+  }
+}
+
+/** Beam-parity dataflow DSL over `Dataset[T]`.
+  *
+  * Each reference transform maps to a declarative Spark operation so Catalyst
+  * still owns planning (pushdown, partial aggregation, join strategy):
+  *
+  *  - Create → `spark.createDataset`           (transform_evaluators.py:16)
+  *  - ReadFromText → `spark.read.textFile`     (transform_evaluators.py:23)
+  *  - ParDo → `map`/`flatMap`/`filter`, or `mapPartitions` with the full
+  *    DoFn lifecycle                            (transform_evaluators.py:29)
+  *  - Flatten → `union`                         (transform_evaluators.py:84)
+  *  - GroupByKey → `groupByKey.mapGroups`       (transform_evaluators.py:87)
+  *  - CombinePerKey → typed Aggregator          (transform_evaluators.py:92)
+  *  - multi-consumer caching → explicit [[Pipe.cache]]; the reference decides
+  *    this from its child_map (eval_context.py:57-61), here the DSL user
+  *    marks reused branches (Catalyst additionally reuses exchange/subquery
+  *    subtrees automatically).
+  */
+final case class Pipe[T](ds: Dataset[T]) {
+  def spark: SparkSession = ds.sparkSession
+
+  def map[U: Encoder](f: T => U): Pipe[U] = Pipe(ds.map(f))
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): Pipe[U] = Pipe(ds.flatMap(f))
+  def filter(p: T => Boolean): Pipe[T] = Pipe(ds.filter(p))
+
+  /** ParDo with the full DoFn lifecycle; one bundle per partition. */
+  def parDo[U: Encoder](fn: DoFn[T, U]): Pipe[U] = Pipe(ds.mapPartitions { it =>
+    fn.setup()
+    fn.startBundle()
+    val main = it.flatMap(fn.process)
+    new Iterator[U] {
+      private var tail: Iterator[U] = null
+      private def current: Iterator[U] = {
+        if (tail == null && !main.hasNext) {
+          tail = fn.finishBundle()
+        }
+        if (tail == null) main
+        else tail
+      }
+      override def hasNext: Boolean = {
+        val h = current.hasNext
+        if (!h && tail != null) fn.teardown()
+        h
+      }
+      override def next(): U = current.next()
+    }
+  })
+
+  /** Flatten (reference: sc.union). `union` is partition-concatenation —
+    * no shuffle. */
+  def flatten(others: Pipe[T]*): Pipe[T] =
+    Pipe(others.foldLeft(ds)((acc, o) => acc.union(o.ds)))
+
+  def keyBy[K](f: T => K)(implicit e: Encoder[(K, T)]): Pipe[(K, T)] =
+    Pipe(ds.map(t => (f(t), t))(e))
+
+  /** Mark this branch for reuse (reference caches any node with >1 consumer,
+    * eval_context.py:57). */
+  def cache(): Pipe[T] = Pipe(ds.persist(StorageLevel.MEMORY_AND_DISK))
+
+  def writeText(path: String): Unit =
+    ds.map(_.toString)(Encoders.STRING).write.text(path)
+
+  def collect(): Seq[T] = ds.collect().toSeq
+}
+
+object Pipe {
+  /** Create from in-memory values (reference: sc.parallelize). */
+  def create[T: Encoder](spark: SparkSession, values: Seq[T]): Pipe[T] =
+    Pipe(spark.createDataset(values))
+
+  /** ReadFromText (reference: sc.textFile). */
+  def readText(spark: SparkSession, path: String): Pipe[String] =
+    Pipe(spark.read.textFile(path))
+
+  implicit final class KVPipe[K, V](private val p: Pipe[(K, V)]) extends AnyVal {
+
+    /** GroupByKey: full shuffle on the key, values materialized per key.
+      * Values are returned in an implementation-defined order, like the
+      * reference's `groupByKey().mapValues(list)`.
+      */
+    def groupByKey(implicit ek: Encoder[K], eo: Encoder[(K, Seq[V])]): Pipe[(K, Seq[V])] =
+      Pipe(p.ds.groupByKey(_._1).mapGroups((k, it) => (k, it.map(_._2).toSeq)))
+
+    /** CombinePerKey through a typed Aggregator: Catalyst plans a partial
+      * aggregate before the shuffle, exactly the map-side combine the
+      * reference builds by hand with `aggregateByKey`.
+      */
+    def combinePerKey[A, O](fn: CombineFn[V, A, O])(implicit
+        ek: Encoder[K], ev: Encoder[V], ea: Encoder[A], eo: Encoder[O],
+        eko: Encoder[(K, O)]): Pipe[(K, O)] = {
+      val agg = new CombineAggregator[V, A, O](fn)
+      Pipe(p.ds.groupByKey(_._1).mapValues(_._2).agg(agg.toColumn))
+    }
+  }
+
+  implicit final class GlobalCombine[T](private val p: Pipe[T]) extends AnyVal {
+    /** CombineGlobally: single global Aggregator (partial-agg per partition,
+      * one final merge — no driver-side fold).
+      */
+    def combineGlobally[A, O](fn: CombineFn[T, A, O])(implicit
+        ea: Encoder[A], eo: Encoder[O]): O = {
+      val agg = new CombineAggregator[T, A, O](fn)
+      p.ds.select(agg.toColumn).head()
+    }
+  }
+}
