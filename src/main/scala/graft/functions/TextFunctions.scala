@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders (SURVEY §2 D). Everything here composes
+  * built-in codegen'd functions — no UDFs — so whole-stage codegen spans the
+  * full expression tree and each has an exact DuckDB-SQL twin for the oracle
+  * (kept adjacent in `*Sql` so they never drift).
+  */
+object TextFunctions {
+
+  /** Occurrences of literal `sub` via the replace trick — engine-portable
+    * (no regex dialect drift): (len(x) - len(replace(x, sub))) / len(sub).
+    */
+  def occurrences(c: Column, sub: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(sub), ""))) / sub.length
+
+  def occurrencesSql(x: String, sub: String): String = {
+    val q = sub.replace("'", "''")
+    s"(length($x) - length(replace($x, '$q', ''))) / ${sub.length}"
+  }
+
+  /** Whitespace token count. */
+  def wsTokens(c: Column): Column = size(split(c, " "))
+  def wsTokensSql(x: String): String = s"len(str_split($x, ' '))"
+
+  /** BPE-ish subword estimate: alnum runs + isolated non-space symbols.
+    * (A real BPE vocab isn't available offline; this regex count is the
+    * standard cheap proxy: words + punctuation marks.)
+    */
+  def bpeTokens(c: Column): Column =
+    regexp_count(c, lit("[a-z0-9]+|[^a-z0-9 ]"))
+  def bpeTokensSql(x: String): String =
+    s"len(regexp_extract_all($x, '[a-z0-9]+|[^a-z0-9 ]'))"
+
+  /** Language-marker stopword sets. The heuristic scores each language by
+    * total occurrences of its markers (space-padded to approximate word
+    * boundaries) and argmaxes with a fixed precedence order.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "es" -> Seq(" el ", " que ", " los "),
+    "fr" -> Seq(" le ", " les ", " et "),
+    "zh" -> Seq(" zh ", " ni ", " ma "))
+
+  private def langScore(c: Column, markers: Seq[String]): Column =
+    markers.map(m => occurrences(c, m)).reduce(_ + _)
+
+  /** Deterministic argmax over language scores; ties resolve in declaration
+    * order (en > de > es > fr > zh), unknown if all scores are zero.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = langMarkers.map { case (l, ms) => l -> langScore(padded, ms) }
+    val best = scores.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
+    scores.foldLeft(when(best <= 0, "und")) { case (acc, (l, sc)) =>
+      acc.when(sc === best, l)
+    }.otherwise("und")
+  }
+
+  def langIdSql(x: String): String = {
+    val padded = s"(' ' || $x || ' ')"
+    val scoreExprs = langMarkers.map { case (l, ms) =>
+      l -> ms.map(m => occurrencesSql(padded, m)).mkString(" + ")
+    }
+    val best = scoreExprs.map(_._2).map(e => s"($e)").mkString("GREATEST(", ", ", ")")
+    val cases = scoreExprs.map { case (l, e) => s"WHEN ($e) = $best THEN '$l'" }
+    s"CASE WHEN $best <= 0 THEN 'und' ${cases.mkString(" ")} ELSE 'und' END"
+  }
+
+  /** Quality ratios, rounded to 6 dp so engine float quirks can't flip the
+    * compare: alpha ratio, space ratio, stopword-per-token ratio, mean token
+    * length.
+    */
+  def alphaRatio(c: Column): Column =
+    round(length(regexp_replace(c, "[^a-z]", "")).cast("double") / length(c), 6)
+  def alphaRatioSql(x: String): String =
+    s"ROUND(CAST(length(regexp_replace($x, '[^a-z]', '', 'g')) AS DOUBLE) / length($x), 6)"
+
+  def spaceRatio(c: Column): Column =
+    round(occurrences(c, " ").cast("double") / length(c), 6)
+  def spaceRatioSql(x: String): String =
+    s"ROUND(CAST(${occurrencesSql(x, " ")} AS DOUBLE) / length($x), 6)"
+
+  def stopwordRatio(c: Column): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    val stops = Seq(" the ", " a ", " of ", " and ", " to ")
+    round(stops.map(sw => occurrences(padded, sw)).reduce(_ + _).cast("double") /
+      wsTokens(c), 6)
+  }
+  def stopwordRatioSql(x: String): String = {
+    val padded = s"(' ' || $x || ' ')"
+    val stops = Seq(" the ", " a ", " of ", " and ", " to ")
+    val occ = stops.map(sw => occurrencesSql(padded, sw)).mkString(" + ")
+    s"ROUND(CAST($occ AS DOUBLE) / ${wsTokensSql(x)}, 6)"
+  }
+
+  def meanTokenLen(c: Column): Column =
+    round(length(regexp_replace(c, " ", "")).cast("double") / wsTokens(c), 6)
+  def meanTokenLenSql(x: String): String =
+    s"ROUND(CAST(length(replace($x, ' ', '')) AS DOUBLE) / ${wsTokensSql(x)}, 6)"
+
+  /** Normalized-content fingerprint: md5 over lowercased,
+    * whitespace-collapsed text. md5 is bit-identical across engines.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "\\s+", " "))
+  def fingerprintSql(x: String): String =
+    s"md5(regexp_replace(lower($x), '\\s+', ' ', 'g'))"
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.pipeline._
+import graft.pipeline.Pipe._
+
+/** DSL parity with the reference runner's test surface
+  * (reference: tests/pyspark_runner_test.py).
+  */
+class PipelineSpec extends SparkSpec {
+  import SparkSpecBase.spark.implicits._
+
+  test("create + map (test_create / test_map)") {
+    val p = Pipe.create(spark, Seq(Seq(1), Seq(3, 4))).map(_.sum)
+    assert(p.collect().sorted == Seq(1, 7))
+  }
+
+  test("flatMap (test_flatmap)") {
+    val p = Pipe.create(spark, Seq(Seq(1), Seq(3, 4))).flatMap(x => Seq(x.sum))
+    assert(p.collect().sorted == Seq(1, 7))
+  }
+
+  test("multi-branch DAG with cached shared node (test_multiple_paths)") {
+    val shared = Pipe.create(spark, Seq(1)).cache()
+    val b1 = shared.map(_ / 5.0)
+    val b2 = shared.map(_ + 1).map(_ * 2).map(_ - 1)
+    val b3 = shared.map(_ + 2)
+    val b4 = b2.map(_ * 100)
+    assert(b1.collect() == Seq(0.2))
+    assert(b2.collect() == Seq(3))
+    assert(b3.collect() == Seq(3))
+    assert(b4.collect() == Seq(300))
+  }
+
+  test("groupByKey (test_create_map_and_groupby)") {
+    val p = Pipe.create(spark, Seq(1)).map(x => (x * 2, x)).groupByKey
+    assert(p.collect() == Seq((2, Seq(1))))
+  }
+
+  test("combinePerKey uses CombineFn contract (test_combine)") {
+    val sumFn = new CombineFn[Int, Int, Int] {
+      def createAccumulator() = 0
+      def addInput(a: Int, i: Int) = a + i
+      def mergeAccumulators(a: Int, b: Int) = a + b
+      def extractOutput(a: Int) = a
+    }
+    val p = Pipe.create(spark, Seq(1, 2, 3, 4)).map(x => ("all", x)).combinePerKey(sumFn)
+    assert(p.collect() == Seq(("all", 10)))
+    val global = Pipe.create(spark, Seq(1, 2, 3, 4)).combineGlobally(sumFn)
+    assert(global == 10)
+  }
+
+  test("parDo runs the full DoFn lifecycle per partition") {
+    val fn = new DoFn[Int, String] {
+      @transient private var bundle: List[String] = _
+      override def setup(): Unit = { bundle = Nil }
+      override def process(e: Int): Iterator[String] = {
+        bundle ::= s"elem:$e"
+        Iterator.single(s"out:$e")
+      }
+      override def finishBundle(): Iterator[String] =
+        Iterator.single(s"bundle_size:${bundle.size}")
+    }
+    val got = Pipe(spark.createDataset(Seq(1, 2, 3, 4)).repartition(2)).parDo(fn).collect()
+    assert(got.count(_.startsWith("out:")) == 4)
+    // one finishBundle emission per partition, counting that partition's elems
+    val sizes = got.filter(_.startsWith("bundle_size:")).map(_.split(":")(1).toInt)
+    assert(sizes.length == 2 && sizes.sum == 4)
+  }
+
+  test("flatten unions pipes (test_flatten semantics)") {
+    val a = Pipe.create(spark, Seq(1, 2))
+    val b = Pipe.create(spark, Seq(3))
+    val c = Pipe.create(spark, Seq(4, 5))
+    assert(a.flatten(b, c).collect().sorted == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("side inputs: singleton, list, dict, multimap (test_dict_side_input)") {
+    val multimap = Pipe.create(spark, Seq(("key1", "value1a"), ("key1", "value1b"), ("key2", "value2a")))
+    val si = SideInput.asMultimap(multimap)
+    val got = Pipe.create(spark, Seq("key1", "key2"))
+      .flatMap(k => si.value.getOrElse(k, Seq.empty).map(v => s"$k: $v"))
+      .collect()
+    assert(got.toSet == Set("key1: value1a", "key1: value1b", "key2: value2a"))
+
+    assert(SideInput.asSingleton(Pipe.create(spark, Seq(42))).value == 42)
+    assert(SideInput.asList(Pipe.create(spark, Seq(1, 2, 3))).value.sorted == Seq(1, 2, 3))
+    assert(SideInput.asDict(Pipe.create(spark, Seq(("a", 1), ("b", 2)))).value == Map("a" -> 1, "b" -> 2))
+  }
+
+  test("readText + writeText round-trip (test_write)") {
+    val dir = Files.createTempDirectory("graft-io").toFile
+    val out = s"${dir.getAbsolutePath}/out"
+    Pipe.create(spark, Seq(1, 2, 3, 4, 10)).map(x => (x * 2, x))
+      .map { case (k, v) => s"($k, [$v])" }
+      .writeText(out)
+    val back = Pipe.readText(spark, out).collect()
+    assert(back.toSet == Set("(2, [1])", "(4, [2])", "(6, [3])", "(8, [4])", "(20, [10])"))
+  }
+}

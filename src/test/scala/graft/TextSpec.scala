@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Winnow
+import graft.operators.{Tables, TextAnalysis}
+
+class TextSpec extends SparkSpec {
+  import SparkSpecBase.spark.implicits._
+
+  test("winnow guarantees shared fingerprints for shared substrings") {
+    val k = 5; val w = 4
+    val common = "the quick brown fox jumps over the lazy dog"
+    val a = s"prefix one $common suffix alpha"
+    val b = s"completely different head $common and another tail"
+    val df = Seq(("a", a), ("b", b)).toDF("id", "text")
+      .select(col("id"), Winnow.winnow(col("text"), k, w).as("fps"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: substrings of length >= w + k - 1 share a fingerprint
+    assert(rows("a").intersect(rows("b")).nonEmpty)
+  }
+
+  test("winnow is deterministic and non-empty for real docs") {
+    val df = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), Winnow.winnow(col("text")).as("fps"))
+    val a = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b && a.values.forall(_.nonEmpty))
+  }
+
+  test("winnow works inside whole-stage codegen (no fallback)") {
+    val plan = Tables.documents(spark, sf)
+      .select(Winnow.winnow(col("text")).as("fps"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[winnow.*"), plan)
+  }
+
+  test("langId returns a declared language or und") {
+    val langs = TextAnalysis.textLangid(spark, sf).collect().map(_.getString(0)).toSet
+    val allowed = graft.functions.TextFunctions.langMarkers.map(_._1).toSet + "und"
+    assert(langs.subsetOf(allowed))
+  }
+}
