@@ -1,0 +1,232 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Tables
+
+/** E-block (SURVEY §2): deduplication over `documents`.
+  *
+  * Scale design: nothing here materializes the n×n pair matrix. The exact
+  * Jaccard path uses prefix-filtered inverted-index joins (PPJoin-style), the
+  * probabilistic paths (MinHash/SimHash) use constant-size signatures and
+  * band-bucket joins. Candidate verification only ever touches pairs that
+  * share an index entry.
+  */
+object Dedup {
+
+  val JaccardT = 0.8  // = 4/5; prefix arithmetic below relies on exact 4/5
+
+  /** Distinct 3-word shingles. sequence() guard: docs shorter than the
+    * shingle width get an empty array (sequence(0, negative) would count
+    * DOWN in Spark and corrupt the result).
+    */
+  def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", split(col("text"), " "))
+      .withColumn("shingles",
+        when(size(col("ws")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+          .otherwise(array().cast("array<string>")))
+      .drop("ws")
+
+  /** E1 — exact dedup: group on the normalized-content fingerprint, keep the
+    * smallest doc_id as the cluster representative.
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** E2 — EXACT n-gram Jaccard near-dup pairs at threshold 0.8, via prefix
+    * filtering: under a global (df asc, shingle asc) order, two sets with
+    * J >= t must share an element in their first |X| - ceil(t*|X|) + 1
+    * elements (PPJoin). Only prefix postings are joined; candidates are then
+    * verified exactly on the full shingle arrays. Linear in postings + output
+    * — the n^2 form never materializes, so 100x data only grows the (already
+    * hash-partitioned) index join.
+    *
+    * ceil(0.8*sz) is computed as (4*sz+4) DIV 5 — integer-exact; a double
+    * `ceil(0.8*sz)` rounds up spuriously (0.8*295 = 236.0000000000003).
+    */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+    val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    val dfCounts = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ranked = postings.join(dfCounts, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+    val prefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"), col("a.sh") === col("b.sh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val arrs = docs.select(col("doc_id"), col("shingles"), col("sz"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jac") >= JaccardT)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- MinHash ----
+
+  private val MinhashBands = 16
+  private val MinhashRows = 4  // 16 bands x 4 rows = 64 signature slots
+
+  /** Per-doc 64-slot MinHash signature columns m0..m63 (one aggregation, no
+    * extra shuffle beyond the doc_id groupBy). Permutation i is
+    * xxhash64(i, base_hash) — seeded re-hashing of the fixed-width base hash
+    * rather than affine maps, which overflow under ANSI arithmetic.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val postings = withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val sigCols = (0 until MinhashBands * MinhashRows).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+    }
+    postings.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** E3 — MinHash + LSH banding: signature -> 16 band keys -> bucket join ->
+    * exact-Jaccard verification of candidates at threshold 0.7. Probabilistic
+    * recall (>= 1-(1-t^4)^16, i.e. ~0.9998 at t=0.8); the TextSpec recall
+    * test pins it against the exact E2 pairs.
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until MinhashBands).map { b =>
+      val slots = (0 until MinhashRows).map(r => col(s"m${b * MinhashRows + r}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val arrs = withShingles(docs)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jac") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- SimHash ----
+
+  /** E4 — 64-bit SimHash with 4x16-bit band blocking, hamming radius 3.
+    * Sign-sum per bit over shingle hashes; candidates must agree on at least
+    * one 16-bit band (guaranteed for hamming <= 3 by pigeonhole), verified
+    * with bit_count(xor).
+    */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val postings = withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val bitSums = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
+    }
+    val sims = postings.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", (0 until 64).map { j =>
+        when(col(s"b$j") >= 0, lit(1L << j)).otherwise(0L)
+      }.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
+      .select(col("doc_id"), col("simhash"))
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- Embedding cosine ----
+
+  private def dotCol(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+
+  /** Embeddings with doubled vectors and precomputed norms. */
+  def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")))
+
+  /** E5 — embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
+    * baseline. At small SF this is a block nested-loop join; the scale path
+    * is the sign-LSH candidate join in graft.similarity.Ann (approximate,
+    * spec'd for recall) — exact all-pairs above a threshold fundamentally
+    * requires an index at 100 TB.
+    */
+  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("v"), col("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(dotCol("a.v", "b.v") / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_jaccard_pairs" -> jaccardPairs _,
+    "dedup_minhash" -> minhashPairs _,
+    "dedup_simhash" -> simhashPairs _,
+    "dedup_embedding" -> embeddingPairs _
+  )
+
+  /** DuckDB oracles. The exact ops get full SQL twins (the oracle's n^2 form
+    * is fine at sf0.01); MinHash/SimHash are hash-seed-dependent and get
+    * rows-only checks + recall specs instead.
+    */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> s"""
+      SELECT ${TextFunctions.fingerprintSql("text")} AS fp,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "dedup_jaccard_pairs" -> """
+      WITH sh AS (
+        SELECT doc_id,
+          list_distinct([str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1] || ' ' || str_split(text,' ')[i+2]
+                         for i in range(1, len(str_split(text,' ')) - 1)]) AS shingles
+        FROM documents
+        WHERE len(str_split(text,' ')) >= 3)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.8
+      ORDER BY doc_a, doc_b""",
+    "dedup_embedding" -> """
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+      ORDER BY vec_a, vec_b"""
+  )
+}

@@ -1,0 +1,144 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup.withNorm
+import graft.operators.Tables
+
+/** F-block (SURVEY §2): similarity search over the `embeddings` table.
+  *
+  * F1 is the exact brute-force baseline (bounded query set x full scan —
+  * the thing you run to MEASURE an ANN index, and the correct plan when the
+  * query set is small enough to broadcast). F2/F3 are the scale paths:
+  * constant-size signatures / centroid routing turn per-query cost from
+  * O(N) into O(bucket).
+  */
+object Ann {
+
+  val TopK = 10
+  val NumQueries = 100  // query set: vec_id < 100
+
+  private def dotCol(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+
+  private def rankTopK(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rcos").desc, col("nid"))))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("nid"), col("rank"), col("rcos"))
+      .orderBy(col("qid"), col("rank"))
+
+  /** F1 — exact top-k cosine: broadcast the query set, one scan of the
+    * corpus, per-partition partial top-k via the rank window.
+    */
+  def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("v"), col("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
+    rankTopK(pairs)
+  }
+
+  /** Deterministic random hyperplanes (fixed-seed Gaussian, 64-dim). */
+  private[similarity] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(7)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign of <v, plane_i>. */
+  private[similarity] def bucketCol(v: String, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeArr = s"array(${p.mkString(",")})"
+      when(expr(s"aggregate(zip_with($v, $planeArr, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)") >= 0,
+        lit(1L << i)).otherwise(0L)
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** F2 — multi-table sign-LSH ANN: L=4 independent tables of 8 hyperplanes
+    * (256 buckets each); queries probe their own bucket plus all hamming-1
+    * neighbors in every table. Per-query work is O(sum |bucket| * probes),
+    * independent of N — the scale path when brute force stops fitting.
+    * DedupSpec pins the honest LSH property: recall beats the scanned
+    * corpus fraction by >= 2x.
+    */
+  val LshTables = 4
+  val LshPlanes = 8
+
+  def lshTopK(s: SparkSession, d: String): DataFrame = {
+    val e0 = withNorm(Tables.embeddings(s, d))
+    val tableCols = (0 until LshTables).map { t =>
+      val planes = hyperplanes((t + 1) * LshPlanes, 64).drop(t * LshPlanes)
+      struct(lit(t).as("tbl"), bucketCol("v", planes).as("bucket"))
+    }
+    val e = e0.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
+    val probes = (0 until LshPlanes).map(i =>
+      col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("tbl").as("qtbl"), explode(array(probes: _*)).as("probe"))
+    val pairs = e.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bucket") === col("probe")
+          && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("v"),
+        col("qn"), col("nrm"))
+      .distinct()
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("nid"), col("rcos"))
+    rankTopK(pairs)
+  }
+
+  /** F3 — IVF-style centroid routing: centroids learned from the labeled
+    * partitions (k-means-lite: one mean pass), queries search the nprobe=2
+    * nearest cells. The centroid table is tiny and broadcast; the corpus is
+    * partitioned by cell.
+    */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val dim = 64
+    val centroids = e.groupBy(col("label")).agg(
+      array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
+    val cWithNorm = centroids.withColumn("cn", sqrt(expr(
+      "aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    // route each query to its 2 nearest centroids
+    val routed = q.join(broadcast(cWithNorm))
+      .withColumn("ccos", dotCol("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("label"))))
+      .filter(col("crank") <= 2)
+      .select(col("qid"), col("qv"), col("qn"), col("label").as("cell"))
+    val pairs = e.join(broadcast(routed),
+        col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
+    rankTopK(pairs)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> bruteTopK _,
+    "ann_lsh_topk" -> lshTopK _,
+    "ann_ivf_topk" -> ivfTopK _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> s"""
+      WITH p AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+          ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS rcos
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < $NumQueries)
+      SELECT qid, nid, rank, rcos FROM (
+        SELECT qid, nid, rcos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
+        FROM p) t
+      WHERE rank <= $TopK ORDER BY qid, rank"""
+  )
+}

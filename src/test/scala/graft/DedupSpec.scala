@@ -1,0 +1,67 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Ann
+
+class DedupSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("jaccard prefix-filter pairs match brute-force at threshold") {
+    // brute force over the same shingles, computed locally
+    val docs = Dedup.withShingles(graft.operators.Tables.documents(spark, sf))
+      .select("doc_id", "shingles").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = sa.intersect(sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.8
+    } yield (a, b)).toSet
+    assert(pairs(Dedup.jaccardPairs(spark, sf)) == brute)
+    assert(brute.nonEmpty)  // planted near-dups must exist
+  }
+
+  test("minhash candidates recall the exact jaccard>=0.8 pairs") {
+    val exact = pairs(Dedup.jaccardPairs(spark, sf))
+    val mh = pairs(Dedup.minhashPairs(spark, sf))
+    // minhash verifies at 0.7, so exact-at-0.8 pairs must all appear
+    assert(exact.subsetOf(mh), s"missed: ${exact.diff(mh)}")
+  }
+
+  test("simhash finds the planted near-dup pairs and is symmetric-free") {
+    val sh = Dedup.simhashPairs(spark, sf).collect()
+    assert(sh.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(sh.nonEmpty)
+    assert(sh.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3))
+  }
+
+  test("embedding pairs are deterministic across runs") {
+    val a = Dedup.embeddingPairs(spark, sf).collect().toSeq
+    val b = Dedup.embeddingPairs(spark, sf).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("lsh ann recall beats scanned-fraction by >=2x (the LSH property)") {
+    // On near-uniform synthetic vectors no hash family gets high absolute
+    // recall; the honest claim is recall per unit of scanned corpus.
+    val brute = Ann.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    val n = graft.operators.Tables.embeddings(spark, sf).count().toDouble
+    // expected scanned fraction per query: tables * probes / buckets
+    val scanned = Ann.LshTables * (Ann.LshPlanes + 1) / math.pow(2, Ann.LshPlanes)
+    assert(recall >= 2 * scanned && recall > 0.1,
+      s"recall@10 = $recall, scanned fraction ~= $scanned, n = $n")
+  }
+
+  test("ivf ann returns k results per query with sane ranks") {
+    val rows = Ann.ivfTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    assert(byQ.values.forall(rs => rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)))
+  }
+}
