@@ -9,10 +9,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ BeamParity.queries ++ TextAnalysis.queries ++
-      graft.dedup.Dedup.queries ++ graft.similarity.Ann.queries
+      graft.dedup.Dedup.queries ++ graft.similarity.Ann.queries ++
+      graft.multimodal.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ BeamParity.oracles ++ TextAnalysis.oracles ++
-      graft.dedup.Dedup.oracles ++ graft.similarity.Ann.oracles
+      graft.dedup.Dedup.oracles ++ graft.similarity.Ann.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

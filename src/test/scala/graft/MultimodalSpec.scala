@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("feature stub: histogram mass equals payload byte count") {
+    val rows = Multimodal.featureStub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).sum == r.getLong(2))
+      assert(r.getSeq[Long](1).length == Multimodal.FakeDecoder.Bins)
+    }
+  }
+
+  test("frame sampling keeps every 4th 256-byte frame") {
+    val df = Multimodal.frameSample(spark, sf)
+    val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n"),
+        max(col("frame_idx")).as("max_idx")).collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r => assert(r.getInt(2) % 4 == 0) }
+    // deterministic across runs
+    assert(df.collect().toSeq == Multimodal.frameSample(spark, sf).collect().toSeq)
+  }
+
+  test("binary meta magic_hex is the first 4 bytes") {
+    val r = Multimodal.binaryMeta(spark, sf).limit(1).collect().head
+    assert(r.getString(3).length == 8)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{Relational, Tables}
+import graft.streaming.Streams
+
+/** Batch/stream parity: the streaming operators must produce exactly the
+  * batch operators' results on the same events. A far-future "flush" file is
+  * streamed as a second micro-batch to advance the watermark (append mode
+  * only emits finalized windows) and close open sessions.
+  */
+class StreamingSpec extends SparkSpec {
+  import SparkSpecBase.spark.implicits._
+
+  private val flushTs = "2030-01-01 00:00:00"
+
+  /** Stage events as parquet with µs timestamps + a flush file; one file per
+    * micro-batch (file order by name: 0_events before 1_flush).
+    */
+  private def stageDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    ev.coalesce(1).write.parquet(s"$dir/batch0")
+    val users = ev.select("user_id").distinct()
+    users.select(lit(-1L).as("event_id"), expr(s"timestamp'$flushTs'").as("ts"),
+        col("user_id"), lit("flush").as("event_type"), lit(0.0).as("value"))
+      .coalesce(1).write.parquet(s"$dir/batch1")
+    val staged = Files.createTempDirectory("graft-stream-in").toString
+    // file source triggers in lexicographic-discovery order; copy batch0/1 parts
+    def copyPart(sub: String, name: String): Unit = {
+      val part = new java.io.File(s"$dir/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$staged/$name"))
+    }
+    copyPart("batch0", "0_events.parquet")
+    copyPart("batch1", "1_flush.parquet")
+    // FileStreamSource orders micro-batches by modification time, not name:
+    // force events strictly before flush
+    val now = System.currentTimeMillis()
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$staged/0_events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(now - 60000))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$staged/1_flush.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(now))
+    staged
+  }
+
+  private def streamFrom(staged: String) =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+
+  test("C3: streaming windowed agg == batch events_window_agg") {
+    val staged = stageDir()
+    val q = Streams.windowedAgg(streamFrom(staged))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_out")
+      .filter(col("event_type") =!= "flush")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Relational.eventsWindowAgg(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("C4: stateful sessionization == batch events_session") {
+    val staged = stageDir()
+    val evs = streamFrom(staged)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Streams.Ev]
+    val q = Streams.sessionize(evs)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_out")
+      .filter(col("start_us") < unix_micros(expr(s"timestamp'$flushTs'")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Relational.eventsSession(spark, sf)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+}
