@@ -18,18 +18,12 @@ object Dedup {
 
   val JaccardT = 0.8  // = 4/5; prefix arithmetic below relies on exact 4/5
 
-  /** Distinct 3-word shingles. sequence() guard: docs shorter than the
-    * shingle width get an empty array (sequence(0, negative) would count
-    * DOWN in Spark and corrupt the result).
+  /** Distinct 3-word shingles via the native codegen expression (see
+    * graft.plans.ShingleArray — the composable transform/array_distinct form
+    * is ~10x slower through the HOF interpreter).
     */
   def withShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("ws", split(col("text"), " "))
-      .withColumn("shingles",
-        when(size(col("ws")) >= 3,
-          array_distinct(expr(
-            "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
-          .otherwise(array().cast("array<string>")))
-      .drop("ws")
+    docs.withColumn("shingles", graft.plans.ShingleArray.shingles(col("text"), 3))
 
   /** E1 — exact dedup: group on the normalized-content fingerprint, keep the
     * smallest doc_id as the cluster representative.
@@ -52,8 +46,11 @@ object Dedup {
     * `ceil(0.8*sz)` rounds up spuriously (0.8*295 = 236.0000000000003).
     */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // shingle arrays feed the index build AND candidate verification: persist
+    // so the (expensive) shingling runs once
     val docs = withShingles(Tables.documents(s, d))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+      .persist()
     val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
     val dfCounts = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val ranked = postings.join(dfCounts, "sh")
@@ -61,6 +58,7 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
     val prefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
       .select(col("doc_id"), col("sh"))
+      .persist()
     val cand = prefix.as("a").join(prefix.as("b"), col("a.sh") === col("b.sh")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -82,42 +80,38 @@ object Dedup {
   private val MinhashBands = 16
   private val MinhashRows = 4  // 16 bands x 4 rows = 64 signature slots
 
-  /** Per-doc 64-slot MinHash signature columns m0..m63 (one aggregation, no
-    * extra shuffle beyond the doc_id groupBy). Permutation i is
-    * xxhash64(i, base_hash) — seeded re-hashing of the fixed-width base hash
-    * rather than affine maps, which overflow under ANSI arithmetic.
+  /** E3 — MinHash + LSH banding: 64-slot signature (permutation i is
+    * xxhash64(i, base_hash) — seeded re-hashing rather than affine maps,
+    * which overflow under ANSI arithmetic) -> 16 band keys -> bucket join ->
+    * exact-Jaccard verification of candidates at threshold 0.7. Probabilistic
+    * recall (>= 1-(1-t^4)^16, i.e. ~0.9998 at t=0.8); the DedupSpec recall
+    * test pins it against the exact E2 pairs.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val postings = withShingles(docs)
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val shingled = withShingles(docs)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+      .persist()
+    val postings = shingled
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
     val sigCols = (0 until MinhashBands * MinhashRows).map { i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i")
     }
-    postings.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-  }
-
-  /** E3 — MinHash + LSH banding: signature -> 16 band keys -> bucket join ->
-    * exact-Jaccard verification of candidates at threshold 0.7. Probabilistic
-    * recall (>= 1-(1-t^4)^16, i.e. ~0.9998 at t=0.8); the TextSpec recall
-    * test pins it against the exact E2 pairs.
-    */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val sigs = minhashSignatures(docs)
+    val sigs = postings.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until MinhashBands).map { b =>
       val slots = (0 until MinhashRows).map(r => col(s"m${b * MinhashRows + r}"))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+      .persist()
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val arrs = withShingles(docs)
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+    val arrs = shingled
     cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_b")
@@ -143,11 +137,14 @@ object Dedup {
     val bitSums = (0 until 64).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
     }
+    // tiny (one row per doc) but derived from a 64-column aggregation over
+    // all postings: persist before the two-sided band self-join
     val sims = postings.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", (0 until 64).map { j =>
         when(col(s"b$j") >= 0, lit(1L << j)).otherwise(0L)
       }.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
       .select(col("doc_id"), col("simhash"))
+      .persist()
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -168,13 +165,14 @@ object Dedup {
   // ---- Embedding cosine ----
 
   private def dotCol(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+    graft.plans.DotProduct.dot(col(a), col(b))
 
-  /** Embeddings with doubled vectors and precomputed norms. */
+  /** Embeddings with doubled vectors and precomputed norms (codegen'd native
+    * dot product — see graft.plans.DotProduct).
+    */
   def withNorm(e: DataFrame): DataFrame =
     e.withColumn("v", col("embedding").cast("array<double>"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")))
+      .withColumn("nrm", sqrt(graft.plans.DotProduct.dot(col("v"), col("v"))))
 
   /** E5 — embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
     * baseline. At small SF this is a block nested-loop join; the scale path

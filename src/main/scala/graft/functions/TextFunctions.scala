@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Occurrences of literal `sub` via the replace trick — engine-portable
-    * (no regex dialect drift): (len(x) - len(replace(x, sub))) / len(sub).
+    * (no regex dialect drift, plain substring scan, no pattern compile):
+    * (len(x) - len(replace(x, sub))) / len(sub).
     */
   def occurrences(c: Column, sub: String): Column =
-    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(sub), ""))) / sub.length
+    (length(c) - length(call_function("replace", c, lit(sub), lit("")))) / sub.length
 
   def occurrencesSql(x: String, sub: String): String = {
     val q = sub.replace("'", "''")
@@ -98,7 +99,7 @@ object TextFunctions {
   }
 
   def meanTokenLen(c: Column): Column =
-    round(length(regexp_replace(c, " ", "")).cast("double") / wsTokens(c), 6)
+    round(length(call_function("replace", c, lit(" "), lit(""))).cast("double") / wsTokens(c), 6)
   def meanTokenLenSql(x: String): String =
     s"ROUND(CAST(length(replace($x, ' ', '')) AS DOUBLE) / ${wsTokensSql(x)}, 6)"
 

@@ -20,7 +20,7 @@ object Ann {
   val NumQueries = 100  // query set: vec_id < 100
 
   private def dotCol(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+    graft.plans.DotProduct.dot(col(a), col(b))
 
   private def rankTopK(pairs: DataFrame): DataFrame =
     pairs
@@ -49,11 +49,14 @@ object Ann {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: bit i = sign of <v, plane_i>. */
+  /** Sign-LSH bucket id: bit i = sign of <v, plane_i>. The plane literal is
+    * a foldable array — constant-folded once, then the codegen'd dot runs
+    * per row.
+    */
   private[similarity] def bucketCol(v: String, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = s"array(${p.mkString(",")})"
-      when(expr(s"aggregate(zip_with($v, $planeArr, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)") >= 0,
+      val planeArr = array(p.toIndexedSeq.map(lit): _*)
+      when(graft.plans.DotProduct.dot(col(v), planeArr) >= 0,
         lit(1L << i)).otherwise(0L)
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
@@ -86,11 +89,9 @@ object Ann {
     val pairs = e.join(broadcast(q),
         col("tbl") === col("qtbl") && col("bucket") === col("probe")
           && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("v"),
-        col("qn"), col("nrm"))
-      .distinct()
       .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
-      .select(col("qid"), col("nid"), col("rcos"))
+      .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
+      .distinct()
     rankTopK(pairs)
   }
 
@@ -104,8 +105,8 @@ object Ann {
     val dim = 64
     val centroids = e.groupBy(col("label")).agg(
       array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
-    val cWithNorm = centroids.withColumn("cn", sqrt(expr(
-      "aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")))
+    val cWithNorm = centroids.withColumn("cn",
+      sqrt(graft.plans.DotProduct.dot(col("cv"), col("cv"))))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     // route each query to its 2 nearest centroids

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{BeamParity, Relational, Tables}
+
+/** Physical-plan audits: the plans we'd want at 100 TB, not just plans that
+  * pass. Broadcasts on dim joins, pushdown at the scan, partial aggregation
+  * before shuffles, TakeOrdered for top-k (never a full global sort).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q3: dim side broadcast, fact side not exchanged for the dim join") {
+    val p = plan(Relational.q3Shipping(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q5: all dims broadcast — exactly one shuffle join (orders x lineitem)") {
+    val p = plan(Relational.q5LocalSupplier(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    val shuffles = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"want >=3 broadcast joins:\n$p")
+    assert(shuffles <= 1, s"want <=1 shuffle join:\n$p")
+  }
+
+  test("source scan: filter and projection pushed to parquet") {
+    val p = plan(BeamParity.sourceScanPushdown(spark, sf))
+    assert(p.contains("EqualTo(o_orderstatus,F)") && p.contains("GreaterThan(o_totalprice,100000.0)"), p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"), p)
+  }
+
+  test("q1: scan reads only the 7 needed lineitem columns") {
+    val p = plan(Relational.q1Pricing(spark, sf))
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string,l_linestatus:string,l_shipdate"), p)
+  }
+
+  test("combine_per_key: partial aggregation before the shuffle") {
+    val p = plan(BeamParity.combinePerKey(spark, sf))
+    // two HashAggregates (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("topk_orders: TakeOrdered, not a global sort") {
+    val p = plan(Relational.topkOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("pardo_map body computes without any hash shuffle (map is embarrassingly parallel)") {
+    val p = plan(BeamParity.pardoMap(spark, sf))
+    // only the presentation sort's range exchange is allowed
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("flatten_union: union is partition concatenation, no hash shuffle") {
+    val p = plan(BeamParity.flattenUnion(spark, sf))
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("B16: approx_count_distinct within 5% of exact") {
+    val row = Tables.lineitem(spark, sf).agg(
+      approx_count_distinct(col("l_partkey")).as("approx"),
+      countDistinct(col("l_partkey")).as("exact")).collect().head
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+}
