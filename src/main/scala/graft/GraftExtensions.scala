@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.plans.{DotProduct, ShingleArray, Winnow}
+
+/** SQL registration of graft's native expressions.
+  *
+  * New sessions: `.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  * Existing sessions: `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans", name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int argument, got $other")
+  }
+
+  /** name -> expression builder, shared by both registration paths. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> ((args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    "shingles" -> ((args: Seq[Expression]) =>
+      ShingleArray(args(0), if (args.length > 1) intArg(args(1), "shingles") else 3)),
+    "winnow" -> ((args: Seq[Expression]) => Winnow(args(0),
+      if (args.length > 1) intArg(args(1), "winnow") else 5,
+      if (args.length > 2) intArg(args(2), "winnow") else 4))
+  )
+
+  /** Register into an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

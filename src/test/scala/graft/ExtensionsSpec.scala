@@ -1,0 +1,19 @@
+package graft
+
+/** The SQL surface of graft's native expressions, registered into the shared
+  * session (the withExtensions builder path uses the identical builder list —
+  * see GraftExtensions.functions).
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft functions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1d, 2d), array(3d, 4d)) AS dp,
+                size(shingles('a b c d', 2)) AS ns,
+                size(winnow('abcdefghij', 3, 2)) AS nw""").collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 3)
+    assert(r.getInt(2) >= 1)
+  }
+}
