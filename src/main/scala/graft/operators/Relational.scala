@@ -160,8 +160,12 @@ object Relational {
     */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
+    // null literal takes o_orderdate's own type (TIMESTAMP_NTZ from this
+    // parquet) — a hardcoded cast("timestamp") would silently retype the
+    // whole union
+    val dateType = o.schema("o_orderdate").dataType.sql
     val left = o.select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
-      col("o_orderkey"), lit(0).as("side"), lit(null).cast("timestamp").as("rdate"))
+      col("o_orderkey"), lit(0).as("side"), lit(null).cast(dateType).as("rdate"))
     val right = o.select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
       lit(null).cast("long").as("o_orderkey"), lit(1).as("side"),
       col("o_orderdate").as("rdate"))
@@ -172,6 +176,22 @@ object Relational {
       .withColumn("prev_date", max(col("rdate")).over(w))
       .filter(col("side") === 0)
       .select(col("o_orderkey"), col("prev_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** B14b — the same as-of semantics through the custom operator stack
+    * (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec, a co-partitioned
+    * sort-merge as-of). Shares `asof_join`'s oracle: both paths must produce
+    * identical results.
+    */
+  def asofJoinExec(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val left = o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val right = o.select(col("o_custkey").as("r_custkey"), col("o_orderdate").as("r_orderdate"))
+    graft.plans.AsOf.join(left, right,
+        leftKey = "o_custkey", rightKey = "r_custkey",
+        leftTime = "o_orderdate", rightTime = "r_orderdate", strict = true)
+      .select(col("o_orderkey"), col("r_orderdate").as("prev_date"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -240,6 +260,7 @@ object Relational {
     "topk_orders" -> topkOrders _,
     "rollup_agg" -> rollupAgg _,
     "asof_join" -> asofJoin _,
+    "asof_join_exec" -> asofJoinExec _,
     "json_extract" -> jsonExtract _,
     "events_window_agg" -> eventsWindowAgg _,
     "events_session" -> eventsSession _
@@ -310,6 +331,11 @@ object Relational {
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "asof_join" -> """
+      SELECT o1.o_orderkey,
+        (SELECT max(o2.o_orderdate) FROM orders o2
+         WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderdate < o1.o_orderdate) AS prev_date
+      FROM orders o1 ORDER BY o1.o_orderkey""",
+    "asof_join_exec" -> """
       SELECT o1.o_orderkey,
         (SELECT max(o2.o_orderdate) FROM orders o2
          WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderdate < o1.o_orderdate) AS prev_date
