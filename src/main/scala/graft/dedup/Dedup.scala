@@ -162,6 +162,50 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** E6 — winnowing-fingerprint near-dup (SURVEY D5 applied to dedup): docs
+    * sharing >= `MinSharedFrac` of the smaller doc's winnow fingerprints.
+    * Same inverted-index shape as E2 but over constant-size fingerprint sets
+    * (winnowing samples ~2/(w+1) of k-gram hashes), so the index is ~5x
+    * smaller than full shingle postings at the same recall for long overlaps.
+    */
+  val MinSharedFrac = 0.5
+  /** Stop-fingerprint cut: fingerprints appearing in more than this many
+    * docs carry no dedup signal but quadratic join cost — df-capped postings
+    * bound every posting list, the standard skew control for fingerprint
+    * indexes. At k=24 fingerprints are distinctive enough that the cap is a
+    * pure scale guard (no-op at test SFs: max df is far below it).
+    */
+  val MaxFingerprintDf = 1000
+
+  /** Fingerprint geometry: k=24 chars (~4 words) per k-gram, window 12.
+    * Shorter k-grams (k=8) degenerate on small vocabularies: every
+    * fingerprint is corpus-common and precision collapses.
+    */
+  val WinnowK = 24
+  val WinnowW = 12
+
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.plans.Winnow.winnow(col("text"), WinnowK, WinnowW)).as("fp"))
+    val dfCounts = raw.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxFingerprintDf)
+    val postings = raw.join(dfCounts.select("fp"), "fp")
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val withN = postings.join(sizes, "doc_id").persist()
+    withN.as("a").join(withN.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nfp").as("nfp_a"), col("b.nfp").as("nfp_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= least(col("nfp_a"), col("nfp_b")) * MinSharedFrac)
+      .withColumn("share_frac", round(col("shared").cast("double") /
+        least(col("nfp_a"), col("nfp_b")), 6))
+      .select(col("doc_a"), col("doc_b"), col("share_frac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---- Embedding cosine ----
 
   private def dotCol(a: String, b: String): Column =
@@ -194,6 +238,7 @@ object Dedup {
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_minhash" -> minhashPairs _,
     "dedup_simhash" -> simhashPairs _,
+    "dedup_winnow" -> winnowPairs _,
     "dedup_embedding" -> embeddingPairs _
   )
 

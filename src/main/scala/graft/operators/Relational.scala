@@ -203,6 +203,29 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
 
+  /** B17 — exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`, verified bit-equal at 6 dp).
+    */
+  def aggPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
+      .orderBy(col("o_orderpriority"))
+
+  /** B18 — the salted-join path (SURVEY §5 skew design): result must be
+    * IDENTICAL to the plain join, so it shares a plain-SQL oracle.
+    */
+  def saltedJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val joined = Skew.saltedJoin(
+      Tables.events(s, d), Tables.customer(s, d),
+      keyL = "user_id", keyR = "c_custkey", discriminator = "event_id", factor = 8)
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** C1 — tumbling-window aggregation (epoch-aligned 1h buckets). */
   def eventsWindowAgg(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -262,6 +285,8 @@ object Relational {
     "asof_join" -> asofJoin _,
     "asof_join_exec" -> asofJoinExec _,
     "json_extract" -> jsonExtract _,
+    "agg_percentiles" -> aggPercentiles _,
+    "salted_join_agg" -> saltedJoinAgg _,
     "events_window_agg" -> eventsWindowAgg _,
     "events_session" -> eventsSession _
   )
@@ -344,6 +369,15 @@ object Relational {
       SELECT event_type, COUNT(*) AS n,
         SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_percentiles" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+        ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "salted_join_agg" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "events_window_agg" -> s"""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         COUNT(*) AS n, ${sqlDsum("value")} AS sum_value

@@ -37,6 +37,12 @@ class DedupSpec extends SparkSpec {
     assert(sh.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3))
   }
 
+  test("winnow pairs recall the exact jaccard>=0.8 pairs") {
+    val exact = pairs(Dedup.jaccardPairs(spark, sf))
+    val wn = pairs(Dedup.winnowPairs(spark, sf))
+    assert(exact.subsetOf(wn), s"missed: ${exact.diff(wn)}")
+  }
+
   test("embedding pairs are deterministic across runs") {
     val a = Dedup.embeddingPairs(spark, sf).collect().toSeq
     val b = Dedup.embeddingPairs(spark, sf).collect().toSeq

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Tables
+
+/** Source/sink breadth beyond the reference's text-only IO: parquet (the
+  * primary format), csv and json round-trips with schema preservation.
+  */
+class SourceSinkSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString + "/out"
+
+  test("csv round-trip preserves rows and schema (header + inferSchema)") {
+    val src = Tables.nation(spark, sf)
+    val path = tmp("csv")
+    src.write.option("header", "true").csv(path)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    assert(back.count() == src.count())
+    assert(back.columns.toSeq == src.columns.toSeq)
+    assert(back.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq ==
+      src.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("json round-trip preserves rows") {
+    val src = Tables.region(spark, sf)
+    val path = tmp("json")
+    src.write.json(path)
+    val back = spark.read.json(path)
+    assert(back.count() == src.count())
+    assert(back.select("r_name").collect().map(_.getString(0)).toSet ==
+      src.select("r_name").collect().map(_.getString(0)).toSet)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val src = Tables.customer(spark, sf)
+    val path = tmp("part")
+    src.write.partitionBy("c_mktsegment").parquet(path)
+    val one = spark.read.parquet(path).filter(col("c_mktsegment") === "BUILDING")
+    val p = one.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(c_mktsegment"), p)
+    assert(one.count() ==
+      src.filter(col("c_mktsegment") === "BUILDING").count())
+  }
+}
