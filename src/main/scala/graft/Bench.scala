@@ -26,22 +26,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // best of 2 at the target SF: one measurement is hostage to GC /
-    // first-touch page cache; the min is the steady-state number
+    // first-touch page cache; the min is the steady-state number. A failed
+    // query must not masquerade as a fast one: it reports -1 and is listed.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = names.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch {
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
         }
-        (System.nanoTime() - t0) / 1e9
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      name -> times.min
+      val good = times.filterNot(_.isNaN)
+      if (good.isEmpty) failed += name
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,11 +25,14 @@ object Multimodal {
     * format dispatch on).
     */
   def binaryMeta(s: SparkSession, d: String): DataFrame =
-    withPayload(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"),
-        octet_length(col("payload")).as("n_bytes"),
-        md5(col("payload")).as("content_md5"),
-        lower(hex(substring(col("payload"), 1, 4))).as("magic_hex"))
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("content_md5"),
+        // first 4 CHARACTERS then encode — DuckDB can't substring a BLOB, so
+        // both sides use char semantics (byte-substring of the payload would
+        // diverge on multi-byte UTF-8)
+        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("magic_hex"))
       .orderBy(col("doc_id"))
 
   /** STUB decoder: stands in for the image/audio decode step (no codec libs
@@ -81,7 +84,11 @@ object Multimodal {
       .withColumn("n_frames",
         ceil(octet_length(col("payload")).cast("double") / FrameLen).cast("int"))
       .select(col("doc_id"), col("payload"),
-        posexplode(expr(s"transform(sequence(0, n_frames - 1), i -> i * $FrameLen)"))
+        // n_frames=0 guard: sequence(0,-1) counts DOWN in Spark and would
+        // emit phantom frames for empty payloads
+        posexplode(expr(
+          s"CASE WHEN n_frames > 0 THEN transform(sequence(0, n_frames - 1), i -> i * $FrameLen) " +
+            "ELSE array() END"))
           .as(Seq("frame_idx", "off")))
       .filter(col("frame_idx") % Every === 0)
       .select(col("doc_id"), col("frame_idx"),
@@ -98,6 +105,8 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     // DuckDB md5/hex operate on VARCHAR; the payload is exactly the UTF-8
     // bytes of `text`, so md5(text) == md5(encode(text)).
+    // md5/hex operate on the same UTF-8 bytes both sides; magic prefix uses
+    // char semantics (DuckDB can't substring a BLOB)
     "mm_binary_meta" -> """
       SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         md5(text) AS content_md5,

@@ -119,8 +119,7 @@ object BeamParity {
     */
   def sideSingleton(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    val thr = o.agg((sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") /
-      count(lit(1))).as("thr"))
+    val thr = o.agg((dsum(col("o_totalprice")) / count(lit(1))).as("thr"))
     o.join(broadcast(thr))
       .filter(col("o_totalprice") > col("thr"))
       .groupBy(col("o_orderstatus"))

@@ -40,7 +40,7 @@ object Relational {
       .join(broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(revenue.cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .agg(dsum(revenue).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
@@ -240,14 +240,17 @@ object Relational {
     */
   def eventsSession(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // gap test in exact microseconds: cast-to-long truncates to whole
+    // seconds and disagrees with both the oracle and the streaming twin at
+    // the 30-minute boundary when gaps carry sub-second parts
     Tables.events(s, d)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1)
+          .otherwise(0))
       .withColumn("session_seq", sum(col("new_session")).over(
-        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
@@ -386,7 +389,7 @@ object Relational {
       WITH flagged AS (
         SELECT user_id, ts, event_id,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                THEN 1 ELSE 0 END AS new_session
         FROM events),
       numbered AS (

@@ -103,10 +103,17 @@ final case class Pipe[T](ds: Dataset[T]) {
   def flatMap[U: Encoder](f: T => IterableOnce[U]): Pipe[U] = Pipe(ds.flatMap(f))
   def filter(p: T => Boolean): Pipe[T] = Pipe(ds.filter(p))
 
-  /** ParDo with the full DoFn lifecycle; one bundle per partition. */
+  /** ParDo with the full DoFn lifecycle; one bundle per partition.
+    * teardown is bound to task completion (not iterator exhaustion) so it
+    * also fires when a downstream operator stops consuming early (limit,
+    * take, failed task) — the reference's lifecycle has the same guarantee
+    * only because it materializes the whole partition first.
+    */
   def parDo[U: Encoder](fn: DoFn[T, U]): Pipe[U] = Pipe(ds.mapPartitions { it =>
     fn.setup()
     fn.startBundle()
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => fn.teardown()))
     val main = it.flatMap(fn.process)
     new Iterator[U] {
       private var tail: Iterator[U] = null
@@ -117,11 +124,7 @@ final case class Pipe[T](ds: Dataset[T]) {
         if (tail == null) main
         else tail
       }
-      override def hasNext: Boolean = {
-        val h = current.hasNext
-        if (!h && tail != null) fn.teardown()
-        h
-      }
+      override def hasNext: Boolean = current.hasNext
       override def next(): U = current.next()
     }
   })

@@ -135,7 +135,12 @@ case class AsOfJoinExec(
             })
             if (qualifies) {
               if (kc == 0) {
-                candKey = headKey; candTime = headTime; cand = headRow.copy()
+                // copyValue: buffer-backed values (UTF8String, arrays,
+                // decimals) point into the sort iterator's reused row and
+                // are overwritten by the next advanceHead()
+                candKey = InternalRow.copyValue(headKey)
+                candTime = InternalRow.copyValue(headTime)
+                cand = headRow.copy()
               }
               continue = advanceHead()
             } else {
@@ -169,9 +174,15 @@ object AsOf {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
-    ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      resolve(lPlan, leftKey), resolve(rPlan, rightKey),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime), strict))
+    val (lk, rk) = (resolve(lPlan, leftKey), resolve(rPlan, rightKey))
+    val (lt, rt) = (resolve(lPlan, leftTime), resolve(rPlan, rightTime))
+    // the merge compares with orderings built from the LEFT types; a type
+    // mismatch would otherwise surface as a mid-job ClassCastException
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: $leftKey is ${lk.dataType.sql}, $rightKey is ${rk.dataType.sql}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: $leftTime is ${lt.dataType.sql}, $rightTime is ${rt.dataType.sql}")
+    ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict))
   }
 
   /** Idempotently install the planner strategy on an existing session. */
