@@ -226,6 +226,42 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** B19 — Q12-style conditional aggregation: CASE counts inside one agg
+    * pass (no second scan, no join).
+    */
+  def q12Priority(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+
+  /** B20 — Q14-style conditional-revenue ratio: two decimal-exact sums, one
+    * final division.
+    */
+  def q14Promo(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type").startsWith("PROMO"),
+            revenue.cast(DecimalType(18, 4))).otherwise(lit(0).cast(DecimalType(18, 4))))
+            .cast("double")
+          / sum(revenue.cast(DecimalType(18, 4))).cast("double")).as("promo_ratio"))
+      .select(round(col("promo_ratio"), 6).as("promo_ratio"))
+
+  /** B21 — Q10-style returned-item ranking: join + agg + top 20 customers. */
+  def q10Returns(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** C1 — tumbling-window aggregation (epoch-aligned 1h buckets). */
   def eventsWindowAgg(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -289,6 +325,9 @@ object Relational {
     "asof_join_exec" -> asofJoinExec _,
     "json_extract" -> jsonExtract _,
     "agg_percentiles" -> aggPercentiles _,
+    "q12_priority" -> q12Priority _,
+    "q14_promo" -> q14Promo _,
+    "q10_returns" -> q10Returns _,
     "salted_join_agg" -> saltedJoinAgg _,
     "events_window_agg" -> eventsWindowAgg _,
     "events_session" -> eventsSession _
@@ -372,6 +411,26 @@ object Relational {
       SELECT event_type, COUNT(*) AS n,
         SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "q12_priority" -> """
+      SELECT l_returnflag,
+        SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q14_promo" -> """
+      SELECT ROUND(
+        100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_ratio
+      FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "q10_returns" -> s"""
+      SELECT c_custkey, c_name, ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "agg_percentiles" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
         ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,

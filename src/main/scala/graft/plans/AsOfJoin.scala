@@ -43,6 +43,30 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: a Filter over the as-of join that only references LEFT
+  * columns commutes with the join (each left row's match is independent of
+  * other left rows), so it pushes below — from where Catalyst's stock rules
+  * carry it all the way into the parquet scan. Without this, the custom node
+  * is an optimization barrier and the filter runs after the shuffle+merge.
+  */
+object PushFilterThroughAsOf
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict) =>
@@ -185,11 +209,16 @@ object AsOf {
     ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict))
   }
 
-  /** Idempotently install the planner strategy on an existing session. */
+  /** Idempotently install the planner strategy + optimizer rule on an
+    * existing session.
+    */
   def ensureStrategy(spark: SparkSession): Unit = {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy)) {
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!exp.extraOptimizations.contains(PushFilterThroughAsOf)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOf
     }
   }
 }

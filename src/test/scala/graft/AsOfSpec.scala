@@ -34,6 +34,20 @@ class AsOfSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
+  test("left-only filters push through the as-of join into the scan") {
+    val o = Tables.orders(spark, sf)
+    val left = o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val right = o.select(col("o_custkey").as("r_custkey"), col("o_orderdate").as("r_orderdate"))
+    val df = AsOf.join(left, right, "o_custkey", "r_custkey",
+        "o_orderdate", "r_orderdate", strict = true)
+      .filter(col("o_orderkey") < 100)
+    val p = df.queryExecution.executedPlan.toString
+    // the filter must reach the LEFT scan's pushed filters, below the join
+    assert(p.contains("LessThan(o_orderkey,100)"), p)
+    val r = df.select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(r.nonEmpty && r.forall(_ < 100))
+  }
+
   test("events to latest order per user (cross-table as-of)") {
     val ord = Tables.orders(spark, sf)
       .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))

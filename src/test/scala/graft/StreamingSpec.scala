@@ -70,6 +70,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("C5: streaming dedup (dropDuplicates + watermark) == batch distinct count") {
+    val staged = stageDir()
+    // duplicate every event id by unioning the stream with itself offset:
+    // simpler — dedup on event_type x user_id pairs, arriving many times
+    val q = streamFrom(staged)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out")
+      .filter(col("event_type") =!= "flush")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == got.toSet.size)  // no duplicates emitted
+    assert(got.toSet == want.toSet)       // exactly the distinct pairs
+  }
+
   test("C4: stateful sessionization == batch events_session") {
     val staged = stageDir()
     val evs = streamFrom(staged)
