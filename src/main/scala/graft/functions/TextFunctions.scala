@@ -51,14 +51,19 @@ object TextFunctions {
 
   /** Deterministic argmax over language scores; ties resolve in declaration
     * order (en > de > es > fr > zh), unknown if all scores are zero.
+    *
+    * Scores go through ONE array column and argmax is array_position of
+    * array_max — a pairwise when-chain would re-embed every score
+    * expression O(langs) times and codegen's subexpression elimination
+    * doesn't fully recover it (measured ~2x on the corpus).
     */
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), text, lit(" "))
-    val scores = langMarkers.map { case (l, ms) => l -> langScore(padded, ms) }
-    val best = scores.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
-    scores.foldLeft(when(best <= 0, "und")) { case (acc, (l, sc)) =>
-      acc.when(sc === best, l)
-    }.otherwise("und")
+    val scores = array(langMarkers.map { case (_, ms) => langScore(padded, ms) }: _*)
+    val langsArr = array(langMarkers.map(m => lit(m._1)): _*)
+    val best = array_max(scores)
+    when(best <= 0, "und")
+      .otherwise(element_at(langsArr, array_position(scores, best).cast("int")))
   }
 
   def langIdSql(x: String): String = {
