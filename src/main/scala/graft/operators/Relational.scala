@@ -262,6 +262,32 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** B24 — pivot: event-type counts to columns. Explicit value list keeps
+    * the schema static (no extra distinct-collection job) and matches the
+    * oracle's CASE-sum formulation.
+    */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy(col("user_id"))
+
+  /** B25 — unpivot/melt: quality metrics wide -> long. */
+  def unpivotQuality(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        spaceRatio(col("text")).as("space_ratio"))
+      .unpivot(Array(col("doc_id")),
+        Array(col("alpha_ratio"), col("space_ratio")), "metric", "value")
+      .orderBy(col("doc_id"), col("metric"))
+  }
+
   /** C1 — tumbling-window aggregation (epoch-aligned 1h buckets). */
   def eventsWindowAgg(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -326,6 +352,8 @@ object Relational {
     "json_extract" -> jsonExtract _,
     "agg_percentiles" -> aggPercentiles _,
     "q12_priority" -> q12Priority _,
+    "pivot_events" -> pivotEvents _,
+    "unpivot_quality" -> unpivotQuality _,
     "q14_promo" -> q14Promo _,
     "q10_returns" -> q10Returns _,
     "salted_join_agg" -> saltedJoinAgg _,
@@ -411,6 +439,19 @@ object Relational {
       SELECT event_type, COUNT(*) AS n,
         SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "pivot_events" -> """
+      SELECT user_id,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    "unpivot_quality" -> s"""
+      SELECT doc_id, 'alpha_ratio' AS metric, ${graft.functions.TextFunctions.alphaRatioSql("text")} AS value FROM documents
+      UNION ALL
+      SELECT doc_id, 'space_ratio', ${graft.functions.TextFunctions.spaceRatioSql("text")} FROM documents
+      ORDER BY doc_id, metric""",
     "q12_priority" -> """
       SELECT l_returnflag,
         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
