@@ -3,18 +3,23 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The corpus-cleaning composite is the engine's identity piece: quality
+    * gate + language ID + exact dedup fused into one Catalyst plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Pricing(spark, "/root/testdata/sf0.001")
+    CorpusClean.corpusClean(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ BeamParity.queries ++ TextAnalysis.queries ++
+      CorpusClean.queries ++
       graft.dedup.Dedup.queries ++ graft.similarity.Ann.queries ++
       graft.multimodal.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ BeamParity.oracles ++ TextAnalysis.oracles ++
+      CorpusClean.oracles ++
       graft.dedup.Dedup.oracles ++ graft.similarity.Ann.oracles ++
       graft.multimodal.Multimodal.oracles
 }
