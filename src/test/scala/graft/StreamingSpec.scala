@@ -91,6 +91,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == want.toSet)       // exactly the distinct pairs
   }
 
+  test("C6: stream-static enrichment join == batch join") {
+    val staged = stageDir()
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = streamFrom(staged)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("enrich_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the stream includes one flush row per user; add them to the expectation
+    val want = Tables.events(spark, sf)
+      .groupBy("user_id").agg((count(lit(1)) + 1).as("cnt"))
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(sum("cnt").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("C4: stateful sessionization == batch events_session") {
     val staged = stageDir()
     val evs = streamFrom(staged)
