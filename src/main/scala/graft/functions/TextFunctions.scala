@@ -62,8 +62,12 @@ object TextFunctions {
     val scores = array(langMarkers.map { case (_, ms) => langScore(padded, ms) }: _*)
     val langsArr = array(langMarkers.map(m => lit(m._1)): _*)
     val best = array_max(scores)
-    when(best <= 0, "und")
-      .otherwise(element_at(langsArr, array_position(scores, best).cast("int")))
+    // coalesce: NULL text must yield 'und' (like the SQL twin's CASE ...
+    // ELSE 'und'), not propagate NULL through the argmax
+    coalesce(
+      when(best <= 0, "und")
+        .otherwise(element_at(langsArr, array_position(scores, best).cast("int"))),
+      lit("und"))
   }
 
   def langIdSql(x: String): String = {

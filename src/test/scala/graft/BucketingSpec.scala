@@ -16,12 +16,12 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     // the in-memory catalog forgets tables across JVM runs but their
     // warehouse directories persist — clear them or CTAS refuses the location
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
     Seq("b_orders", "b_lineitem").foreach { t =>
-      val dir = new java.io.File(s"spark-warehouse/$t")
-      if (dir.exists()) {
-        dir.listFiles().foreach(_.delete())
-        dir.delete()
-      }
+      deleteRec(new java.io.File(s"spark-warehouse/$t"))
     }
     Tables.orders(spark, sf)
       .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")

@@ -72,8 +72,7 @@ class StreamingSpec extends SparkSpec {
 
   test("C5: streaming dedup (dropDuplicates + watermark) == batch distinct count") {
     val staged = stageDir()
-    // duplicate every event id by unioning the stream with itself offset:
-    // simpler — dedup on event_type x user_id pairs, arriving many times
+    // dedup on (user_id, event_type) pairs, which arrive many times each
     val q = streamFrom(staged)
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
