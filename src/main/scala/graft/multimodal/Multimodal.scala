@@ -74,6 +74,26 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** G4 — "resize" STUB: deterministic fixed-stride downsample of the
+    * payload to `TargetLen` bytes (stands in for image resize — the real
+    * pixel-domain op needs a codec; the Spark-side shape is identical: fixed
+    * per-row output size, pure per-row compute, no shuffle).
+    */
+  def resizeStub(s: SparkSession, d: String): DataFrame = {
+    val TargetLen = 64
+    withPayload(s, d)
+      .withColumn("n_bytes", octet_length(col("payload")))
+      .filter(col("n_bytes") >= TargetLen)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, $TargetLen - 1), " +
+          s"i -> hex(substring(payload, cast(i * n_bytes / $TargetLen AS INT) + 1, 1)))")
+          .as("resized"),
+        col("n_bytes"))
+      .select(col("doc_id"), size(col("resized")).as("resized_len"),
+        md5(concat_ws(",", col("resized"))).as("resized_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** G3 — frame sampling: chunk the payload into 256-byte frames, keep every
     * 4th, fingerprint each. posexplode keeps it one codegen'd pass.
     */
@@ -99,7 +119,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta _,
     "mm_feature_stub" -> featureStub _,
-    "mm_frame_sample" -> frameSample _
+    "mm_frame_sample" -> frameSample _,
+    "mm_resize_stub" -> resizeStub _
   )
 
   val oracles: Map[String, String] = Map(

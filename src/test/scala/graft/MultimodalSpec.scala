@@ -24,6 +24,13 @@ class MultimodalSpec extends SparkSpec {
     assert(df.collect().toSeq == Multimodal.frameSample(spark, sf).collect().toSeq)
   }
 
+  test("resize stub produces fixed-length output, deterministic") {
+    val rows = Multimodal.resizeStub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) == 64))
+    assert(rows.toSeq == Multimodal.resizeStub(spark, sf).collect().toSeq)
+  }
+
   test("binary meta magic_hex is the first 4 bytes") {
     val r = Multimodal.binaryMeta(spark, sf).limit(1).collect().head
     assert(r.getString(3).length == 8)
