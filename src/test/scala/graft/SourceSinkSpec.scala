@@ -34,6 +34,17 @@ class SourceSinkSpec extends SparkSpec {
       src.select("r_name").collect().map(_.getString(0)).toSet)
   }
 
+  test("orc round-trip preserves rows and schema") {
+    val src = Tables.supplier(spark, sf)
+    val path = tmp("orc")
+    src.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      src.orderBy("s_suppkey").collect().toSeq)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val src = Tables.customer(spark, sf)
     val path = tmp("part")
