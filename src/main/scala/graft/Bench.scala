@@ -25,6 +25,9 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
+    // drop the warmup's persisted blocks: leftover cache skews (and
+    // memory-pressures) the measured runs
+    spark.catalog.clearCache()
     // best of 2 at the target SF: one measurement is hostage to GC /
     // first-touch page cache; the min is the steady-state number. A failed
     // query must not masquerade as a fast one: it reports -1 and is listed.
@@ -41,6 +44,7 @@ object Bench {
       }
       val good = times.filterNot(_.isNaN)
       if (good.isEmpty) failed += name
+      spark.catalog.clearCache()
       name -> (if (good.isEmpty) -1.0 else good.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
