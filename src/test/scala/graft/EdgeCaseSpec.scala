@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{AsOf, ShingleArray, Winnow}
+
+/** Degenerate-input behavior: empty relations, short strings, empty join
+  * sides. These are the inputs a 100 TB run hits constantly at partition
+  * boundaries.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import SparkSpecBase.spark.implicits._
+
+  test("aggregation over an empty relation yields zero rows (grouped) / one row (global)") {
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    assert(empty.groupBy($"k").agg(sum($"v")).count() == 0)
+    val global = empty.agg(count(lit(1)).as("n"), sum($"v").as("s")).collect().head
+    assert(global.getLong(0) == 0 && global.isNullAt(1))
+  }
+
+  test("winnow/shingles on degenerate strings") {
+    assert(Winnow.fingerprints("", 5, 4).isEmpty)
+    assert(Winnow.fingerprints("abc", 5, 4).isEmpty)       // shorter than k
+    assert(Winnow.fingerprints("abcde", 5, 4).length == 1) // exactly one k-gram
+    def sh(s: String) = ShingleArray.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), 3)
+    assert(sh("").numElements() == 0)
+    assert(sh("a b").numElements() == 0)                   // fewer than n words
+    assert(sh("a b c").numElements() == 1)
+    // split(' ', -1) preserves empty tokens (like DuckDB str_split):
+    // "a  b" is 3 tokens -> one 3-gram
+    assert(sh("a  b").numElements() == 1)
+    assert(sh("a  b c").numElements() == 2)
+  }
+
+  test("as-of join with an empty right side is all-null left outer") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
+    val right = Seq.empty[(Long, Long, String)].toDF("rk", "rt", "rtag")
+    val got = AsOf.join(left, right, "k", "rk", "t", "rt").collect()
+    assert(got.length == 1 && got.head.isNullAt(5))
+  }
+
+  test("as-of join with an empty left side yields nothing") {
+    val left = Seq.empty[(Long, Long, String)].toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "r")).toDF("rk", "rt", "rtag")
+    assert(AsOf.join(left, right, "k", "rk", "t", "rt").count() == 0)
+  }
+
+  test("as-of join rejects mismatched key types up front") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1, 5L)).toDF("rk", "rt")  // Int key vs Long key
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(left, right, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("key types differ"))
+  }
+
+  test("pipe groupByKey and combinePerKey on empty input") {
+    import graft.pipeline._
+    import graft.pipeline.Pipe._
+    val p = Pipe.create(spark, Seq.empty[(String, Int)])
+    assert(p.groupByKey.collect().isEmpty)
+    val sumFn = new CombineFn[Int, Int, Int] {
+      def createAccumulator() = 0
+      def addInput(a: Int, i: Int) = a + i
+      def mergeAccumulators(a: Int, b: Int) = a + b
+      def extractOutput(a: Int) = a
+    }
+    assert(p.combinePerKey(sumFn).collect().isEmpty)
+  }
+}
