@@ -30,10 +30,13 @@ object Ann {
       .select(col("qid"), col("nid"), col("rank"), col("rcos"))
       .orderBy(col("qid"), col("rank"))
 
-  /** F1 — exact top-k cosine: broadcast the query set, one scan of the
-    * corpus, per-partition partial top-k via the rank window.
+  /** F1 (declarative form) — broadcast the query set, one scan of the
+    * corpus, per-partition partial top-k via the rank window. Kept as the
+    * reference implementation; the query key binds to [[bruteTopK]], the
+    * packed-vector path, which must produce identical results (same oracle,
+    * spec-pinned equality).
     */
-  def bruteTopK(s: SparkSession, d: String): DataFrame = {
+  def bruteTopKDeclarative(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("v"), col("nrm"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -41,6 +44,55 @@ object Ann {
       .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
       .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
     rankTopK(pairs)
+  }
+
+  /** F1 — exact top-k cosine, packed-vector path: the query block is
+    * broadcast as primitive arrays and each corpus partition streams through
+    * a bounded per-query heap — same flops as the join form but none of the
+    * per-pair join/row machinery (the documented "(d) mapPartitions where it
+    * measurably wins" tier). Emits per-partition top-k; the global rank
+    * window then reduces partials (numPartitions x queries x k rows, tiny).
+    * Results are bit-identical to the declarative form: same sequential dot,
+    * same HALF_UP 6 dp rounding, same (rcos desc, nid asc) order.
+    */
+  def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    val queries = e.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(queries)
+    val k = TopK
+    val partials = e.mapPartitions { it =>
+      val qs = bc.value
+      // bounded heaps: worst element on top, ordered (rcos asc, nid desc)
+      val ord = Ordering.by[(Double, Long), (Double, Long)] {
+        case (rcos, nid) => (-rcos, nid)
+      }
+      val heaps = Array.fill(qs.length)(
+        new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+      it.foreach { case (nid, v, nrm) =>
+        var i = 0
+        while (i < qs.length) {
+          val (qid, qv, qn) = qs(i)
+          if (nid != qid) {
+            var acc = 0.0
+            var j = 0
+            while (j < qv.length) { acc += qv(j) * v(j); j += 1 }
+            val rcos = BigDecimal(acc / (qn * nrm))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val cand = (rcos, nid)
+            if (heaps(i).size < k) heaps(i).enqueue(cand)
+            else if (ord.lt(cand, heaps(i).head)) { heaps(i).dequeue(); heaps(i).enqueue(cand) }
+          }
+          i += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (rcos, nid) => (qs(i)._1, nid, rcos) }
+      }
+    }.toDF("qid", "nid", "rcos")
+    rankTopK(partials)
   }
 
   /** Deterministic random hyperplanes (fixed-seed Gaussian, 64-dim). */

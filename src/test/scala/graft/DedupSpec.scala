@@ -64,6 +64,12 @@ class DedupSpec extends SparkSpec {
       s"recall@10 = $recall, scanned fraction ~= $scanned, n = $n")
   }
 
+  test("packed-vector brute force == declarative brute force, bit for bit") {
+    val fast = Ann.bruteTopK(spark, sf).collect().toSeq
+    val decl = Ann.bruteTopKDeclarative(spark, sf).collect().toSeq
+    assert(fast == decl && fast.nonEmpty)
+  }
+
   test("ivf ann returns k results per query with sane ranks") {
     val rows = Ann.ivfTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
