@@ -218,18 +218,47 @@ object Dedup {
     e.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(graft.plans.DotProduct.dot(col("v"), col("v"))))
 
-  /** E5 — embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
-    * baseline. At small SF this is a block nested-loop join; the scale path
-    * is the sign-LSH candidate join in graft.similarity.Ann (approximate,
-    * spec'd for recall) — exact all-pairs above a threshold fundamentally
-    * requires an index at 100 TB.
+  /** E5 (declarative form) — block nested-loop join; kept as the reference
+    * implementation for the equality spec. The query key binds to
+    * [[embeddingPairs]], the packed path.
     */
-  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+  def embeddingPairsDeclarative(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("v"), col("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(dotCol("a.v", "b.v") / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos") >= 0.4)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** E5 — embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
+    * baseline on the packed path: the corpus block (vec_id-sorted primitive
+    * arrays) is broadcast and each partition streams its rows against the
+    * upper triangle — same n^2/2 flops as the BNL join, none of the per-pair
+    * row machinery. Valid while the block fits a broadcast (it's the SMALL-
+    * scale exact baseline; the 100 TB path is LSH candidates + verify in
+    * graft.similarity.Ann, recall-spec'd — exact all-pairs above a threshold
+    * fundamentally requires an index at that size).
+    */
+  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    val block = e.collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(block)
+    e.flatMap { case (ida, va, na) =>
+      bc.value.iterator
+        .filter(_._1 > ida)
+        .flatMap { case (idb, vb, nb) =>
+          var acc = 0.0
+          var j = 0
+          while (j < va.length) { acc += va(j) * vb(j); j += 1 }
+          val cos = BigDecimal(acc / (na * nb))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cos >= 0.4) Some((ida, idb, cos)) else None
+        }
+    }.toDF("vec_a", "vec_b", "cos")
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -49,6 +49,12 @@ class DedupSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("packed embedding pairs == declarative BNL pairs, bit for bit") {
+    val fast = Dedup.embeddingPairs(spark, sf).collect().toSeq
+    val decl = Dedup.embeddingPairsDeclarative(spark, sf).collect().toSeq
+    assert(fast == decl && fast.nonEmpty)
+  }
+
   test("lsh ann recall beats scanned-fraction by >=2x (the LSH property)") {
     // On near-uniform synthetic vectors no hash family gets high absolute
     // recall; the honest claim is recall per unit of scanned corpus.
