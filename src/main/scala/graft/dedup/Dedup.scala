@@ -52,8 +52,16 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
       .persist()
     val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-    val dfCounts = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val ranked = postings.join(dfCounts, "sh")
+    // fuse df-counting with the postings re-attachment: ONE shuffle on the
+    // shingle (groupBy + re-explode of the per-shingle posting list) instead
+    // of a count-aggregate plus a join back. Posting lists are df-bounded
+    // (word-shingle df stays small; hot shingles would need the E6-style
+    // df cap before this collect_list could skew).
+    val withDf = postings.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"), collect_list(struct(col("doc_id"), col("sz"))).as("ps"))
+      .select(col("sh"), col("df"), explode(col("ps")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.sz").as("sz"), col("sh"), col("df"))
+    val ranked = withDf
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
     val prefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
