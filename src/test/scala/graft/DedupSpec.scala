@@ -76,6 +76,22 @@ class DedupSpec extends SparkSpec {
     assert(fast == decl && fast.nonEmpty)
   }
 
+  test("packed paths are invariant to input partitioning") {
+    import org.apache.spark.sql.functions.col
+    // the per-partition heap/triangle logic must not depend on row placement:
+    // compare against runs where the source is re-partitioned oddly
+    val spark2 = spark
+    val base = Ann.bruteTopK(spark2, sf).collect().toSeq
+    val basePairs = Dedup.embeddingPairs(spark2, sf).collect().toSeq
+    spark2.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try {
+      assert(Ann.bruteTopK(spark2, sf).collect().toSeq == base)
+      assert(Dedup.embeddingPairs(spark2, sf).collect().toSeq == basePairs)
+    } finally {
+      spark2.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
   test("ivf ann returns k results per query with sane ranks") {
     val rows = Ann.ivfTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
