@@ -77,19 +77,20 @@ class DedupSpec extends SparkSpec {
   }
 
   test("packed paths are invariant to input partitioning") {
-    import org.apache.spark.sql.functions.col
-    // the per-partition heap/triangle logic must not depend on row placement:
-    // compare against runs where the source is re-partitioned oddly
-    val spark2 = spark
-    val base = Ann.bruteTopK(spark2, sf).collect().toSeq
-    val basePairs = Dedup.embeddingPairs(spark2, sf).collect().toSeq
-    spark2.conf.set("spark.sql.files.maxPartitionBytes", "16384")
-    try {
-      assert(Ann.bruteTopK(spark2, sf).collect().toSeq == base)
-      assert(Dedup.embeddingPairs(spark2, sf).collect().toSeq == basePairs)
-    } finally {
-      spark2.conf.unset("spark.sql.files.maxPartitionBytes")
-    }
+    // the per-partition heap/triangle logic must not depend on row placement.
+    // The source table is a single-row-group parquet (always ONE non-empty
+    // scan partition regardless of split confs), so write a genuinely
+    // multi-file copy and run against that.
+    val root = java.nio.file.Files.createTempDirectory("graft-parts").toString
+    graft.operators.Tables.embeddings(spark, sf)
+      .repartition(7)
+      .write.parquet(s"$root/embeddings.parquet")
+    val base = Ann.bruteTopK(spark, sf).collect().toSeq
+    val split = Ann.bruteTopK(spark, root).collect().toSeq
+    assert(split == base && base.nonEmpty)
+    val basePairs = Dedup.embeddingPairs(spark, sf).collect().toSeq
+    val splitPairs = Dedup.embeddingPairs(spark, root).collect().toSeq
+    assert(splitPairs == basePairs && basePairs.nonEmpty)
   }
 
   test("ivf ann returns k results per query with sane ranks") {
