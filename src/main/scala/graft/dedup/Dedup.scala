@@ -88,12 +88,14 @@ object Dedup {
   private val MinhashBands = 16
   private val MinhashRows = 4  // 16 bands x 4 rows = 64 signature slots
 
-  /** E3 — MinHash + LSH banding: 64-slot signature (permutation i is
-    * xxhash64(i, base_hash) — seeded re-hashing rather than affine maps,
-    * which overflow under ANSI arithmetic) -> 16 band keys -> bucket join ->
-    * exact-Jaccard verification of candidates at threshold 0.7. Probabilistic
-    * recall (>= 1-(1-t^4)^16, i.e. ~0.9998 at t=0.8); the DedupSpec recall
-    * test pins it against the exact E2 pairs.
+  /** E3 — MinHash + LSH banding: 64-slot signature (slot i is
+    * XXH64(base_hash, seed=i), one imperative sketch aggregate — see
+    * graft.plans.MinHashAgg; 64 separate min-agg columns codegen a huge
+    * class whose recompilation is ~10s whenever it leaves the generated-
+    * class cache) -> 16 band keys -> bucket join -> exact-Jaccard
+    * verification of candidates at threshold 0.7. Probabilistic recall
+    * (>= 1-(1-t^4)^16, i.e. ~0.9998 at t=0.8); the DedupSpec recall test
+    * pins it against the exact E2 pairs.
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -103,12 +105,11 @@ object Dedup {
     val postings = shingled
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
-    val sigCols = (0 until MinhashBands * MinhashRows).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i")
-    }
-    val sigs = postings.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigs = postings.groupBy(col("doc_id"))
+      .agg(graft.plans.SketchAggs.minhash(col("h"), MinhashBands * MinhashRows).as("m"))
     val bandCols = (0 until MinhashBands).map { b =>
-      val slots = (0 until MinhashRows).map(r => col(s"m${b * MinhashRows + r}"))
+      val slots = (0 until MinhashRows).map(r =>
+        element_at(col("m"), b * MinhashRows + r + 1))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -134,24 +135,19 @@ object Dedup {
   // ---- SimHash ----
 
   /** E4 — 64-bit SimHash with 4x16-bit band blocking, hamming radius 3.
-    * Sign-sum per bit over shingle hashes; candidates must agree on at least
-    * one 16-bit band (guaranteed for hamming <= 3 by pigeonhole), verified
-    * with bit_count(xor).
+    * Sign-sum per bit over shingle hashes in ONE imperative sketch aggregate
+    * (graft.plans.SimHashAgg — same codegen-size rationale as MinHashAgg);
+    * candidates must agree on at least one 16-bit band (guaranteed for
+    * hamming <= 3 by pigeonhole), verified with bit_count(xor).
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val postings = withShingles(Tables.documents(s, d))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
-    val bitSums = (0 until 64).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
-    }
-    // tiny (one row per doc) but derived from a 64-column aggregation over
-    // all postings: persist before the two-sided band self-join
-    val sims = postings.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", (0 until 64).map { j =>
-        when(col(s"b$j") >= 0, lit(1L << j)).otherwise(0L)
-      }.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
-      .select(col("doc_id"), col("simhash"))
+    // tiny (one row per doc) but derived from aggregation over all
+    // postings: persist before the two-sided band self-join
+    val sims = postings.groupBy(col("doc_id"))
+      .agg(graft.plans.SketchAggs.simhash(col("h")).as("simhash"))
       .persist()
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
