@@ -20,9 +20,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // full materialization: the noop sink consumes EVERY column and executes
+    // the whole physical plan (a count() lets Catalyst prune presentation
+    // sorts and unused columns, undercounting real query work)
+    def run(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, warmDir).count()
+      try run(name, warmDir)
       catch { case _: Throwable => () }
     }
     // drop the warmup's persisted blocks: leftover cache skews (and
@@ -35,7 +41,7 @@ object Bench {
     val results = names.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true } catch {
+        val ok = try { run(name, sfDir); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false

@@ -17,6 +17,8 @@ import graft.operators.Tables
 object Dedup {
 
   val JaccardT = 0.8  // = 4/5; prefix arithmetic below relies on exact 4/5
+  /** Posting-list df cap for the E2 inverted index (see BoundedPostingsAgg). */
+  val MaxShingleDf = 1000
 
   /** Distinct 3-word shingles via the native codegen expression (see
     * graft.plans.ShingleArray — the composable transform/array_distinct form
@@ -54,12 +56,18 @@ object Dedup {
     val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
     // fuse df-counting with the postings re-attachment: ONE shuffle on the
     // shingle (groupBy + re-explode of the per-shingle posting list) instead
-    // of a count-aggregate plus a join back. Posting lists are df-bounded
-    // (word-shingle df stays small; hot shingles would need the E6-style
-    // df cap before this collect_list could skew).
+    // of a count-aggregate plus a join back. The posting list is SIZE-CAPPED
+    // inside the aggregate (BoundedPostingsAgg): a hot shingle's buffer is
+    // bounded at MaxShingleDf and its postings are dropped from the index —
+    // the E6 stop-fingerprint cut. Dropped shingles sit at the END of the
+    // (df asc) prefix order, so they only enter a prefix when a doc has
+    // fewer than prefix-length sub-cap shingles (all-boilerplate docs) —
+    // a deliberate precision trade the cap shares with every df-capped
+    // similarity index. No-op at test SFs (max df 25 at sf0.1).
     val withDf = postings.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"), collect_list(struct(col("doc_id"), col("sz"))).as("ps"))
-      .select(col("sh"), col("df"), explode(col("ps")).as("p"))
+      .agg(graft.plans.SketchAggs.boundedPostings(
+        col("doc_id"), col("sz"), MaxShingleDf).as("dps"))
+      .select(col("sh"), col("dps.df").as("df"), explode(col("dps.ps")).as("p"))
       .select(col("p.doc_id").as("doc_id"), col("p.sz").as("sz"), col("sh"), col("df"))
     val ranked = withDf
       .withColumn("rk", row_number().over(
@@ -189,9 +197,14 @@ object Dedup {
   val WinnowW = 12
 
   def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    // the winnow expression is the expensive part and feeds THREE consumers
+    // (dfCounts, postings, sizes-via-postings): persist so the corpus is
+    // winnowed once, not re-scanned per consumer (round-1 PLANS.md showed 6
+    // scans of the raw table here)
     val raw = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.plans.Winnow.winnow(col("text"), WinnowK, WinnowW)).as("fp"))
+      .persist()
     val dfCounts = raw.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxFingerprintDf)
@@ -235,34 +248,50 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Chunk count for the packed all-pairs kernel: the corpus block is
+    * deserialized once per chunk (not once per row), so chunks ≈ 2x cores
+    * keeps every core busy with O(chunks) total block decodes.
+    */
+  private val EmbeddingChunks = 64
+
   /** E5 — embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
-    * baseline on the packed path: the corpus block (vec_id-sorted primitive
-    * arrays) is broadcast and each partition streams its rows against the
-    * upper triangle — same n^2/2 flops as the BNL join, none of the per-pair
-    * row machinery. Valid while the block fits a broadcast (it's the SMALL-
-    * scale exact baseline; the 100 TB path is LSH candidates + verify in
+    * baseline on the packed path: the corpus block (vec_id-sorted packed
+    * structs) is built by an executor-side collect_list aggregate and shipped
+    * by a planner BroadcastExchange — NO driver-side collect anywhere in the
+    * plan (round-1 fix). Each row chunk streams against the upper triangle of
+    * the block — same n^2/2 flops as the BNL join, none of the per-pair row
+    * machinery. Valid while the block fits a broadcast (it's the SMALL-scale
+    * exact baseline; the 100 TB path is LSH candidates + verify in
     * graft.similarity.Ann, recall-spec'd — exact all-pairs above a threshold
     * fundamentally requires an index at that size).
     */
   def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = withNorm(Tables.embeddings(s, d))
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .as[(Long, Array[Double], Double)]
-    val block = e.collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(block)
-    e.flatMap { case (ida, va, na) =>
-      bc.value.iterator
-        .filter(_._1 > ida)
-        .flatMap { case (idb, vb, nb) =>
-          var acc = 0.0
-          var j = 0
-          while (j < va.length) { acc += va(j) * vb(j); j += 1 }
-          val cos = BigDecimal(acc / (na * nb))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (cos >= 0.4) Some((ida, idb, cos)) else None
+    val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("v"), col("nrm"))
+    // whole corpus as ONE sorted packed row; sort_array orders struct rows by
+    // the leading field (vec_id) so the kernel's ascending-id iteration — and
+    // therefore its float accumulation order — matches the old packed path
+    val blockDf = e.agg(
+      sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("block"))
+    val chunks = e.groupBy(pmod(col("vec_id"), lit(EmbeddingChunks)).as("chunk"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("rows"))
+    chunks.join(broadcast(blockDf))
+      .select(col("rows"), col("block"))
+      .as[(Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)])]
+      .flatMap { case (rows, block) =>
+        rows.iterator.flatMap { case (ida, va, na) =>
+          block.iterator
+            .filter(_._1 > ida)
+            .flatMap { case (idb, vb, nb) =>
+              var acc = 0.0
+              var j = 0
+              while (j < va.length) { acc += va(j) * vb(j); j += 1 }
+              val cos = BigDecimal(acc / (na * nb))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (cos >= 0.4) Some((ida, idb, cos)) else None
+            }
         }
-    }.toDF("vec_a", "vec_b", "cos")
+      }.toDF("vec_a", "vec_b", "cos")
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -56,9 +56,11 @@ object Multimodal {
   /** G2 — batched per-partition feature extraction: the Scala analogue of a
     * pandas-batched UDF (mapInPandas). Rows stream through in fixed-size
     * batches — the shape a vectorized decoder needs — inside one partition
-    * pass, no shuffle.
+    * pass, no shuffle. Emits the raw `array<long>` feature vector; the
+    * driver-facing query key serializes it ([[featureStub]]) because the
+    * driver's pandas checker can't sort/hash ndarray cells.
     */
-  def featureStub(s: SparkSession, d: String): DataFrame = {
+  def featureStubRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val BatchSize = 64
     val ds: Dataset[(Long, Array[Byte])] =
@@ -71,39 +73,52 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "features", "n_bytes")
-      .orderBy(col("doc_id"))
   }
 
-  /** G4 — "resize" STUB: deterministic fixed-stride downsample of the
-    * payload to `TargetLen` bytes (stands in for image resize — the real
+  /** G2 (driver-facing) — same extraction, feature vector rendered as a
+    * deterministic scalar (md5 of the comma-joined bins) so the result is
+    * oracle-hashable. The oracle recomputes the 16-bin histogram in SQL:
+    * bin = byte >> 4, i.e. the count of each hex digit at the odd positions
+    * of hex(payload).
+    */
+  def featureStub(s: SparkSession, d: String): DataFrame =
+    featureStubRaw(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(",", col("features").cast("array<string>"))).as("features_md5"),
+        col("n_bytes"))
+      .orderBy(col("doc_id"))
+
+  /** G4 — "resize" STUB: deterministic fixed-stride downsample of the text
+    * payload to `TargetLen` samples (stands in for image resize — the real
     * pixel-domain op needs a codec; the Spark-side shape is identical: fixed
-    * per-row output size, pure per-row compute, no shuffle).
+    * per-row output size, pure per-row compute, no shuffle). Samples are
+    * CHARACTERS (not bytes) so DuckDB's VARCHAR substring can replicate it.
     */
   def resizeStub(s: SparkSession, d: String): DataFrame = {
     val TargetLen = 64
-    withPayload(s, d)
-      .withColumn("n_bytes", octet_length(col("payload")))
-      .filter(col("n_bytes") >= TargetLen)
+    Tables.documents(s, d)
+      .withColumn("n_chars", char_length(col("text")))
+      .filter(col("n_chars") >= TargetLen)
       .select(col("doc_id"),
         expr(s"transform(sequence(0, $TargetLen - 1), " +
-          s"i -> hex(substring(payload, cast(i * n_bytes / $TargetLen AS INT) + 1, 1)))")
-          .as("resized"),
-        col("n_bytes"))
+          s"i -> substring(text, CAST((CAST(i AS BIGINT) * n_chars) DIV $TargetLen AS INT) + 1, 1))")
+          .as("resized"))
       .select(col("doc_id"), size(col("resized")).as("resized_len"),
         md5(concat_ws(",", col("resized"))).as("resized_md5"))
       .orderBy(col("doc_id"))
   }
 
-  /** G3 — frame sampling: chunk the payload into 256-byte frames, keep every
-    * 4th, fingerprint each. posexplode keeps it one codegen'd pass.
+  /** G3 — frame sampling: chunk the text payload into 256-CHARACTER frames,
+    * keep every 4th, fingerprint each. posexplode keeps it one codegen'd
+    * pass. Char (not byte) frames keep DuckDB oracle parity; md5 hashes the
+    * frame's UTF-8 bytes on both sides.
     */
   def frameSample(s: SparkSession, d: String): DataFrame = {
     val FrameLen = 256
     val Every = 4
-    withPayload(s, d)
-      .withColumn("n_frames",
-        ceil(octet_length(col("payload")).cast("double") / FrameLen).cast("int"))
-      .select(col("doc_id"), col("payload"),
+    Tables.documents(s, d)
+      .withColumn("n_frames", expr(s"(char_length(text) + ${FrameLen - 1}) DIV $FrameLen"))
+      .select(col("doc_id"), col("text"),
         // n_frames=0 guard: sequence(0,-1) counts DOWN in Spark and would
         // emit phantom frames for empty payloads
         posexplode(expr(
@@ -111,8 +126,8 @@ object Multimodal {
             "ELSE array() END"))
           .as(Seq("frame_idx", "off")))
       .filter(col("frame_idx") % Every === 0)
-      .select(col("doc_id"), col("frame_idx"),
-        md5(expr(s"substring(payload, off + 1, $FrameLen)")).as("frame_md5"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr(s"substring(text, off + 1, $FrameLen)")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
@@ -123,6 +138,10 @@ object Multimodal {
     "mm_resize_stub" -> resizeStub _
   )
 
+  /** Count of hex digit `ch` in string expr `s` (pure SQL histogram bin). */
+  private def hexDigitCount(s: String, ch: String): String =
+    s"(length($s) - length(replace($s, '$ch', '')))"
+
   val oracles: Map[String, String] = Map(
     // DuckDB md5/hex operate on VARCHAR; the payload is exactly the UTF-8
     // bytes of `text`, so md5(text) == md5(encode(text)).
@@ -132,6 +151,34 @@ object Multimodal {
       SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         md5(text) AS content_md5,
         lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+    // 16-bin byte histogram == count of each hex digit over the HIGH nibble
+    // (odd positions) of hex(payload): bin = byte*16/256 = byte >> 4.
+    "mm_feature_stub" -> {
+      val bins = (0 until FakeDecoder.Bins).map(b => hexDigitCount("hi", f"$b%X"))
+      s"""
+      WITH nib AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+          regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hi
+        FROM documents)
+      SELECT doc_id,
+        md5(concat_ws(',', ${bins.mkString(", ")})) AS features_md5,
+        n_bytes
+      FROM nib ORDER BY doc_id"""
+    },
+    "mm_frame_sample" -> """
+      SELECT doc_id, frame_idx, md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
+      FROM (SELECT doc_id, text,
+              unnest(range((length(text) + 255) // 256)) AS frame_idx
+            FROM documents)
+      WHERE frame_idx % 4 = 0
+      ORDER BY doc_id, frame_idx""",
+    "mm_resize_stub" -> """
+      SELECT doc_id, 64 AS resized_len,
+        md5(array_to_string(
+          list_transform(range(64), i -> substring(text, (i * length(text)) // 64 + 1, 1)),
+          ',')) AS resized_md5
+      FROM documents WHERE length(text) >= 64
+      ORDER BY doc_id"""
   )
 }

@@ -89,10 +89,14 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("c_mktsegment"))
 
-  /** B7 — NOT EXISTS as left-anti. */
+  /** B7 — NOT EXISTS as left-anti. The orders side is restricted to URGENT
+    * orders so the anti join has survivors (every customer has SOME order, so
+    * the unrestricted form returned 0 rows and its oracle check was vacuous).
+    */
   def joinAnti(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d).select(col("o_custkey")),
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
@@ -397,7 +401,8 @@ object Relational {
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "join_anti" -> """
       SELECT c_mktsegment, COUNT(*) AS n FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "join_outer" -> """
       SELECT c_custkey, COUNT(o_orderkey) AS n_orders
@@ -435,17 +440,21 @@ object Relational {
         (SELECT max(o2.o_orderdate) FROM orders o2
          WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderdate < o1.o_orderdate) AS prev_date
       FROM orders o1 ORDER BY o1.o_orderkey""",
+    // NOTE: DuckDB SUM(integer) returns HUGEINT (int128); the driver's pandas
+    // hash renders that differently from Spark's int64 even when values are
+    // equal, so every integer SUM below is CAST back to BIGINT (round-1
+    // hash-fail root cause for json_extract / pivot_events / q12_priority).
     "json_extract" -> """
       SELECT event_type, COUNT(*) AS n,
-        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       FROM events GROUP BY event_type ORDER BY event_type""",
     "pivot_events" -> """
       SELECT user_id,
-        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id""",
     "unpivot_quality" -> s"""
       SELECT doc_id, 'alpha_ratio' AS metric, ${graft.functions.TextFunctions.alphaRatioSql("text")} AS value FROM documents
@@ -454,8 +463,8 @@ object Relational {
       ORDER BY doc_id, metric""",
     "q12_priority" -> """
       SELECT l_returnflag,
-        SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q14_promo" -> """

@@ -75,7 +75,7 @@ object SideInput {
 
   private def of[T, S: ClassTag](p: Pipe[T], view: Array[T] => S): SideInput[S] = {
     val sc = p.ds.sparkSession.sparkContext
-    new SideInput(sc.broadcast(view(p.ds.collect())))
+    new SideInput(sc.broadcast(view(p.consumed.collect())))
   }
 }
 
@@ -91,17 +91,32 @@ object SideInput {
   *  - Flatten → `union`                         (transform_evaluators.py:84)
   *  - GroupByKey → `groupByKey.mapGroups`       (transform_evaluators.py:87)
   *  - CombinePerKey → typed Aggregator          (transform_evaluators.py:92)
-  *  - multi-consumer caching → explicit [[Pipe.cache]]; the reference decides
-  *    this from its child_map (eval_context.py:57-61), here the DSL user
-  *    marks reused branches (Catalyst additionally reuses exchange/subquery
-  *    subtrees automatically).
+  *  - multi-consumer caching → AUTOMATIC, like the reference: any node read
+  *    by more than one downstream transform is persisted without user action
+  *    (the reference decides this from its child_map, eval_context.py:57-61;
+  *    here the DSL counts consumers as the graph is built). [[Pipe.cache]]
+  *    remains for explicit control; Catalyst additionally reuses
+  *    exchange/subquery subtrees automatically.
   */
 final case class Pipe[T](ds: Dataset[T]) {
   def spark: SparkSession = ds.sparkSession
 
-  def map[U: Encoder](f: T => U): Pipe[U] = Pipe(ds.map(f))
-  def flatMap[U: Encoder](f: T => IterableOnce[U]): Pipe[U] = Pipe(ds.flatMap(f))
-  def filter(p: T => Boolean): Pipe[T] = Pipe(ds.filter(p))
+  private val consumers = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Reference-parity auto-cache (eval_context.py:57-61): the moment a SECOND
+    * downstream transform reads this node, persist it so the shared branch is
+    * computed once. Persisting at graph-construction time means the first
+    * action already populates the cache (the reference materializes whole
+    * stages for the same reason — Beam graphs are built fully before run()).
+    */
+  private[pipeline] def consumed: Dataset[T] = {
+    if (consumers.incrementAndGet() == 2) ds.persist(StorageLevel.MEMORY_AND_DISK)
+    ds
+  }
+
+  def map[U: Encoder](f: T => U): Pipe[U] = Pipe(consumed.map(f))
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): Pipe[U] = Pipe(consumed.flatMap(f))
+  def filter(p: T => Boolean): Pipe[T] = Pipe(consumed.filter(p))
 
   /** ParDo with the full DoFn lifecycle; one bundle per partition.
     * teardown is bound to task completion (not iterator exhaustion) so it
@@ -109,7 +124,7 @@ final case class Pipe[T](ds: Dataset[T]) {
     * take, failed task) — the reference's lifecycle has the same guarantee
     * only because it materializes the whole partition first.
     */
-  def parDo[U: Encoder](fn: DoFn[T, U]): Pipe[U] = Pipe(ds.mapPartitions { it =>
+  def parDo[U: Encoder](fn: DoFn[T, U]): Pipe[U] = Pipe(consumed.mapPartitions { it =>
     fn.setup()
     fn.startBundle()
     Option(org.apache.spark.TaskContext.get()).foreach(
@@ -132,19 +147,19 @@ final case class Pipe[T](ds: Dataset[T]) {
   /** Flatten (reference: sc.union). `union` is partition-concatenation —
     * no shuffle. */
   def flatten(others: Pipe[T]*): Pipe[T] =
-    Pipe(others.foldLeft(ds)((acc, o) => acc.union(o.ds)))
+    Pipe(others.foldLeft(consumed)((acc, o) => acc.union(o.consumed)))
 
   def keyBy[K](f: T => K)(implicit e: Encoder[(K, T)]): Pipe[(K, T)] =
-    Pipe(ds.map(t => (f(t), t))(e))
+    Pipe(consumed.map(t => (f(t), t))(e))
 
   /** Mark this branch for reuse (reference caches any node with >1 consumer,
     * eval_context.py:57). */
   def cache(): Pipe[T] = Pipe(ds.persist(StorageLevel.MEMORY_AND_DISK))
 
   def writeText(path: String): Unit =
-    ds.map(_.toString)(Encoders.STRING).write.text(path)
+    consumed.map(_.toString)(Encoders.STRING).write.text(path)
 
-  def collect(): Seq[T] = ds.collect().toSeq
+  def collect(): Seq[T] = consumed.collect().toSeq
 }
 
 object Pipe {
@@ -163,7 +178,7 @@ object Pipe {
       * reference's `groupByKey().mapValues(list)`.
       */
     def groupByKey(implicit ek: Encoder[K], eo: Encoder[(K, Seq[V])]): Pipe[(K, Seq[V])] =
-      Pipe(p.ds.groupByKey(_._1).mapGroups((k, it) => (k, it.map(_._2).toSeq)))
+      Pipe(p.consumed.groupByKey(_._1).mapGroups((k, it) => (k, it.map(_._2).toSeq)))
 
     /** CombinePerKey through a typed Aggregator: Catalyst plans a partial
       * aggregate before the shuffle, exactly the map-side combine the
@@ -173,7 +188,7 @@ object Pipe {
         ek: Encoder[K], ev: Encoder[V], ea: Encoder[A], eo: Encoder[O],
         eko: Encoder[(K, O)]): Pipe[(K, O)] = {
       val agg = new CombineAggregator[V, A, O](fn)
-      Pipe(p.ds.groupByKey(_._1).mapValues(_._2).agg(agg.toColumn))
+      Pipe(p.consumed.groupByKey(_._1).mapValues(_._2).agg(agg.toColumn))
     }
   }
 
@@ -184,7 +199,7 @@ object Pipe {
     def combineGlobally[A, O](fn: CombineFn[T, A, O])(implicit
         ea: Encoder[A], eo: Encoder[O]): O = {
       val agg = new CombineAggregator[T, A, O](fn)
-      p.ds.select(agg.toColumn).head()
+      p.consumed.select(agg.toColumn).head()
     }
   }
 }

@@ -2,14 +2,16 @@ package graft.plans
 
 import java.nio.ByteBuffer
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
 /** Sketch aggregates as single TypedImperativeAggregates (SURVEY §2 E3/E4).
@@ -134,6 +136,110 @@ case class SimHashAgg(
     copy(child = newChild)
 }
 
+/** Mutable buffer for [[BoundedPostingsAgg]]: exact running count plus a
+  * size-capped (id, sz) list.
+  */
+final class PostingsBuffer(
+    var n: Long,
+    val ids: ArrayBuffer[Long],
+    val szs: ArrayBuffer[Int])
+
+/** Size-capped posting-list collector for inverted-index joins (SURVEY E2):
+  * ONE shuffle yields both the document frequency and the posting list, and
+  * the aggregation buffer is bounded at `maxDf` entries — a hot key can no
+  * longer grow an unbounded `collect_list` buffer (the acknowledged round-1
+  * scale hole). Overflowing keys are emitted with an EMPTY list (df stays
+  * exact): postings that common carry no prefix-filter signal, mirroring the
+  * E6 stop-fingerprint cut.
+  *
+  * Merge soundness: each partial keeps min(count, maxDf) items, so whenever
+  * the GLOBAL count is <= maxDf every partial list is complete and the
+  * merged list is exact — truncation can only affect keys that are dropped
+  * at eval anyway.
+  */
+case class BoundedPostingsAgg(
+    idExpr: Expression,
+    szExpr: Expression,
+    maxDf: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PostingsBuffer] with BinaryLike[Expression] {
+
+  override def left: Expression = idExpr
+  override def right: Expression = szExpr
+
+  override def createAggregationBuffer(): PostingsBuffer =
+    new PostingsBuffer(0L, ArrayBuffer.empty, ArrayBuffer.empty)
+
+  override def update(buf: PostingsBuffer, input: InternalRow): PostingsBuffer = {
+    val id = idExpr.eval(input)
+    val sz = szExpr.eval(input)
+    if (id != null && sz != null) {
+      buf.n += 1
+      if (buf.ids.length < maxDf) {
+        buf.ids += id.asInstanceOf[Long]
+        buf.szs += sz.asInstanceOf[Int]
+      }
+    }
+    buf
+  }
+
+  override def merge(a: PostingsBuffer, b: PostingsBuffer): PostingsBuffer = {
+    a.n += b.n
+    var i = 0
+    while (i < b.ids.length && a.ids.length < maxDf) {
+      a.ids += b.ids(i)
+      a.szs += b.szs(i)
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: PostingsBuffer): Any = {
+    val items: Array[Any] =
+      if (buf.n > maxDf) Array.empty
+      else Array.tabulate[Any](buf.ids.length)(i => InternalRow(buf.ids(i), buf.szs(i)))
+    InternalRow(buf.n, new GenericArrayData(items))
+  }
+
+  override def serialize(buf: PostingsBuffer): Array[Byte] = {
+    val m = buf.ids.length
+    val bb = ByteBuffer.allocate(8 + 4 + 12 * m)
+    bb.putLong(buf.n)
+    bb.putInt(m)
+    var i = 0
+    while (i < m) { bb.putLong(buf.ids(i)); bb.putInt(buf.szs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): PostingsBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong
+    val m = bb.getInt
+    val ids = new ArrayBuffer[Long](m)
+    val szs = new ArrayBuffer[Int](m)
+    var i = 0
+    while (i < m) { ids += bb.getLong; szs += bb.getInt; i += 1 }
+    new PostingsBuffer(n, ids, szs)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("df", LongType, nullable = false),
+    StructField("ps", ArrayType(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sz", IntegerType, nullable = false))), containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(offset: Int): BoundedPostingsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BoundedPostingsAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedPostingsAgg =
+    copy(idExpr = newLeft, szExpr = newRight)
+}
+
 object SketchAggs {
   /** MinHash signature column (array<long> of numPerms slots). */
   def minhash(h: Column, numPerms: Int = 64): Column =
@@ -142,4 +248,10 @@ object SketchAggs {
   /** SimHash column (64-bit long). */
   def simhash(h: Column): Column =
     column(SimHashAgg(expression(h)).toAggregateExpression())
+
+  /** df + size-capped posting list in one aggregate:
+    * struct(df: long, ps: array<struct<doc_id, sz>>), ps empty when df > maxDf.
+    */
+  def boundedPostings(id: Column, sz: Column, maxDf: Int): Column =
+    column(BoundedPostingsAgg(expression(id), expression(sz), maxDf).toAggregateExpression())
 }

@@ -147,29 +147,78 @@ object Ann {
     rankTopK(pairs)
   }
 
-  /** F3 — IVF-style centroid routing: centroids learned from the labeled
-    * partitions (k-means-lite: one mean pass), queries search the nprobe=2
-    * nearest cells. The centroid table is tiny and broadcast; the corpus is
-    * partitioned by cell.
+  /** F3 — IVF centroid routing with REAL k-means training: deterministic
+    * seeds (the min-vec_id vector of each `vec_id % k` residue class — a
+    * deterministic pseudo-random sample), `IvfIters` Lloyd iterations by
+    * cosine, nearest-centroid corpus assignment, queries probe their
+    * nprobe=2 nearest cells. Only the k x dim centroid matrix ever reaches
+    * the driver (the same bounded state every distributed k-means keeps —
+    * the corpus itself is never collected); each Lloyd iteration is one
+    * scan + one k-row aggregate, the standard index-build cost. At 100 TB
+    * you train on a sample instead of full scans; the routing/probing plan
+    * is unchanged.
     */
+  val IvfCells = 16
+  val IvfIters = 3
+
+  /** Cosine-argmax cell id against the (local, tiny) centroid matrix:
+    * array_max over k (score, -index) structs — one native codegen'd
+    * expression, LINEAR in k (a `when`-fold would copy each branch's dot
+    * expression at every level: 2^k codegen blowup). Struct ordering
+    * compares score first; the negated index makes ties resolve to the
+    * FIRST index, a stable argmax.
+    */
+  private def nearestCellCol(v: String, cents: Array[Array[Double]]): Column = {
+    val cells = cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum).max(java.lang.Double.MIN_NORMAL)
+      val carr = array(c.toIndexedSeq.map(lit): _*)
+      struct((graft.plans.DotProduct.dot(col(v), carr) / lit(cn)).as("s"), lit(-i).as("ni"))
+    }
+    -array_max(array(cells: _*)).getField("ni")
+  }
+
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("label"), col("v"), col("nrm"))
-    val dim = 64
-    val centroids = e.groupBy(col("label")).agg(
-      array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
-    val cWithNorm = centroids.withColumn("cn",
-      sqrt(graft.plans.DotProduct.dot(col("cv"), col("cv"))))
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("nrm")).persist()
+    // deterministic seeds: min-vec_id vector per residue class
+    val seedRows = e
+      .withColumn("cls", pmod(col("vec_id"), lit(IvfCells.toLong)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cls")).orderBy(col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cls"), col("v")).collect()
+    val dim = seedRows.head.getSeq[Double](1).length
+    var cents = Array.tabulate(IvfCells) { i =>
+      // basis-vector fallback for an empty residue class (can't happen at
+      // n >= k, but keeps norms nonzero)
+      val a = new Array[Double](dim); a(i % dim) = 1.0; a
+    }
+    seedRows.foreach(r => cents(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
+    for (_ <- 1 to IvfIters) {
+      val means = e.withColumn("cell", nearestCellCol("v", cents))
+        .groupBy(col("cell"))
+        .agg(array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
+        .collect()
+      val next = cents.map(_.clone())  // empty-cell guard: keep old centroid
+      means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
+      cents = next
+    }
+    val corpus = e.withColumn("cell", nearestCellCol("v", cents))
+    val cWithNorm = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "cv")
+      .withColumn("cn", sqrt(graft.plans.DotProduct.dot(col("cv"), col("cv"))))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     // route each query to its 2 nearest centroids
     val routed = q.join(broadcast(cWithNorm))
       .withColumn("ccos", dotCol("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("crank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("label"))))
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell_id"))))
       .filter(col("crank") <= 2)
-      .select(col("qid"), col("qv"), col("qn"), col("label").as("cell"))
-    val pairs = e.join(broadcast(routed),
-        col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qn"), col("cell_id").as("qcell"))
+    val pairs = corpus.join(broadcast(routed),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
       .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
     rankTopK(pairs)

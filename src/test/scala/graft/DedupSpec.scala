@@ -99,4 +99,18 @@ class DedupSpec extends SparkSpec {
     assert(byQ.nonEmpty)
     assert(byQ.values.forall(rs => rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)))
   }
+
+  test("ivf ann recall@10 beats the scanned fraction by >=2x at nprobe=2") {
+    // same honest claim as the LSH spec: centroid routing must find
+    // substantially more true neighbors than scanning a random nprobe/cells
+    // fraction of the corpus would.
+    val brute = Ann.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    val scanned = 2.0 / Ann.IvfCells
+    assert(recall >= 2 * scanned && recall > 0.1,
+      s"recall@10 = $recall, scanned fraction ~= $scanned (${Ann.IvfCells} cells)")
+  }
 }

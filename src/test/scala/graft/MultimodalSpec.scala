@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 class MultimodalSpec extends SparkSpec {
 
   test("feature stub: histogram mass equals payload byte count") {
-    val rows = Multimodal.featureStub(spark, sf).collect()
+    val rows = Multimodal.featureStubRaw(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getSeq[Long](1).sum == r.getLong(2))
@@ -14,12 +14,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("frame sampling keeps every 4th 256-byte frame") {
+  test("feature stub driver view: scalar fingerprint per doc, no array cols") {
+    val df = Multimodal.featureStub(spark, sf)
+    assert(df.schema.fields.forall(!_.dataType.typeName.startsWith("array")))
+    assert(df.count() == Multimodal.featureStubRaw(spark, sf).count())
+  }
+
+  test("frame sampling keeps every 4th 256-char frame") {
     val df = Multimodal.frameSample(spark, sf)
     val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n"),
         max(col("frame_idx")).as("max_idx")).collect()
     assert(perDoc.nonEmpty)
-    perDoc.foreach { r => assert(r.getInt(2) % 4 == 0) }
+    perDoc.foreach { r => assert(r.getLong(2) % 4 == 0) }
     // deterministic across runs
     assert(df.collect().toSeq == Multimodal.frameSample(spark, sf).collect().toSeq)
   }

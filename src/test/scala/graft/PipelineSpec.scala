@@ -34,6 +34,19 @@ class PipelineSpec extends SparkSpec {
     assert(b4.collect() == Seq(300))
   }
 
+  test("multi-consumer node is auto-cached: shared branch computes once") {
+    // the reference persists any node with >1 consumer without user action
+    // (eval_context.py:57-61); the DSL counts consumers as the graph is built
+    val evals = spark.sparkContext.longAccumulator("shared-branch-evals")
+    val shared = Pipe.create(spark, Seq(1, 2, 3, 4))
+      .map { x => evals.add(1); x * 10 }   // NO explicit .cache()
+    val b1 = shared.map(_ + 1)
+    val b2 = shared.map(_ + 2)
+    assert(b1.collect().sorted == Seq(11, 21, 31, 41))
+    assert(b2.collect().sorted == Seq(12, 22, 32, 42))
+    assert(evals.value == 4, s"shared branch evaluated ${evals.value} times, want 4 (computed once)")
+  }
+
   test("groupByKey (test_create_map_and_groupby)") {
     val p = Pipe.create(spark, Seq(1)).map(x => (x * 2, x)).groupByKey
     assert(p.collect() == Seq((2, Seq(1))))

@@ -5,30 +5,46 @@ Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
 
 Reads <verify_out_dir>/oracle_sql.json, runs each oracle SQL in DuckDB with
 views named after the parquet tables in sf_dir, loads the Spark result parquet
-from <verify_out_dir>/<name>/, sorts columns by name + rows, rounds floats to
-6 dp, and hash-compares. Exit 1 on any mismatch.
+from <verify_out_dir>/<name>/, and compares the two sides the way the DRIVER
+does: through pandas DataFrames (duckdb .df()), so dtype divergence is part of
+the comparison. Round 1 proved why this matters: DuckDB SUM(integer) returns
+HUGEINT which pandas renders as float64, while Spark writes int64 — a
+fetchall()/repr comparison sees equal Python ints and masks the driver's
+hash failure. Exit 1 on any mismatch.
 """
 import json, math, sys, glob
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(rows, cols):
-    """Sort columns by name, normalize floats, sort rows -> canonical list."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def norm(v):
+    """Dtype-sensitive canonical rendering: float64 integers render as
+    '1234.000000', int64 as '1234' — so a HUGEINT-vs-BIGINT divergence FAILS
+    here exactly as it fails the driver's pandas hash."""
+    if isinstance(v, (np.floating, float)):
+        if math.isnan(v):
+            return "nan"
+        return f"{round(float(v), 6):.6f}"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return repr(int(v))
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if v is None:
+        return "None"
+    return repr(v)
 
-    def norm(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return f"{round(v, 6):.6f}"
-        if isinstance(v, list):
-            return "[" + ",".join(str(norm(x)) for x in v) + "]"
-        return repr(v)
 
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+def canon(df):
+    """Sort columns by name, normalize values, sort rows -> canonical list."""
+    df = df[sorted(df.columns)]
+    return sorted(
+        tuple(norm(v) for v in tup)
+        for tup in df.itertuples(index=False, name=None)
+    )
 
 
 def main():
@@ -48,26 +64,29 @@ def main():
             n_fail += 1
             continue
         try:
-            ocur = con.execute(sql)
-            ocols = [c[0] for c in ocur.description]
-            orows = ocur.fetchall()
+            odf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        scur = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        scols = [c[0] for c in scur.description]
-        srows = scur.fetchall()
-        if sorted(ocols) != sorted(scols):
-            print(f"FAIL {name}: columns {sorted(scols)} != oracle {sorted(ocols)}")
+        sdf = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        if sorted(odf.columns) != sorted(sdf.columns):
+            print(f"FAIL {name}: columns {sorted(sdf.columns)} != oracle {sorted(odf.columns)}")
             n_fail += 1
             continue
-        a, b = canon(srows, scols), canon(orows, ocols)
+        try:
+            a, b = canon(sdf), canon(odf)
+        except Exception as e:
+            # the driver's checker also dies on unsortable/unhashable cells
+            # (e.g. raw ndarray columns) — surface that as a failure here
+            print(f"FAIL {name}: canonicalize error: {e}")
+            n_fail += 1
+            continue
         if a == b:
-            print(f"PASS {name} ({len(srows)} rows)")
+            print(f"PASS {name} ({len(sdf)} rows)")
             n_pass += 1
         else:
-            print(f"FAIL {name}: {len(srows)} spark rows vs {len(orows)} oracle rows")
+            print(f"FAIL {name}: {len(sdf)} spark rows vs {len(odf)} oracle rows")
             for i, (x, y) in enumerate(zip(a, b)):
                 if x != y:
                     print(f"  first diff at row {i}:\n    spark:  {x}\n    oracle: {y}")
