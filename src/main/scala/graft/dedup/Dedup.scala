@@ -197,20 +197,22 @@ object Dedup {
   val WinnowW = 12
 
   def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    // the winnow expression is the expensive part and feeds THREE consumers
-    // (dfCounts, postings, sizes-via-postings): persist so the corpus is
-    // winnowed once, not re-scanned per consumer (round-1 PLANS.md showed 6
-    // scans of the raw table here)
+    // the winnow expression is the expensive part: round-1's plan recomputed
+    // it SIX times (df-count, join-back, sizes). Now the df cap and the
+    // posting list come out of ONE bounded aggregate (same BoundedPostingsAgg
+    // as E2) and per-doc sizes out of a window — the corpus is scanned and
+    // winnowed exactly once, and a hot fingerprint can't skew the agg buffer.
     val raw = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.plans.Winnow.winnow(col("text"), WinnowK, WinnowW)).as("fp"))
+    val postings = raw.groupBy(col("fp"))
+      .agg(graft.plans.SketchAggs.boundedPostings(
+        col("doc_id"), lit(0), MaxFingerprintDf).as("dps"))
+      .select(col("fp"), explode(col("dps.ps")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("fp"))
+    val withN = postings
+      .withColumn("nfp", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .persist()
-    val dfCounts = raw.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxFingerprintDf)
-    val postings = raw.join(dfCounts.select("fp"), "fp")
-    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-    val withN = postings.join(sizes, "doc_id").persist()
     withN.as("a").join(withN.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

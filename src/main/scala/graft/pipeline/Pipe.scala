@@ -144,6 +144,28 @@ final case class Pipe[T](ds: Dataset[T]) {
     }
   })
 
+  /** ParDo with an INJECTED side input: the runner materializes the view and
+    * hands it to the process function as an extra argument — the Beam
+    * contract (reference: transform_evaluators.py:35-49, exercised by
+    * tests/pyspark_runner_test.py:135-154) — instead of the user capturing
+    * the SideInput in a closure. The broadcast is read once per partition.
+    */
+  def parDo[S, U: Encoder](side: SideInput[S])(f: (T, S) => IterableOnce[U]): Pipe[U] =
+    Pipe(consumed.mapPartitions { it =>
+      val s = side.value
+      it.flatMap(t => f(t, s))
+    })
+
+  /** Two injected side inputs (Beam passes any number; two covers the
+    * reference's test surface, more compose by tupling views). */
+  def parDo[S1, S2, U: Encoder](side1: SideInput[S1], side2: SideInput[S2])(
+      f: (T, S1, S2) => IterableOnce[U]): Pipe[U] =
+    Pipe(consumed.mapPartitions { it =>
+      val s1 = side1.value
+      val s2 = side2.value
+      it.flatMap(t => f(t, s1, s2))
+    })
+
   /** Flatten (reference: sc.union). `union` is partition-concatenation —
     * no shuffle. */
   def flatten(others: Pipe[T]*): Pipe[T] =
@@ -158,6 +180,27 @@ final case class Pipe[T](ds: Dataset[T]) {
 
   def writeText(path: String): Unit =
     consumed.map(_.toString)(Encoders.STRING).write.text(path)
+
+  /** Beam-style sharded text sink: exactly `numShards` output files named
+    * `part-SSSSS-of-NNNNN` (the reference's write test expects multi-shard
+    * Beam naming, tests/pyspark_runner_test.py:105-133). A round-robin
+    * repartition fixes the shard count; the rename pass runs on the driver
+    * over file METADATA only (numShards paths), not data.
+    */
+  def writeText(path: String, numShards: Int): Unit = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    consumed.map(_.toString)(Encoders.STRING)
+      .repartition(numShards)
+      .write.text(path)
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (src, i) =>
+      fs.rename(src, new Path(p, f"part-$i%05d-of-${parts.length}%05d"))
+    }
+  }
 
   def collect(): Seq[T] = consumed.collect().toSeq
 }

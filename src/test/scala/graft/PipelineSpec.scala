@@ -103,6 +103,37 @@ class PipelineSpec extends SparkSpec {
     assert(SideInput.asDict(Pipe.create(spark, Seq(("a", 1), ("b", 2)))).value == Map("a" -> 1, "b" -> 2))
   }
 
+  test("side input injected as a process argument (test_dict_side_input)") {
+    // the runner hands the materialized view to process — the DoFn body
+    // never touches the SideInput object (reference UseMultimap.process)
+    val side = SideInput.asDict(Pipe.create(spark,
+      Seq("key1" -> Seq("value1a", "value1b"), "key2" -> Seq("value2a"))))
+    val got = Pipe.create(spark, Seq("key1", "key2"))
+      .parDo(side) { (k: String, dict: Map[String, Seq[String]]) =>
+        dict.getOrElse(k, Seq.empty).map(v => s"$k: $v")
+      }
+      .collect()
+    assert(got.toSet == Set("key1: value1a", "key1: value1b", "key2: value2a"))
+
+    val factor = SideInput.asSingleton(Pipe.create(spark, Seq(10)))
+    val offset = SideInput.asSingleton(Pipe.create(spark, Seq(1)))
+    val two = Pipe.create(spark, Seq(1, 2, 3))
+      .parDo(factor, offset)((x: Int, f: Int, o: Int) => Seq(x * f + o))
+      .collect()
+    assert(two.sorted == Seq(11, 21, 31))
+  }
+
+  test("sharded writeText emits Beam-style part-SSSSS-of-NNNNN files") {
+    val dir = Files.createTempDirectory("graft-shards").toFile
+    val out = s"${dir.getAbsolutePath}/sharded"
+    Pipe.create(spark, (1 to 100).toSeq).map(x => s"line$x").writeText(out, 3)
+    val files = new java.io.File(out).listFiles.map(_.getName)
+      .filter(_.startsWith("part-")).sorted.toSeq
+    assert(files == Seq("part-00000-of-00003", "part-00001-of-00003", "part-00002-of-00003"))
+    assert(Pipe.readText(spark, out).collect().toSet ==
+      (1 to 100).map(i => s"line$i").toSet)
+  }
+
   test("readText + writeText round-trip (test_write)") {
     val dir = Files.createTempDirectory("graft-io").toFile
     val out = s"${dir.getAbsolutePath}/out"
