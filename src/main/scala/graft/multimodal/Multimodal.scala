@@ -96,15 +96,16 @@ object Multimodal {
     */
   def resizeStub(s: SparkSession, d: String): DataFrame = {
     val TargetLen = 64
+    // 64 STATIC substring expressions, not a `transform` HOF: higher-order
+    // array lambdas run through the per-element interpreter, while a fixed
+    // projection is whole-stage-codegen'd end to end (~4x faster here)
+    val samples = (0 until TargetLen).map(i =>
+      expr(s"substring(text, CAST((${i}L * n_chars) DIV $TargetLen AS INT) + 1, 1)"))
     Tables.documents(s, d)
       .withColumn("n_chars", char_length(col("text")))
       .filter(col("n_chars") >= TargetLen)
-      .select(col("doc_id"),
-        expr(s"transform(sequence(0, $TargetLen - 1), " +
-          s"i -> substring(text, CAST((CAST(i AS BIGINT) * n_chars) DIV $TargetLen AS INT) + 1, 1))")
-          .as("resized"))
-      .select(col("doc_id"), size(col("resized")).as("resized_len"),
-        md5(concat_ws(",", col("resized"))).as("resized_md5"))
+      .select(col("doc_id"), lit(TargetLen).as("resized_len"),
+        md5(concat_ws(",", samples: _*)).as("resized_md5"))
       .orderBy(col("doc_id"))
   }
 
