@@ -288,9 +288,16 @@ object Dedup {
               var acc = 0.0
               var j = 0
               while (j < va.length) { acc += va(j) * vb(j); j += 1 }
-              val cos = BigDecimal(acc / (na * nb))
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (cos >= 0.4) Some((ida, idb, cos)) else None
+              val raw = acc / (na * nb)
+              // round(x,6) >= 0.4 requires x >= 0.3999995, so a 0.39999
+              // double guard is strictly conservative: the expensive
+              // BigDecimal HALF_UP round runs only for pairs near/above
+              // threshold instead of all n^2/2 (bit-identical results)
+              if (raw >= 0.39999) {
+                val cos = BigDecimal(raw)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (cos >= 0.4) Some((ida, idb, cos)) else None
+              } else None
             }
         }
       }.toDF("vec_a", "vec_b", "cos")
