@@ -91,6 +91,52 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** E7 — INCREMENTAL near-dup dedup, the continuous-ingestion mode: a new
+    * batch (here doc_id % 10 >= 8 — a deterministic 20% "arrival") is
+    * admitted only where it has NO Jaccard>=0.8 near-dup in the existing
+    * corpus. Same PPJoin prefix index as E2 (df over the union keeps the
+    * prefix guarantee, which is symmetric), but the candidate join is
+    * side-tagged new x old — old x old pairs are never generated, so the
+    * incremental cost tracks the BATCH size, not the corpus. At 100 TB the
+    * existing side's prefix index is the persistent artifact; each batch
+    * builds only its own postings and joins in.
+    */
+  def incrementalNew(s: SparkSession, d: String): DataFrame = {
+    val isNewExpr = col("doc_id") % 10 >= 8
+    val docs = withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+      .persist()
+    val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    val withDf = postings.groupBy(col("sh"))
+      .agg(graft.plans.SketchAggs.boundedPostings(
+        col("doc_id"), col("sz"), MaxShingleDf).as("dps"))
+      .select(col("sh"), col("dps.df").as("df"), explode(col("dps.ps")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.sz").as("sz"), col("sh"), col("df"))
+    val ranked = withDf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+    val prefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+      .select(col("doc_id"), col("sh"))
+      .persist()
+    val cand = prefix.as("a").join(prefix.as("b"), col("a.sh") === col("b.sh")
+        && (col("a.doc_id") % 10 >= 8) && (col("b.doc_id") % 10 < 8))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
+      .distinct()
+    val matched = cand
+      .join(docs.select(col("doc_id").as("doc_new"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_new")
+      .join(docs.select(col("doc_id").as("doc_old"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_old")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jac") >= JaccardT)
+      .select(col("doc_new").as("doc_id"))
+      .distinct()
+    docs.filter(isNewExpr)
+      .join(matched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- MinHash ----
 
   private val MinhashBands = 16
@@ -307,6 +353,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
+    "dedup_incremental" -> incrementalNew _,
     "dedup_minhash" -> minhashPairs _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_winnow" -> winnowPairs _,
@@ -336,6 +383,22 @@ object Dedup {
       WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.8
       ORDER BY doc_a, doc_b""",
+    "dedup_incremental" -> """
+      WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         for i in range(1, len(ws) - 1)]) AS s
+        FROM w WHERE len(ws) >= 3),
+      matched AS (
+        SELECT DISTINCT n.doc_id
+        FROM sh n JOIN sh o
+          ON n.doc_id % 10 >= 8 AND o.doc_id % 10 < 8
+        WHERE ROUND(CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+                / (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))), 6) >= 0.8)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 10 >= 8 AND doc_id NOT IN (SELECT doc_id FROM matched)
+      ORDER BY doc_id""",
     "dedup_embedding" -> """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos

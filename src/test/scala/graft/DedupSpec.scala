@@ -23,6 +23,23 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)  // planted near-dups must exist
   }
 
+  test("incremental dedup: survivors = new docs minus cross-split jaccard matches") {
+    // cross-check against E2's full pair set: a NEW doc (id%10>=8) is
+    // rejected iff it appears in a jaccard>=0.8 pair whose other side is OLD
+    val allPairs = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val matchedNew = allPairs.flatMap { case (a, b) =>
+      val (na, nb) = (a % 10 >= 8, b % 10 >= 8)
+      Seq(a -> (na && !nb), b -> (nb && !na)).collect { case (id, true) => id }
+    }.toSet
+    val newDocs = graft.operators.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 >= 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Dedup.incrementalNew(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(matchedNew.nonEmpty)  // the split must actually reject something
+    assert(got == newDocs -- matchedNew)
+  }
+
   test("minhash candidates recall the exact jaccard>=0.8 pairs") {
     val exact = pairs(Dedup.jaccardPairs(spark, sf))
     val mh = pairs(Dedup.minhashPairs(spark, sf))
