@@ -57,11 +57,108 @@ object CorpusClean {
     SELECT doc_id, pred_lang, alpha_ratio, space_ratio, n_chars
     FROM cleaned WHERE rn = 1 ORDER BY doc_id"""
 
+  /** Token accounting per predicted language — the "how many tokens do we
+    * have" query every training run starts with. One scan, one k-row agg
+    * (k = number of languages); at 100 TB this is the cheapest possible
+    * shape: map-side partial sums into a 6-row result.
+    */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("lang", langId(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokens(col("text")).cast("long")).as("ws_tokens"),
+        sum(bpeTokens(col("text")).cast("long")).as("bpe_tokens"))
+      .orderBy(col("lang"))
+
+  val tokenStatsSql: String = s"""
+    SELECT ${langIdSql("text")} AS lang, COUNT(*) AS n_docs,
+      CAST(SUM(${wsTokensSql("text")}) AS BIGINT) AS ws_tokens,
+      CAST(SUM(${bpeTokensSql("text")}) AS BIGINT) AS bpe_tokens
+    FROM documents GROUP BY 1 ORDER BY 1"""
+
+  /** Eval-set n-gram decontamination: drop training docs sharing ANY 5-word
+    * shingle with the eval set (doc_id < EvalDocs stands in for the eval
+    * corpus). The eval gram set is small BY DEFINITION, so it broadcasts and
+    * the corpus is scanned once — per-batch cost tracks the corpus, the
+    * probe side stays O(eval).
+    */
+  val EvalDocs = 10
+  val DecontaminationGram = 5
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.plans.ShingleArray.shingles(col("text"), DecontaminationGram).as("g5"))
+    val evalGrams = sh.filter(col("doc_id") < EvalDocs)
+      .select(explode(col("g5")).as("g")).distinct()
+    val contaminated = sh.filter(col("doc_id") >= EvalDocs)
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+    sh.filter(col("doc_id") >= EvalDocs)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String = s"""
+    WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+                       for i in range(1, len(ws) - 3)]) AS s
+      FROM w WHERE len(ws) >= 5),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < $EvalDocs),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id FROM sh c, ev
+      WHERE c.doc_id >= $EvalDocs AND list_contains(c.s, ev.g))
+    SELECT doc_id FROM documents
+    WHERE doc_id >= $EvalDocs AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id"""
+
+  /** Deterministic stratified sample — the training-mix primitive: quality
+    * tiers sampled at different rates (high keeps all, mid half, low a
+    * fifth), selection by a doc_id residue so the sample is reproducible and
+    * needs NO shuffle (pure filter, scales embarrassingly).
+    */
+  def sampleMix(s: SparkSession, d: String): DataFrame = {
+    val tier = when(col("alpha_ratio") >= 0.825, "high")
+      .when(col("alpha_ratio") >= 0.818, "mid")
+      .otherwise("low")
+    val rate = when(col("tier") === "high", 10)
+      .when(col("tier") === "mid", 5)
+      .otherwise(2)
+    Tables.documents(s, d)
+      .withColumn("alpha_ratio", alphaRatio(col("text")))
+      .withColumn("tier", tier)
+      .filter(pmod(col("doc_id"), lit(10)) < rate)
+      .select(col("doc_id"), col("tier"), col("alpha_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleMixSql: String = s"""
+    WITH scored AS (
+      SELECT doc_id, ${alphaRatioSql("text")} AS alpha_ratio,
+        CASE WHEN ${alphaRatioSql("text")} >= 0.825 THEN 'high'
+             WHEN ${alphaRatioSql("text")} >= 0.818 THEN 'mid'
+             ELSE 'low' END AS tier
+      FROM documents)
+    SELECT doc_id, tier, alpha_ratio FROM scored
+    WHERE doc_id % 10 < (CASE tier WHEN 'high' THEN 10 WHEN 'mid' THEN 5 ELSE 2 END)
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_clean" -> corpusClean _
+    "corpus_clean" -> corpusClean _,
+    "corpus_token_stats" -> tokenStats _,
+    "corpus_decontaminate" -> decontaminate _,
+    "corpus_sample_mix" -> sampleMix _
   )
 
   val oracles: Map[String, String] = Map(
-    "corpus_clean" -> corpusCleanSql
+    "corpus_clean" -> corpusCleanSql,
+    "corpus_token_stats" -> tokenStatsSql,
+    "corpus_decontaminate" -> decontaminateSql,
+    "corpus_sample_mix" -> sampleMixSql
   )
 }
