@@ -148,17 +148,93 @@ object CorpusClean {
     WHERE doc_id % 10 < (CASE tier WHEN 'high' THEN 10 WHEN 'mid' THEN 5 ELSE 2 END)
     ORDER BY doc_id"""
 
+  /** Document chunking for training: overlapping word windows of
+    * `ChunkTokens` with stride `ChunkStride` (10-word overlap) — pure
+    * per-row explode, no shuffle; chunk k exists iff k*stride < n_words.
+    * Each chunk carries its token count and a content fingerprint.
+    */
+  val ChunkTokens = 100
+  val ChunkStride = 90
+
+  def chunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (n_words - 1) DIV $ChunkStride), " +
+            s"k -> slice(ws, k * $ChunkStride + 1, $ChunkTokens))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val chunkSql: String = s"""
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    k AS (SELECT doc_id, ws,
+            unnest(range(((len(ws) - 1) // $ChunkStride) + 1)) AS chunk_idx
+          FROM w)
+    SELECT doc_id, chunk_idx,
+      len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens]) AS n_tokens,
+      md5(array_to_string(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens], ' ')) AS chunk_md5
+    FROM k ORDER BY doc_id, chunk_idx"""
+
+  /** Sequence packing: chunks are concatenated in (doc_id, chunk_idx) order
+    * into fixed `PackBudget`-token packs, boundary chunks crossing into the
+    * next pack (concat-style packing). Packing state is a running sum, done
+    * as a WINDOW over `PackGroups` independent streams (doc_id residue) —
+    * each group packs in parallel, no global single-partition sort, which is
+    * how a 1000-executor run would shard packing anyway.
+    */
+  val PackBudget = 2048
+  val PackGroups = 32
+
+  def pack(s: SparkSession, d: String): DataFrame = {
+    val grpW = Window.partitionBy(col("grp")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunk(s, d)
+      .withColumn("grp", pmod(col("doc_id"), lit(PackGroups.toLong)))
+      .withColumn("cum_before",
+        sum(col("n_tokens").cast("long")).over(grpW) - col("n_tokens"))
+      .withColumn("pack_seq", expr(s"cum_before DIV $PackBudget"))
+      .groupBy(col("grp"), col("pack_seq"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+      .orderBy(col("grp"), col("pack_seq"))
+  }
+
+  val packSql: String = s"""
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    k AS (SELECT doc_id, ws,
+            unnest(range(((len(ws) - 1) // $ChunkStride) + 1)) AS chunk_idx
+          FROM w),
+    c AS (SELECT doc_id, chunk_idx,
+            len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens]) AS n_tokens
+          FROM k),
+    g AS (SELECT doc_id, chunk_idx, n_tokens, doc_id % $PackGroups AS grp FROM c),
+    cum AS (SELECT grp, n_tokens,
+              SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+            FROM g)
+    SELECT grp, CAST(cum_before // $PackBudget AS BIGINT) AS pack_seq,
+      COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM cum GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean _,
     "corpus_token_stats" -> tokenStats _,
     "corpus_decontaminate" -> decontaminate _,
-    "corpus_sample_mix" -> sampleMix _
+    "corpus_sample_mix" -> sampleMix _,
+    "corpus_chunk" -> chunk _,
+    "corpus_pack" -> pack _
   )
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
     "corpus_token_stats" -> tokenStatsSql,
     "corpus_decontaminate" -> decontaminateSql,
-    "corpus_sample_mix" -> sampleMixSql
+    "corpus_sample_mix" -> sampleMixSql,
+    "corpus_chunk" -> chunkSql,
+    "corpus_pack" -> packSql
   )
 }
