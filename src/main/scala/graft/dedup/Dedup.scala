@@ -137,6 +137,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** E8 — near-dup CLUSTER resolution: connected components over the E2
+    * pair graph by iterative min-label propagation (the Pregel/GraphX CC
+    * algorithm expressed as DataFrame joins — at 100 TB each round is one
+    * edge join + one min-agg, and rounds are bounded by component diameter,
+    * which for near-dup clusters is tiny). Iterates to an EXACT fixpoint
+    * (convergence checked with a count action per round). Output: every doc
+    * with its cluster id (= min doc_id in its component); dedup keeps the
+    * rows where doc_id == cluster_id.
+    */
+  def clusterPairs(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("nl")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("nl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
   // ---- MinHash ----
 
   private val MinhashBands = 16
@@ -354,6 +392,7 @@ object Dedup {
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_incremental" -> incrementalNew _,
+    "dedup_clusters" -> clusterPairs _,
     "dedup_minhash" -> minhashPairs _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_winnow" -> winnowPairs _,
@@ -383,6 +422,27 @@ object Dedup {
       WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.8
       ORDER BY doc_a, doc_b""",
+    // connected components via a recursive transitive-closure CTE: tractable
+    // because near-dup components are tiny at oracle SF
+    "dedup_clusters" -> """
+      WITH RECURSIVE
+      w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         for i in range(1, len(ws) - 1)]) AS s
+        FROM w WHERE len(ws) >= 3),
+      e AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+      SELECT a AS doc_id, MIN(b) AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id""",
     "dedup_incremental" -> """
       WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
       sh AS (

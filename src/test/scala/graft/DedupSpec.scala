@@ -40,6 +40,20 @@ class DedupSpec extends SparkSpec {
     assert(got == newDocs -- matchedNew)
   }
 
+  test("cluster resolution matches local union-find over the pair graph") {
+    val ps = Dedup.jaccardPairs(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    ps.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val got = Dedup.clusterPairs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (doc, c) => assert(c == find(doc), s"doc $doc: got $c want ${find(doc)}") }
+    assert(got.values.toSet.size < got.size)  // at least one non-trivial cluster
+  }
+
   test("minhash candidates recall the exact jaccard>=0.8 pairs") {
     val exact = pairs(Dedup.jaccardPairs(spark, sf))
     val mh = pairs(Dedup.minhashPairs(spark, sf))
