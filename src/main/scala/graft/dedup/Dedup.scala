@@ -399,11 +399,60 @@ object Dedup {
     "dedup_embedding" -> embeddingPairs _
   )
 
+  /** SQL twin of the Winnow expression (plans/Winnow.scala): the base-257
+    * polynomial rolling hash with natural 64-bit wraparound is replayed as a
+    * direct polynomial sum in HUGEINT mod 2^64, mapped back to signed BIGINT
+    * (Spark Longs are two's complement), then window-MIN winnowing. The
+    * rightmost-min POSITION rule doesn't affect the selected VALUE set, so
+    * distinct window minima reproduce the fingerprint set exactly. Pure
+    * ASCII corpus => DuckDB ord()/length() == Java charAt/length.
+    */
+  private def winnowOracleSql: String = {
+    val m64 = BigInt(1) << 64
+    val pows = (0 until WinnowK).map(j => BigInt(257).modPow(BigInt(WinnowK - 1 - j), m64))
+    val powsSql = pows.map(p => s"$p::HUGEINT").mkString("[", ",", "]")
+    s"""
+    WITH c AS (SELECT $powsSql AS pows),
+    hpos AS (
+      SELECT doc_id, i,
+        CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                  THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fp
+      FROM (
+        SELECT doc_id, i,
+          list_sum(list_transform(range($WinnowK), j ->
+            CAST(ord(substring(text, CAST(i + j + 1 AS INT), 1)) AS HUGEINT) * pows[j + 1]))
+            % 18446744073709551616::HUGEINT AS u
+        FROM (SELECT doc_id, text, unnest(range(length(text) - ${WinnowK - 1})) AS i
+              FROM documents WHERE length(text) >= $WinnowK), c)),
+    win AS (
+      SELECT doc_id, i, fp,
+        MIN(fp) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm,
+        COUNT(*) OVER (PARTITION BY doc_id) AS m
+      FROM hpos),
+    sel AS (
+      SELECT DISTINCT doc_id, wm AS fp FROM win WHERE m > $WinnowW AND i <= m - $WinnowW
+      UNION
+      SELECT doc_id, MIN(fp) AS fp FROM win WHERE m <= $WinnowW GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM sel GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS sh
+      FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+      ROUND(CAST(sh AS DOUBLE) / LEAST(na.nfp, nb.nfp), 6) AS share_frac
+    FROM shared
+    JOIN sizes na ON na.doc_id = da
+    JOIN sizes nb ON nb.doc_id = db
+    WHERE sh >= LEAST(na.nfp, nb.nfp) * $MinSharedFrac
+    ORDER BY doc_a, doc_b"""
+  }
+
   /** DuckDB oracles. The exact ops get full SQL twins (the oracle's n^2 form
     * is fine at sf0.01); MinHash/SimHash are hash-seed-dependent and get
     * rows-only checks + recall specs instead.
     */
   val oracles: Map[String, String] = Map(
+    "dedup_winnow" -> winnowOracleSql,
     "dedup_exact" -> s"""
       SELECT ${TextFunctions.fingerprintSql("text")} AS fp,
         MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
