@@ -1,0 +1,50 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Library-grade cache hygiene for query functions that persist big
+  * intermediates for INTRA-query reuse (a self-join or verification join
+  * reading the same expensive subtree twice).
+  *
+  * The returned plan stays fully lazy — composable, auditable via explain —
+  * but the first completed action that consumes it (or any plan containing
+  * it) unpersists the scoped datasets, so a long-lived session that runs many
+  * queries accumulates no cached blocks. Persist-at-construction still works
+  * as intended: during that one consuming action the first materialization of
+  * a scoped dataset fills the cache and every other branch of the same plan
+  * reads it.
+  */
+object CacheScope {
+
+  /** Wire `scoped` datasets (already persisted by the caller) for automatic
+    * release after `out` is first consumed. Release also fires on action
+    * failure, so an aborted query doesn't leak its cache.
+    */
+  def releaseAfterUse(out: DataFrame, scoped: Dataset[_]*): DataFrame = {
+    val session = out.sparkSession
+    val target = out.queryExecution.analyzed
+    val done = new AtomicBoolean(false)
+    val datasets = scoped.toIndexedSeq
+    lazy val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        val hit =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case _: Throwable => true } // fail open: better to release
+        if (hit && done.compareAndSet(false, true)) {
+          datasets.foreach(_.unpersist(blocking = false))
+          session.listenerManager.unregister(listener)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    session.listenerManager.register(listener)
+    out
+  }
+}

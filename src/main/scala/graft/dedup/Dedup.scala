@@ -49,26 +49,30 @@ object Dedup {
     */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // shingle arrays feed the index build AND candidate verification: persist
-    // so the (expensive) shingling runs once
+    // so the (expensive) shingling runs once; released after the first
+    // consuming action (CacheScope)
     val docs = withShingles(Tables.documents(s, d))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
       .persist()
     val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-    // fuse df-counting with the postings re-attachment: ONE shuffle on the
-    // shingle (groupBy + re-explode of the per-shingle posting list) instead
-    // of a count-aggregate plus a join back. The posting list is SIZE-CAPPED
-    // inside the aggregate (BoundedPostingsAgg): a hot shingle's buffer is
-    // bounded at MaxShingleDf and its postings are dropped from the index —
-    // the E6 stop-fingerprint cut. Dropped shingles sit at the END of the
-    // (df asc) prefix order, so they only enter a prefix when a doc has
-    // fewer than prefix-length sub-cap shingles (all-boilerplate docs) —
-    // a deliberate precision trade the cap shares with every df-capped
-    // similarity index. No-op at test SFs (max df 25 at sf0.1).
-    val withDf = postings.groupBy(col("sh"))
-      .agg(graft.plans.SketchAggs.boundedPostings(
-        col("doc_id"), col("sz"), MaxShingleDf).as("dps"))
-      .select(col("sh"), col("dps.df").as("df"), explode(col("dps.ps")).as("p"))
-      .select(col("p.doc_id").as("doc_id"), col("p.sz").as("sz"), col("sh"), col("df"))
+    // per-shingle document frequency as a COUNT WINDOW over the shingle: one
+    // shuffle + an in-partition sort, entirely inside whole-stage codegen's
+    // spill-safe operators. (Round 2 fused this into a TypedImperativeAggregate
+    // posting-list collector; that plans as ObjectHashAggregate, whose
+    // 128-key sort-based fallback serializes a buffer object per shingle —
+    // the round-2 driver bench measured it at 16x this form under memory
+    // pressure. A shingle index has ~10^5 keys per partition, so at ANY
+    // scale the object-hash path lives in its fallback; window df is the
+    // shape that survives 100x.) Hot shingles (df > MaxShingleDf) are cut
+    // from the index entirely — the stop-fingerprint cut: postings that
+    // common carry no prefix-filter signal but quadratic join cost. Dropped
+    // shingles sit at the END of the (df asc) prefix order, so they only
+    // enter a prefix when a doc has fewer than prefix-length sub-cap
+    // shingles — a deliberate precision trade every df-capped similarity
+    // index makes. No-op at test SFs (max df 25 at sf0.1).
+    val withDf = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= MaxShingleDf)
     val ranked = withDf
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
@@ -80,7 +84,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val arrs = docs.select(col("doc_id"), col("shingles"), col("sz"))
-    cand
+    val out = cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -89,6 +93,7 @@ object Dedup {
       .filter(col("jac") >= JaccardT)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
+    graft.CacheScope.releaseAfterUse(out, docs, prefix)
   }
 
   /** E7 — INCREMENTAL near-dup dedup, the continuous-ingestion mode: a new
@@ -107,11 +112,11 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
       .persist()
     val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-    val withDf = postings.groupBy(col("sh"))
-      .agg(graft.plans.SketchAggs.boundedPostings(
-        col("doc_id"), col("sz"), MaxShingleDf).as("dps"))
-      .select(col("sh"), col("dps.df").as("df"), explode(col("dps.ps")).as("p"))
-      .select(col("p.doc_id").as("doc_id"), col("p.sz").as("sz"), col("sh"), col("df"))
+    // same window-df shape as E2 (see jaccardPairs for the rationale vs the
+    // round-2 object-aggregate form)
+    val withDf = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= MaxShingleDf)
     val ranked = withDf
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
@@ -131,10 +136,11 @@ object Dedup {
       .filter(col("jac") >= JaccardT)
       .select(col("doc_new").as("doc_id"))
       .distinct()
-    docs.filter(isNewExpr)
+    val out = docs.filter(isNewExpr)
       .join(matched, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
+    graft.CacheScope.releaseAfterUse(out, docs, prefix)
   }
 
   /** E8 — near-dup CLUSTER resolution: connected components over the E2

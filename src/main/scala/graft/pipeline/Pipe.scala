@@ -156,8 +156,7 @@ final case class Pipe[T](ds: Dataset[T]) {
       it.flatMap(t => f(t, s))
     })
 
-  /** Two injected side inputs (Beam passes any number; two covers the
-    * reference's test surface, more compose by tupling views). */
+  /** Two injected side inputs. */
   def parDo[S1, S2, U: Encoder](side1: SideInput[S1], side2: SideInput[S2])(
       f: (T, S1, S2) => IterableOnce[U]): Pipe[U] =
     Pipe(consumed.mapPartitions { it =>
@@ -165,6 +164,47 @@ final case class Pipe[T](ds: Dataset[T]) {
       val s2 = side2.value
       it.flatMap(t => f(t, s1, s2))
     })
+
+  /** Three injected side inputs. */
+  def parDo[S1, S2, S3, U: Encoder](
+      side1: SideInput[S1], side2: SideInput[S2], side3: SideInput[S3])(
+      f: (T, S1, S2, S3) => IterableOnce[U]): Pipe[U] =
+    Pipe(consumed.mapPartitions { it =>
+      val s1 = side1.value
+      val s2 = side2.value
+      val s3 = side3.value
+      it.flatMap(t => f(t, s1, s2, s3))
+    })
+
+  /** Four injected side inputs. */
+  def parDo[S1, S2, S3, S4, U: Encoder](
+      side1: SideInput[S1], side2: SideInput[S2], side3: SideInput[S3],
+      side4: SideInput[S4])(
+      f: (T, S1, S2, S3, S4) => IterableOnce[U]): Pipe[U] =
+    Pipe(consumed.mapPartitions { it =>
+      val s1 = side1.value
+      val s2 = side2.value
+      val s3 = side3.value
+      val s4 = side4.value
+      it.flatMap(t => f(t, s1, s2, s3, s4))
+    })
+
+  /** ARBITRARY-arity injection: the runner resolves every view and hands the
+    * process function the element plus the materialized side values in
+    * declaration order — the reference's `insert_values_in_args` contract
+    * (transform_evaluators.py:35-50) for any number of side inputs. The typed
+    * fixed-arity overloads above stay preferred where they fit; this is the
+    * general form (values arrive as `Seq[Any]`, positionally typed by the
+    * caller exactly as Beam's untyped args are).
+    */
+  def parDoN[U: Encoder](sides: SideInput[_]*)(
+      f: (T, Seq[Any]) => IterableOnce[U]): Pipe[U] = {
+    val sideSeq = sides.toIndexedSeq
+    Pipe(consumed.mapPartitions { it =>
+      val vals: Seq[Any] = sideSeq.map(_.value)
+      it.flatMap(t => f(t, vals))
+    })
+  }
 
   /** Flatten (reference: sc.union). `union` is partition-concatenation —
     * no shuffle. */

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.operators.Tables
+
+/** Scratch micro-bench for the round-3 jaccard regression hunt. Times each
+  * variant in the SAME session/JVM shape the driver bench uses (local[32],
+  * 8g, shuffle=32) so numbers are comparable to BENCH_r{N}.json.
+  */
+object PerfLab {
+
+  /** Variant: df via a count window over the shingle instead of the
+    * BoundedPostingsAgg object aggregate — one shuffle + in-partition sort,
+    * all inside whole-stage codegen / spill-safe operators.
+    */
+  def jaccardWindow(s: SparkSession, d: String): DataFrame = {
+    val docs = Dedup.withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+      .persist()
+    val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    val withDf = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= Dedup.MaxShingleDf)
+    val ranked = withDf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+    val prefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+      .select(col("doc_id"), col("sh"))
+      .persist()
+    val cand = prefix.as("a").join(prefix.as("b"), col("a.sh") === col("b.sh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val arrs = docs.select(col("doc_id"), col("shingles"), col("sz"))
+    val out = cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jac") >= Dedup.JaccardT)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    out
+  }
+
+  /** Window variant with ZERO persists: the prefix self-join and the
+    * verification joins rely on Catalyst exchange reuse instead of
+    * user-level caching.
+    */
+  def jaccardNoPersist(s: SparkSession, d: String): DataFrame = {
+    val docs = Dedup.withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+    val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    val withDf = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= Dedup.MaxShingleDf)
+    val ranked = withDf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+    val prefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"), col("a.sh") === col("b.sh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val arrs = docs.select(col("doc_id"), col("shingles"), col("sz"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jac") >= Dedup.JaccardT)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(df: => DataFrame): Unit = {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[perflab] $label run$i: $dt%.2f s")
+        spark.catalog.clearCache()
+      }
+    }
+
+    args.headOption.getOrElse("all") match {
+      case "current" => time("jaccard-current")(Dedup.jaccardPairs(spark, sfDir))
+      case "window"  => time("jaccard-window")(jaccardWindow(spark, sfDir))
+      case "thresh" =>
+        spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "20000000")
+        time("jaccard-thresh20M")(Dedup.jaccardPairs(spark, sfDir))
+      case "winnow" => time("winnow-current")(Dedup.winnowPairs(spark, sfDir))
+      case "nopersist" => time("jaccard-nopersist")(jaccardNoPersist(spark, sfDir))
+      case _ =>
+        time("jaccard-window")(jaccardWindow(spark, sfDir))
+        time("jaccard-nopersist")(jaccardNoPersist(spark, sfDir))
+    }
+    spark.stop()
+  }
+}

@@ -123,6 +123,37 @@ class PipelineSpec extends SparkSpec {
     assert(two.sorted == Seq(11, 21, 31))
   }
 
+  test("three and four side inputs inject positionally; parDoN takes any arity") {
+    // reference insert_values_in_args injects ANY number of views as extra
+    // process args (transform_evaluators.py:35-50)
+    val f1 = SideInput.asSingleton(Pipe.create(spark, Seq(10)))
+    val f2 = SideInput.asSingleton(Pipe.create(spark, Seq(100)))
+    val f3 = SideInput.asSingleton(Pipe.create(spark, Seq(1000)))
+    val allow = SideInput.asList(Pipe.create(spark, Seq(1, 3)))
+
+    val three = Pipe.create(spark, Seq(1, 2, 3))
+      .parDo(f1, f2, f3)((x: Int, a: Int, b: Int, c: Int) => Seq(x * a + b + c))
+      .collect()
+    assert(three.sorted == Seq(1110, 1120, 1130))
+
+    val four = Pipe.create(spark, Seq(1, 2, 3))
+      .parDo(f1, f2, f3, allow) { (x: Int, a: Int, b: Int, c: Int, ok: Seq[Int]) =>
+        if (ok.contains(x)) Seq(x * a + b + c) else Seq.empty
+      }
+      .collect()
+    assert(four.sorted == Seq(1110, 1130))
+
+    // the fully general form: 5 views through parDoN
+    val dict = SideInput.asDict(Pipe.create(spark, Seq(1 -> "one", 3 -> "three")))
+    val got = Pipe.create(spark, Seq(1, 2, 3))
+      .parDoN(f1, f2, f3, allow, dict) { (x: Int, vs: Seq[Any]) =>
+        val Seq(a: Int, b: Int, c: Int, ok: Seq[Int] @unchecked, d: Map[Int, String] @unchecked) = vs
+        if (ok.contains(x)) Seq(s"${d(x)}:${x * a + b + c}") else Seq.empty
+      }
+      .collect()
+    assert(got.sorted == Seq("one:1110", "three:1130"))
+  }
+
   test("sharded writeText emits Beam-style part-SSSSS-of-NNNNN files") {
     val dir = Files.createTempDirectory("graft-shards").toFile
     val out = s"${dir.getAbsolutePath}/sharded"
