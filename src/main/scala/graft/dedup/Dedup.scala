@@ -27,6 +27,19 @@ object Dedup {
   def withShingles(docs: DataFrame): DataFrame =
     docs.withColumn("shingles", graft.plans.ShingleArray.shingles(col("text"), 3))
 
+  /** Deterministic presentation order for a SMALL result set (near-dup pairs,
+    * cluster labels — output is tiny relative to the corpus). A global
+    * `orderBy` plans a range exchange whose bounds-sampling pass re-executes
+    * the child plan — measured at +1.5-2.5 s on the jaccard pipeline at sf0.1
+    * — for an ordering the correctness gate (which row-sorts both sides)
+    * doesn't need. A single-partition sort is total order at zero sampling
+    * cost; `repartition(1)` (not `coalesce`) keeps the upstream stages at
+    * full parallelism. Only for outputs that fit one partition by
+    * construction; corpus-sized outputs keep their global sort.
+    */
+  private def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** E1 — exact dedup: group on the normalized-content fingerprint, keep the
     * smallest doc_id as the cluster representative.
     */
@@ -48,6 +61,16 @@ object Dedup {
     * `ceil(0.8*sz)` rounds up spuriously (0.8*295 = 236.0000000000003).
     */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val (pairs, scoped) = jaccardCore(s, d)
+    graft.CacheScope.releaseAfterUse(
+      sortedSmall(pairs, col("doc_a"), col("doc_b")), scoped: _*)
+  }
+
+  /** The E2 pipeline minus presentation concerns: unsorted verified pairs
+    * plus the persisted intermediates the caller must release (via
+    * [[graft.CacheScope]] for lazy consumers, or directly once materialized).
+    */
+  private[graft] def jaccardCore(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     // shingle arrays feed the index build AND candidate verification: persist
     // so the (expensive) shingling runs once; released after the first
     // consuming action (CacheScope)
@@ -92,8 +115,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jac") >= JaccardT)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-      .orderBy(col("doc_a"), col("doc_b"))
-    graft.CacheScope.releaseAfterUse(out, docs, prefix)
+    (out, Seq(docs, prefix))
   }
 
   /** E7 — INCREMENTAL near-dup dedup, the continuous-ingestion mode: a new
@@ -139,8 +161,7 @@ object Dedup {
     val out = docs.filter(isNewExpr)
       .join(matched, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
-      .orderBy(col("doc_id"))
-    graft.CacheScope.releaseAfterUse(out, docs, prefix)
+    graft.CacheScope.releaseAfterUse(sortedSmall(out, col("doc_id")), docs, prefix)
   }
 
   /** E8 — near-dup CLUSTER resolution: connected components over the E2
@@ -153,32 +174,48 @@ object Dedup {
     * rows where doc_id == cluster_id.
     */
   def clusterPairs(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+    // the pair table is derived ONCE and materialized via localCheckpoint:
+    // per-round plans read the checkpointed blocks instead of chaining the
+    // whole PPJoin derivation into every iteration's lineage (the round-2
+    // executed plan re-derived it 13 times). At 100 TB this is exactly the
+    // "consume a persisted pair table" shape — dedup_jaccard_pairs' output
+    // is the natural materialization point.
+    val (pairsUnsorted, scoped) = jaccardCore(s, d)
+    val p = pairsUnsorted.select(col("doc_a"), col("doc_b"))
+    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .persist()
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist()
+      .localCheckpoint() // eager: materializes now, truncates lineage
+    scoped.foreach(_.unpersist(false))
+    // min-label propagation over ONLY the vertices that touch an edge — an
+    // isolated doc is its own cluster by construction, so the iteration
+    // state is bounded by the pair-graph size (tiny vs the corpus: near-dup
+    // graphs are sparse), not the corpus. Rounds are bounded by component
+    // diameter; each round is one small join + min-agg, and each round's
+    // labels are checkpointed so lineage stays one round deep.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("nl")), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("nl")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val next = labels.join(
+          edges.join(labels.select(col("doc_id").as("src"), col("cluster_id").as("nl")), "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(min(col("nl")).as("nbr_min")),
+          Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") < col("old")).count()
-      labels.unpersist()
-      labels = next
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
-    labels.orderBy(col("doc_id"))
+    // re-attach the non-edge docs (their own clusters) for the full labeling
+    val out = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    sortedSmall(out, col("doc_id"))
   }
 
   // ---- MinHash ----
@@ -219,7 +256,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val arrs = shingled
-    cand
+    val out = cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -227,7 +264,8 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jac") >= 0.7)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.CacheScope.releaseAfterUse(
+      sortedSmall(out, col("doc_a"), col("doc_b")), shingled, buckets)
   }
 
   // ---- SimHash ----
@@ -252,7 +290,7 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
-    banded.as("a").join(banded.as("b"),
+    val out = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -261,7 +299,8 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.CacheScope.releaseAfterUse(
+      sortedSmall(out, col("doc_a"), col("doc_b")), sims)
   }
 
   /** E6 — winnowing-fingerprint near-dup (SURVEY D5 applied to dedup): docs
@@ -303,7 +342,7 @@ object Dedup {
     val withN = postings
       .withColumn("nfp", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .persist()
-    withN.as("a").join(withN.as("b"),
+    val out = withN.as("a").join(withN.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.nfp").as("nfp_a"), col("b.nfp").as("nfp_b"))
@@ -312,7 +351,8 @@ object Dedup {
       .withColumn("share_frac", round(col("shared").cast("double") /
         least(col("nfp_a"), col("nfp_b")), 6))
       .select(col("doc_a"), col("doc_b"), col("share_frac"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.CacheScope.releaseAfterUse(
+      sortedSmall(out, col("doc_a"), col("doc_b")), withN)
   }
 
   // ---- Embedding cosine ----
@@ -367,7 +407,7 @@ object Dedup {
       sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("block"))
     val chunks = e.groupBy(pmod(col("vec_id"), lit(EmbeddingChunks)).as("chunk"))
       .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("rows"))
-    chunks.join(broadcast(blockDf))
+    val out = chunks.join(broadcast(blockDf))
       .select(col("rows"), col("block"))
       .as[(Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)])]
       .flatMap { case (rows, block) =>
@@ -391,7 +431,7 @@ object Dedup {
             }
         }
       }.toDF("vec_a", "vec_b", "cos")
-      .orderBy(col("vec_a"), col("vec_b"))
+    sortedSmall(out, col("vec_a"), col("vec_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -101,6 +101,90 @@ object PerfLab {
     }
 
     args.headOption.getOrElse("all") match {
+      case "stages" =>
+        // decompose the jaccard pipeline: time each prefix of the plan
+        val docs0 = Dedup.withShingles(Tables.documents(spark, sfDir))
+          .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+        time("s1-shingles")(docs0)
+        val postings = docs0.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+        time("s2-postings")(postings)
+        val withDf = postings
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+          .filter(col("df") <= Dedup.MaxShingleDf)
+        time("s3-windowdf")(withDf)
+        val dfAgg = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= Dedup.MaxShingleDf)
+        time("s3b-groupdf")(postings.join(dfAgg, "sh"))
+        val ranked = withDf.withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+        val prefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+          .select(col("doc_id"), col("sh"))
+        time("s4-prefix")(prefix)
+        val cand = prefix.as("a").join(prefix.as("b"), col("a.sh") === col("b.sh")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        time("s5-cand")(cand)
+        time("s6-full")(jaccardNoPersist(spark, sfDir))
+      case "variants" =>
+        def core(persistIt: Boolean): (DataFrame, Seq[DataFrame]) = {
+          var cached = List.empty[DataFrame]
+          def p(df: DataFrame): DataFrame =
+            if (persistIt) { val c = df.persist(); cached ::= c; c } else df
+          val docs = p(Dedup.withShingles(Tables.documents(spark, sfDir))
+            .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")))
+          val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+          val withDf = postings
+            .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+            .filter(col("df") <= Dedup.MaxShingleDf)
+          val ranked = withDf.withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+          val prefix = p(ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+            .select(col("doc_id"), col("sh")))
+          val cand = prefix.as("a").join(prefix.as("b"), col("a.sh") === col("b.sh")
+              && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct()
+          val arrs = docs.select(col("doc_id"), col("shingles"), col("sz"))
+          val out = cand
+            .join(arrs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+            .join(arrs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_b")
+            .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+            .withColumn("jac", round(col("inter").cast("double") /
+              (col("sz_a") + col("sz_b") - col("inter")), 6))
+            .filter(col("jac") >= Dedup.JaccardT)
+            .select(col("doc_a"), col("doc_b"), col("jac"))
+          (out, cached)
+        }
+        def unp(c: Seq[DataFrame]): Unit = c.foreach(_.unpersist(true))
+        (1 to 3).foreach { i =>
+          val (o, c) = core(false)
+          val t0 = System.nanoTime()
+          o.write.format("noop").mode("overwrite").save()
+          println(f"[perflab] v-noorder-nopersist run$i: ${(System.nanoTime()-t0)/1e9}%.2f s"); unp(c)
+        }
+        (1 to 3).foreach { i =>
+          val (o, c) = core(false)
+          val t0 = System.nanoTime()
+          o.repartition(1).sortWithinPartitions(col("doc_a"), col("doc_b"))
+            .write.format("noop").mode("overwrite").save()
+          println(f"[perflab] v-r1sort-nopersist run$i: ${(System.nanoTime()-t0)/1e9}%.2f s"); unp(c)
+        }
+        (1 to 3).foreach { i =>
+          val (o, c) = core(true)
+          val t0 = System.nanoTime()
+          o.orderBy(col("doc_a"), col("doc_b"))
+            .write.format("noop").mode("overwrite").save()
+          println(f"[perflab] v-orderby-persist run$i: ${(System.nanoTime()-t0)/1e9}%.2f s"); unp(c)
+        }
+        (1 to 3).foreach { i =>
+          val (o, c) = core(true)
+          val t0 = System.nanoTime()
+          o.repartition(1).sortWithinPartitions(col("doc_a"), col("doc_b"))
+            .write.format("noop").mode("overwrite").save()
+          println(f"[perflab] v-r1sort-persist run$i: ${(System.nanoTime()-t0)/1e9}%.2f s"); unp(c)
+        }
+      case "current" => time("jaccard-current")(Dedup.jaccardPairs(spark, sfDir))
       case "current" => time("jaccard-current")(Dedup.jaccardPairs(spark, sfDir))
       case "window"  => time("jaccard-window")(jaccardWindow(spark, sfDir))
       case "thresh" =>
