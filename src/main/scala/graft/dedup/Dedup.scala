@@ -223,14 +223,17 @@ object Dedup {
   private val MinhashBands = 16
   private val MinhashRows = 4  // 16 bands x 4 rows = 64 signature slots
 
-  /** E3 — MinHash + LSH banding: 64-slot signature (slot i is
-    * XXH64(base_hash, seed=i), one imperative sketch aggregate — see
-    * graft.plans.MinHashAgg; 64 separate min-agg columns codegen a huge
-    * class whose recompilation is ~10s whenever it leaves the generated-
-    * class cache) -> 16 band keys -> bucket join -> exact-Jaccard
+  /** E3 — MinHash + LSH banding: 64-slot signature (slot i is the affine
+    * permutation of the mixed polynomial base hash — see
+    * graft.plans.MixHash; one imperative sketch aggregate, because 64
+    * separate min-agg columns codegen a huge class whose recompilation is
+    * ~10s whenever it leaves the generated-class cache) -> 16 band keys
+    * (the 4 raw slot values — joining on the values instead of a hash of
+    * them keeps the SQL oracle exact) -> bucket join -> exact-Jaccard
     * verification of candidates at threshold 0.7. Probabilistic recall
     * (>= 1-(1-t^4)^16, i.e. ~0.9998 at t=0.8); the DedupSpec recall test
-    * pins it against the exact E2 pairs.
+    * pins it against the exact E2 pairs, and the DuckDB oracle replays the
+    * whole signature/banding pipeline in HUGEINT mod-2^64 arithmetic.
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -239,13 +242,12 @@ object Dedup {
       .persist()
     val postings = shingled
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
+      .withColumn("h", graft.plans.MixHash.polyHashCol(col("sh")))
     val sigs = postings.groupBy(col("doc_id"))
       .agg(graft.plans.SketchAggs.minhash(col("h"), MinhashBands * MinhashRows).as("m"))
     val bandCols = (0 until MinhashBands).map { b =>
-      val slots = (0 until MinhashRows).map(r =>
-        element_at(col("m"), b * MinhashRows + r + 1))
-      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
+      struct(lit(b).as("band"),
+        slice(col("m"), b * MinhashRows + 1, MinhashRows).as("bh"))
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
@@ -279,7 +281,7 @@ object Dedup {
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val postings = withShingles(Tables.documents(s, d))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
+      .withColumn("h", graft.plans.MixHash.polyHashCol(col("sh")))
     // tiny (one row per doc) but derived from aggregation over all
     // postings: persist before the two-sided band self-join
     val sims = postings.groupBy(col("doc_id"))
@@ -493,12 +495,97 @@ object Dedup {
     ORDER BY doc_a, doc_b"""
   }
 
-  /** DuckDB oracles. The exact ops get full SQL twins (the oracle's n^2 form
-    * is fine at sf0.01); MinHash/SimHash are hash-seed-dependent and get
-    * rows-only checks + recall specs instead.
+  /** Shared CTE prefix: distinct 3-word shingles per doc (same split the
+    * green jaccard oracle uses), exploded, then the mixed polynomial hash
+    * replayed in HUGEINT mod 2^64 (see MixHash.sqlMixedCtes).
+    */
+  private def shingleHashCtes: String = {
+    s"""w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+    shl AS (
+      SELECT doc_id,
+        list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in range(1, len(ws) - 1)]) AS s
+      FROM w WHERE len(ws) >= 3),
+    post AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+    ${graft.plans.MixHash.sqlMixedCtes("post", "sh", Seq("doc_id"))}"""
+  }
+
+  /** Full SQL twin of minhashPairs: replay the affine 64-slot signature,
+    * 16x4 banding, bucket join, and exact-Jaccard verification. Pure
+    * integer arithmetic until the final (rounded) jaccard — bit-exact vs
+    * the Spark pipeline by construction.
+    */
+  private def minhashOracleSql: String = {
+    import graft.plans.MixHash._
+    val slotVal = s"(${sqlMulMod("h", "sa[i+1]")} + sb[i+1]) % $M64"
+    s"""
+    WITH $shingleHashCtes,
+    ab AS (SELECT ${sqlSlotA(MinhashBands * MinhashRows)} AS sa,
+                  ${sqlSlotB(MinhashBands * MinhashRows)} AS sb),
+    slots AS (
+      SELECT doc_id, i, MIN(${sqlToSigned(slotVal)}) AS sv
+      FROM mh, (SELECT unnest(range(${MinhashBands * MinhashRows})) AS i), ab
+      GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id, i // $MinhashRows AS band, list(sv ORDER BY i) AS bkey
+      FROM slots GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+      ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jac
+    FROM cand c JOIN shl x ON x.doc_id = c.doc_a JOIN shl y ON y.doc_id = c.doc_b
+    WHERE ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) >= 0.7
+    ORDER BY doc_a, doc_b"""
+  }
+
+  /** Full SQL twin of simhashPairs: per-bit sign sums over the mixed shingle
+    * hashes, 4x16-bit banding, hamming<=3 verification. All-integer.
+    */
+  private def simhashOracleSql: String = {
+    import graft.plans.MixHash._
+    val p2 = (0 until 64).map(j => s"${BigInt(1) << j}::HUGEINT").mkString("[", ",", "]")
+    val pb = (0 until 4).map(b => s"${BigInt(1) << (16 * b)}::HUGEINT").mkString("[", ",", "]")
+    s"""
+    WITH $shingleHashCtes,
+    pw AS (SELECT $p2 AS p),
+    bits AS (
+      SELECT doc_id, j,
+        SUM(CASE WHEN ((h // p[j+1]) % 2) = 1 THEN 1 ELSE -1 END) AS sgn
+      FROM mh, (SELECT unnest(range(64)) AS j), pw
+      GROUP BY doc_id, j),
+    sim0 AS (
+      SELECT doc_id,
+        SUM(CASE WHEN sgn >= 0 THEN p[j+1] ELSE 0::HUGEINT END) AS usim
+      FROM bits, pw GROUP BY doc_id),
+    sim AS (SELECT doc_id, usim, ${sqlToSigned("usim")} AS sh64 FROM sim0),
+    pbw AS (SELECT $pb AS pb),
+    banded AS (
+      SELECT doc_id, sh64, b, (usim // pb[b+1]) % 65536::HUGEINT AS bv
+      FROM sim, (SELECT unnest(range(4)) AS b), pbw),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sh64 AS sim_a, b.sh64 AS sim_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    ORDER BY doc_a, doc_b"""
+  }
+
+  /** DuckDB oracles. Every E-key now has a full SQL twin: the probabilistic
+    * paths (MinHash/SimHash) are replayed bit-exactly because the hashing is
+    * integer arithmetic mod 2^64 (MixHash), the same trick as the winnow
+    * oracle.
     */
   val oracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,
+    "dedup_minhash" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
     "dedup_exact" -> s"""
       SELECT ${TextFunctions.fingerprintSql("text")} AS fp,
         MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -8,7 +8,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
@@ -24,7 +23,12 @@ import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   * constant-size class, one pass, same shuffle shape (partial + final).
   */
 
-/** 64-slot MinHash signature: slot i = min over inputs of XXH64(h, seed=i). */
+/** 64-slot MinHash signature: slot i = min over inputs of the affine
+  * permutation h * A(i) + B(i) (wrap 64, signed compare) — see
+  * [[MixHash.slotA]]. Affine-of-hash instead of XXH64(h, seed=i) (round 2)
+  * because the whole pipeline is then replayable in DuckDB HUGEINT SQL:
+  * that upgrade turns the driver's rows-only check into a full hash oracle.
+  */
 case class MinHashAgg(
     child: Expression,
     numPerms: Int,
@@ -41,7 +45,7 @@ case class MinHashAgg(
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < numPerms) {
-        val p = XXH64.hashLong(h, i)
+        val p = h * MixHash.slotA(i) + MixHash.slotB(i)
         if (p < buf(i)) buf(i) = p
         i += 1
       }

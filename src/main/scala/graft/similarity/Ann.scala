@@ -160,6 +160,17 @@ object Ann {
     */
   val IvfCells = 16
   val IvfIters = 3
+  /** Centroid accumulation runs in FIXED-POINT: components are rounded to
+    * 1/2^24 and summed as longs. Integer addition is order-independent, so
+    * the centroids — and therefore every assignment and probe decision — are
+    * bit-identical no matter how partial aggregation interleaves, and a SQL
+    * oracle can replay the whole k-means exactly. (A float `avg` depends on
+    * partial-agg order: irreproducible across runs AND unverifiable.) The
+    * quantization error (2^-25 per component) is orders below the noise
+    * floor of k-means on float32 inputs. Overflow headroom: |v| <= 2^7 gives
+    * 2^31 per element, 2^32 rows per cell before a long saturates.
+    */
+  val IvfScale: Double = (1 << 24).toDouble
 
   /** Cosine-argmax cell id against the (local, tiny) centroid matrix:
     * array_max over k (score, -index) structs — one native codegen'd
@@ -196,12 +207,19 @@ object Ann {
     }
     seedRows.foreach(r => cents(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
     for (_ <- 1 to IvfIters) {
-      val means = e.withColumn("cell", nearestCellCol("v", cents))
+      val sums = e.withColumn("cell", nearestCellCol("v", cents))
         .groupBy(col("cell"))
-        .agg(array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
+        .agg(
+          array((0 until dim).map(i =>
+            sum(round(element_at(col("v"), i + 1) * IvfScale).cast("long"))): _*).as("sv"),
+          count(lit(1)).as("cnt"))
         .collect()
       val next = cents.map(_.clone())  // empty-cell guard: keep old centroid
-      means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
+      sums.foreach { r =>
+        val cnt = r.getLong(2)
+        next(r.getInt(0)) =
+          r.getSeq[Long](1).map(s => s.toDouble / (IvfScale * cnt)).toArray
+      }
       cents = next
     }
     val corpus = e.withColumn("cell", nearestCellCol("v", cents))
@@ -230,7 +248,128 @@ object Ann {
     "ann_ivf_topk" -> ivfTopK _
   )
 
+  /** Full SQL twin of lshTopK. The hyperplanes are deterministic constants
+    * (fixed-seed Gaussian), so the oracle embeds the exact same doubles as
+    * literals (shortest-round-trip decimal => bit-identical parse) and
+    * replays bucketing, hamming-1 probing, and scoring. Sign decisions
+    * compare dot products ~O(1) in magnitude against 0, so last-ulp
+    * reduction-order differences cannot flip them; the final cosine is
+    * compared after 6 dp rounding exactly like the (green) brute oracle.
+    */
+  private def lshOracleSql: String = {
+    val planes = hyperplanes(LshTables * LshPlanes, 64)
+    val planeRows = (for (t <- 0 until LshTables; i <- 0 until LshPlanes) yield {
+      val p = planes(t * LshPlanes + i)
+      s"($t, $i, [${p.map(java.lang.Double.toString).mkString(",")}]::DOUBLE[])"
+    }).mkString(",\n        ")
+    s"""
+    WITH pl(tbl, pi, pv) AS (VALUES
+        $planeRows),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bk AS (
+      SELECT e.vec_id, pl.tbl,
+        SUM(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+                 THEN (1::BIGINT << pi) ELSE 0 END) AS bucket
+      FROM e, pl GROUP BY e.vec_id, pl.tbl),
+    probes AS (
+      SELECT vec_id AS qid, tbl AS qtbl,
+        unnest(list_append(
+          list_transform(range($LshPlanes), i -> xor(bucket, 1::BIGINT << i)),
+          bucket)) AS probe
+      FROM bk WHERE vec_id < $NumQueries),
+    cand AS (
+      SELECT DISTINCT p.qid, c.vec_id AS nid
+      FROM probes p JOIN bk c
+        ON c.tbl = p.qtbl AND c.bucket = p.probe AND c.vec_id <> p.qid)
+    SELECT qid, nid, rank, rcos FROM (
+      SELECT cand.qid, cand.nid,
+        ROUND(list_cosine_similarity(q.embedding_d, n.embedding_d), 6) AS rcos,
+        ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+          ROUND(list_cosine_similarity(q.embedding_d, n.embedding_d), 6) DESC,
+          cand.nid) AS rank
+      FROM cand
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding_d FROM embeddings) q
+        ON q.vec_id = cand.qid
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding_d FROM embeddings) n
+        ON n.vec_id = cand.nid) t
+    WHERE rank <= $TopK ORDER BY qid, rank"""
+  }
+
+  /** Full SQL twin of ivfTopK: 3 unrolled Lloyd iterations. Bit-exact
+    * because centroids come from order-independent integer sums (see
+    * IvfScale) — assignment/probe argmaxes compare well-separated scores, so
+    * last-ulp dot-product differences can't flip them (same argument the
+    * green brute oracle rests on for its 6 dp rounding).
+    */
+  private def ivfOracleSql: String = {
+    val minNormal = "2.2250738585072014e-308"
+    val dim = 64
+    // one Lloyd step: assignment under centroid CTE `cp` -> new centroids `cn`
+    def lloyd(cp: String, a: String, m: String, cn: String): String = s"""
+    $a AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, c.cv)
+              / GREATEST(sqrt(list_dot_product(c.cv, c.cv)), $minNormal) DESC,
+            c.cell_id) AS rn
+        FROM e, $cp c) t WHERE rn = 1),
+    $m AS (
+      SELECT cell, j,
+        SUM(CAST(ROUND(v[CAST(j + 1 AS INT)] * 16777216.0::DOUBLE) AS BIGINT)) AS sm,
+        COUNT(*) AS cnt
+      FROM $a, (SELECT unnest(range($dim)) AS j) GROUP BY cell, j),
+    $cn AS (
+      SELECT p.cell_id, COALESCE(n.cv, p.cv) AS cv
+      FROM $cp p LEFT JOIN (
+        SELECT cell AS cell_id,
+          list(CAST(sm AS DOUBLE) / (16777216.0::DOUBLE * cnt) ORDER BY j) AS cv
+        FROM $m GROUP BY cell) n ON n.cell_id = p.cell_id)"""
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    c0 AS (
+      SELECT CAST(vec_id % $IvfCells AS INT) AS cell_id, v AS cv FROM (
+        SELECT vec_id, v, ROW_NUMBER() OVER (
+          PARTITION BY vec_id % $IvfCells ORDER BY vec_id) AS rn FROM e) t
+      WHERE rn = 1),
+    ${lloyd("c0", "a1", "m1", "c1")},
+    ${lloyd("c1", "a2", "m2", "c2")},
+    ${lloyd("c2", "a3", "m3", "c3")},
+    af AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, c.cv)
+              / GREATEST(sqrt(list_dot_product(c.cv, c.cv)), $minNormal) DESC,
+            c.cell_id) AS rn
+        FROM e, c3 c) t WHERE rn = 1),
+    cw AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c3),
+    routed AS (
+      SELECT qid, qcell FROM (
+        SELECT q.vec_id AS qid, c.cell_id AS qcell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            list_dot_product(q.v, c.cv) / (q.nrm * c.cn) DESC, c.cell_id) AS crank
+        FROM en q, cw c WHERE q.vec_id < $NumQueries) t
+      WHERE crank <= 2),
+    cand AS (
+      SELECT r.qid, a.vec_id AS nid
+      FROM routed r
+      JOIN af a ON a.cell = r.qcell AND a.vec_id <> r.qid)
+    SELECT qid, nid, rank, rcos FROM (
+      SELECT cand.qid, cand.nid,
+        ROUND(list_cosine_similarity(q.v, n.v), 6) AS rcos,
+        ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+          ROUND(list_cosine_similarity(q.v, n.v), 6) DESC, cand.nid) AS rank
+      FROM cand
+      JOIN e q ON q.vec_id = cand.qid
+      JOIN e n ON n.vec_id = cand.nid) t
+    WHERE rank <= $TopK ORDER BY qid, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_lsh_topk" -> lshOracleSql,
+    "ann_ivf_topk" -> ivfOracleSql,
     "ann_brute_topk" -> s"""
       WITH p AS (
         SELECT q.vec_id AS qid, c.vec_id AS nid,

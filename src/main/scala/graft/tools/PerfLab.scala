@@ -185,7 +185,6 @@ object PerfLab {
           println(f"[perflab] v-r1sort-persist run$i: ${(System.nanoTime()-t0)/1e9}%.2f s"); unp(c)
         }
       case "current" => time("jaccard-current")(Dedup.jaccardPairs(spark, sfDir))
-      case "current" => time("jaccard-current")(Dedup.jaccardPairs(spark, sfDir))
       case "window"  => time("jaccard-window")(jaccardWindow(spark, sfDir))
       case "thresh" =>
         spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "20000000")
