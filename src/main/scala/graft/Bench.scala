@@ -1,4 +1,8 @@
 package graft
+import java.lang.management.ManagementFactory
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds at the target
@@ -6,12 +10,23 @@ import org.apache.spark.sql.SparkSession
   * codegen (plans are schema-identical across SFs, so generated-class caches
   * hit) — the measured numbers are steady-state engine throughput, not
   * first-query JVM warmup.
+  *
+  * Contamination-robust by construction (round-4 lesson: one contended run
+  * poisoned the round's official artifact with 21x swings on single-scan
+  * queries): every query runs SPARK_GRAFT_BENCH_REPS (default 3) reps with
+  * `clearCache()` + `System.gc()` between them, and the artifact records the
+  * per-rep times, the per-rep JVM GC seconds, and the 1-minute system load
+  * at each rep start — so a polluted rep is visible IN the artifact instead
+  * of silently inflating the headline. Headline per-query number stays the
+  * min (steady-state, comparable to prior rounds); the median is reported
+  * alongside.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,38 +41,58 @@ object Bench {
     def run(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+    def gcSeconds: Double =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum / 1e3
+    def loadAvg: Double =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try run(name, warmDir)
       catch { case _: Throwable => () }
     }
-    // drop the warmup's persisted blocks: leftover cache skews (and
-    // memory-pressures) the measured runs
-    spark.catalog.clearCache()
-    // best of 2 at the target SF: one measurement is hostage to GC /
-    // first-touch page cache; the min is the steady-state number. A failed
-    // query must not masquerade as a fast one: it reports -1 and is listed.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val repTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val repGc = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val repLoad = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to reps).map { _ =>
+        // isolation between reps: drop every cached/warmup block and force a
+        // full collection so rep N doesn't pay rep N-1's garbage
+        spark.catalog.clearCache()
+        System.gc()
+        repLoad(name) = repLoad.getOrElse(name, Seq.empty) :+
+          math.rint(loadAvg * 100) / 100
+        val gc0 = gcSeconds
         val t0 = System.nanoTime()
         val ok = try { run(name, sfDir); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
         }
-        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+        val sec = (System.nanoTime() - t0) / 1e9
+        repGc(name) = repGc.getOrElse(name, Seq.empty) :+
+          math.rint((gcSeconds - gc0) * 1000) / 1000
+        if (ok) sec else Double.NaN
       }
-      val good = times.filterNot(_.isNaN)
+      repTimes(name) = times.map(t => if (t.isNaN) -1.0 else math.rint(t * 1000) / 1000)
+      val good = times.filterNot(_.isNaN).sorted
       if (good.isEmpty) failed += name
-      spark.catalog.clearCache()
-      name -> (if (good.isEmpty) -1.0 else good.min)
+      val min = if (good.isEmpty) -1.0 else good.head
+      val median = if (good.isEmpty) -1.0 else good(good.length / 2)
+      name -> (min, median)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def numMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def seqMap(m: Iterable[(String, Seq[Double])]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+    val qs = numMap(results.map { case (k, (mn, _)) => k -> mn })
+    val qsMed = numMap(results.map { case (k, (_, md)) => k -> md })
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMed = results.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps_per_query":$reps,"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"rep_times":${seqMap(repTimes)},"rep_gc_sec":${seqMap(repGc)},"rep_load_avg":${seqMap(repLoad)},"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,17 +25,26 @@ object CacheScope {
     * failure, so an aborted query doesn't leak its cache.
     */
   def releaseAfterUse(out: DataFrame, scoped: Dataset[_]*): DataFrame = {
+    val datasets = scoped.toIndexedSeq
+    onFirstUse(out)(() => datasets.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Run `cleanup` once, after the first completed action that consumes
+    * `out` (or any plan containing it). The general form of
+    * [[releaseAfterUse]] — used to free resources Dataset.unpersist can't
+    * reach, e.g. the block-manager storage behind a `localCheckpoint`.
+    */
+  def onFirstUse(out: DataFrame)(cleanup: () => Unit): DataFrame = {
     val session = out.sparkSession
     val target = out.queryExecution.analyzed
     val done = new AtomicBoolean(false)
-    val datasets = scoped.toIndexedSeq
     lazy val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
         val hit =
           try qe.analyzed.exists(_.sameResult(target))
           catch { case _: Throwable => true } // fail open: better to release
         if (hit && done.compareAndSet(false, true)) {
-          datasets.foreach(_.unpersist(blocking = false))
+          cleanup()
           session.listenerManager.unregister(listener)
         }
       }

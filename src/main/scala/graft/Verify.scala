@@ -14,6 +14,19 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The PolyHash SQL oracles (minhash/simhash/winnow) replay Java string
+    // hashing in DuckDB, which is exact ONLY for pure-ASCII text: DuckDB
+    // ord()/length()/substring() are code-point-based, Java charAt/length
+    // UTF-16-unit-based, and they agree only below U+0080. A non-ASCII
+    // document would make those oracles silently diverge — fail LOUDLY
+    // instead (octet_length == length iff every char is single-byte ASCII).
+    val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions
+        .expr("octet_length(text) <> length(text)"))
+      .count()
+    require(nonAscii == 0,
+      s"$nonAscii non-ASCII document(s) in $sfDir: the MinHash/SimHash/Winnow " +
+        "SQL oracles assume an ASCII corpus and would silently diverge")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

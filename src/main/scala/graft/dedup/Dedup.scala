@@ -27,18 +27,14 @@ object Dedup {
   def withShingles(docs: DataFrame): DataFrame =
     docs.withColumn("shingles", graft.plans.ShingleArray.shingles(col("text"), 3))
 
-  /** Deterministic presentation order for a SMALL result set (near-dup pairs,
-    * cluster labels — output is tiny relative to the corpus). A global
-    * `orderBy` plans a range exchange whose bounds-sampling pass re-executes
-    * the child plan — measured at +1.5-2.5 s on the jaccard pipeline at sf0.1
-    * — for an ordering the correctness gate (which row-sorts both sides)
-    * doesn't need. A single-partition sort is total order at zero sampling
-    * cost; `repartition(1)` (not `coalesce`) keeps the upstream stages at
-    * full parallelism. Only for outputs that fit one partition by
-    * construction; corpus-sized outputs keep their global sort.
-    */
-  private def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols: _*)
+  // Library outputs are UNSORTED. Round 4 funneled every pair/label output
+  // through a `repartition(1).sortWithinPartitions` for presentation order —
+  // a single-task terminal stage that is exactly the bottleneck a driver
+  // collect would be once pair tables are billions of rows (the 100 TB
+  // design point). The correctness gate row-sorts both sides before hashing
+  // (driver + tools/check.py `canon`), so ordering is the CALLER's
+  // presentation concern, not the library's: consumers that need an order
+  // apply their own orderBy on the (tiny or huge) result they asked for.
 
   /** E1 — exact dedup: group on the normalized-content fingerprint, keep the
     * smallest doc_id as the cluster representative.
@@ -47,7 +43,6 @@ object Dedup {
     Tables.documents(s, d)
       .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("keep_id"))
 
   /** E2 — EXACT n-gram Jaccard near-dup pairs at threshold 0.8, via prefix
     * filtering: under a global (df asc, shingle asc) order, two sets with
@@ -62,8 +57,7 @@ object Dedup {
     */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val (pairs, scoped) = jaccardCore(s, d)
-    graft.CacheScope.releaseAfterUse(
-      sortedSmall(pairs, col("doc_a"), col("doc_b")), scoped: _*)
+    graft.CacheScope.releaseAfterUse(pairs, scoped: _*)
   }
 
   /** The E2 pipeline minus presentation concerns: unsorted verified pairs
@@ -161,7 +155,7 @@ object Dedup {
     val out = docs.filter(isNewExpr)
       .join(matched, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
-    graft.CacheScope.releaseAfterUse(sortedSmall(out, col("doc_id")), docs, prefix)
+    graft.CacheScope.releaseAfterUse(out, docs, prefix)
   }
 
   /** E8 — near-dup CLUSTER resolution: connected components over the E2
@@ -173,28 +167,60 @@ object Dedup {
     * with its cluster id (= min doc_id in its component); dedup keeps the
     * rows where doc_id == cluster_id.
     */
+  /** Bucket count for the materialized pair-table artifact. */
+  val EdgeBuckets = 32
+
+  /** Free the block-manager storage behind a `localCheckpoint`ed frame.
+    * Dataset.unpersist goes through the CacheManager and does NOT reach
+    * these blocks; the checkpointed RDD must be unpersisted directly —
+    * otherwise up to 50 rounds of superseded label snapshots sit on
+    * executors until driver GC + ContextCleaner get around to them.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def clusterPairs(s: SparkSession, d: String): DataFrame = {
-    // the pair table is derived ONCE and materialized via localCheckpoint:
-    // per-round plans read the checkpointed blocks instead of chaining the
-    // whole PPJoin derivation into every iteration's lineage (the round-2
-    // executed plan re-derived it 13 times). At 100 TB this is exactly the
-    // "consume a persisted pair table" shape — dedup_jaccard_pairs' output
-    // is the natural materialization point.
+    // E2's pair output is derived ONCE and materialized as a BUCKETED PARQUET
+    // TABLE — the persistent-index artifact SURVEY §5 promises for 100 TB:
+    // every CC round consumes it as a plain one-scan read (the round-2 plan
+    // re-derived the whole PPJoin pipeline 13 times), it is replayable on
+    // executor loss (a localCheckpoint is not: losing a block mid-query fails
+    // the job), and bucketing on `src` means the per-round edge-side shuffle
+    // for the `src` join is pre-done at write time.
     val (pairsUnsorted, scoped) = jaccardCore(s, d)
+    val tbl = "graft_pairs_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    // a fresh JVM's in-memory catalog doesn't know a previous session wrote
+    // this table, so DROP alone can't clear the on-disk location — remove it
+    // explicitly or the CTAS fails with LOCATION_ALREADY_EXISTS
+    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     val p = pairsUnsorted.select(col("doc_a"), col("doc_b"))
-    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
+    p.union(p.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .localCheckpoint() // eager: materializes now, truncates lineage
+      .repartition(EdgeBuckets, col("src")) // one file per bucket
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(EdgeBuckets, "src")
+      .saveAsTable(tbl)
     scoped.foreach(_.unpersist(false))
+    val edges = s.table(tbl)
     // min-label propagation over ONLY the vertices that touch an edge — an
     // isolated doc is its own cluster by construction, so the iteration
     // state is bounded by the pair-graph size (tiny vs the corpus: near-dup
     // graphs are sparse), not the corpus. Rounds are bounded by component
     // diameter; each round is one small join + min-agg, and each round's
-    // labels are checkpointed so lineage stays one round deep.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    // labels are checkpointed so lineage stays one round deep. The label
+    // state is small enough that localCheckpoint's fault-tolerance trade
+    // (non-replayable blocks) is acceptable — the expensive artifact (the
+    // pair table) is on reliable storage above.
+    var ckpt = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
+    var labels = ckpt
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -208,14 +234,19 @@ object Dedup {
           (col("nbr_min") < col("cluster_id")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
+      // `next` is materialized: the superseded round's blocks go NOW, not
+      // at some future driver GC
+      freeCheckpoint(ckpt)
+      ckpt = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
     // re-attach the non-edge docs (their own clusters) for the full labeling
+    val lastCkpt = ckpt
     val out = Tables.documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    sortedSmall(out, col("doc_id"))
+    graft.CacheScope.onFirstUse(out)(() => freeCheckpoint(lastCkpt))
   }
 
   // ---- MinHash ----
@@ -266,8 +297,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jac") >= 0.7)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-    graft.CacheScope.releaseAfterUse(
-      sortedSmall(out, col("doc_a"), col("doc_b")), shingled, buckets)
+    graft.CacheScope.releaseAfterUse(out, shingled, buckets)
   }
 
   // ---- SimHash ----
@@ -301,8 +331,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-    graft.CacheScope.releaseAfterUse(
-      sortedSmall(out, col("doc_a"), col("doc_b")), sims)
+    graft.CacheScope.releaseAfterUse(out, sims)
   }
 
   /** E6 — winnowing-fingerprint near-dup (SURVEY D5 applied to dedup): docs
@@ -353,8 +382,7 @@ object Dedup {
       .withColumn("share_frac", round(col("shared").cast("double") /
         least(col("nfp_a"), col("nfp_b")), 6))
       .select(col("doc_a"), col("doc_b"), col("share_frac"))
-    graft.CacheScope.releaseAfterUse(
-      sortedSmall(out, col("doc_a"), col("doc_b")), withN)
+    graft.CacheScope.releaseAfterUse(out, withN)
   }
 
   // ---- Embedding cosine ----
@@ -388,18 +416,42 @@ object Dedup {
     */
   private val EmbeddingChunks = 64
 
-  /** E5 — embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs
-    * baseline on the packed path: the corpus block (vec_id-sorted packed
-    * structs) is built by an executor-side collect_list aggregate and shipped
-    * by a planner BroadcastExchange — NO driver-side collect anywhere in the
-    * plan (round-1 fix). Each row chunk streams against the upper triangle of
-    * the block — same n^2/2 flops as the BNL join, none of the per-pair row
-    * machinery. Valid while the block fits a broadcast (it's the SMALL-scale
-    * exact baseline; the 100 TB path is LSH candidates + verify in
-    * graft.similarity.Ann, recall-spec'd — exact all-pairs above a threshold
-    * fundamentally requires an index at that size).
+  /** Row threshold above which [[embeddingPairsPacked]]'s corpus-block
+    * broadcast is unsafe (200k rows x 64 doubles ~= 110 MB packed, plus row
+    * overhead — comfortably inside an executor, uncomfortably beyond it at
+    * 10x). Overridable per session via `graft.embedding.broadcastMaxRows`
+    * (the spec uses this to pin the switchover).
     */
-  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+  val EmbeddingBroadcastMaxRowsDefault = 200000L
+
+  private def embeddingBroadcastMaxRows(s: SparkSession): Long =
+    s.conf.getOption("graft.embedding.broadcastMaxRows")
+      .map(_.toLong).getOrElse(EmbeddingBroadcastMaxRowsDefault)
+
+  /** E5 — embedding-cosine near-dup pairs (threshold 0.4), exact, with an
+    * automatic scale guard: corpora whose row count fits
+    * [[embeddingBroadcastMaxRows]] take the packed broadcast-block kernel
+    * (cheapest at small n); anything larger degrades gracefully to the
+    * grid-blocked kernel — same exact semantics, no broadcast, bounded
+    * per-task memory — instead of OOMing the broadcast (round-2 verdict
+    * item #6). The count is parquet-metadata cheap. Callers that want
+    * approximate-at-scale instead of exact use graft.similarity.Ann's LSH
+    * candidates + verify.
+    */
+  def embeddingPairs(s: SparkSession, d: String): DataFrame =
+    if (Tables.embeddings(s, d).count() <= embeddingBroadcastMaxRows(s))
+      embeddingPairsPacked(s, d)
+    else embeddingPairsGrid(s, d)
+
+  /** E5 small-n kernel — exact all-pairs on the packed path: the corpus
+    * block (vec_id-sorted packed structs) is built by an executor-side
+    * collect_list aggregate and shipped by a planner BroadcastExchange — NO
+    * driver-side collect anywhere in the plan (round-1 fix). Each row chunk
+    * streams against the upper triangle of the block — same n^2/2 flops as
+    * the BNL join, none of the per-pair row machinery. Valid while the block
+    * fits a broadcast; [[embeddingPairs]] guards that.
+    */
+  private[graft] def embeddingPairsPacked(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("v"), col("nrm"))
     // whole corpus as ONE sorted packed row; sort_array orders struct rows by
@@ -433,7 +485,63 @@ object Dedup {
             }
         }
       }.toDF("vec_a", "vec_b", "cos")
-    sortedSmall(out, col("vec_a"), col("vec_b"))
+    out
+  }
+
+  /** E5 large-n kernel — exact all-pairs WITHOUT a broadcast: the corpus is
+    * hashed into G = ceil(n / broadcastMaxRows) packed blocks (each no
+    * bigger than the broadcast bound), each unordered block pair (i <= j)
+    * becomes one equi-join row, and the pair kernel streams block i against
+    * block j's upper triangle. Communication is the known-optimal
+    * O(data x sqrt(tasks)) triangle-replication shape for distributed exact
+    * all-pairs: each block is shipped ~G times, per-task memory is two
+    * blocks, and G grows with n so neither ever exceeds the bound. The inner
+    * loop is byte-identical to the packed kernel (same ascending-id
+    * iteration, same double guard, same HALF_UP rounding), so the two paths
+    * are bit-equal — spec-pinned.
+    */
+  private[graft] def embeddingPairsGrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("v"), col("nrm"))
+    val g = math.max(2L,
+      (Tables.embeddings(s, d).count() + embeddingBroadcastMaxRows(s) - 1)
+        / embeddingBroadcastMaxRows(s)).toInt
+    val blocks = e.groupBy(pmod(col("vec_id"), lit(g)).as("cid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("rows"))
+    // explode each block to the (ci, cj) grid keys it participates in, then
+    // equi-join — never a nested-loop join, which would re-broadcast a side
+    val left = blocks.select(col("cid").as("ci"),
+      explode(sequence(col("cid"), lit(g - 1))).as("cj"), col("rows").as("ra"))
+    val right = blocks.select(explode(sequence(lit(0), col("cid"))).as("ci"),
+      col("cid").as("cj"), col("rows").as("rb"))
+    val out = left.join(right, Seq("ci", "cj"))
+      .select(col("ra"), col("rb"), (col("ci") === col("cj")).as("diag"))
+      .as[(Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)], Boolean)]
+      .flatMap { case (ra, rb, diag) =>
+        // diagonal block: upper triangle only (ra == rb, so idb > ida visits
+        // each unordered pair once). Cross blocks: ids are disjoint by the
+        // pmod hash, so EVERY (a, b) is a distinct pair — visit all of them
+        // and order the emitted ids (the interleaved hash means either side
+        // can hold the smaller id).
+        ra.iterator.flatMap { case (ida, va, na) =>
+          rb.iterator
+            .filter(r => !diag || r._1 > ida)
+            .flatMap { case (idb, vb, nb) =>
+              var acc = 0.0
+              var j = 0
+              while (j < va.length) { acc += va(j) * vb(j); j += 1 }
+              val raw = acc / (na * nb)
+              if (raw >= 0.39999) {
+                val cos = BigDecimal(raw)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (cos >= 0.4)
+                  Some((math.min(ida, idb), math.max(ida, idb), cos))
+                else None
+              } else None
+            }
+        }
+      }.toDF("vec_a", "vec_b", "cos")
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

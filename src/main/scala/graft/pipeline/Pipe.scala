@@ -246,9 +246,14 @@ final case class Pipe[T](ds: Dataset[T]) {
 }
 
 object Pipe {
-  /** Create from in-memory values (reference: sc.parallelize). */
-  def create[T: Encoder](spark: SparkSession, values: Seq[T]): Pipe[T] =
-    Pipe(spark.createDataset(values))
+  /** Create from in-memory values, with the reference's partition heuristic:
+    * ceil(sqrt(n)/sqrt(100)) partitions (transform_evaluators.py:19) — a tiny
+    * Create stays one task instead of fanning out over default parallelism.
+    */
+  def create[T: Encoder: scala.reflect.ClassTag](spark: SparkSession, values: Seq[T]): Pipe[T] = {
+    val numParts = math.max(1, math.ceil(math.sqrt(values.size.toDouble) / 10.0).toInt)
+    Pipe(spark.createDataset(spark.sparkContext.parallelize(values, numParts)))
+  }
 
   /** ReadFromText (reference: sc.textFile). */
   def readText(spark: SparkSession, path: String): Pipe[String] =

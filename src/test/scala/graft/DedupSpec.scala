@@ -8,6 +8,12 @@ class DedupSpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Library outputs are unsorted (terminal sorts were a single-task scale
+    * hazard); order-sensitive comparisons canonicalize on the id pair.
+    */
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] =
+    df.collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+
   test("jaccard prefix-filter pairs match brute-force at threshold") {
     // brute force over the same shingles, computed locally
     val docs = Dedup.withShingles(graft.operators.Tables.documents(spark, sf))
@@ -75,15 +81,39 @@ class DedupSpec extends SparkSpec {
   }
 
   test("embedding pairs are deterministic across runs") {
-    val a = Dedup.embeddingPairs(spark, sf).collect().toSeq
-    val b = Dedup.embeddingPairs(spark, sf).collect().toSeq
+    val a = sortedRows(Dedup.embeddingPairs(spark, sf))
+    val b = sortedRows(Dedup.embeddingPairs(spark, sf))
     assert(a == b && a.nonEmpty)
   }
 
   test("packed embedding pairs == declarative BNL pairs, bit for bit") {
-    val fast = Dedup.embeddingPairs(spark, sf).collect().toSeq
+    val fast = sortedRows(Dedup.embeddingPairs(spark, sf))
     val decl = Dedup.embeddingPairsDeclarative(spark, sf).collect().toSeq
     assert(fast == decl && fast.nonEmpty)
+  }
+
+  test("grid embedding kernel == packed kernel, bit for bit") {
+    val grid = sortedRows(Dedup.embeddingPairsGrid(spark, sf))
+    val packed = sortedRows(Dedup.embeddingPairsPacked(spark, sf))
+    assert(grid == packed && grid.nonEmpty)
+  }
+
+  test("embedding scale guard: above broadcastMaxRows the plan drops the corpus-block broadcast") {
+    // default (500 rows << 200k): packed kernel — its signature is the
+    // UNCONDITIONED broadcast of the whole-corpus block (a global aggregate
+    // joined with no condition => BroadcastNestedLoopJoin), which is exactly
+    // the thing that cannot survive past broadcast size
+    val packed = Dedup.embeddingPairs(spark, sf)
+    assert(packed.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    // pin the switchover: force the threshold below the corpus size and the
+    // SAME entry point must plan the grid kernel — an equi-join on block-pair
+    // keys whose only broadcasts (if any) are AQE's own size-guarded choices
+    spark.conf.set("graft.embedding.broadcastMaxRows", "100")
+    try {
+      val grid = Dedup.embeddingPairs(spark, sf)
+      assert(!grid.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(sortedRows(grid) == sortedRows(packed))
+    } finally spark.conf.unset("graft.embedding.broadcastMaxRows")
   }
 
   test("lsh ann recall beats scanned-fraction by >=2x (the LSH property)") {
@@ -119,9 +149,31 @@ class DedupSpec extends SparkSpec {
     val base = Ann.bruteTopK(spark, sf).collect().toSeq
     val split = Ann.bruteTopK(spark, root).collect().toSeq
     assert(split == base && base.nonEmpty)
-    val basePairs = Dedup.embeddingPairs(spark, sf).collect().toSeq
-    val splitPairs = Dedup.embeddingPairs(spark, root).collect().toSeq
+    val basePairs = sortedRows(Dedup.embeddingPairs(spark, sf))
+    val splitPairs = sortedRows(Dedup.embeddingPairs(spark, root))
     assert(splitPairs == basePairs && basePairs.nonEmpty)
+  }
+
+  test("clusterPairs leaves no persisted or checkpointed blocks behind") {
+    // clusterPairs localCheckpoints per-round label snapshots and persists
+    // E2 intermediates; all of it must be explicitly freed — a long-lived
+    // session accumulating superseded checkpoint blocks is a storage leak
+    // spark.catalog.clearCache() cannot fix.
+    def drained(): Boolean = {
+      // releases ride the listener bus (async) — poll up to 15 s
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline) {
+        if (spark.sparkContext.getPersistentRDDs.isEmpty) return true
+        Thread.sleep(100)
+      }
+      spark.sparkContext.getPersistentRDDs.isEmpty
+    }
+    spark.catalog.clearCache()
+    assert(drained(), "pre-existing persistent RDDs did not drain")
+    val n = Dedup.clusterPairs(spark, sf).count()
+    assert(n > 0)
+    assert(drained(),
+      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", ")}")
   }
 
   test("ivf ann returns k results per query with sane ranks") {

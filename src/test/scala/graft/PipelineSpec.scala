@@ -165,6 +165,18 @@ class PipelineSpec extends SparkSpec {
       (1 to 100).map(i => s"line$i").toSet)
   }
 
+  test("Create uses the reference's sqrt(n)/sqrt(100) partition heuristic") {
+    // reference transform_evaluators.py:19:
+    // num_partitions = max(1, ceil(sqrt(len(items)) / sqrt(100)))
+    def parts(n: Int): Int =
+      Pipe.create(spark, (1 to n).toSeq).ds.rdd.getNumPartitions
+    assert(parts(1) == 1)     // ceil(1/10)
+    assert(parts(100) == 1)   // ceil(10/10)
+    assert(parts(101) == 2)   // ceil(10.05/10)
+    assert(parts(500) == 3)   // ceil(22.36/10)
+    assert(parts(10000) == 10)
+  }
+
   test("readText + writeText round-trip (test_write)") {
     val dir = Files.createTempDirectory("graft-io").toFile
     val out = s"${dir.getAbsolutePath}/out"
