@@ -33,7 +33,6 @@ object Multimodal {
         // both sides use char semantics (byte-substring of the payload would
         // diverge on multi-byte UTF-8)
         lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("magic_hex"))
-      .orderBy(col("doc_id"))
 
   /** STUB decoder: stands in for the image/audio decode step (no codec libs
     * in this container). Deterministic fake "features": a 16-bin byte
@@ -86,7 +85,6 @@ object Multimodal {
       .select(col("doc_id"),
         md5(concat_ws(",", col("features").cast("array<string>"))).as("features_md5"),
         col("n_bytes"))
-      .orderBy(col("doc_id"))
 
   /** G4 — "resize" STUB: deterministic fixed-stride downsample of the text
     * payload to `TargetLen` samples (stands in for image resize — the real
@@ -106,7 +104,6 @@ object Multimodal {
       .filter(col("n_chars") >= TargetLen)
       .select(col("doc_id"), lit(TargetLen).as("resized_len"),
         md5(concat_ws(",", samples: _*)).as("resized_md5"))
-      .orderBy(col("doc_id"))
   }
 
   /** G3 — frame sampling: chunk the text payload into 256-CHARACTER frames,
@@ -129,7 +126,6 @@ object Multimodal {
       .filter(col("frame_idx") % Every === 0)
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         md5(expr(s"substring(text, off + 1, $FrameLen)")).as("frame_md5"))
-      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

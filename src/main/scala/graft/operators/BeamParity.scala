@@ -16,7 +16,6 @@ object BeamParity {
     import s.implicits._
     Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"), (4L, "delta"), (5L, "echo"))
       .toDF("id", "name")
-      .orderBy("id")
   }
 
   /** A3 source scan with pushdown: projection + predicate reach parquet. */
@@ -24,7 +23,6 @@ object BeamParity {
     Tables.orders(s, d)
       .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
       .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
 
   /** A4 ParDo/Map — per-element computation as codegen'd column exprs
     * (reference evaluates a Python fn per element; here it's one IEEE
@@ -34,21 +32,18 @@ object BeamParity {
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** A5 ParDo/FlatMap — explode(split) instead of a per-element generator. */
   def pardoFlatmap(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .orderBy(col("doc_id"), col("word"))
 
   /** A6 ParDo/Filter — predicate pushed to the scan. */
   def pardoFilter(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_discount") >= 0.05 && col("l_quantity") < 10)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** A8 Flatten — union, partition concatenation, no shuffle
     * (reference: sc.union, transform_evaluators.py:84).
@@ -69,7 +64,6 @@ object BeamParity {
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("orderkeys"))
-      .orderBy(col("o_custkey"))
 
   /** A10 CombinePerKey — groupBy.agg gives Catalyst partial (map-side)
     * aggregation, the contract the reference builds with aggregateByKey.
@@ -78,7 +72,6 @@ object BeamParity {
     Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-      .orderBy(col("user_id"))
 
   /** A11 CombineGlobally — one global aggregate, partials per partition. */
   def combineGlobal(s: SparkSession, d: String): DataFrame =
@@ -111,7 +104,6 @@ object BeamParity {
       .as[(String, Double, Double)])
       .map { case (f, q, p) => (f, (q, p)) }
     keyed.combinePerKey(fn).ds.toDF("l_returnflag", "wavg_qty")
-      .orderBy("l_returnflag")
   }
 
   /** A13 AsSingleton side input — scalar threshold broadcast into the plan
@@ -124,7 +116,6 @@ object BeamParity {
       .filter(col("o_totalprice") > col("thr"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
-      .orderBy(col("o_orderstatus"))
   }
 
   /** A14 AsDict side input — broadcast hash join on the small dim. */
@@ -134,7 +125,6 @@ object BeamParity {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
-      .orderBy(col("n_name"))
 
   /** A15 AsList side input — membership filter as a broadcast semi-join. */
   def sideListFilter(s: SparkSession, d: String): DataFrame = {
@@ -146,7 +136,6 @@ object BeamParity {
       .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("c_mktsegment"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -38,7 +38,6 @@ object CorpusClean {
     cleaned
       .select(col("doc_id"), col("pred_lang"),
         col("alpha_ratio"), col("space_ratio"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   val corpusCleanSql: String = s"""
@@ -69,7 +68,6 @@ object CorpusClean {
       .agg(count(lit(1)).as("n_docs"),
         sum(wsTokens(col("text")).cast("long")).as("ws_tokens"),
         sum(bpeTokens(col("text")).cast("long")).as("bpe_tokens"))
-      .orderBy(col("lang"))
 
   val tokenStatsSql: String = s"""
     SELECT ${langIdSql("text")} AS lang, COUNT(*) AS n_docs,
@@ -99,7 +97,6 @@ object CorpusClean {
     sh.filter(col("doc_id") >= EvalDocs)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
-      .orderBy(col("doc_id"))
   }
 
   val decontaminateSql: String = s"""
@@ -134,7 +131,6 @@ object CorpusClean {
       .withColumn("tier", tier)
       .filter(pmod(col("doc_id"), lit(10)) < rate)
       .select(col("doc_id"), col("tier"), col("alpha_ratio"))
-      .orderBy(col("doc_id"))
   }
 
   val sampleMixSql: String = s"""
@@ -168,7 +164,6 @@ object CorpusClean {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         size(col("chunk")).as("n_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
 
   val chunkSql: String = s"""
     WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
@@ -200,7 +195,6 @@ object CorpusClean {
       .groupBy(col("grp"), col("pack_seq"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("n_tokens").cast("long")).as("n_tokens"))
-      .orderBy(col("grp"), col("pack_seq"))
   }
 
   val packSql: String = s"""

@@ -29,7 +29,6 @@ object Relational {
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** B2 — Q3-style: broadcast the filtered dim side, shuffle-agg the fact,
     * decimal-exact revenue so top-k ordering matches the oracle exactly.
@@ -57,7 +56,6 @@ object Relational {
       .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(dsum(revenue).as("revenue"))
-      .orderBy(col("n_name"))
   }
 
   /** B4 — broadcast hash join: small dim to every executor, zero shuffle of
@@ -68,7 +66,6 @@ object Relational {
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
-      .orderBy(col("p_brand"))
 
   /** B5 — large×large join: shuffles on the join key; AQE picks the physical
     * strategy and splits skewed partitions at runtime.
@@ -78,7 +75,6 @@ object Relational {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), dsum(revenue).as("revenue"))
-      .orderBy(col("o_orderpriority"))
 
   /** B6 — EXISTS as left-semi (no row multiplication, no dedup pass). */
   def joinSemi(s: SparkSession, d: String): DataFrame =
@@ -87,7 +83,6 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("c_mktsegment"))
 
   /** B7 — NOT EXISTS as left-anti. The orders side is restricted to URGENT
     * orders so the anti join has survivors (every customer has SOME order, so
@@ -100,7 +95,6 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("c_mktsegment"))
 
   /** B8 — outer join with unmatched-side preservation. */
   def joinOuter(s: SparkSession, d: String): DataFrame =
@@ -108,7 +102,6 @@ object Relational {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"))
-      .orderBy(col("c_custkey"))
 
   /** B9 — ranked window: top-3 orders per customer. */
   def windowRank(s: SparkSession, d: String): DataFrame = {
@@ -118,7 +111,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("rn"))
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   /** B10 — running aggregate per key (decimal-exact cumulative sum). */
@@ -130,7 +122,6 @@ object Relational {
       .withColumn("running_value",
         sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
       .select(col("event_id"), col("user_id"), col("running_value"))
-      .orderBy(col("event_id"))
   }
 
   /** B11 — distinct via partial-aggregate (no global collect). */
@@ -138,7 +129,6 @@ object Relational {
     Tables.customer(s, d)
       .select(col("c_mktsegment"), col("c_nationkey"))
       .distinct()
-      .orderBy(col("c_mktsegment"), col("c_nationkey"))
 
   /** B12 — global top-k: TakeOrdered (per-partition heaps), not a full sort. */
   def topkOrders(s: SparkSession, d: String): DataFrame =
@@ -152,7 +142,6 @@ object Relational {
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** B14 — as-of join via the union+window algorithm: tag both sides, union,
     * one shuffle on the key, running max over prior right-side rows. No
@@ -180,7 +169,6 @@ object Relational {
       .withColumn("prev_date", max(col("rdate")).over(w))
       .filter(col("side") === 0)
       .select(col("o_orderkey"), col("prev_date"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** B14b — the same as-of semantics through the custom operator stack
@@ -196,7 +184,6 @@ object Relational {
         leftKey = "o_custkey", rightKey = "r_custkey",
         leftTime = "o_orderdate", rightTime = "r_orderdate", strict = true)
       .select(col("o_orderkey"), col("r_orderdate").as("prev_date"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** B15 — JSON extraction with codegen'd path evaluation. */
@@ -205,7 +192,6 @@ object Relational {
       .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
-      .orderBy(col("event_type"))
 
   /** B17 — exact interpolated percentiles (Spark `percentile` == DuckDB
     * `quantile_cont`, verified bit-equal at 6 dp).
@@ -216,7 +202,6 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
         round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
-      .orderBy(col("o_orderpriority"))
 
   /** B18 — the salted-join path (SURVEY §5 skew design): result must be
     * IDENTICAL to the plain join, so it shares a plain-SQL oracle.
@@ -227,7 +212,6 @@ object Relational {
       keyL = "user_id", keyR = "c_custkey", discriminator = "event_id", factor = 8)
     joined.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-      .orderBy(col("c_mktsegment"))
   }
 
   /** B19 — Q12-style conditional aggregation: CASE counts inside one agg
@@ -240,7 +224,6 @@ object Relational {
       .agg(
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("high_line_count"),
         sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_line_count"))
-      .orderBy(col("l_returnflag"))
 
   /** B20 — Q14-style conditional-revenue ratio: two decimal-exact sums, one
     * final division.
@@ -278,7 +261,6 @@ object Relational {
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0L, EventTypes)
-      .orderBy(col("user_id"))
 
   /** B25 — unpivot/melt: quality metrics wide -> long. */
   def unpivotQuality(s: SparkSession, d: String): DataFrame = {
@@ -289,7 +271,6 @@ object Relational {
         spaceRatio(col("text")).as("space_ratio"))
       .unpivot(Array(col("doc_id")),
         Array(col("alpha_ratio"), col("space_ratio")), "metric", "value")
-      .orderBy(col("doc_id"), col("metric"))
   }
 
   /** C1 — tumbling-window aggregation (epoch-aligned 1h buckets). */
@@ -298,7 +279,6 @@ object Relational {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
-      .orderBy(col("hour_start"), col("event_type"))
 
   /** C2 — sessionization (30-min inactivity gap) as lag/cumsum windows: one
     * shuffle on the user key, no driver state. The streaming equivalent
@@ -321,7 +301,6 @@ object Relational {
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
-      .orderBy(col("user_id"), col("session_start"))
   }
 
   val q1PricingSql: String = s"""

@@ -17,7 +17,6 @@ object TextAnalysis {
         wsTokens(col("text")).as("n_ws_tokens"),
         bpeTokens(col("text")).as("n_bpe_tokens"),
         length(col("text")).as("n_chars_actual"))
-      .orderBy(col("doc_id"))
 
   /** D2 — quality scoring: ratio features used for corpus filtering. */
   def textQuality(s: SparkSession, d: String): DataFrame =
@@ -27,7 +26,6 @@ object TextAnalysis {
         spaceRatio(col("text")).as("space_ratio"),
         stopwordRatio(col("text")).as("stopword_ratio"),
         meanTokenLen(col("text")).as("mean_token_len"))
-      .orderBy(col("doc_id"))
 
   /** D3 — language ID: stopword-marker argmax heuristic (deterministic
     * tiebreak), aggregated to per-language counts.
@@ -37,13 +35,11 @@ object TextAnalysis {
       .select(langId(col("text")).as("pred_lang"))
       .groupBy(col("pred_lang"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("pred_lang"))
 
   /** D4 — document fingerprint: md5 over normalized content. */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens _,

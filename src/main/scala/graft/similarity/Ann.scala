@@ -28,7 +28,6 @@ object Ann {
         Window.partitionBy(col("qid")).orderBy(col("rcos").desc, col("nid"))))
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("nid"), col("rank"), col("rcos"))
-      .orderBy(col("qid"), col("rank"))
 
   /** F1 (declarative form) — broadcast the query set, one scan of the
     * corpus, per-partition partial top-k via the rank window. Kept as the
@@ -239,7 +238,9 @@ object Ann {
         col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
       .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
-    rankTopK(pairs)
+    // e is persisted for the training loop; the routing/probing plan above
+    // still reads it, so release only after the caller's first action
+    graft.CacheScope.releaseAfterUse(rankTopK(pairs), e)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
