@@ -79,7 +79,13 @@ object Bench {
       val good = times.filterNot(_.isNaN).sorted
       if (good.isEmpty) failed += name
       val min = if (good.isEmpty) -1.0 else good.head
-      val median = if (good.isEmpty) -1.0 else good(good.length / 2)
+      // true median: average the two middle elements when the count is even
+      // (upper-middle alone equals the max for 2 good reps, overstating
+      // steady-state time)
+      val median =
+        if (good.isEmpty) -1.0
+        else if (good.length % 2 == 1) good(good.length / 2)
+        else (good(good.length / 2 - 1) + good(good.length / 2)) / 2
       name -> (min, median)
     }
     def numMap(m: Iterable[(String, Double)]): String =
@@ -92,7 +98,16 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMed = results.map(_._2._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps_per_query":$reps,"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"rep_times":${seqMap(repTimes)},"rep_gc_sec":${seqMap(repGc)},"rep_load_avg":${seqMap(repLoad)},"failed":$errs,"sf":"$sfDir"}""")
+    // Per-rep diagnostics (times/GC/load) go to a FILE: serialized they run
+    // ~11 KB, which overflowed the driver's stdout tail capture in round 5
+    // and left the official artifact unparseable. The stdout headline below
+    // stays compact (r3/r4-sized) and MUST be the last line printed.
+    val detail = s"""{"reps_per_query":$reps,"queries_median":$qsMed,"rep_times":${seqMap(repTimes)},"rep_gc_sec":${seqMap(repGc)},"rep_load_avg":${seqMap(repLoad)},"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    java.nio.file.Files.write(detailPath,
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
   }
 }

@@ -12,10 +12,34 @@ import org.apache.spark.sql.SparkSession
   * inspected afterwards, so a query that strands cached or checkpointed
   * blocks shows a non-zero `leaked` column. Run:
   *   sbt "runMain graft.PlanAudit /root/testdata/sf0.01"
+  *
+  * ASSERTS, not just reports (round-5 verdict item 6): the run exits
+  * non-zero when any query fails to plan/execute, leaks storage, or grows a
+  * single-partition exchange / object-hash aggregate outside the whitelists
+  * below — so a scale-hazard regression fails CI instead of hiding in a
+  * table nobody re-reads. Pass `--selftest-plant` to verify the gate trips:
+  * it strands a persisted RDD before the audit, which must exit 1.
   */
 object PlanAudit {
+
+  /** Queries whose `Exchange SinglePartition` is the final reduce of a
+    * global aggregate over tiny partial-agg rows — the one legitimate use.
+    * Anything else with a 1p exchange is a single-task bottleneck.
+    */
+  private val SinglePartitionOk = Set(
+    "combine_global", "q14_promo", "side_singleton", "dedup_embedding")
+
+  /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
+    * buffers (sketches, bounded postings, Beam-parity per-key collections,
+    * approx-percentile digests) — documented in PLANS.md; anything new is an
+    * unbounded-buffer spill hazard until reviewed and added here.
+    */
+  private val ObjectAggOk = Set(
+    "dedup_minhash", "dedup_simhash", "dedup_winnow", "dedup_embedding",
+    "agg_percentiles", "combine_aggregator", "group_by_key")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -39,6 +63,14 @@ object PlanAudit {
       c
     }
 
+    if (args.contains("--selftest-plant")) {
+      // deliberately strand a materialized persisted RDD: the first audited
+      // query's leaked check must see it and the run must exit non-zero
+      val planted = spark.range(10).persist()
+      planted.count()
+    }
+
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -64,9 +96,17 @@ object PlanAudit {
         // hygiene for the NEXT query: whatever leaked must not carry over
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        if (leaked > 0)
+          violations += s"$name: leaked $leaked storage entries after execution"
+        if (singleEx > 0 && !SinglePartitionOk(name))
+          violations += s"$name: $singleEx SinglePartition exchange(s) outside the global-agg whitelist"
+        if (objHash > 0 && !ObjectAggOk(name))
+          violations += s"$name: $objHash ObjectHashAggregate(s) outside the bounded-buffer whitelist"
         s"| `$name` | $scans | ${if (pushed) "yes" else "—"} | $hashEx | $rangeEx | $singleEx | $bcast | $smj | $objHash | ${if (codegen) "yes" else "no"} | $leaked |"
       } catch {
-        case e: Throwable => s"| `$name` | plan failed: ${e.getClass.getSimpleName} | | | | | | | | | |"
+        case e: Throwable =>
+          violations += s"$name: plan/execution failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
+          s"| `$name` | plan failed: ${e.getClass.getSimpleName} | | | | | | | | | |"
       }
     }
 
@@ -89,5 +129,11 @@ object PlanAudit {
     Files.writeString(Paths.get("PLANS.md"), md.toString)
     println(s"wrote PLANS.md (${rows.length} queries)")
     spark.stop()
+    if (violations.nonEmpty) {
+      System.err.println(s"PLAN AUDIT FAILED — ${violations.length} violation(s):")
+      violations.foreach(v => System.err.println(s"  - $v"))
+      sys.exit(1)
+    }
+    println("plan audit clean: no leaks, no un-whitelisted 1p exchanges or object aggregates")
   }
 }

@@ -14,19 +14,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The PolyHash SQL oracles (minhash/simhash/winnow) replay Java string
-    // hashing in DuckDB, which is exact ONLY for pure-ASCII text: DuckDB
-    // ord()/length()/substring() are code-point-based, Java charAt/length
-    // UTF-16-unit-based, and they agree only below U+0080. A non-ASCII
-    // document would make those oracles silently diverge — fail LOUDLY
-    // instead (octet_length == length iff every char is single-byte ASCII).
-    val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(org.apache.spark.sql.functions
-        .expr("octet_length(text) <> length(text)"))
-      .count()
-    require(nonAscii == 0,
-      s"$nonAscii non-ASCII document(s) in $sfDir: the MinHash/SimHash/Winnow " +
-        "SQL oracles assume an ASCII corpus and would silently diverge")
+    // No ASCII guard needed any more (round-6): the PolyHash/Winnow hash
+    // expressions iterate UNICODE CODE POINTS — the same units as DuckDB's
+    // code-point-based ord()/length()/substring() — so the MinHash/SimHash/
+    // Winnow SQL oracles replay bit-exactly for ANY corpus (validated with a
+    // planted UTF-8 corpus: accents, CJK, and supplementary-plane emoji all
+    // hash-match through tools/check.py).
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -115,47 +115,104 @@ object Dedup {
   /** E7 — INCREMENTAL near-dup dedup, the continuous-ingestion mode: a new
     * batch (here doc_id % 10 >= 8 — a deterministic 20% "arrival") is
     * admitted only where it has NO Jaccard>=0.8 near-dup in the existing
-    * corpus. Same PPJoin prefix index as E2 (df over the union keeps the
-    * prefix guarantee, which is symmetric), but the candidate join is
-    * side-tagged new x old — old x old pairs are never generated, so the
-    * incremental cost tracks the BATCH size, not the corpus. At 100 TB the
-    * existing side's prefix index is the persistent artifact; each batch
-    * builds only its own postings and joins in.
+    * corpus. The existing side's PPJoin index is a PERSISTENT ARTIFACT —
+    * three bucketed parquet tables built once per corpus (prefix postings,
+    * shingle df, shingle arrays; see [[ensureIncrementalIndex]]) — so each
+    * arriving batch shingles and ranks ONLY ITSELF and joins into the stored
+    * index: per-batch cost tracks the batch, not the corpus (the round-5
+    * version re-shingled and re-windowed the whole corpus every batch).
+    *
+    * Prefix soundness across the split: PPJoin's prefix theorem holds for ANY
+    * total order applied consistently to both sides. The stored order is
+    * (corpus df asc, shingle asc); batch shingles unseen in the corpus rank
+    * last (df = +inf) — they cannot match any stored posting anyway, and
+    * ranking them last keeps sub-cap corpus shingles in the batch prefixes.
+    * The df cap is the same deliberate stop-shingle recall trade as E2,
+    * applied identically on both sides (capped shingles dropped before
+    * ranking); no-op at test SFs.
     */
   def incrementalNew(s: SparkSession, d: String): DataFrame = {
     val isNewExpr = col("doc_id") % 10 >= 8
-    val docs = withShingles(Tables.documents(s, d))
+    val (oldPrefix, oldDf, oldArrs) = ensureIncrementalIndex(s, d, !isNewExpr)
+    val batch = withShingles(Tables.documents(s, d).filter(isNewExpr))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
       .persist()
-    val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-    // same window-df shape as E2 (see jaccardPairs for the rationale vs the
-    // round-2 object-aggregate form)
-    val withDf = postings
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("df") <= MaxShingleDf)
-    val ranked = withDf
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-    val prefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+    val bpost = batch
+      .select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+      .join(oldDf, Seq("sh"), "left")
+      .filter(col("df").isNull || col("df") <= MaxShingleDf)
+    val ranked = bpost.withColumn("rk", row_number().over(
+      Window.partitionBy(col("doc_id"))
+        .orderBy(coalesce(col("df"), lit(Long.MaxValue)), col("sh"))))
+    val bprefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
       .select(col("doc_id"), col("sh"))
-      .persist()
-    val cand = prefix.as("a").join(prefix.as("b"), col("a.sh") === col("b.sh")
-        && (col("a.doc_id") % 10 >= 8) && (col("b.doc_id") % 10 < 8))
+    val cand = bprefix.as("a").join(oldPrefix.as("b"), col("a.sh") === col("b.sh"))
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
       .distinct()
     val matched = cand
-      .join(docs.select(col("doc_id").as("doc_new"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_new")
-      .join(docs.select(col("doc_id").as("doc_old"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_old")
+      .join(batch.select(col("doc_id").as("doc_new"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_new")
+      .join(oldArrs.select(col("doc_id").as("doc_old"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_old")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jac") >= JaccardT)
       .select(col("doc_new").as("doc_id"))
       .distinct()
-    val out = docs.filter(isNewExpr)
+    val out = batch.select(col("doc_id"))
       .join(matched, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"))
-    graft.CacheScope.releaseAfterUse(out, docs, prefix)
+    graft.CacheScope.releaseAfterUse(out, batch)
+  }
+
+  /** Build (once per corpus dir) the E7 corpus-side index: three bucketed
+    * parquet tables in the warehouse, the same persistent-artifact pattern as
+    * E8's pair table — replayable on executor loss, bucketed on their join
+    * keys so the per-batch index-side shuffle is pre-paid at write time.
+    * Kept across calls BY DESIGN (the whole point of incremental dedup is
+    * that the corpus index is amortized over batches); rebuilt only when
+    * absent from the catalog. Returns (prefix postings, shingle df, shingle
+    * arrays) as plain table reads.
+    */
+  private def ensureIncrementalIndex(
+      s: SparkSession, d: String, isOld: Column): (DataFrame, DataFrame, DataFrame) = {
+    val slug = dirSlug(d)
+    val prefixTbl = s"graft_incr_prefix_$slug"
+    val dfTbl = s"graft_incr_df_$slug"
+    val arrTbl = s"graft_incr_arr_$slug"
+    val names = Seq(prefixTbl, dfTbl, arrTbl)
+    if (!names.forall(s.catalog.tableExists)) {
+      names.foreach(resetTable(s, _))
+      val nb = edgeBuckets(s)
+      val old = withShingles(Tables.documents(s, d).filter(isOld))
+        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+        .persist()
+      val postings = old.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+      // same window-df + rank shape as E2 (see jaccardPairs for the rationale
+      // vs the round-2 object-aggregate form)
+      val withDf = postings
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      val kept = withDf.filter(col("df") <= MaxShingleDf)
+      val ranked = kept.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+        .select(col("sh"), col("doc_id"))
+        .repartition(nb, col("sh"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nb, "sh").saveAsTable(prefixTbl)
+      // FULL df table (capped shingles included): the batch side must
+      // distinguish corpus-hot shingles (dropped, as the corpus side dropped
+      // them) from corpus-unseen ones (ranked last but kept)
+      withDf.select(col("sh"), col("df")).groupBy(col("sh"))
+        .agg(max(col("df")).as("df"))
+        .repartition(nb, col("sh"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nb, "sh").saveAsTable(dfTbl)
+      old.select(col("doc_id"), col("shingles"), col("sz"))
+        .repartition(nb, col("doc_id"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nb, "doc_id").saveAsTable(arrTbl)
+      old.unpersist(blocking = false)
+    }
+    (s.table(prefixTbl), s.table(dfTbl), s.table(arrTbl))
   }
 
   /** E8 — near-dup CLUSTER resolution: connected components over the E2
@@ -167,8 +224,39 @@ object Dedup {
     * with its cluster id (= min doc_id in its component); dedup keeps the
     * rows where doc_id == cluster_id.
     */
-  /** Bucket count for the materialized pair-table artifact. */
-  val EdgeBuckets = 32
+  /** Default bucket count for materialized dedup artifacts (the E8 pair
+    * table, the E7 corpus index). Overridable per session via
+    * `graft.dedup.edgeBuckets` — at 100 TB the bucket count should track the
+    * cluster's parallelism, not a constant.
+    */
+  val EdgeBucketsDefault = 32
+
+  private[graft] def edgeBuckets(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.edgeBuckets")
+      .map(_.toInt).getOrElse(EdgeBucketsDefault)
+
+  /** Warehouse identifier for a data dir. The catalog lowercases identifiers,
+    * so the slug is lowercased up front — manual stale-location cleanup and
+    * the catalog must agree on the on-disk path (an uppercase dir name would
+    * otherwise write to the lowercased location while cleanup deletes the
+    * raw-cased one). Single writer per data dir assumed: two concurrent
+    * builds against the same dir race on DROP/delete/CTAS.
+    */
+  private def dirSlug(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
+  private def warehousePath(s: SparkSession, name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), name)
+
+  /** Clear a table and any stale on-disk location a previous JVM left behind
+    * (a fresh in-memory catalog doesn't know the table exists, so DROP alone
+    * can't reach the files and a CTAS fails with LOCATION_ALREADY_EXISTS).
+    */
+  private def resetTable(s: SparkSession, tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val loc = warehousePath(s, tbl)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+  }
 
   /** Free the block-manager storage behind a `localCheckpoint`ed frame.
     * Dataset.unpersist goes through the CacheManager and does NOT reach
@@ -176,7 +264,7 @@ object Dedup {
     * otherwise up to 50 rounds of superseded label snapshots sit on
     * executors until driver GC + ContextCleaner get around to them.
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
@@ -192,19 +280,15 @@ object Dedup {
     // the job), and bucketing on `src` means the per-round edge-side shuffle
     // for the `src` join is pre-done at write time.
     val (pairsUnsorted, scoped) = jaccardCore(s, d)
-    val tbl = "graft_pairs_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    // a fresh JVM's in-memory catalog doesn't know a previous session wrote
-    // this table, so DROP alone can't clear the on-disk location — remove it
-    // explicitly or the CTAS fails with LOCATION_ALREADY_EXISTS
-    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
-    val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
-    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    val tbl = "graft_pairs_" + dirSlug(d)
+    resetTable(s, tbl)
+    val nb = edgeBuckets(s)
     val p = pairsUnsorted.select(col("doc_a"), col("doc_b"))
     p.union(p.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .repartition(EdgeBuckets, col("src")) // one file per bucket
+      .repartition(nb, col("src")) // one file per bucket
       .write.mode("overwrite").format("parquet")
-      .bucketBy(EdgeBuckets, "src")
+      .bucketBy(nb, "src")
       .saveAsTable(tbl)
     scoped.foreach(_.unpersist(false))
     val edges = s.table(tbl)
@@ -241,18 +325,63 @@ object Dedup {
       labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
+    // The converged labels are tiny (edge-touching docs only) but live in
+    // NON-REPLAYABLE localCheckpoint blocks. Returning a plan over them and
+    // freeing on first use (round 5) was a latent correctness hazard: the
+    // second action on the returned frame — a caller's count()+collect() —
+    // would fail with missing checkpoint blocks, and a listener firing on an
+    // unrelated failure could free them before ANY use. Fail closed instead:
+    // write the labels to reliable storage (overwritten per run — at most one
+    // small dir per data dir accumulates), free every checkpoint block
+    // eagerly and synchronously HERE, and return a plan over the parquet —
+    // replayable through any number of downstream actions.
+    val labelsLoc = warehousePath(s, tbl + "_labels")
+    labels.write.mode("overwrite").parquet(labelsLoc.toString)
+    freeCheckpoint(ckpt)
+    // the pair table only feeds the (eager, completed) CC rounds above — drop
+    // it so a long-lived session doesn't accumulate one table per data dir
+    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
     // re-attach the non-edge docs (their own clusters) for the full labeling
-    val lastCkpt = ckpt
-    val out = Tables.documents(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(s.read.parquet(labelsLoc.toString), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    graft.CacheScope.onFirstUse(out)(() => freeCheckpoint(lastCkpt))
   }
 
   // ---- MinHash ----
 
   private val MinhashBands = 16
   private val MinhashRows = 4  // 16 bands x 4 rows = 64 signature slots
+
+  /** LSH band-bucket skew cap (E3/E4). A crawl-scale corpus is guaranteed to
+    * contain mega-clusters — m near-identical documents that land in the SAME
+    * bucket of EVERY band, turning the bucket self-join into Θ(m²) candidate
+    * pairs per band (the round-5 verdict's one remaining dedup scale hole;
+    * E2/E6 already cap their posting lists the same way). Buckets at or under
+    * the cap enumerate all pairs as before. An OVERSIZED bucket switches to a
+    * star: every member pairs only with the bucket representative (min
+    * doc_id) — m-1 candidates, connectivity preserved (for clustering, every
+    * member still reaches the rep, and near-identical docs verify against it).
+    * Recall trade, documented like MaxShingleDf: non-representative pairs
+    * inside an oversized bucket are not emitted by that bucket (a smaller
+    * bucket of another band can still emit them). No-op below the cap — test
+    * SFs are unchanged. Overridable via `graft.dedup.maxBandBucket`.
+    */
+  val MaxBandBucketDefault = 1000L
+
+  private[graft] def maxBandBucket(s: SparkSession): Long =
+    s.conf.getOption("graft.dedup.maxBandBucket")
+      .map(_.toLong).getOrElse(MaxBandBucketDefault)
+
+  /** Add bucket size (`bn`) and representative (`rep` = min doc_id) per band
+    * bucket in ONE window pass — the pre-computation both the sub-cap
+    * all-pairs join and the oversized-bucket star read from.
+    */
+  private def withBucketStats(buckets: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    buckets
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+  }
 
   /** E3 — MinHash + LSH banding: 64-slot signature (slot i is the affine
     * permutation of the mixed polynomial base hash — see
@@ -280,13 +409,22 @@ object Dedup {
       struct(lit(b).as("band"),
         slice(col("m"), b * MinhashRows + 1, MinhashRows).as("bh"))
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    // mega-bucket skew cap (see MaxBandBucketDefault): all-pairs only inside
+    // sub-cap buckets; oversized buckets emit member→representative stars
+    val buckets = withBucketStats(
+        sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.bh")),
+        Seq("band", "bh"))
       .persist()
-    val cand = buckets.as("a").join(buckets.as("b"),
+    val cap = maxBandBucket(s)
+    val small = buckets.filter(col("bn") <= cap)
+    val star = buckets.filter(col("bn") > cap && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val cand = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .union(star)
       .distinct()
     val arrs = shingled
     val out = cand
@@ -317,21 +455,35 @@ object Dedup {
     val sims = postings.groupBy(col("doc_id"))
       .agg(graft.plans.SketchAggs.simhash(col("h")).as("simhash"))
       .persist()
+    // mega-bucket skew cap, same shape as minhashPairs; the star branch needs
+    // the representative's SIMHASH too, so the one window pass takes
+    // min(struct(doc_id, simhash)) — lexicographic struct min = the min
+    // doc_id's row — instead of two window functions
+    val w = Window.partitionBy(col("band"), col("bv"))
     val banded = sims.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
-    val out = banded.as("a").join(banded.as("b"),
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("repst", min(struct(col("doc_id"), col("simhash"))).over(w))
+      .persist()
+    val cap = maxBandBucket(s)
+    val small = banded.filter(col("bn") <= cap)
+    val star = banded.filter(col("bn") > cap && col("doc_id") =!= col("repst.doc_id"))
+      .select(col("repst.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("repst.simhash").as("sim_a"), col("simhash").as("sim_b"))
+    val out = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .union(star)
       .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-    graft.CacheScope.releaseAfterUse(out, sims)
+    graft.CacheScope.releaseAfterUse(out, sims, banded)
   }
 
   /** E6 — winnowing-fingerprint near-dup (SURVEY D5 applied to dedup): docs
@@ -506,7 +658,13 @@ object Dedup {
     val g = math.max(2L,
       (Tables.embeddings(s, d).count() + embeddingBroadcastMaxRows(s) - 1)
         / embeddingBroadcastMaxRows(s)).toInt
-    val blocks = e.groupBy(pmod(col("vec_id"), lit(g)).as("cid"))
+    // block assignment hashes the id (not pmod of the raw value): structured
+    // id spaces — all-even ids, strided ids — would concentrate rows into few
+    // pmod classes and blow a block past broadcastMaxRows, defeating the
+    // per-task memory bound this kernel exists to enforce. Any disjoint
+    // assignment is correct (pairs are min/max-ordered and per-pair
+    // arithmetic is block-independent), so the hash changes no results.
+    val blocks = e.groupBy(pmod(xxhash64(col("vec_id")), lit(g)).as("cid"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("rows"))
     // explode each block to the (ci, cj) grid keys it participates in, then
     // equi-join — never a nested-loop join, which would re-broadcast a side
@@ -520,7 +678,7 @@ object Dedup {
       .flatMap { case (ra, rb, diag) =>
         // diagonal block: upper triangle only (ra == rb, so idb > ida visits
         // each unordered pair once). Cross blocks: ids are disjoint by the
-        // pmod hash, so EVERY (a, b) is a distinct pair — visit all of them
+        // block assignment, so EVERY (a, b) is a distinct pair — visit all of them
         // and order the emitted ids (the interleaved hash means either side
         // can hold the smaller id).
         ra.iterator.flatMap { case (ida, va, na) =>
@@ -560,8 +718,9 @@ object Dedup {
     * direct polynomial sum in HUGEINT mod 2^64, mapped back to signed BIGINT
     * (Spark Longs are two's complement), then window-MIN winnowing. The
     * rightmost-min POSITION rule doesn't affect the selected VALUE set, so
-    * distinct window minima reproduce the fingerprint set exactly. Pure
-    * ASCII corpus => DuckDB ord()/length() == Java charAt/length.
+    * distinct window minima reproduce the fingerprint set exactly. Both
+    * sides iterate code points (Winnow.codePoints / DuckDB ord+substring),
+    * so the replay is exact for any Unicode corpus.
     */
   private def winnowOracleSql: String = {
     val m64 = BigInt(1) << 64

@@ -43,11 +43,22 @@ object MixHash {
     z ^ (z >>> 31)
   }
 
-  /** Mixed polynomial hash of a string: splitmix64(sum c_i * 257^(n-1-i)). */
+  /** Mixed polynomial hash of a string: splitmix64(sum c_i * 257^(n-1-i)),
+    * where c_i are UNICODE CODE POINTS — the same units DuckDB's
+    * `ord(substring(s, i, 1))` yields — so the SQL replay is exact for ANY
+    * string, not just ASCII (round-5 stretch item; Java `charAt` UTF-16
+    * units diverge from `ord()` on supplementary-plane characters). For
+    * ASCII/BMP text the code point equals the UTF-16 unit, so existing
+    * hashes are unchanged.
+    */
   def polyHash(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = h * 257L + s.charAt(i); i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = h * 257L + cp
+      i += Character.charCount(cp)
+    }
     splitmix64(h)
   }
 
@@ -99,7 +110,8 @@ object MixHash {
       s"THEN $x - $M64 ELSE $x END AS BIGINT)"
 
   /** Raw polynomial hash of a string column as a HUGEINT fold (sequential
-    * left fold == the Scala loop; ASCII corpus => ord == charAt).
+    * left fold == the Scala loop; both sides iterate code points, so the
+    * replay is exact for any Unicode string).
     */
   def sqlRawPoly(sCol: String): String =
     s"list_reduce(list_prepend(0::HUGEINT, " +

@@ -43,9 +43,15 @@ object Winnow {
   /** 64-bit polynomial rolling hash (base 257, natural overflow) of each
     * k-gram, then rightmost-min winnowing over windows of w hashes. Returns
     * distinct selected hashes in first-selection order.
+    *
+    * k-grams are k UNICODE CODE POINTS (not UTF-16 units): DuckDB's
+    * `length`/`substring`/`ord` are code-point-based, so the HUGEINT oracle
+    * replay is exact for any string, ASCII or not. BMP text is unaffected
+    * (code point == UTF-16 unit there).
     */
   def fingerprints(s: String, k: Int, w: Int): Array[Long] = {
-    val n = s.length
+    val cps = codePoints(s)
+    val n = cps.length
     if (n < k) return Array.empty
     val m = n - k + 1
     val hashes = new Array[Long](m)
@@ -55,11 +61,11 @@ object Winnow {
     while (i < k - 1) { pow *= base; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = h * base + s.charAt(i); i += 1 }
+    while (i < k) { h = h * base + cps(i); i += 1 }
     hashes(0) = h
     i = 1
     while (i < m) {
-      h = (h - s.charAt(i - 1) * pow) * base + s.charAt(i + k - 1)
+      h = (h - cps(i - 1) * pow) * base + cps(i + k - 1)
       hashes(i) = h
       i += 1
     }
@@ -81,6 +87,19 @@ object Winnow {
       i += 1
     }
     dedup(out.toArray)
+  }
+
+  private def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var j = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
   }
 
   private def dedup(xs: Array[Long]): Array[Long] = {

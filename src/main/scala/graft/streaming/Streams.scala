@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.operators.Exact._
 
 /** C-block streaming (SURVEY §2 C3/C4): the same event computations as the
@@ -67,4 +67,46 @@ object Streams {
           closed.iterator.map(sess => SessionOut(userId, sess.start, sess.end, sess.n))
       }
   }
+
+  private val sinkId = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** C5 as a CORRECTNESS-GATED query: exact streaming dedup over a bounded
+    * file source — `dropDuplicates` state keyed on (user_id, event_type),
+    * run to completion with an AvailableNow trigger into a memory sink,
+    * returned as the drained sink table. StreamingSpec pins the same
+    * batch/stream equality in-process; this entry keys it to the DuckDB
+    * batch-DISTINCT oracle so the streaming block has a driver-checked
+    * CORRECTNESS row too. The memory sink holds one row per DISTINCT pair —
+    * bounded by the key space, not the stream length — and each invocation
+    * registers a fresh uniquely-named sink view (a few KB each; a session
+    * running this thousands of times should drop them).
+    *
+    * The explicit 2-column schema prunes the parquet scan to the dedup keys,
+    * sidestepping the TIMESTAMP(NANOS) `ts` column entirely (see
+    * Tables.events for the batch-side handling).
+    */
+  def streamingDedup(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_dedup_sink_" + sinkId.incrementAndGet()
+    val q = s.readStream
+      .schema("user_id BIGINT, event_type STRING")
+      // the sf dirs ship events as a single FILE. FileStreamSource derives
+      // basePath from a NON-glob path as the path itself (a file → "must be
+      // a directory" failure; a user-supplied basePath option is overridden).
+      // A glob that matches exactly that file makes the derived basePath the
+      // parent directory, which is what the source needs.
+      .parquet(s"$d/{events.parquet}")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("streaming_dedup" -> streamingDedup _)
+
+  val oracles: Map[String, String] = Map(
+    "streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type")
 }

@@ -154,6 +154,77 @@ class DedupSpec extends SparkSpec {
     assert(splitPairs == basePairs && basePairs.nonEmpty)
   }
 
+  test("clusterPairs output is replayable: a second action on the same frame succeeds") {
+    // round-5 regression: the returned frame freed its non-replayable
+    // checkpoint blocks on FIRST use, so a caller's count()+collect() on the
+    // same DataFrame failed with missing blocks. The labels now live in
+    // parquet — any number of actions must work.
+    val df = Dedup.clusterPairs(spark, sf)
+    val n = df.count()
+    val rows = df.collect()
+    assert(rows.length == n && n > 0)
+    assert(df.count() == n)
+  }
+
+  test("edgeBuckets session conf is respected and result-invariant") {
+    assert(Dedup.edgeBuckets(spark) == Dedup.EdgeBucketsDefault)
+    val base = Dedup.clusterPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.conf.set("graft.dedup.edgeBuckets", "8")
+    try {
+      assert(Dedup.edgeBuckets(spark) == 8)
+      val alt = Dedup.clusterPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(alt == base)
+    } finally spark.conf.unset("graft.dedup.edgeBuckets")
+  }
+
+  test("minhash/simhash mega-bucket cap bounds candidates to a star (planted mega-cluster)") {
+    // 5000 identical docs land in the SAME bucket of every band: uncapped,
+    // the band self-join enumerates 16 x 5000^2/2 candidate pairs — the LSH
+    // mega-bucket blowup. Capped, each oversized bucket emits member->rep
+    // stars: exactly n-1 verified pairs, all anchored at the representative.
+    val root = java.nio.file.Files.createTempDirectory("graft-mega").toString
+    val s = spark
+    import s.implicits._
+    val n = 5000
+    (0L until n).map(i => (i, "the same exact document text repeated verbatim for the planted mega cluster"))
+      .toDF("doc_id", "text").write.parquet(s"$root/documents.parquet")
+    spark.conf.set("graft.dedup.maxBandBucket", "100")
+    try {
+      val mh = Dedup.minhashPairs(spark, root).collect()
+      assert(mh.length == n - 1, s"minhash candidates not star-bounded: ${mh.length}")
+      assert(mh.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+      val sh = Dedup.simhashPairs(spark, root).collect()
+      assert(sh.length == n - 1, s"simhash candidates not star-bounded: ${sh.length}")
+      assert(sh.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+    } finally spark.conf.unset("graft.dedup.maxBandBucket")
+  }
+
+  test("incremental dedup scans the persisted corpus index and skips rebuilds") {
+    val slug = sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val tbls = Seq("prefix", "df", "arr").map(k => s"graft_incr_${k}_$slug")
+    tbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val r1 = Dedup.incrementalNew(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(tbls.forall(spark.catalog.tableExists), "index tables not materialized")
+    // the query plan consumes the stored index (plain table scans), not a
+    // re-shingled corpus: the only documents scan is the batch side
+    val plan = Dedup.incrementalNew(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_incr_prefix") && plan.contains("graft_incr_arr")
+      && plan.contains("graft_incr_df"), "plan does not scan the stored index")
+    // a second run must NOT rebuild the artifact (mtimes untouched)...
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def mtimes() = tbls.flatMap { t =>
+      val dir = new java.io.File(wh, t)
+      dir.listFiles().toSeq.map(f => f.getName -> f.lastModified)
+    }.sorted
+    val before = mtimes()
+    val r2 = Dedup.incrementalNew(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(mtimes() == before, "index was rebuilt on a second batch run")
+    // ...and the answer is stable across runs
+    assert(r2 == r1 && r1.nonEmpty)
+  }
+
   test("clusterPairs leaves no persisted or checkpointed blocks behind") {
     // clusterPairs localCheckpoints per-round label snapshots and persists
     // E2 intermediates; all of it must be explicitly freed — a long-lived

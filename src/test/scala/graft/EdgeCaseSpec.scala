@@ -17,6 +17,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(global.getLong(0) == 0 && global.isNullAt(1))
   }
 
+  test("polyHash/winnow iterate code points, not UTF-16 units (oracle parity for any Unicode)") {
+    // DuckDB ord()/substring()/length() are code-point-based; Java
+    // charAt/length count UTF-16 units. The two diverge exactly on
+    // supplementary-plane characters (surrogate pairs) — pin that the Scala
+    // side folds CODE POINTS so the HUGEINT SQL replay is exact for any text.
+    val crab = "🦀" // U+1F980, one code point, two UTF-16 units
+    def mixRef(cps: Seq[Int]): Long =
+      graft.plans.MixHash.splitmix64(cps.foldLeft(0L)((h, c) => h * 257L + c))
+    assert(graft.plans.MixHash.polyHash(s"a${crab}b") ==
+      mixRef(Seq('a'.toInt, 0x1F980, 'b'.toInt)))
+    // 3 code points (but 4 UTF-16 units): exactly one k=3 gram, hashed over
+    // the code-point sequence
+    val fps = Winnow.fingerprints(s"a${crab}b", 3, 4)
+    assert(fps.toSeq == Seq(('a'.toInt * 257L + 0x1F980) * 257L + 'b'.toInt))
+    // BMP text unchanged by the code-point switch: é == UTF-16 unit 0xE9
+    assert(graft.plans.MixHash.polyHash("café") ==
+      mixRef(Seq('c'.toInt, 'a'.toInt, 'f'.toInt, 0xE9)))
+  }
+
   test("winnow/shingles on degenerate strings") {
     assert(Winnow.fingerprints("", 5, 4).isEmpty)
     assert(Winnow.fingerprints("abc", 5, 4).isEmpty)       // shorter than k

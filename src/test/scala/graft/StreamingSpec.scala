@@ -90,6 +90,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == want.toSet)       // exactly the distinct pairs
   }
 
+  test("C5 gated query: streamingDedup over the raw sf dir == batch distinct") {
+    // the driver-gated entry reads the single-FILE events.parquet directly
+    // (explicit basePath); must equal the batch DISTINCT its oracle computes
+    val got = Streams.streamingDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == want.toSet && want.nonEmpty)
+  }
+
   test("C6: stream-static enrichment join == batch join") {
     val staged = stageDir()
     val dim = Tables.customer(spark, sf)

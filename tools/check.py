@@ -55,15 +55,9 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    # The PolyHash oracles (minhash/simhash/winnow) replay Java string hashing
-    # in SQL, which is exact only for pure-ASCII text (DuckDB ord() code points
-    # vs Java charAt UTF-16 units). Fail loudly instead of silently diverging.
-    bad = con.execute(
-        "SELECT count(*) FROM documents WHERE strlen(text) <> length(text)"
-    ).fetchone()[0]
-    if bad:
-        sys.exit(f"FATAL: {bad} non-ASCII document(s) in {sf_dir}; "
-                 "MinHash/SimHash/Winnow oracles assume an ASCII corpus")
+    # No ASCII guard (round 6): the Scala PolyHash/Winnow expressions iterate
+    # Unicode code points, matching DuckDB's ord()/length()/substring(), so
+    # the sketch oracles replay bit-exactly for any corpus.
 
     n_pass = n_fail = 0
     for name in sorted(oracles):
