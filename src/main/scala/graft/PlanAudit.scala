@@ -27,7 +27,10 @@ object PlanAudit {
     * Anything else with a 1p exchange is a single-task bottleneck.
     */
   private val SinglePartitionOk = Set(
-    "combine_global", "q14_promo", "side_singleton", "dedup_embedding")
+    "combine_global", "q14_promo", "side_singleton", "dedup_embedding",
+    // hll_distinct: 256 fixed-size register rows reduced to the one-row
+    // estimate — the same tiny-global-aggregate shape as combine_global
+    "hll_distinct")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,

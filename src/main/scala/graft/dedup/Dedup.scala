@@ -271,26 +271,89 @@ object Dedup {
       case _ => ()
     }
 
+  /** Edge-count ceiling for the driver-local CC fast path (below it the
+    * pair set is collected and union-found on the driver; above it the
+    * distributed bucketed-table iteration runs). 1M edges ≈ 16 MB of longs —
+    * comfortably driver-sized; same scale-guard pattern as
+    * `graft.embedding.broadcastMaxRows`.
+    */
+  private[graft] def ccLocalMaxEdges(s: SparkSession): Long =
+    s.conf.getOption("graft.dedup.ccLocalMaxEdges").map(_.toLong).getOrElse(1000000L)
+
+  /** Driver-side union-find over a collected edge list: root labels
+    * compressed to the MIN doc_id of each component (the same label the
+    * distributed iteration converges to).
+    */
+  private[graft] def unionFindMinLabels(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
   def clusterPairs(s: SparkSession, d: String): DataFrame = {
-    // E2's pair output is derived ONCE and materialized as a BUCKETED PARQUET
-    // TABLE — the persistent-index artifact SURVEY §5 promises for 100 TB:
-    // every CC round consumes it as a plain one-scan read (the round-2 plan
-    // re-derived the whole PPJoin pipeline 13 times), it is replayable on
-    // executor loss (a localCheckpoint is not: losing a block mid-query fails
-    // the job), and bucketing on `src` means the per-round edge-side shuffle
-    // for the `src` join is pre-done at write time.
+    // E2's pair output is derived ONCE; the CC strategy is size-adaptive
+    // (the E5 broadcast→grid guard pattern): the pair set is persisted and
+    // counted, and below `graft.dedup.ccLocalMaxEdges` the edges are
+    // collected and union-found ON THE DRIVER — a near-dup pair graph that
+    // fits there gains nothing from 5 rounds of distributed join latency,
+    // and the returned frame (documents ⋈ broadcast local labels) is
+    // trivially replayable with no checkpoint blocks to manage. Above the
+    // threshold (the 100 TB shape) the distributed path below runs.
     val (pairsUnsorted, scoped) = jaccardCore(s, d)
+    // The E2 pipeline is materialized EXACTLY ONCE, to a plain parquet edge
+    // list: a persist+count probe costs MORE than a full materialization
+    // (AQE is disabled inside cached subplans) and limit-collect's
+    // incremental job waves recompute the expensive verify stage when the
+    // limit never saturates. From the parquet, the edge count is a
+    // metadata-only footer read at any scale, and whichever CC path runs
+    // consumes the files without re-deriving the PPJoin pipeline.
+    val pairsLoc = warehousePath(s, "graft_pairs_" + dirSlug(d) + "_edges")
+    val fs = pairsLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    pairsUnsorted.select(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(pairsLoc.toString)
+    scoped.foreach(_.unpersist(false))
+    val pairsPq = s.read.parquet(pairsLoc.toString)
+    val nEdges = pairsPq.count() // parquet count-star: footers only
+    if (nEdges <= ccLocalMaxEdges(s)) {
+      val edges = pairsPq.collect().map(r => (r.getLong(0), r.getLong(1)))
+      fs.delete(pairsLoc, true) // consumed; keep the warehouse clean
+      val labels = unionFindMinLabels(edges).toSeq
+      import s.implicits._
+      val labelsDf = labels.toDF("doc_id", "cluster_id")
+      return Tables.documents(s, d).select(col("doc_id"))
+        .join(broadcast(labelsDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
+    // Distributed path: the edge list is re-shaped into a BUCKETED PARQUET
+    // TABLE (both directions) — the persistent-index artifact SURVEY §5
+    // promises for 100 TB: every CC round consumes it as a plain one-scan
+    // read (the round-2 plan re-derived the whole PPJoin pipeline 13 times),
+    // it is replayable on executor loss (a localCheckpoint is not: losing a
+    // block mid-query fails the job), and bucketing on `src` means the
+    // per-round edge-side shuffle for the `src` join is pre-done at write
+    // time. Deriving it from the parquet is pure IO — no PPJoin recompute.
     val tbl = "graft_pairs_" + dirSlug(d)
     resetTable(s, tbl)
     val nb = edgeBuckets(s)
-    val p = pairsUnsorted.select(col("doc_a"), col("doc_b"))
-    p.union(p.select(col("doc_b"), col("doc_a")))
+    pairsPq.union(pairsPq.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .repartition(nb, col("src")) // one file per bucket
       .write.mode("overwrite").format("parquet")
       .bucketBy(nb, "src")
       .saveAsTable(tbl)
-    scoped.foreach(_.unpersist(false))
+    fs.delete(pairsLoc, true) // superseded by the bucketed table
     val edges = s.table(tbl)
     // min-label propagation over ONLY the vertices that touch an edge — an
     // isolated doc is its own cluster by construction, so the iteration

@@ -303,6 +303,77 @@ object Relational {
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
   }
 
+  /** B16b — DETERMINISTIC approximate distinct count (HyperLogLog, p=8,
+    * m=256 registers) with a bit-exact DuckDB replay: where
+    * `approx_count_distinct` (B16, spec-checked within 5%) uses Spark's
+    * internal HLL++ and can only be range-asserted, this sketch is built
+    * from the library's oracle-replicable [[graft.plans.MixHash]] family so
+    * the driver gate hash-checks it like any exact query.
+    *
+    * Shape: one codegen'd splitmix64 per row, register = max(rho) per
+    * 256-way bucket (partial-agg before one 256-key shuffle), then a
+    * single-row reduce — the same constant-size-sketch scaling story as
+    * E3/E4. The harmonic sum is computed in exact DECIMAL(38,0) scaled by
+    * 2^57 (every 2^-rho term becomes the integer 2^(57-rho)), so the only
+    * floating-point steps are one decimal→double conversion, one division,
+    * and one round — each correctly rounded identically in the JVM and
+    * DuckDB. Estimator: raw alpha_m * m^2 / S (no low-range linear-counting
+    * branch: it needs ln(), whose last-ulp behavior differs across libm
+    * implementations; the raw estimate is within ~3% for n >= m, and B16's
+    * spec separately pins accuracy).
+    */
+  val HllM = 256
+  val HllK: Double = 0.7213 / (1 + 1.079 / HllM) * 65536.0 * 144115188075855872.0
+
+  def hllDistinct(s: SparkSession, d: String): DataFrame =
+    hllEstimate(Tables.lineitem(s, d), "l_partkey")
+
+  /** The sketch over any long key column (see [[hllDistinct]]). Accuracy
+    * contract is the raw-estimator regime n >= m; below that the estimate
+    * biases high (the linear-counting branch is deliberately omitted for
+    * oracle determinism).
+    */
+  def hllEstimate(src: DataFrame, key: String): DataFrame =
+    src
+      .select(graft.plans.MixHash.splitmix64Col(col(key)).as("h"))
+      .select(expr("shiftrightunsigned(h, 56)").as("bucket"),
+        col("h").bitwiseAND(lit((1L << 56) - 1)).as("lower"))
+      .select(col("bucket"),
+        when(col("lower") === 0, lit(57))
+          .otherwise(lit(57) - length(bin(col("lower")))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+      .agg(
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - reg) AS DECIMAL(38,0))")).as("s_present"),
+        count(lit(1)).as("cnt"))
+      .select(
+        round(lit(HllK) /
+          (col("s_present") +
+            (lit(HllM.toLong) - col("cnt")).cast(DecimalType(38, 0)) * lit(1L << 57))
+            .cast("double"), 4).as("approx_distinct"),
+        (lit(HllM.toLong) - col("cnt")).as("zero_registers"))
+
+  val hllDistinctSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH h0 AS (SELECT CAST(l_partkey AS HUGEINT) AS z FROM lineitem),
+    h1 AS (SELECT ${sqlMixStep1("z")} AS z FROM h0),
+    h2 AS (SELECT ${sqlMixStep2("z")} AS z FROM h1),
+    h3 AS (SELECT ${sqlMixStep3("z")} AS z FROM h2),
+    h4 AS (SELECT ${sqlMixStep4("z")} AS z FROM h3),
+    parts AS (SELECT z // 72057594037927936::HUGEINT AS bucket,
+                     z % 72057594037927936::HUGEINT AS lower FROM h4),
+    rhos AS (SELECT bucket,
+        CASE WHEN lower = 0 THEN 57
+             ELSE 57 - length(bin(CAST(lower AS BIGINT))) END AS rho FROM parts),
+    regs AS (SELECT bucket, MAX(rho) AS reg FROM rhos GROUP BY bucket),
+    agg AS (SELECT SUM(1::HUGEINT << (57 - reg)) AS s_present, COUNT(*) AS cnt FROM regs)
+    SELECT ROUND(CAST('$HllK' AS DOUBLE) /
+             CAST(s_present + ($HllM - cnt) * (1::HUGEINT << 57) AS DOUBLE), 4)
+             AS approx_distinct,
+           $HllM - cnt AS zero_registers
+    FROM agg"""
+  }
+
   val q1PricingSql: String = s"""
     SELECT l_returnflag, l_linestatus,
       ${sqlDsum("l_quantity")} AS sum_qty,
@@ -341,11 +412,13 @@ object Relational {
     "q10_returns" -> q10Returns _,
     "salted_join_agg" -> saltedJoinAgg _,
     "events_window_agg" -> eventsWindowAgg _,
-    "events_session" -> eventsSession _
+    "events_session" -> eventsSession _,
+    "hll_distinct" -> hllDistinct _
   )
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
+    "hll_distinct" -> hllDistinctSql,
     "q3_shipping" -> s"""
       SELECT l_orderkey, o_orderdate,
         ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue

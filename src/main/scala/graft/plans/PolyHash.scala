@@ -33,6 +33,27 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ORACLE-REPLICABLE integer hash: splitmix64 of a long column. Same mixer
+  * as [[PolyHash]]'s finalizer, minus the string fold — for hashing numeric
+  * keys (the deterministic-HLL distinct sketch buckets on it). Native
+  * codegen keeps it inside whole-stage codegen, and the JVM's wrapping long
+  * arithmetic sidesteps ANSI-mode overflow errors a Column-level
+  * `z * constant` would hit.
+  */
+case class Splitmix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MixHash.splitmix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.MixHash.splitmix64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Splitmix64 =
+    copy(child = newChild)
+}
+
 object MixHash {
 
   /** splitmix64 finalizer (public-domain constants, Steele et al.). */
@@ -137,6 +158,7 @@ object MixHash {
   def sqlSlotB(n: Int): String =
     (0 until n).map(i => u(slotB(i))).mkString("[", ",", "]")
 
-  /** Column builder. */
+  /** Column builders. */
   def polyHashCol(c: Column): Column = column(PolyHash(expression(c)))
+  def splitmix64Col(c: Column): Column = column(Splitmix64(expression(c)))
 }

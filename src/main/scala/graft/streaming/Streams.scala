@@ -103,10 +103,71 @@ object Streams {
     s.table(name)
   }
 
+  /** C3 as a CORRECTNESS-GATED query: the same tumbling-window aggregation
+    * as `windowedAgg`, run over the bounded file source to completion in
+    * COMPLETE output mode — append mode would hold back every window the
+    * final watermark hasn't passed (by design), so its drained sink is a
+    * strict subset of the batch answer; complete mode emits the full
+    * aggregation state, which is exactly what the batch
+    * `events_window_agg` oracle computes. The raw-nanos `ts` column is read
+    * as BIGINT (see Tables.events) and converted to a microsecond timestamp
+    * identically to the batch side.
+    */
+  def streamingWindowAgg(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_winagg_sink_" + sinkId.incrementAndGet()
+    val src = s.readStream
+      .schema("ts BIGINT, event_type STRING, value DOUBLE")
+      .parquet(s"$d/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = windowedAgg(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  /** C6 as a CORRECTNESS-GATED query: stream-static enrichment — the event
+    * stream joined per-micro-batch against a static broadcast dimension
+    * (the Structured Streaming analogue of a map-side dim join; the static
+    * side is re-resolvable per batch, no state store involved). Append mode
+    * emits each enriched row exactly once, so the drained sink equals the
+    * batch join the oracle runs. The memory sink holds one small row per
+    * event — fine at bench scale; a production run would write a file sink.
+    */
+  def streamingEnrich(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_enrich_sink_" + sinkId.incrementAndGet()
+    val dim = graft.operators.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(s"$d/{events.parquet}")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("streaming_dedup" -> streamingDedup _)
+    Map(
+      "streaming_dedup" -> streamingDedup _,
+      "streaming_window_agg" -> streamingWindowAgg _,
+      "streaming_enrich" -> streamingEnrich _)
 
   val oracles: Map[String, String] = Map(
     "streaming_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type")
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "streaming_window_agg" -> s"""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        COUNT(*) AS n, ${graft.operators.Exact.sqlDsum("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "streaming_enrich" -> """
+      SELECT event_id, user_id, event_type, value, c_mktsegment
+      FROM events JOIN customer ON user_id = c_custkey
+      ORDER BY event_id""")
 }

@@ -157,26 +157,48 @@ class DedupSpec extends SparkSpec {
   test("clusterPairs output is replayable: a second action on the same frame succeeds") {
     // round-5 regression: the returned frame freed its non-replayable
     // checkpoint blocks on FIRST use, so a caller's count()+collect() on the
-    // same DataFrame failed with missing blocks. The labels now live in
-    // parquet — any number of actions must work.
-    val df = Dedup.clusterPairs(spark, sf)
-    val n = df.count()
-    val rows = df.collect()
-    assert(rows.length == n && n > 0)
-    assert(df.count() == n)
+    // same DataFrame failed with missing blocks. Both CC paths must survive
+    // any number of actions (small: broadcast local labels; distributed:
+    // parquet labels).
+    for (forceDistributed <- Seq(false, true)) {
+      if (forceDistributed) spark.conf.set("graft.dedup.ccLocalMaxEdges", "0")
+      try {
+        val df = Dedup.clusterPairs(spark, sf)
+        val n = df.count()
+        val rows = df.collect()
+        assert(rows.length == n && n > 0)
+        assert(df.count() == n)
+      } finally spark.conf.unset("graft.dedup.ccLocalMaxEdges")
+    }
+  }
+
+  test("clusterPairs small and distributed CC paths emit identical labels") {
+    val small = Dedup.clusterPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.conf.set("graft.dedup.ccLocalMaxEdges", "0")
+    try {
+      val dist = Dedup.clusterPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(dist == small && small.nonEmpty)
+    } finally spark.conf.unset("graft.dedup.ccLocalMaxEdges")
   }
 
   test("edgeBuckets session conf is respected and result-invariant") {
     assert(Dedup.edgeBuckets(spark) == Dedup.EdgeBucketsDefault)
-    val base = Dedup.clusterPairs(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    spark.conf.set("graft.dedup.edgeBuckets", "8")
+    // force the distributed path so the bucket conf actually engages
+    spark.conf.set("graft.dedup.ccLocalMaxEdges", "0")
     try {
+      val base = Dedup.clusterPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      spark.conf.set("graft.dedup.edgeBuckets", "8")
       assert(Dedup.edgeBuckets(spark) == 8)
       val alt = Dedup.clusterPairs(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(alt == base)
-    } finally spark.conf.unset("graft.dedup.edgeBuckets")
+    } finally {
+      spark.conf.unset("graft.dedup.edgeBuckets")
+      spark.conf.unset("graft.dedup.ccLocalMaxEdges")
+    }
   }
 
   test("minhash/simhash mega-bucket cap bounds candidates to a star (planted mega-cluster)") {
@@ -241,10 +263,16 @@ class DedupSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
     assert(drained(), "pre-existing persistent RDDs did not drain")
-    val n = Dedup.clusterPairs(spark, sf).count()
-    assert(n > 0)
-    assert(drained(),
-      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", ")}")
+    for (forceDistributed <- Seq(false, true)) {
+      if (forceDistributed) spark.conf.set("graft.dedup.ccLocalMaxEdges", "0")
+      try {
+        val n = Dedup.clusterPairs(spark, sf).count()
+        assert(n > 0)
+        assert(drained(),
+          s"leaked blocks (distributed=$forceDistributed): " +
+            spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+      } finally spark.conf.unset("graft.dedup.ccLocalMaxEdges")
+    }
   }
 
   test("ivf ann returns k results per query with sane ranks") {

@@ -70,4 +70,21 @@ class PlanSpec extends SparkSpec {
     val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
     assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
   }
+
+  test("B16b: deterministic HLL estimate within 5% of exact, partial-agg plan") {
+    // l_orderkey: ~1500 distinct at sf0.001, inside the raw-estimator
+    // contract n >= m (l_partkey has only 200 here — below m=256 the raw
+    // estimate biases high by design; the correctness gate runs at sf0.01
+    // where l_partkey has 2000)
+    val df = graft.operators.Relational.hllEstimate(
+      Tables.lineitem(spark, sf), "l_orderkey")
+    val est = df.collect().head.getDouble(0)
+    val e = Tables.lineitem(spark, sf)
+      .agg(countDistinct(col("l_orderkey"))).collect().head.getLong(0).toDouble
+    assert(math.abs(est - e) / e < 0.05, s"est=$est exact=$e")
+    // the 256-register reduce must partial-aggregate before its shuffle:
+    // the scan side carries a partial max per bucket, not raw rows
+    val p = plan(df)
+    assert(p.contains("partial_max") || p.contains("Partial"), p)
+  }
 }
