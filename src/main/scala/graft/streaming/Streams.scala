@@ -153,11 +153,40 @@ object Streams {
     s.table(name)
   }
 
+  /** C4 as a CORRECTNESS-GATED query: the flatMapGroupsWithState session
+    * state machine run to completion over the bounded source. A session is
+    * emitted only when a LATER event closes it, so each user's final session
+    * is still open (in the state store) when the stream ends — the drained
+    * sink is exactly "every session except each user's last", which is what
+    * the oracle computes by excluding the max-start session per user. The
+    * whole file arrives as one micro-batch (AvailableNow, single file, no
+    * maxFilesPerTrigger), so per-user iterators see all events at once and
+    * the emitted set is deterministic.
+    */
+  def streamingSessionize(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_sess_sink_" + sinkId.incrementAndGet()
+    import s.implicits._
+    val src = s.readStream
+      .schema("user_id BIGINT, ts BIGINT, value DOUBLE")
+      .parquet(s"$d/{events.parquet}")
+      // raw TIMESTAMP(NANOS) to exact microseconds (see Tables.events)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("value"))
+      .as[Ev]
+    val q = sessionize(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "streaming_dedup" -> streamingDedup _,
       "streaming_window_agg" -> streamingWindowAgg _,
-      "streaming_enrich" -> streamingEnrich _)
+      "streaming_enrich" -> streamingEnrich _,
+      "streaming_sessionize" -> streamingSessionize _)
 
   val oracles: Map[String, String] = Map(
     "streaming_dedup" ->
@@ -169,5 +198,27 @@ object Streams {
     "streaming_enrich" -> """
       SELECT event_id, user_id, event_type, value, c_mktsegment
       FROM events JOIN customer ON user_id = c_custkey
-      ORDER BY event_id""")
+      ORDER BY event_id""",
+    "streaming_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      numbered AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+          COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_seq)
+      SELECT user_id, epoch_us(s_start) AS start_us, epoch_us(s_end) AS end_us,
+        n_events
+      FROM sessions s
+      WHERE s_start < (SELECT MAX(s_start) FROM sessions m
+                       WHERE m.user_id = s.user_id)
+      ORDER BY user_id, start_us""")
 }

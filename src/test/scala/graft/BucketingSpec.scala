@@ -47,4 +47,12 @@ class BucketingSpec extends SparkSpec {
     val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("gated bucketed_join query plans both scans exchange-free") {
+    val df = graft.operators.Bucketed.bucketedJoin(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    assert(df.collect().nonEmpty)
+  }
 }
