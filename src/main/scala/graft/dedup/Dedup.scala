@@ -674,7 +674,10 @@ object Dedup {
     // therefore its float accumulation order — matches the old packed path
     val blockDf = e.agg(
       sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("block"))
-    val chunks = e.groupBy(pmod(col("vec_id"), lit(EmbeddingChunks)).as("chunk"))
+    // hash the chunk key: structured vec_ids (strided/all-even) would skew
+    // raw modulo chunks; assignment doesn't affect results (pairs are
+    // computed independently), only task balance
+    val chunks = e.groupBy(pmod(xxhash64(col("vec_id")), lit(EmbeddingChunks)).as("chunk"))
       .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("rows"))
     val out = chunks.join(broadcast(blockDf))
       .select(col("rows"), col("block"))

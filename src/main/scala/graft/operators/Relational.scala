@@ -303,6 +303,43 @@ object Relational {
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
   }
 
+  /** B26 — range (interval) join WITHOUT a nested-loop plan: for every
+    * purchase event, the count/sum of the same user's other events inside
+    * the following hour (a conversion-window report). Spark plans a raw
+    * `BETWEEN` theta join as BroadcastNestedLoop — O(n·m) and a scale
+    * killer — so the interval is rewritten as the standard BINNED equi-join:
+    * both sides get a coarse time bin the width of the window, the anchor
+    * side expands to the (≤2) bins its window overlaps, the join runs on
+    * `(user_id, bin)` as a plain shuffled hash/SMJ with the exact range
+    * predicate as a residual condition. Each follower event lives in
+    * exactly one bin, so no dedup pass is needed. Left semantics keep
+    * zero-follower anchors; microsecond-long arithmetic keeps both engines
+    * bit-identical.
+    */
+  val FollowWindowUs: Long = 3600L * 1000000L
+
+  def rangeJoinFollow(s: SparkSession, d: String): DataFrame = {
+    val w = FollowWindowUs
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("eu"), col("value"))
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("eu").as("pu"))
+      .withColumn("bin", explode(sequence(expr(s"pu DIV $w"), expr(s"(pu + ${w - 1}) DIV $w"))))
+    val followers = ev
+      .select(col("event_id").as("f_id"), col("user_id").as("f_user"),
+        col("eu").as("fu"), col("value"))
+      .withColumn("bin", expr(s"fu DIV $w"))
+    anchors.join(followers,
+        col("p_user") === col("f_user") && anchors("bin") === followers("bin") &&
+          col("fu") >= col("pu") && col("fu") < col("pu") + w &&
+          col("f_id") =!= col("p_id"),
+        "left")
+      .groupBy(col("p_id"))
+      .agg(count(col("f_id")).as("n_follow"), dsum(col("value")).as("sum_value"))
+      .select(col("p_id"), col("n_follow"), col("sum_value"))
+  }
+
   /** B16b — DETERMINISTIC approximate distinct count (HyperLogLog, p=8,
     * m=256 registers) with a bit-exact DuckDB replay: where
     * `approx_count_distinct` (B16, spec-checked within 5%) uses Spark's
@@ -413,6 +450,7 @@ object Relational {
     "salted_join_agg" -> saltedJoinAgg _,
     "events_window_agg" -> eventsWindowAgg _,
     "events_session" -> eventsSession _,
+    "range_join_follow" -> rangeJoinFollow _,
     "hll_distinct" -> hllDistinct _
   )
 
@@ -546,6 +584,18 @@ object Relational {
       SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "range_join_follow" -> s"""
+      WITH p AS (
+        SELECT event_id AS p_id, user_id, epoch_us(ts) AS pu
+        FROM events WHERE event_type = 'purchase'),
+      e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS eu, value FROM events)
+      SELECT p.p_id, COUNT(e.event_id) AS n_follow,
+        ${sqlDsum("e.value")} AS sum_value
+      FROM p LEFT JOIN e ON e.user_id = p.user_id
+        AND e.eu >= p.pu AND e.eu < p.pu + ${FollowWindowUs}
+        AND e.event_id <> p.p_id
+      GROUP BY p.p_id ORDER BY p.p_id""",
     "events_session" -> s"""
       WITH flagged AS (
         SELECT user_id, ts, event_id,

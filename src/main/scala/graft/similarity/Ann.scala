@@ -243,10 +243,32 @@ object Ann {
     graft.CacheScope.releaseAfterUse(rankTopK(pairs), e)
   }
 
+  /** F4 — symmetric int8 quantization, the storage/transport format every
+    * large ANN deployment ships vectors in (4x smaller than float32, SIMD
+    * dot products): per vector, scale = max|x|, q_i = round(127·x_i/scale).
+    * Emitted exploded — (vec_id, i, q, scale) — the layout a columnar sink
+    * or a downstream int8 kernel consumes. Pure per-row map: one scan, zero
+    * shuffles, whole-stage codegen; trivially 100 TB-shaped. Determinism:
+    * float32 inputs widen to identical doubles in both engines, and
+    * round() is HALF_UP (away from zero) in both, so q is integer-exact.
+    */
+  def embQuantize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    e.select(col("vec_id"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("scale"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        when(col("scale") > 0,
+          round(lit(127.0) * col("x").cast("double") / col("scale")).cast("long"))
+          .otherwise(0L).as("q"),
+        col("scale"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK _,
     "ann_lsh_topk" -> lshTopK _,
-    "ann_ivf_topk" -> ivfTopK _
+    "ann_ivf_topk" -> ivfTopK _,
+    "emb_quantize" -> embQuantize _
   )
 
   /** Full SQL twin of lshTopK. The hyperplanes are deterministic constants
@@ -369,6 +391,21 @@ object Ann {
   }
 
   val oracles: Map[String, String] = Map(
+    "emb_quantize" -> """
+      WITH s AS (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings),
+      u AS (
+        SELECT vec_id, scale,
+          unnest(embedding) AS x, unnest(range(len(embedding))) AS i
+        FROM s)
+      SELECT vec_id, i,
+        CASE WHEN scale > 0
+          THEN CAST(round(127.0 * CAST(x AS DOUBLE) / scale) AS BIGINT)
+          ELSE 0 END AS q,
+        scale
+      FROM u ORDER BY vec_id, i""",
     "ann_lsh_topk" -> lshOracleSql,
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_brute_topk" -> s"""
