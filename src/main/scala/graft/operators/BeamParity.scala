@@ -138,7 +138,36 @@ object BeamParity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** A2+A16 as ONE gated round-trip: documents are formatted as
+    * `doc_id<TAB>text` lines, written through the Pipe DSL's WriteToText
+    * (Beam `part-SSSSS-of-NNNNN` shard naming, round-robin shards), read
+    * back through ReadFromText, and parsed — the oracle is simply the
+    * documents table, so the gate hash-verifies that the text sink/source
+    * pair loses nothing. TAB is safe: corpus text is single-space word
+    * soup (and the gate would catch any drift). The sink dir is
+    * deterministic per data dir and overwritten per call, so repeated runs
+    * don't accumulate garbage.
+    */
+  def sinkTextRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.Pipe
+    val dir = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sink_rt_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+    val lines = Tables.documents(s, d)
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("line"))
+      .as[String]
+    Pipe(lines).writeText(dir.toString, 4)
+    Pipe.readText(s, dir.toString).ds
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_text_roundtrip" -> sinkTextRoundtrip _,
     "create_values" -> createValues _,
     "source_scan_pushdown" -> sourceScanPushdown _,
     "pardo_map" -> pardoMap _,
@@ -155,6 +184,8 @@ object BeamParity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sink_text_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "create_values" ->
       "SELECT * FROM (VALUES (CAST(1 AS BIGINT),'alpha'),(2,'bravo'),(3,'charlie'),(4,'delta'),(5,'echo')) t(id, name) ORDER BY id",
     "source_scan_pushdown" ->
