@@ -435,15 +435,22 @@ object Dedup {
     s.conf.getOption("graft.dedup.maxBandBucket")
       .map(_.toLong).getOrElse(MaxBandBucketDefault)
 
-  /** Add bucket size (`bn`) and representative (`rep` = min doc_id) per band
-    * bucket in ONE window pass — the pre-computation both the sub-cap
-    * all-pairs join and the oversized-bucket star read from.
+  /** Attach bucket size (`bn`) and representative (`rep`) per band bucket —
+    * via a KEY-SIZED aggregate, not a full-data window: the groupBy shuffles
+    * only partial-agg rows (one per distinct bucket), the oversized-key
+    * table (rare by construction: at most rows/cap keys) joins back against
+    * the band rows with AQE free to broadcast it, and the band rows
+    * themselves are never sort-shuffled. Measured ~3x cheaper than the
+    * window form at sf0.1 (PerfLab `simhash`), and the win grows with data:
+    * at 100 TB the window form would sort-shuffle every band row. Sub-cap
+    * rows come back with `bn` null.
     */
-  private def withBucketStats(buckets: DataFrame, keys: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    buckets
-      .withColumn("bn", count(lit(1)).over(w))
-      .withColumn("rep", min(col("doc_id")).over(w))
+  private def withBucketStats(buckets: DataFrame, keys: Seq[String], rep: Column,
+      cap: Long): DataFrame = {
+    val big = buckets.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bn"), min(rep).as("rep"))
+      .filter(col("bn") > cap)
+    buckets.join(big, keys, "left")
   }
 
   /** E3 — MinHash + LSH banding: 64-slot signature (slot i is the affine
@@ -474,14 +481,14 @@ object Dedup {
     }
     // mega-bucket skew cap (see MaxBandBucketDefault): all-pairs only inside
     // sub-cap buckets; oversized buckets emit member→representative stars
-    val buckets = withBucketStats(
-        sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band"), col("bk.bh")),
-        Seq("band", "bh"))
+    val bandRows = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
       .persist()
-    val cap = maxBandBucket(s)
-    val small = buckets.filter(col("bn") <= cap)
-    val star = buckets.filter(col("bn") > cap && col("doc_id") =!= col("rep"))
+    val buckets = withBucketStats(bandRows, Seq("band", "bh"),
+      col("doc_id"), maxBandBucket(s))
+    val small = buckets.filter(col("bn").isNull)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val star = buckets.filter(col("bn").isNotNull && col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val cand = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -498,7 +505,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jac") >= 0.7)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-    graft.CacheScope.releaseAfterUse(out, shingled, buckets)
+    graft.CacheScope.releaseAfterUse(out, shingled, bandRows)
   }
 
   // ---- SimHash ----
@@ -513,29 +520,27 @@ object Dedup {
     val postings = withShingles(Tables.documents(s, d))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("h", graft.plans.MixHash.polyHashCol(col("sh")))
-    // tiny (one row per doc) but derived from aggregation over all
-    // postings: persist before the two-sided band self-join
+    // sims feeds exactly one consumer (bandRows, itself persisted), so no
+    // persist here — a persist would only add a materialization barrier
     val sims = postings.groupBy(col("doc_id"))
       .agg(graft.plans.SketchAggs.simhash(col("h")).as("simhash"))
-      .persist()
     // mega-bucket skew cap, same shape as minhashPairs; the star branch needs
-    // the representative's SIMHASH too, so the one window pass takes
+    // the representative's SIMHASH too, so the key-sized aggregate takes
     // min(struct(doc_id, simhash)) — lexicographic struct min = the min
-    // doc_id's row — instead of two window functions
-    val w = Window.partitionBy(col("band"), col("bv"))
-    val banded = sims.select(col("doc_id"), col("simhash"),
+    // doc_id's row
+    val bandRows = sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
-      .withColumn("bn", count(lit(1)).over(w))
-      .withColumn("repst", min(struct(col("doc_id"), col("simhash"))).over(w))
       .persist()
-    val cap = maxBandBucket(s)
-    val small = banded.filter(col("bn") <= cap)
-    val star = banded.filter(col("bn") > cap && col("doc_id") =!= col("repst.doc_id"))
-      .select(col("repst.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
-        col("repst.simhash").as("sim_a"), col("simhash").as("sim_b"))
+    val banded = withBucketStats(bandRows, Seq("band", "bv"),
+      struct(col("doc_id"), col("simhash")), maxBandBucket(s))
+    val small = banded.filter(col("bn").isNull)
+      .select(col("doc_id"), col("simhash"), col("band"), col("bv"))
+    val star = banded.filter(col("bn").isNotNull && col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("rep.simhash").as("sim_a"), col("simhash").as("sim_b"))
     val out = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
@@ -546,7 +551,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-    graft.CacheScope.releaseAfterUse(out, sims, banded)
+    graft.CacheScope.releaseAfterUse(out, bandRows)
   }
 
   /** E6 — winnowing-fingerprint near-dup (SURVEY D5 applied to dedup): docs

@@ -184,6 +184,57 @@ object PerfLab {
             .write.format("noop").mode("overwrite").save()
           println(f"[perflab] v-r1sort-persist run$i: ${(System.nanoTime()-t0)/1e9}%.2f s"); unp(c)
         }
+      case "simhash" =>
+        // decompose the r6 mega-bucket-cap cost: capped (current) vs the
+        // r5 uncapped shape vs a groupBy-based cap (no full-data window)
+        time("simhash-current")(Dedup.simhashPairs(spark, sfDir))
+        def banded0 = {
+          val postings = Dedup.withShingles(Tables.documents(spark, sfDir))
+            .select(col("doc_id"), explode(col("shingles")).as("sh"))
+            .withColumn("h", graft.plans.MixHash.polyHashCol(col("sh")))
+          postings.groupBy(col("doc_id"))
+            .agg(graft.plans.SketchAggs.simhash(col("h")).as("simhash"))
+            .select(col("doc_id"), col("simhash"),
+              explode(array((0 until 4).map(b =>
+                struct(lit(b).as("band"),
+                  shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
+            .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
+        }
+        val uncapped = {
+          val banded = banded0.persist()
+          banded.as("a").join(banded.as("b"),
+              col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+                && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+            .distinct()
+            .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+            .filter(col("hamming") <= 3)
+            .select(col("doc_a"), col("doc_b"), col("hamming"))
+        }
+        time("simhash-uncapped")(uncapped)
+        val aggCap = {
+          val banded = banded0.persist()
+          val big = banded.groupBy(col("band"), col("bv"))
+            .agg(count(lit(1)).as("bn"), min(struct(col("doc_id"), col("simhash"))).as("repst"))
+            .filter(col("bn") > Dedup.maxBandBucket(spark))
+          val flagged = banded.join(big, Seq("band", "bv"), "left")
+          val small = flagged.filter(col("bn").isNull)
+          val star = flagged.filter(col("bn").isNotNull && col("doc_id") =!= col("repst.doc_id"))
+            .select(col("repst.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+              col("repst.simhash").as("sim_a"), col("simhash").as("sim_b"))
+          small.as("a").join(small.as("b"),
+              col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+                && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+            .union(star)
+            .distinct()
+            .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+            .filter(col("hamming") <= 3)
+            .select(col("doc_a"), col("doc_b"), col("hamming"))
+        }
+        time("simhash-aggcap")(aggCap)
       case "current" => time("jaccard-current")(Dedup.jaccardPairs(spark, sfDir))
       case "window"  => time("jaccard-window")(jaccardWindow(spark, sfDir))
       case "thresh" =>
