@@ -32,7 +32,10 @@ object PlanAudit {
     // estimate — the same tiny-global-aggregate shape as combine_global
     "hll_distinct",
     // text_top_terms: the broadcast 1-row corpus count N for the idf term
-    "text_top_terms")
+    "text_top_terms",
+    // skew_report: per-key counts reduced to ONE stats row — the final
+    // single-partition reduce consumes key-count partials, not data rows
+    "skew_report")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,
@@ -41,7 +44,10 @@ object PlanAudit {
     */
   private val ObjectAggOk = Set(
     "dedup_minhash", "dedup_simhash", "dedup_winnow", "dedup_embedding",
-    "agg_percentiles", "combine_aggregator", "group_by_key")
+    "agg_percentiles", "combine_aggregator", "group_by_key",
+    // skew_report: exact percentile over per-key counts — the buffer holds
+    // one value per DISTINCT key, bounded by key cardinality like B17
+    "skew_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")

@@ -203,6 +203,29 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
         round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
 
+  /** B27 — join-key skew report: the diagnostic a pipeline runs BEFORE
+    * committing a 100 TB shuffle join to a key. Per-key counts (a
+    * partial-agg shuffle — data rows never sort) reduce to one row of
+    * distribution stats: key cardinality, max, percentiles, mean, max/mean
+    * skew factor. A skew factor >> 1 routes the join to the salted path
+    * (B18/Skew.saltedJoin). Scale note: the exact-percentile buffer holds
+    * one count per DISTINCT key; at extreme key cardinality run the same
+    * report on a key sample or swap p50/p90/p99 for fixed-bin histogram
+    * quantiles — max/avg/n_keys (the skew signal itself) are constant-size
+    * regardless.
+    */
+  def skewReport(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"),
+        round(expr("percentile(n, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n, 0.9)"), 6).as("p90"),
+        round(expr("percentile(n, 0.99)"), 6).as("p99"),
+        round(avg(col("n")), 6).as("avg_n"),
+        round(max(col("n")) / avg(col("n")), 6).as("skew"))
+
   /** B18 — the salted-join path (SURVEY §5 skew design): result must be
     * IDENTICAL to the plain join, so it shares a plain-SQL oracle.
     */
@@ -451,6 +474,7 @@ object Relational {
     "events_window_agg" -> eventsWindowAgg _,
     "events_session" -> eventsSession _,
     "range_join_follow" -> rangeJoinFollow _,
+    "skew_report" -> skewReport _,
     "hll_distinct" -> hllDistinct _
   )
 
@@ -571,6 +595,15 @@ object Relational {
       WHERE l_returnflag = 'R'
       GROUP BY c_custkey, c_name
       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "skew_report" -> """
+      WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+      SELECT COUNT(*) AS n_keys, MAX(n) AS max_n,
+        ROUND(quantile_cont(n, 0.5), 6) AS p50,
+        ROUND(quantile_cont(n, 0.9), 6) AS p90,
+        ROUND(quantile_cont(n, 0.99), 6) AS p99,
+        ROUND(AVG(n), 6) AS avg_n,
+        ROUND(MAX(n) / AVG(n), 6) AS skew
+      FROM c""",
     "agg_percentiles" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
         ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
