@@ -166,8 +166,40 @@ object BeamParity {
         expr("substring(value, instr(value, '\t') + 1)").as("text"))
   }
 
+  /** A18 — schema-evolution parquet source: two file "generations" with
+    * different schemas (gen1 wrote (doc_id, text, lang); gen2 added
+    * (source, n_chars)) read as ONE dataset via mergeSchema — the 100 TB
+    * reality where years of files predate later columns. Schema merge is a
+    * footer-level union (no data rewrite); old files surface the new
+    * columns as nulls, and the aggregate distinguishes them with non-null
+    * counts. Generations land under a deterministic tmp dir, overwritten
+    * per call like [[sinkTextRoundtrip]].
+    */
+  def sourceSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      "graft_schema_ev_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+    val docs = Tables.documents(s, d)
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.parquet(new org.apache.hadoop.fs.Path(dir, "gen1").toString)
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.parquet(new org.apache.hadoop.fs.Path(dir, "gen2").toString)
+    s.read.option("mergeSchema", "true")
+      .parquet(new org.apache.hadoop.fs.Path(dir, "gen1").toString,
+        new org.apache.hadoop.fs.Path(dir, "gen2").toString)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("source")).as("n_with_source"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_text_roundtrip" -> sinkTextRoundtrip _,
+    "source_schema_evolution" -> sourceSchemaEvolution _,
     "create_values" -> createValues _,
     "source_scan_pushdown" -> sourceScanPushdown _,
     "pardo_map" -> pardoMap _,
@@ -186,6 +218,11 @@ object BeamParity {
   val oracles: Map[String, String] = Map(
     "sink_text_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "source_schema_evolution" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        COUNT(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source,
+        CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
     "create_values" ->
       "SELECT * FROM (VALUES (CAST(1 AS BIGINT),'alpha'),(2,'bravo'),(3,'charlie'),(4,'delta'),(5,'echo')) t(id, name) ORDER BY id",
     "source_scan_pushdown" ->

@@ -214,8 +214,47 @@ object CorpusClean {
       COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM cum GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Deterministic train/val/test split — the other reproducibility
+    * primitive next to [[sampleMix]]: bucket = pmod(splitmix64(doc_id), 100)
+    * (90/5/5). Hashing (not raw residues as in sampleMix) decorrelates the
+    * assignment from any id-assignment pattern — sequential ids, per-source
+    * id ranges, or sharded id strides all spread uniformly. Pure per-row
+    * map fused into the scan's codegen stage: no shuffle, no state, and the
+    * assignment is stable under corpus growth (a doc's split never changes
+    * when new docs arrive) — exactly what a 100 TB training pipeline needs
+    * for incremental runs. Oracle replays splitmix64 in HUGEINT mod-2^64
+    * CTEs and Spark's signed pmod on the result.
+    */
+  def trainSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(graft.plans.MixHash.splitmix64Col(col("doc_id")), lit(100L))
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+  }
+
+  val splitSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH h0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents),
+    h1 AS (SELECT doc_id, ${sqlMixStep1("z")} AS z FROM h0),
+    h2 AS (SELECT doc_id, ${sqlMixStep2("z")} AS z FROM h1),
+    h3 AS (SELECT doc_id, ${sqlMixStep3("z")} AS z FROM h2),
+    h4 AS (SELECT doc_id, ${sqlMixStep4("z")} AS z FROM h3),
+    sgn AS (SELECT doc_id, ${sqlToSigned("z")} AS v FROM h4),
+    b AS (SELECT doc_id, ((v % 100) + 100) % 100 AS bucket FROM sgn)
+    SELECT doc_id, bucket,
+      CASE WHEN bucket < 90 THEN 'train'
+           WHEN bucket < 95 THEN 'val'
+           ELSE 'test' END AS split
+    FROM b ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean _,
+    "corpus_split" -> trainSplit _,
     "corpus_token_stats" -> tokenStats _,
     "corpus_decontaminate" -> decontaminate _,
     "corpus_sample_mix" -> sampleMix _,
@@ -225,6 +264,7 @@ object CorpusClean {
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
+    "corpus_split" -> splitSql,
     "corpus_token_stats" -> tokenStatsSql,
     "corpus_decontaminate" -> decontaminateSql,
     "corpus_sample_mix" -> sampleMixSql,

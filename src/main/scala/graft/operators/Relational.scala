@@ -143,6 +143,29 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
 
+  /** B13b — CUBE: all 2^k grouping-set combinations in one pass. Spark
+    * expands the sets BEFORE the partial aggregate, so map-side combine
+    * still applies and the single shuffle carries only (set, key) partial
+    * rows — the same one-shuffle shape as rollup at any scale.
+    */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** B9b — distribution window functions: percent_rank / cume_dist per
+    * status partition. Both are rank-based (tie order can't change the
+    * result), so the output is deterministic and float-safe after 6dp
+    * rounding on both sides.
+    */
+  def windowPercentRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+  }
+
   /** B14 — as-of join via the union+window algorithm: tag both sides, union,
     * one shuffle on the key, running max over prior right-side rows. No
     * range-condition row explosion, so it survives 100× data (a naive
@@ -303,6 +326,20 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** C1b — hopping (sliding) window aggregation: 1h windows every 30min,
+    * so each event lands in exactly 2 overlapping windows. Spark's
+    * `window(ts, width, slide)` explodes each row into its windows before
+    * the partial agg — the fan-out is width/slide (a constant), partial
+    * aggregation still combines map-side, and the single shuffle carries
+    * only (window, type) partial rows. The oracle expresses the same
+    * semantics as a UNION ALL of the two shifted 30-min bucketings.
+    */
+  def eventsHoppingAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** C2 — sessionization (30-min inactivity gap) as lag/cumsum windows: one
     * shuffle on the user key, no driver state. The streaming equivalent
     * (flatMapGroupsWithState) lives in graft.streaming.
@@ -457,10 +494,12 @@ object Relational {
     "join_anti" -> joinAnti _,
     "join_outer" -> joinOuter _,
     "window_rank" -> windowRank _,
+    "window_percent_rank" -> windowPercentRank _,
     "window_running" -> windowRunning _,
     "distinct_op" -> distinctOp _,
     "topk_orders" -> topkOrders _,
     "rollup_agg" -> rollupAgg _,
+    "cube_agg" -> cubeAgg _,
     "asof_join" -> asofJoin _,
     "asof_join_exec" -> asofJoinExec _,
     "json_extract" -> jsonExtract _,
@@ -472,6 +511,7 @@ object Relational {
     "q10_returns" -> q10Returns _,
     "salted_join_agg" -> saltedJoinAgg _,
     "events_window_agg" -> eventsWindowAgg _,
+    "events_hopping_agg" -> eventsHoppingAgg _,
     "events_session" -> eventsSession _,
     "range_join_follow" -> rangeJoinFollow _,
     "skew_report" -> skewReport _,
@@ -544,6 +584,17 @@ object Relational {
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "cube_agg" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "window_percent_rank" -> """
+      SELECT o_orderkey, o_orderstatus,
+        ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        ROUND(cume_dist() OVER w, 6) AS cum_dist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+      ORDER BY o_orderkey""",
     "asof_join" -> """
       SELECT o1.o_orderkey,
         (SELECT max(o2.o_orderdate) FROM orders o2
@@ -617,6 +668,16 @@ object Relational {
       SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_hopping_agg" -> s"""
+      WITH both_hops AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+               event_type, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+               AS window_start, event_type, value FROM events)
+      SELECT window_start, event_type,
+        COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+      FROM both_hops GROUP BY 1, 2 ORDER BY 1, 2""",
     "range_join_follow" -> s"""
       WITH p AS (
         SELECT event_id AS p_id, user_id, epoch_us(ts) AS pu

@@ -184,6 +184,42 @@ object PerfLab {
             .write.format("noop").mode("overwrite").save()
           println(f"[perflab] v-r1sort-persist run$i: ${(System.nanoTime()-t0)/1e9}%.2f s"); unp(c)
         }
+      case "clusters" =>
+        time("e8-full")(Dedup.clusterPairs(spark, sfDir))
+        time("e8-jaccard-only")(Dedup.jaccardPairs(spark, sfDir))
+      case "incremental" =>
+        // where does the per-batch cost go? stage prefixes of incrementalNew
+        time("e7-full")(Dedup.incrementalNew(spark, sfDir))
+        val isNew = col("doc_id") % 10 >= 8
+        val batch = Dedup.withShingles(Tables.documents(spark, sfDir).filter(isNew))
+          .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+        time("e7-batch-shingle")(batch)
+        val slug = sfDir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+        val oldDf = spark.table(s"graft_incr_df_$slug")
+        val oldPrefix = spark.table(s"graft_incr_prefix_$slug")
+        val oldArrs = spark.table(s"graft_incr_arr_$slug")
+        val bpost = batch.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+          .join(oldDf, Seq("sh"), "left")
+          .filter(col("df").isNull || col("df") <= Dedup.MaxShingleDf)
+        time("e7-bpost-dfjoin")(bpost)
+        val ranked = bpost.withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(coalesce(col("df"), lit(Long.MaxValue)), col("sh"))))
+        val bprefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+          .select(col("doc_id"), col("sh"))
+        time("e7-bprefix")(bprefix)
+        val cand = bprefix.as("a").join(oldPrefix.as("b"), col("a.sh") === col("b.sh"))
+          .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
+          .distinct()
+        time("e7-cand")(cand)
+        val matched = cand
+          .join(batch.select(col("doc_id").as("doc_new"), col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_new")
+          .join(oldArrs.select(col("doc_id").as("doc_old"), col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_old")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jac", round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")), 6))
+          .filter(col("jac") >= Dedup.JaccardT)
+        time("e7-matched")(matched)
       case "simhash" =>
         // decompose the r6 mega-bucket-cap cost: capped (current) vs the
         // r5 uncapped shape vs a groupBy-based cap (no full-data window)

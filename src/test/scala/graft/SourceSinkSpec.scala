@@ -55,4 +55,14 @@ class SourceSinkSpec extends SparkSpec {
     assert(one.count() ==
       src.filter(col("c_mktsegment") === "BUILDING").count())
   }
+
+  test("schema-evolution source merges generations; old files yield nulls") {
+    val df = graft.operators.BeamParity.sourceSchemaEvolution(spark, sf)
+    assert(df.columns.toSeq == Seq("lang", "n_docs", "n_with_source", "sum_chars"))
+    val docs = Tables.documents(spark, sf)
+    assert(df.agg(sum(col("n_docs"))).head.getLong(0) == docs.count())
+    // gen1 (even ids) predates the source column → only odd ids count
+    assert(df.agg(sum(col("n_with_source"))).head.getLong(0) ==
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1).count())
+  }
 }
