@@ -197,9 +197,77 @@ object BeamParity {
         sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Deterministic per-(data dir, label) scratch dir under java.io.tmpdir,
+    * wiped before use — shared by the source/sink round-trip queries so
+    * repeated runs never accumulate files.
+    */
+  private def scratchDir(s: SparkSession, d: String, label: String): org.apache.hadoop.fs.Path = {
+    val dir = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${label}_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase)
+    dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+    dir
+  }
+
+  /** A20 — Hive-style partitioned layout + partition-pruned read: documents
+    * written `partitionBy("lang")` (one directory per language — THE layout
+    * decision that makes a 100 TB corpus queryable: a single-language query
+    * touches only that language's files), then read back filtered to one
+    * lang. The catalog prunes at planning time from directory names alone —
+    * the scan node lists the predicate under `PartitionFilters`, zero data
+    * or footer reads for other partitions (spec-asserted on the executed
+    * plan). The partition column round-trips via directory name, not data
+    * pages, so it's dropped from the files and re-derived on read.
+    */
+  def sinkPartitionedPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir(s, d, "part_prune")
+    Tables.documents(s, d)
+      .write.partitionBy("lang").parquet(dir.toString)
+    s.read.parquet(dir.toString)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** A21 — JSONL (newline-delimited JSON) round-trip: the interchange format
+    * most raw training-data drops arrive in. Written with spark's JSON sink,
+    * read back with an EXPLICIT schema — schema inference costs a full extra
+    * pass over 100 TB and is nondeterministic across file orders, so the
+    * scale contract is schema-on-read, never infer. Escaping (quotes,
+    * backslashes, control chars) is exercised by whatever the corpus
+    * contains; the oracle hash-verifies losslessness.
+    */
+  def sourceJsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir(s, d, "jsonl_rt")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.json(dir.toString)
+    s.read.schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+      .json(dir.toString)
+  }
+
+  /** A22 — CSV round-trip with explicit schema and full quoting: header
+    * off (a 100 TB directory has thousands of files; headers are per-file
+    * noise the reader must skip), quote-all on write so embedded commas /
+    * quotes / newlines in text survive, multiLine on read to accept quoted
+    * newlines. Same schema-on-read contract as A21.
+    */
+  def sourceCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir(s, d, "csv_rt")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.option("quoteAll", "true").option("escape", "\"").csv(dir.toString)
+    s.read.schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+      .option("escape", "\"").option("multiLine", "true")
+      .csv(dir.toString)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_text_roundtrip" -> sinkTextRoundtrip _,
     "source_schema_evolution" -> sourceSchemaEvolution _,
+    "sink_partitioned_prune" -> sinkPartitionedPrune _,
+    "source_jsonl_roundtrip" -> sourceJsonlRoundtrip _,
+    "source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "create_values" -> createValues _,
     "source_scan_pushdown" -> sourceScanPushdown _,
     "pardo_map" -> pardoMap _,
@@ -223,6 +291,13 @@ object BeamParity {
         COUNT(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source,
         CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
       FROM documents GROUP BY lang ORDER BY lang""",
+    "sink_partitioned_prune" -> """
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""",
+    "source_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id",
+    "source_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id",
     "create_values" ->
       "SELECT * FROM (VALUES (CAST(1 AS BIGINT),'alpha'),(2,'bravo'),(3,'charlie'),(4,'delta'),(5,'echo')) t(id, name) ORDER BY id",
     "source_scan_pushdown" ->

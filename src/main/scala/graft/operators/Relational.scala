@@ -166,6 +166,39 @@ object Relational {
         round(cume_dist().over(w), 6).as("cum_dist"))
   }
 
+  /** B28 — INTERSECT / EXCEPT set semantics in one result: customers who
+    * ordered in both 1995 and 1996 (intersect, tagged `both`) and in 1995
+    * only (except, tagged `1995_only`). Spark plans both as LEFT SEMI /
+    * LEFT ANTI hash joins over pre-deduplicated sides — each leg dedups
+    * BEFORE the join shuffle, so the exchange carries distinct key sets,
+    * not raw fact rows. Final union is partition concatenation; no sort.
+    */
+  def setIntersectExcept(s: SparkSession, d: String): DataFrame = {
+    def buyers(year: Int) = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= expr(s"timestamp'$year-01-01 00:00:00'") &&
+        col("o_orderdate") < expr(s"timestamp'${year + 1}-01-01 00:00:00'"))
+      .select(col("o_custkey"))
+    val a = buyers(1995)
+    val b = buyers(1996)
+    a.intersect(b).withColumn("tag", lit("both"))
+      .union(a.except(b).withColumn("tag", lit("1995_only")))
+  }
+
+  /** B29 — lead/lag event sequencing: per user, each event's gap to the
+    * previous event (integer microseconds — exact, no float drift) and the
+    * type of the next event — the building block for funnel/inter-arrival
+    * analysis. One shuffle on user_id; deterministic tie-break on
+    * (ts, event_id) within a user.
+    */
+  def windowLeadLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+  }
+
   /** B14 — as-of join via the union+window algorithm: tag both sides, union,
     * one shuffle on the key, running max over prior right-side rows. No
     * range-condition row explosion, so it survives 100× data (a naive
@@ -340,6 +373,31 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** C1c — gap-filled hourly resample: the aggregated timeline densified so
+    * EVERY hour in each type's [min, max] range has a row (zeros where no
+    * events landed) — what any downstream time-series model or dashboard
+    * needs, and a classic SQL blind spot (GROUP BY can't emit groups that
+    * have no rows). Shape: the raw scan pays ONE shuffle into the hourly
+    * aggregate; the hour spine is then generated per type from the
+    * aggregate's own min/max — post-aggregation data, cardinality
+    * |types| × |hours|, broadcast back against the hourly rows. The dense
+    * spine never touches the raw events, so at 100 TB the densification
+    * cost tracks the output timeline, not the input.
+    */
+  def eventsGapFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour_start")).as("lo"), max(col("hour_start")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour_start"))
+    spine.join(hourly, Seq("event_type", "hour_start"), "left")
+      .select(col("hour_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
   /** C2 — sessionization (30-min inactivity gap) as lag/cumsum windows: one
     * shuffle on the user key, no driver state. The streaming equivalent
     * (flatMapGroupsWithState) lives in graft.streaming.
@@ -512,7 +570,10 @@ object Relational {
     "salted_join_agg" -> saltedJoinAgg _,
     "events_window_agg" -> eventsWindowAgg _,
     "events_hopping_agg" -> eventsHoppingAgg _,
+    "events_gap_fill" -> eventsGapFill _,
     "events_session" -> eventsSession _,
+    "set_intersect_except" -> setIntersectExcept _,
+    "window_lead_lag" -> windowLeadLag _,
     "range_join_follow" -> rangeJoinFollow _,
     "skew_report" -> skewReport _,
     "hll_distinct" -> hllDistinct _
@@ -678,6 +739,41 @@ object Relational {
       SELECT window_start, event_type,
         COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
       FROM both_hops GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_gap_fill" -> s"""
+      WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+          COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT event_type, MIN(hour_start) AS lo, MAX(hour_start) AS hi
+        FROM hourly GROUP BY 1),
+      spine AS (
+        SELECT event_type,
+          unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM bounds)
+      SELECT s.hour_start, s.event_type,
+        COALESCE(h.n, 0) AS n, COALESCE(h.sum_value, 0.0) AS sum_value
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hour_start = h.hour_start
+      ORDER BY 1, 2""",
+    "set_intersect_except" -> """
+      WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate < TIMESTAMP '1996-01-01'),
+           b AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01')
+      SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      UNION ALL
+      SELECT o_custkey, '1995_only' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      ORDER BY tag, o_custkey""",
+    "window_lead_lag" -> """
+      SELECT event_id, user_id, event_type,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""",
     "range_join_follow" -> s"""
       WITH p AS (
         SELECT event_id AS p_id, user_id, epoch_us(ts) AS pu

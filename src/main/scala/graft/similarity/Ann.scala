@@ -264,11 +264,49 @@ object Ann {
         col("scale"))
   }
 
+  /** F5 — top-k retrieval over int8-QUANTIZED vectors (F4's format actually
+    * queried): per-vector symmetric quantization q_i = round(127·x_i/max|x|),
+    * then cosine computed entirely from the int8 codes —
+    * dot(qa,qb) / (√Σqa²·√Σqb²); the per-vector scales cancel, so scoring
+    * needs no dequantization at all. Every sum is a sum of integers with
+    * magnitude ≪ 2^53, hence EXACT in any accumulation order — the whole
+    * kernel is reduction-order-proof (the float path needs careful
+    * sequential dots for that). Same broadcast-queries × one-corpus-scan
+    * plan as F1; at scale this is the memory-bandwidth win: 4× smaller
+    * vectors through the scan, integer multiplies in the hot loop. The
+    * oracle replays quantization and integer scoring and ranks identically;
+    * an AnnSpec pins recall@10 ≥ 0.9 against exact F1 (quantization noise
+    * reorders only near-ties).
+    */
+  def quantizedTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"),
+        when(col("scale") > 0,
+          transform(col("v"), x => round(lit(127.0) * x / col("scale")).cast("long")))
+          .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
+      .withColumn("qn2",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val qs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qn2").as("qq2"))
+    val pairs = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rcos", round(col("dot").cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("qq2").cast("double"))), 6))
+      .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
+    rankTopK(pairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK _,
     "ann_lsh_topk" -> lshTopK _,
     "ann_ivf_topk" -> ivfTopK _,
-    "emb_quantize" -> embQuantize _
+    "emb_quantize" -> embQuantize _,
+    "ann_quantized_topk" -> quantizedTopK _
   )
 
   /** Full SQL twin of lshTopK. The hyperplanes are deterministic constants
@@ -408,6 +446,32 @@ object Ann {
       FROM u ORDER BY vec_id, i""",
     "ann_lsh_topk" -> lshOracleSql,
     "ann_ivf_topk" -> ivfOracleSql,
+    "ann_quantized_topk" -> s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM v),
+      q AS (
+        SELECT vec_id,
+          CASE WHEN scale > 0
+            THEN list_transform(v, x -> round(127.0 * x / scale))
+            ELSE list_transform(v, x -> 0.0) END AS q
+        FROM sc),
+      n AS (
+        -- integer-valued doubles: every sum below is exact (≪ 2^53)
+        SELECT vec_id, q, list_dot_product(q, q) AS qn2 FROM q),
+      p AS (
+        SELECT a.vec_id AS qid, c.vec_id AS nid,
+          ROUND(list_dot_product(a.q, c.q) / (sqrt(a.qn2) * sqrt(c.qn2)), 6) AS rcos
+        FROM n a JOIN n c ON c.vec_id <> a.vec_id
+        WHERE a.vec_id < $NumQueries)
+      SELECT qid, nid, rank, rcos FROM (
+        SELECT qid, nid, rcos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
+        FROM p)
+      WHERE rank <= $TopK ORDER BY qid, rank""",
     "ann_brute_topk" -> s"""
       WITH p AS (
         SELECT q.vec_id AS qid, c.vec_id AS nid,

@@ -181,12 +181,51 @@ object Streams {
     s.table(name)
   }
 
+  /** C7 as a CORRECTNESS-GATED query: stream-stream inner join — purchases
+    * matched to the same user's clicks in the preceding 30 minutes (the
+    * attribution join every event pipeline runs). Both sides carry
+    * watermarks and the join condition carries the time bound, which is
+    * what lets Structured Streaming EXPIRE state: a buffered click can be
+    * dropped once the purchase-side watermark passes its ts + 30min, so
+    * state is bounded by the time window × arrival rate, not the stream
+    * length — the property that makes this run forever at scale. Inner
+    * join in append mode emits each matched pair exactly once; with the
+    * bounded file source the drained sink equals the batch theta-join the
+    * oracle runs. (The oracle's time-range self-join is the quadratic
+    * formulation; the streaming operator is the scale path.)
+    */
+  def streamingJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_stream_join_sink_" + sinkId.incrementAndGet()
+    def src = s.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING")
+      .parquet(s"$d/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val q = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("user_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "streaming_dedup" -> streamingDedup _,
       "streaming_window_agg" -> streamingWindowAgg _,
       "streaming_enrich" -> streamingEnrich _,
-      "streaming_sessionize" -> streamingSessionize _)
+      "streaming_sessionize" -> streamingSessionize _,
+      "streaming_join" -> streamingJoin _)
 
   val oracles: Map[String, String] = Map(
     "streaming_dedup" ->
@@ -199,6 +238,13 @@ object Streams {
       SELECT event_id, user_id, event_type, value, c_mktsegment
       FROM events JOIN customer ON user_id = c_custkey
       ORDER BY event_id""",
+    "streaming_join" -> """
+      SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+      ORDER BY p_id, c_id""",
     "streaming_sessionize" -> """
       WITH flagged AS (
         SELECT user_id, ts, event_id,

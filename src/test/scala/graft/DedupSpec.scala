@@ -282,6 +282,18 @@ class DedupSpec extends SparkSpec {
     assert(byQ.values.forall(rs => rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)))
   }
 
+  test("int8-quantized topk keeps recall@10 >= 0.9 vs exact float") {
+    // quantization to 8 bits perturbs cosines by ~1/127 per coordinate pair;
+    // on any realistic embedding distribution that reorders only near-ties,
+    // so the quantized ranking must recover (nearly) all exact neighbors.
+    val brute = Ann.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Ann.quantizedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(quant).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
   test("ivf ann recall@10 beats the scanned fraction by >=2x at nprobe=2") {
     // same honest claim as the LSH spec: centroid routing must find
     // substantially more true neighbors than scanning a random nprobe/cells

@@ -17,6 +17,40 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), plan)
   }
 
+  test("events_gap_fill emits a dense hour spine and preserves event counts") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.eventsGapFill(spark, sf).cache()
+    try {
+      // every type's timeline is contiguous: rows == (max-min)/1h + 1
+      val spans = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("rows"),
+          (expr("(unix_micros(max(hour_start)) - unix_micros(min(hour_start))) DIV 3600000000") + 1).as("hours"))
+        .collect()
+      assert(spans.nonEmpty)
+      spans.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+      // zero-filled rows add no phantom events
+      val total = df.agg(sum(col("n"))).head.getLong(0)
+      assert(total == graft.operators.Tables.events(spark, sf).count())
+      assert(df.filter(col("n") === 0).count() > 0 ||
+        spans.map(_.getLong(1)).sum == total)
+    } finally df.unpersist()
+  }
+
+  test("set ops: intersect and except legs are disjoint and cover 1995 buyers") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.setIntersectExcept(spark, sf)
+    val byTag = df.groupBy(col("tag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val buyers95 = graft.operators.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= expr("timestamp'1995-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("timestamp'1996-01-01 00:00:00'"))
+      .select(col("o_custkey")).distinct().count()
+    assert(byTag.values.sum > 0, "legs must be non-vacuous at spec SF")
+    assert(byTag.getOrElse("both", 0L) + byTag.getOrElse("1995_only", 0L) == buyers95)
+    // a customer can't be in both legs
+    assert(df.groupBy(col("o_custkey")).count().filter(col("count") > 1).count() == 0)
+  }
+
   test("range_join_follow plans as an equi-join, never a nested loop") {
     val plan = Relational.rangeJoinFollow(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)

@@ -56,6 +56,31 @@ class SourceSinkSpec extends SparkSpec {
       src.filter(col("c_mktsegment") === "BUILDING").count())
   }
 
+  test("partitioned write prunes at planning time: one lang dir scanned") {
+    val df = graft.operators.BeamParity.sinkPartitionedPrune(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      "lang filter must prune directories, not scan rows")
+    // the pruned scan must not carry lang as a data filter (it's a
+    // directory, not a column in the files)
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      "lang must be resolved as a partition column")
+    val docs = Tables.documents(spark, sf)
+    assert(df.agg(sum(col("n_docs"))).head.getLong(0) ==
+      docs.filter(col("lang") === "en").count())
+  }
+
+  test("jsonl and csv round-trips are lossless over the full corpus") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    for (rt <- Seq(
+        graft.operators.BeamParity.sourceJsonlRoundtrip(spark, sf),
+        graft.operators.BeamParity.sourceCsvRoundtrip(spark, sf))) {
+      assert(rt.count() == docs.count())
+      assert(rt.exceptAll(docs).isEmpty && docs.exceptAll(rt).isEmpty)
+    }
+  }
+
   test("schema-evolution source merges generations; old files yield nulls") {
     val df = graft.operators.BeamParity.sourceSchemaEvolution(spark, sf)
     assert(df.columns.toSeq == Seq("lang", "n_docs", "n_with_source", "sum_chars"))

@@ -102,6 +102,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == want.toSet && want.nonEmpty)
   }
 
+  test("C7 gated query: stream-stream time-bounded join == batch theta join") {
+    val got = Streams.streamingJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val want = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("C6: stream-static enrichment join == batch join") {
     val staged = stageDir()
     val dim = Tables.customer(spark, sf)
