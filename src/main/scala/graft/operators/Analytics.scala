@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Exact._
+
+/** Second analytics block (SURVEY §2 B30+): aggregate-then-join, grouping
+  * sets, funnel analysis, histogramming, CDC merge, and runtime bloom-filter
+  * join pruning. Same contract as [[Relational]]: declarative plans, outputs
+  * unsorted (the gate row-sorts), decimal-exact money math.
+  */
+object Analytics {
+
+  /** B30 — TPC-H Q18-style large-volume orders: aggregate the fact table
+    * FIRST (having-filter on the grouped sum), then join the surviving keys
+    * to orders/customer. At 100 TB the pre-aggregation is the whole game:
+    * the join input shrinks from every lineitem row to one row per
+    * qualifying order before any wide join runs. Customer is broadcast.
+    */
+  def q18LargeVolume(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** B13c — GROUPING SETS beyond rollup/cube: per-returnflag totals,
+    * per-linestatus totals, and the grand total in one pass. Catalyst
+    * expands the sets map-side; still a single shuffle on the expanded keys.
+    */
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** C8 — event funnel: signup -> first view after signup -> first purchase
+    * within 24h of that view. All three stages key by user_id, so the three
+    * joins and three aggregations share ONE hash partitioning — Spark reuses
+    * the exchange instead of reshuffling per stage. No broadcast: per-user
+    * state grows with the data, so the user-keyed side must stay distributed.
+    */
+  val FunnelPurchaseWindowUs: Long = 86400L * 1000000L
+
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_signup"))
+    val vw = ev.filter(col("event_type") === "view")
+      .join(su, "user_id")
+      .filter(col("ts") > col("ts_signup"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_view"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(vw, "user_id")
+      .filter(col("ts") > col("ts_view") &&
+        unix_micros(col("ts")) - unix_micros(col("ts_view")) <= FunnelPurchaseWindowUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_purchase"))
+    def stage(df: DataFrame, step: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+    stage(su, 1, "signup")
+      .unionByName(stage(vw, 2, "view"))
+      .unionByName(stage(pu, 3, "purchase"))
+  }
+
+  /** B31 — fixed-width histogram: bin key computed in the scan's codegen
+    * stage, one shuffle into ~10 bins. The no-surprises building block for
+    * distribution profiling at any scale.
+    */
+  val HistBinWidth = 50000.0
+
+  def histBins(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("bin", floor(col("o_totalprice") / lit(HistBinWidth)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  /** B32 — CDC merge/upsert: a base snapshot (orders before the cutoff,
+    * pre-aggregated per customer) merged with a delta batch (orders after)
+    * via one full-outer join on the key. The merged snapshot must equal a
+    * direct recompute over the union — that recompute IS the oracle, so the
+    * gate proves the merge arithmetic, not just the join shape. Partial sums
+    * stay DECIMAL until after the merge add: summing exact decimals then
+    * casting once matches the oracle's single decimal sum bit-for-bit
+    * (double(a)+double(b) would not).
+    */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val cut = expr("timestamp'1998-01-01 00:00:00'")
+    val dec = DecimalType(18, 4)
+    val orders = Tables.orders(s, d)
+    val base = orders.filter(col("o_orderdate") < cut).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("b_n"), max(col("o_orderdate")).as("b_last"),
+        sum(col("o_totalprice").cast(dec)).as("b_sum"))
+    val delta = orders.filter(col("o_orderdate") >= cut).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("d_n"), max(col("o_orderdate")).as("d_last"),
+        sum(col("o_totalprice").cast(dec)).as("d_sum"))
+    base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_orders"),
+        greatest(col("b_last"), col("d_last")).as("last_odate"),
+        (coalesce(col("b_sum"), lit(0).cast(dec)) +
+          coalesce(col("d_sum"), lit(0).cast(dec))).cast("double").as("sum_price"))
+  }
+
+  /** B33 — bloom-pruned semi-join (see [[Skew.bloomPrunedSemiJoin]]): events
+    * whose user bought in the BUILDING segment, aggregated per event type.
+    * The oracle is the plain EXISTS form — bloom false positives must be
+    * invisible in the result.
+    */
+  def joinBloomPrune(s: SparkSession, d: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    val dim = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    Skew.bloomPrunedSemiJoin(Tables.events(s, d), dim, "user_id", "c_custkey")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_large_volume" -> q18LargeVolume _,
+    "grouping_sets_agg" -> groupingSetsAgg _,
+    "event_funnel" -> eventFunnel _,
+    "hist_bins" -> histBins _,
+    "merge_upsert" -> mergeUpsert _,
+    "join_bloom_prune" -> joinBloomPrune _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q18_large_volume" -> s"""
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      FROM (SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty
+            FROM lineitem GROUP BY 1
+            HAVING ${sqlDsum("l_quantity")} > 300) s
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "grouping_sets_agg" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "event_funnel" -> s"""
+      WITH s AS (SELECT user_id, MIN(ts) AS ts_signup FROM events
+                 WHERE event_type = 'signup' GROUP BY 1),
+      v AS (SELECT e.user_id, MIN(e.ts) AS ts_view FROM events e
+            JOIN s ON e.user_id = s.user_id
+              AND epoch_us(e.ts) > epoch_us(s.ts_signup)
+            WHERE e.event_type = 'view' GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.ts) AS ts_purchase FROM events e
+            JOIN v ON e.user_id = v.user_id
+              AND epoch_us(e.ts) > epoch_us(v.ts_view)
+              AND epoch_us(e.ts) - epoch_us(v.ts_view) <= $FunnelPurchaseWindowUs
+            WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT 1 AS step, 'signup' AS stage, COUNT(*) AS n_users FROM s
+      UNION ALL SELECT 2, 'view', COUNT(*) FROM v
+      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+      ORDER BY step""",
+    "hist_bins" -> s"""
+      SELECT CAST(FLOOR(o_totalprice / $HistBinWidth) AS BIGINT) AS bin,
+        COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    "merge_upsert" -> s"""
+      SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_orderdate) AS last_odate,
+        ${sqlDsum("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    "join_bloom_prune" -> s"""
+      SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+      FROM events
+      WHERE EXISTS (SELECT 1 FROM customer
+                    WHERE c_custkey = user_id AND c_mktsegment = 'BUILDING')
+      GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -252,8 +252,34 @@ object CorpusClean {
     FROM b ORDER BY doc_id"""
   }
 
+  /** H7 — scalable global row enumeration: dense ids 1..N in doc_id order
+    * WITHOUT the single-partition window a naive
+    * `row_number() OVER (ORDER BY doc_id)` plans. Range-repartition on the
+    * id (sampled boundaries, ~equal partitions), sort within partitions,
+    * then `zipWithIndex` — Spark's two-pass partition-offset scheme: one
+    * pass counts each partition, the driver holds only the P-long offset
+    * array, the second pass stamps ids. Total order on the unique doc_id
+    * makes the output deterministic regardless of where the sampled range
+    * boundaries land. This is THE id-assignment pattern for a 100 TB corpus;
+    * the oracle is the window form the operator exists to avoid.
+    */
+  def rowIds(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val stamped = sorted.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .zipWithIndex.map { case ((id, nc), i) => (id, nc, i + 1L) }
+    s.createDataFrame(stamped).toDF("doc_id", "n_chars", "rid")
+  }
+
+  val rowIdsSql: String = """
+    SELECT doc_id, n_chars, ROW_NUMBER() OVER (ORDER BY doc_id) AS rid
+    FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean _,
+    "corpus_row_ids" -> rowIds _,
     "corpus_split" -> trainSplit _,
     "corpus_token_stats" -> tokenStats _,
     "corpus_decontaminate" -> decontaminate _,
@@ -264,6 +290,7 @@ object CorpusClean {
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
+    "corpus_row_ids" -> rowIdsSql,
     "corpus_split" -> splitSql,
     "corpus_token_stats" -> tokenStatsSql,
     "corpus_decontaminate" -> decontaminateSql,

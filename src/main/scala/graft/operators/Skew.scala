@@ -36,6 +36,26 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Runtime bloom-filter join pruning (B33): build a bloom filter over the
+    * dim side's join keys, pre-filter the fact side with it BEFORE the
+    * shuffle, then run the exact semi-join on the survivors. The bloom is a
+    * few MB even when the dim side itself is too big to broadcast as a hash
+    * relation — that's the regime this pattern exists for: at 100 TB the
+    * fact-side shuffle shrinks by the filter's selectivity while false
+    * positives (deterministic, order-independent bit-OR) are removed by the
+    * exact join, so results are identical to the unfiltered semi-join.
+    */
+  def bloomPrunedSemiJoin(fact: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame, factKey: String, dimKey: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01)(
+      implicit s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = s.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bc.value.mightContainLong(k))
+    fact.filter(col(factKey).isNotNull && might(col(factKey)))
+      .join(dim, col(factKey) === col(dimKey), "left_semi")
+  }
+
   /** Skew-safe aggregation: two-phase groupBy — first on (key, salt) to
     * spread a hot key's partial aggregation, then on key to combine. Works
     * for any algebraic aggregate; results identical to the one-phase form.

@@ -90,7 +90,20 @@ object TextAnalysis {
           (size(col("g")) - size(array_distinct(col("g")))).cast("double") / size(col("g")))
           .otherwise(0.0).as("dup_3gram_frac"))
 
+  /** D8 — numeric-literal masking: the normalization pass a dedup pipeline
+    * runs before fingerprinting so `{"k": 69}` and `{"k": 70}` collapse to
+    * the same shape. Runs over events.props (the corpus' only digit-bearing
+    * text column); pure per-row regex map, fused into the scan, no shuffle.
+    * Spark's regexp_replace replaces all matches, matching DuckDB's 'g'.
+    */
+  def textMaskNumbers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        regexp_count(col("props"), lit("[0-9]+")).as("n_masked"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("masked"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mask_numbers" -> textMaskNumbers _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,
@@ -100,6 +113,11 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_mask_numbers" -> """
+      SELECT event_id,
+        CAST(LENGTH(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked,
+        regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked
+      FROM events ORDER BY event_id""",
     "text_tokens" -> s"""
       SELECT doc_id, ${wsTokensSql("text")} AS n_ws_tokens,
         ${bpeTokensSql("text")} AS n_bpe_tokens,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, CorpusClean, Skew, Tables}
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q18_large_volume keeps only orders above the quantity threshold") {
+    val rows = Analytics.q18LargeVolume(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getAs[Double]("sum_qty") > 300, r.toString))
+    // descending by price, orderkey tiebreak
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("grouping_sets_agg emits flag rows + status rows + grand total") {
+    val li = Tables.lineitem(spark, sf)
+    val nFlags = li.select("l_returnflag").distinct.count()
+    val nStatus = li.select("l_linestatus").distinct.count()
+    val df = Analytics.groupingSetsAgg(spark, sf)
+    assert(df.count() == nFlags + nStatus + 1)
+    val grand = df.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+    assert(grand.head.getAs[Long]("n") == li.count())
+  }
+
+  test("event_funnel stages are monotonically non-increasing") {
+    val rows = Analytics.eventFunnel(spark, sf).orderBy("step").collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq == Seq("signup", "view", "purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, ns.mkString(","))
+    assert(ns.head > 0)
+    // the 24h purchase window must actually bind (otherwise the stage is vacuous)
+    assert(ns(2) < ns(1), s"24h window did not discriminate: ${ns.mkString(",")}")
+  }
+
+  test("hist_bins partitions all orders and sums to the table total") {
+    val df = Analytics.histBins(spark, sf)
+    val n = df.agg(sum(col("n"))).head.getLong(0)
+    assert(n == Tables.orders(spark, sf).count())
+    df.collect().foreach(r => assert(r.getAs[Long]("bin") >= 0))
+  }
+
+  test("merge_upsert snapshot equals a direct recompute over all orders") {
+    val merged = Analytics.mergeUpsert(spark, sf)
+    val direct = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_orderdate")).as("last_odate"),
+        graft.operators.Exact.dsum(col("o_totalprice")).as("sum_price"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("bloom prune filters the fact side yet matches the exact semi-join") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val fact = Tables.events(spark, sf)
+    val pruned = Skew.bloomPrunedSemiJoin(fact, dim, "user_id", "c_custkey")
+    val exact = fact.join(dim, col("user_id") === col("c_custkey"), "left_semi")
+    assert(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty)
+    // the bloom pre-filter really prunes rows before the join at this SF
+    val bf = dim.stat.bloomFilter("c_custkey", 1000000L, 0.01)
+    val kept = fact.collect().count(r => bf.mightContainLong(r.getAs[Long]("user_id")))
+    assert(kept < fact.count(), "bloom filter pruned nothing")
+  }
+
+  test("corpus_row_ids assigns dense 1..N ids in doc_id order without a global window") {
+    val df = CorpusClean.rowIds(spark, sf)
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rid") == i + 1L, s"rid gap at $i: $r")
+    }
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.zip(ids.tail).forall { case (a, b) => a < b })
+    // the plan must not contain the single-partition window the op avoids
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+}
