@@ -35,7 +35,10 @@ object PlanAudit {
     "text_top_terms",
     // skew_report: per-key counts reduced to ONE stats row — the final
     // single-partition reduce consumes key-count partials, not data rows
-    "skew_report")
+    "skew_report",
+    // event_funnel: one global COUNT per funnel stage (3 total), each the
+    // final reduce of per-partition count partials into a 1-row stage count
+    "event_funnel")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,

@@ -44,10 +44,14 @@ object Analytics {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
 
   /** C8 — event funnel: signup -> first view after signup -> first purchase
-    * within 24h of that view. All three stages key by user_id, so the three
-    * joins and three aggregations share ONE hash partitioning — Spark reuses
-    * the exchange instead of reshuffling per stage. No broadcast: per-user
-    * state grows with the data, so the user-keyed side must stay distributed.
+    * within 24h of that view. Every stage keys by user_id and the join
+    * strategy is left to Catalyst: at small SF the per-user stage aggregates
+    * sit under the broadcast threshold and plan as broadcast joins; at scale
+    * their size estimate grows with the user count and the same query falls
+    * back to shuffle joins co-partitioned on user_id (one shared hash
+    * partitioning across all three stages). Nothing in the operator pins the
+    * small-data plan. Each stage's headline count is a global aggregate —
+    * a whitelisted 1-row single-partition reduce.
     */
   val FunnelPurchaseWindowUs: Long = 86400L * 1000000L
 
