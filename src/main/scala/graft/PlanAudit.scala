@@ -38,7 +38,10 @@ object PlanAudit {
     "skew_report",
     // event_funnel: one global COUNT per funnel stage (3 total), each the
     // final reduce of per-partition count partials into a 1-row stage count
-    "event_funnel")
+    "event_funnel",
+    // q17_small_qty: Q17's single-row answer — final reduce of tiny
+    // partial-sum rows, same shape as q14_promo
+    "q17_small_qty")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,

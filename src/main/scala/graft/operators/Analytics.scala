@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.Exact._
@@ -129,13 +129,76 @@ object Analytics {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
   }
 
+  /** B9c — NTILE quantile binning WITHIN partitions: quartiles of order
+    * value per priority class. The window partitions by o_orderpriority, so
+    * work distributes across the partition key — the scalable form of
+    * quantile binning (a GLOBAL ntile would be a single-partition sort; for
+    * global quantiles use approx boundaries + bin assignment instead).
+    * Unique (price, orderkey) sort keys make bucket edges deterministic.
+    */
+  def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** B34 — Q17-style aggregate-subquery predicate: lineitems below 20% of
+    * their part's average quantity. The per-part average is a grouped
+    * aggregate joined back to the fact — both sides shuffle on l_partkey
+    * (the agg side is one row per part, far smaller). The 6dp-rounded
+    * decimal-exact average makes the 0.2×avg threshold bit-identical on
+    * both engines, so boundary rows cannot flip the filter.
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val aq = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(davg(col("l_quantity")).as("aq"))
+    Tables.lineitem(s, d).join(aq, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg(round(dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
+  }
+
+  /** B35 — Z-order layout key: Morton interleave of (customer, order-day)
+    * into one clustering key. Range-partitioning + sorting by `zvalue` at
+    * write time co-locates rows that are close in BOTH dimensions, so
+    * parquet row-group min/max stats prune scans filtered on EITHER column —
+    * the standard multi-dimensional data-skipping layout at 100 TB. The
+    * bit-spread runs as plain integer arithmetic (codegen, no UDF) and the
+    * oracle replays the identical shift/mask pipeline in DuckDB.
+    */
+  val ZorderEpoch = "1995-01-01"
+
+  private def spread16(c: Column): Column = {
+    // spread the low 16 bits of c so consecutive bits land 2 apart
+    val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (e.bitwiseOR(shiftleft(e, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+    val xb = pmod(col("o_custkey"), lit(65536L))
+    val yb = datediff(col("o_orderdate"), lit(ZorderEpoch).cast("date"))
+      .cast("long").bitwiseAND(lit(65535L))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), xb.as("xb"), yb.as("yb"))
+      .select(col("o_orderkey"),
+        spread16(col("xb")).bitwiseOR(shiftleft(spread16(col("yb")), 1)).as("zvalue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_large_volume" -> q18LargeVolume _,
     "grouping_sets_agg" -> groupingSetsAgg _,
     "event_funnel" -> eventFunnel _,
     "hist_bins" -> histBins _,
     "merge_upsert" -> mergeUpsert _,
-    "join_bloom_prune" -> joinBloomPrune _
+    "join_bloom_prune" -> joinBloomPrune _,
+    "window_ntile" -> windowNtile _,
+    "q17_small_qty" -> q17SmallQty _,
+    "layout_zorder" -> layoutZorder _
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,6 +245,34 @@ object Analytics {
       FROM events
       WHERE EXISTS (SELECT 1 FROM customer
                     WHERE c_custkey = user_id AND c_mktsegment = 'BUILDING')
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+    "window_ntile" -> s"""
+      SELECT o_orderpriority, quartile, COUNT(*) AS n,
+        ${sqlDsum("o_totalprice")} AS sum_price
+      FROM (SELECT o_orderpriority, o_totalprice,
+              CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+            FROM orders)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q17_small_qty" -> s"""
+      WITH aq AS (SELECT l_partkey, ${sqlDavg("l_quantity")} AS aq
+                  FROM lineitem GROUP BY 1)
+      SELECT ROUND(${sqlDsum("l_extendedprice")} / 7.0, 6) AS avg_yearly
+      FROM lineitem JOIN aq USING (l_partkey)
+      WHERE l_quantity < 0.2 * aq""",
+    "layout_zorder" -> s"""
+      WITH b AS (SELECT o_orderkey,
+          o_custkey % 65536 AS xb,
+          date_diff('day', TIMESTAMP '$ZorderEpoch 00:00:00', o_orderdate) & 65535 AS yb
+        FROM orders),
+      s1 AS (SELECT o_orderkey, ((xb | (xb << 8)) & 16711935) AS x,
+               ((yb | (yb << 8)) & 16711935) AS y FROM b),
+      s2 AS (SELECT o_orderkey, ((x | (x << 4)) & 252645135) AS x,
+               ((y | (y << 4)) & 252645135) AS y FROM s1),
+      s3 AS (SELECT o_orderkey, ((x | (x << 2)) & 858993459) AS x,
+               ((y | (y << 2)) & 858993459) AS y FROM s2),
+      s4 AS (SELECT o_orderkey, ((x | (x << 1)) & 1431655765) AS x,
+               ((y | (y << 1)) & 1431655765) AS y FROM s3)
+      SELECT o_orderkey, (x | (y << 1)) AS zvalue FROM s4 ORDER BY o_orderkey"""
   )
 }

@@ -277,9 +277,48 @@ object CorpusClean {
     SELECT doc_id, n_chars, ROW_NUMBER() OVER (ORDER BY doc_id) AS rid
     FROM documents ORDER BY doc_id"""
 
+  /** H8 — weighted sampling without replacement (Efraimidis–Spirakis):
+    * priority = u^(1/w) with u a deterministic uniform from
+    * splitmix64(doc_id) and w the doc's length — the top-k by priority is
+    * an exact weighted sample, and because u replays from the id it is
+    * STABLE: re-running on a grown corpus keeps every still-qualifying doc.
+    * Top-k runs as TakeOrdered (per-partition heads + driver merge of k
+    * rows), never a global sort. The 6dp round makes the float ranking
+    * cross-engine-safe (ties break on doc_id); the oracle replays
+    * splitmix64 in HUGEINT CTEs and the same pow/round in doubles.
+    */
+  val SampleK = 100
+
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val h = graft.plans.MixHash.splitmix64Col(col("doc_id")).cast("double")
+    val u = h / lit(1.8446744073709552e19) + lit(0.5) // signed long -> [0,1)
+    val w = greatest(col("n_chars"), lit(1L)).cast("double")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        round(pow(u, lit(1.0) / w), 6).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(SampleK)
+  }
+
+  val sampleWeightedSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH h0 AS (SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS z FROM documents),
+    h1 AS (SELECT doc_id, n_chars, ${sqlMixStep1("z")} AS z FROM h0),
+    h2 AS (SELECT doc_id, n_chars, ${sqlMixStep2("z")} AS z FROM h1),
+    h3 AS (SELECT doc_id, n_chars, ${sqlMixStep3("z")} AS z FROM h2),
+    h4 AS (SELECT doc_id, n_chars, ${sqlMixStep4("z")} AS z FROM h3),
+    sgn AS (SELECT doc_id, n_chars, ${sqlToSigned("z")} AS v FROM h4)
+    SELECT doc_id, n_chars,
+      ROUND(POW(CAST(v AS DOUBLE) / 18446744073709551616.0 + 0.5,
+                1.0 / CAST(GREATEST(n_chars, 1) AS DOUBLE)), 6) AS priority
+    FROM sgn ORDER BY priority DESC, doc_id LIMIT $SampleK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean _,
     "corpus_row_ids" -> rowIds _,
+    "corpus_sample_weighted" -> sampleWeighted _,
     "corpus_split" -> trainSplit _,
     "corpus_token_stats" -> tokenStats _,
     "corpus_decontaminate" -> decontaminate _,
@@ -291,6 +330,7 @@ object CorpusClean {
   val oracles: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
     "corpus_row_ids" -> rowIdsSql,
+    "corpus_sample_weighted" -> sampleWeightedSql,
     "corpus_split" -> splitSql,
     "corpus_token_stats" -> tokenStatsSql,
     "corpus_decontaminate" -> decontaminateSql,

@@ -63,6 +63,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept < fact.count(), "bloom filter pruned nothing")
   }
 
+  test("window_ntile buckets every order into 4 near-equal quartiles per priority") {
+    val df = Analytics.windowNtile(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sf).count())
+    // quartile sizes within a priority differ by at most 1
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("quartile")).sorted.toSeq == Seq(1, 2, 3, 4))
+      val ns = rs.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, rs.mkString(";"))
+    }
+  }
+
+  test("q17_small_qty returns one bounded positive row") {
+    val v = Analytics.q17SmallQty(spark, sf).head.getAs[Double]("avg_yearly")
+    assert(v > 0)
+    // the 20%-of-avg filter keeps a small fraction of total revenue
+    val total = Tables.lineitem(spark, sf)
+      .agg(graft.operators.Exact.dsum(col("l_extendedprice"))).head.getDouble(0)
+    assert(v * 7.0 < total * 0.25, s"$v vs $total")
+  }
+
+  test("layout_zorder interleaves bits exactly and clusters both dimensions") {
+    // exact Morton values on known points: z(x=0b11, y=0) = 0b0101 = 5
+    def z(x: Long, y: Long): Long = {
+      def sp(v: Long): Long = {
+        var x = v
+        x = (x | (x << 8)) & 0x00FF00FFL
+        x = (x | (x << 4)) & 0x0F0F0F0FL
+        x = (x | (x << 2)) & 0x33333333L
+        (x | (x << 1)) & 0x55555555L
+      }
+      sp(x) | (sp(y) << 1)
+    }
+    assert(z(3, 0) == 5L && z(0, 3) == 10L && z(65535, 65535) == 0xFFFFFFFFL)
+    val rows = Analytics.layoutZorder(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("zvalue") >= 0 &&
+      r.getAs[Long]("zvalue") <= 0xFFFFFFFFL))
+  }
+
+  test("corpus_sample_weighted favors longer docs and is deterministic") {
+    val a = CorpusClean.sampleWeighted(spark, sf).collect()
+    val b = CorpusClean.sampleWeighted(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == CorpusClean.SampleK)
+    // weighting binds: sampled docs skew longer than the corpus median
+    val sampledMean = a.map(_.getAs[Long]("n_chars")).sum.toDouble / a.length
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampledMean > corpusMean, s"$sampledMean <= $corpusMean")
+  }
+
   test("corpus_row_ids assigns dense 1..N ids in doc_id order without a global window") {
     val df = CorpusClean.rowIds(spark, sf)
     val rows = df.orderBy("doc_id").collect()
