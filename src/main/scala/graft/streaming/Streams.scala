@@ -70,6 +70,24 @@ object Streams {
 
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Stateful-operator partition count for the gated run-to-completion
+    * queries, decoupled from the session's batch shuffle width via
+    * `graft.streaming.statePartitions` (default 8). State partitioning is
+    * fixed for a streaming query's lifetime at first start and each state
+    * partition pays per-micro-batch store open/commit I/O, so it should be
+    * sized to sustained throughput and key cardinality — NOT inherited from
+    * a compute-width conf tuned for batch scans (PerfLab `streamjoin`:
+    * the sf0.1 stream-stream join is 7.0 s at 32 state partitions, 2.0 s at
+    * 8 — pure store overhead, identical results). A production deployment
+    * raises the conf for high-cardinality keyed state.
+    */
+  private def withStateParts[T](s: SparkSession)(body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("graft.streaming.statePartitions").getOrElse("8"))
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** C5 as a CORRECTNESS-GATED query: exact streaming dedup over a bounded
     * file source — `dropDuplicates` state keyed on (user_id, event_type),
     * run to completion with an AvailableNow trigger into a memory sink,
@@ -87,19 +105,21 @@ object Streams {
     */
   def streamingDedup(s: SparkSession, d: String): DataFrame = {
     val name = "graft_stream_dedup_sink_" + sinkId.incrementAndGet()
-    val q = s.readStream
-      .schema("user_id BIGINT, event_type STRING")
-      // the sf dirs ship events as a single FILE. FileStreamSource derives
-      // basePath from a NON-glob path as the path itself (a file → "must be
-      // a directory" failure; a user-supplied basePath option is overridden).
-      // A glob that matches exactly that file makes the derived basePath the
-      // parent directory, which is what the source needs.
-      .parquet(s"$d/{events.parquet}")
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    withStateParts(s) {
+      val q = s.readStream
+        .schema("user_id BIGINT, event_type STRING")
+        // the sf dirs ship events as a single FILE. FileStreamSource derives
+        // basePath from a NON-glob path as the path itself (a file → "must be
+        // a directory" failure; a user-supplied basePath option is overridden).
+        // A glob that matches exactly that file makes the derived basePath the
+        // parent directory, which is what the source needs.
+        .parquet(s"$d/{events.parquet}")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(name)
   }
 
@@ -120,11 +140,13 @@ object Streams {
       .schema("ts BIGINT, event_type STRING, value DOUBLE")
       .parquet(s"$d/{events.parquet}")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val q = windowedAgg(src)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    withStateParts(s) {
+      val q = windowedAgg(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(name)
   }
 
@@ -140,16 +162,18 @@ object Streams {
     val name = "graft_stream_enrich_sink_" + sinkId.incrementAndGet()
     val dim = graft.operators.Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val q = s.readStream
-      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
-      .parquet(s"$d/{events.parquet}")
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("c_mktsegment"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    withStateParts(s) {
+      val q = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(s"$d/{events.parquet}")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("c_mktsegment"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(name)
   }
 
@@ -173,11 +197,13 @@ object Streams {
       // raw TIMESTAMP(NANOS) to exact microseconds (see Tables.events)
       .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("value"))
       .as[Ev]
-    val q = sessionize(src)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    withStateParts(s) {
+      val q = sessionize(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(name)
   }
 
@@ -207,15 +233,17 @@ object Streams {
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    val q = purchases.join(clicks,
-        col("user_id") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
-          col("c_ts") <= col("p_ts"))
-      .select(col("p_id"), col("c_id"), col("user_id"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    withStateParts(s) {
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+            col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"), col("user_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(name)
   }
 

@@ -271,6 +271,22 @@ object PerfLab {
             .select(col("doc_a"), col("doc_b"), col("hamming"))
         }
         time("simhash-aggcap")(aggCap)
+      case "streamjoin" =>
+        // stream-stream join cost vs state-store partition count (fixed at
+        // query start from spark.sql.shuffle.partitions)
+        def run(parts: String): Unit = {
+          val saved = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", parts)
+          (1 to 3).foreach { i =>
+            val t0 = System.nanoTime()
+            val t = graft.streaming.Streams.streamingJoin(spark, sfDir)
+            t.write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"[perflab] streamjoin p$parts run$i: $dt%.2f s")
+          }
+          spark.conf.set("spark.sql.shuffle.partitions", saved)
+        }
+        run("32"); run("8"); run("4")
       case "current" => time("jaccard-current")(Dedup.jaccardPairs(spark, sfDir))
       case "window"  => time("jaccard-window")(jaccardWindow(spark, sfDir))
       case "thresh" =>
