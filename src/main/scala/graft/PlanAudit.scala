@@ -41,7 +41,10 @@ object PlanAudit {
     "event_funnel",
     // q17_small_qty: Q17's single-row answer — final reduce of tiny
     // partial-sum rows, same shape as q14_promo
-    "q17_small_qty")
+    "q17_small_qty",
+    // quality_fk_orphans / quality_profile: per-check global counts /
+    // per-column profile aggregates — each a 1-row reduce of count partials
+    "quality_fk_orphans", "quality_profile")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,

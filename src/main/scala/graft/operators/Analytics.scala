@@ -189,6 +189,69 @@ object Analytics {
         spread16(col("xb")).bitwiseOR(shiftleft(spread16(col("yb")), 1)).as("zvalue"))
   }
 
+  /** B36 — approximate quantiles from a fixed histogram: one pass folds the
+    * data into (group, bin) partial counts — k×bins rows of state, the
+    * mergeable-summary shape that scales to 100 TB — then a tiny window
+    * cumsum picks the first bin whose cumulative count crosses the target
+    * rank. Estimates are bin upper edges (error ≤ bin width). Contrast B17
+    * `agg_percentiles`, whose exact buffers hold every value per group.
+    * Everything is integer counts + one double multiply, so the oracle
+    * replays it exactly.
+    */
+  val AqBinWidth = 5000.0
+
+  def approxQuantileHist(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
+    Tables.orders(s, d)
+      .withColumn("bin", floor(col("o_totalprice") / lit(AqBinWidth)).cast("long"))
+      .groupBy(col("o_orderpriority"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min(when(col("cum") >= lit(0.5) * col("n"), (col("bin") + 1) * AqBinWidth)).as("p50_est"),
+        min(when(col("cum") >= lit(0.9) * col("n"), (col("bin") + 1) * AqBinWidth)).as("p90_est"))
+  }
+
+  /** B37 — referential-integrity audit: orphan counts for each FK edge of
+    * the schema in one result. Anti-joins leave Catalyst free to broadcast
+    * the key side; each check is a count of survivors. The first query a
+    * pipeline runs after ingesting 100 TB of upstream-supplied data.
+    */
+  def qualityFkOrphans(s: SparkSession, d: String): DataFrame = {
+    def orphans(fact: DataFrame, dim: DataFrame, fk: String, pk: String,
+        label: String): DataFrame =
+      fact.join(dim, col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(label).as("fk_edge"), col("n_orphans"))
+    orphans(Tables.lineitem(s, d), Tables.orders(s, d),
+        "l_orderkey", "o_orderkey", "lineitem->orders")
+      .unionByName(orphans(Tables.orders(s, d), Tables.customer(s, d),
+        "o_custkey", "c_custkey", "orders->customer"))
+      .unionByName(orphans(Tables.events(s, d), Tables.customer(s, d),
+        "user_id", "c_custkey", "events->customer"))
+  }
+
+  /** B38 — column profile: null count and exact distinct cardinality per
+    * audited column, long format. Each column is one aggregate over the
+    * same scan; COUNT(DISTINCT) shuffles the distinct values (bounded by
+    * the column's cardinality). The schema-health snapshot that gates a
+    * pipeline run.
+    */
+  def qualityProfile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def prof(c: String): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+          count(when(col(c).isNull, lit(1))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"), col("n_distinct"))
+    prof("o_orderstatus").unionByName(prof("o_orderpriority")).unionByName(prof("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_large_volume" -> q18LargeVolume _,
     "grouping_sets_agg" -> groupingSetsAgg _,
@@ -198,7 +261,10 @@ object Analytics {
     "join_bloom_prune" -> joinBloomPrune _,
     "window_ntile" -> windowNtile _,
     "q17_small_qty" -> q17SmallQty _,
-    "layout_zorder" -> layoutZorder _
+    "layout_zorder" -> layoutZorder _,
+    "approx_quantile_hist" -> approxQuantileHist _,
+    "quality_fk_orphans" -> qualityFkOrphans _,
+    "quality_profile" -> qualityProfile _
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,6 +339,42 @@ object Analytics {
                ((y | (y << 2)) & 858993459) AS y FROM s2),
       s4 AS (SELECT o_orderkey, ((x | (x << 1)) & 1431655765) AS x,
                ((y | (y << 1)) & 1431655765) AS y FROM s3)
-      SELECT o_orderkey, (x | (y << 1)) AS zvalue FROM s4 ORDER BY o_orderkey"""
+      SELECT o_orderkey, (x | (y << 1)) AS zvalue FROM s4 ORDER BY o_orderkey""",
+    "approx_quantile_hist" -> s"""
+      WITH h AS (SELECT o_orderpriority,
+          CAST(FLOOR(o_totalprice / $AqBinWidth) AS BIGINT) AS bin, COUNT(*) AS c
+        FROM orders GROUP BY 1, 2),
+      cw AS (SELECT o_orderpriority, bin, c,
+          SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+        FROM h)
+      SELECT o_orderpriority,
+        MIN(CASE WHEN cum >= 0.5 * n THEN (bin + 1) * $AqBinWidth END) AS p50_est,
+        MIN(CASE WHEN cum >= 0.9 * n THEN (bin + 1) * $AqBinWidth END) AS p90_est
+      FROM cw GROUP BY 1 ORDER BY 1""",
+    "quality_fk_orphans" -> """
+      SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_orphans FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      UNION ALL
+      SELECT 'orders->customer', COUNT(*) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      UNION ALL
+      SELECT 'events->customer', COUNT(*) FROM events
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = user_id)
+      ORDER BY fk_edge""",
+    "quality_profile" -> """
+      SELECT 'o_orderstatus' AS column_name, COUNT(*) AS n_rows,
+        COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS n_null,
+        COUNT(DISTINCT o_orderstatus) AS n_distinct FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*),
+        COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        COUNT(DISTINCT o_orderpriority) FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*),
+        COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+        COUNT(DISTINCT o_custkey) FROM orders
+      ORDER BY column_name"""
   )
 }

@@ -315,8 +315,42 @@ object CorpusClean {
     FROM sgn ORDER BY priority DESC, doc_id LIMIT $SampleK"""
   }
 
+  /** H9 — per-stratum quota sampling: exactly K docs per source, chosen by
+    * a deterministic hash order (splitmix64 of the id — a stable shuffle).
+    * Complements [[sampleMix]] (ratio-based): quotas guarantee minority
+    * strata K rows instead of a share. Partitioned window — work and state
+    * distribute across strata; K rows survive per stratum regardless of
+    * corpus size.
+    */
+  val QuotaK = 20
+
+  def sampleQuota(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("hv", graft.plans.MixHash.splitmix64Col(col("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+      .filter(col("rk") <= QuotaK)
+      .select(col("doc_id"), col("source"), col("rk"))
+
+  val sampleQuotaSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH h0 AS (SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS z FROM documents),
+    h1 AS (SELECT doc_id, source, ${sqlMixStep1("z")} AS z FROM h0),
+    h2 AS (SELECT doc_id, source, ${sqlMixStep2("z")} AS z FROM h1),
+    h3 AS (SELECT doc_id, source, ${sqlMixStep3("z")} AS z FROM h2),
+    h4 AS (SELECT doc_id, source, ${sqlMixStep4("z")} AS z FROM h3),
+    sgn AS (SELECT doc_id, source, ${sqlToSigned("z")} AS hv FROM h4),
+    rk AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+           FROM sgn)
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+    FROM rk WHERE rk <= $QuotaK ORDER BY source, rk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean _,
+    "corpus_sample_quota" -> sampleQuota _,
     "corpus_row_ids" -> rowIds _,
     "corpus_sample_weighted" -> sampleWeighted _,
     "corpus_split" -> trainSplit _,
@@ -331,6 +365,7 @@ object CorpusClean {
     "corpus_clean" -> corpusCleanSql,
     "corpus_row_ids" -> rowIdsSql,
     "corpus_sample_weighted" -> sampleWeightedSql,
+    "corpus_sample_quota" -> sampleQuotaSql,
     "corpus_split" -> splitSql,
     "corpus_token_stats" -> tokenStatsSql,
     "corpus_decontaminate" -> decontaminateSql,

@@ -115,6 +115,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(sampledMean > corpusMean, s"$sampledMean <= $corpusMean")
   }
 
+  test("approx_quantile_hist brackets the exact percentiles within one bin") {
+    val est = Analytics.approxQuantileHist(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("p50_est"), r.getAs[Double]("p90_est"))).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, (e50, e90)) =>
+      assert(e50 <= e90)
+      val (x50, x90) = exact(k)
+      assert(math.abs(e50 - x50) <= Analytics.AqBinWidth, s"$k p50 $e50 vs $x50")
+      assert(math.abs(e90 - x90) <= Analytics.AqBinWidth, s"$k p90 $e90 vs $x90")
+    }
+  }
+
+  test("quality_fk_orphans audits every FK edge with non-negative counts") {
+    val rows = Analytics.qualityFkOrphans(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getAs[Long]("n_orphans") >= 0))
+  }
+
+  test("quality_profile reports consistent row counts and cardinalities") {
+    val rows = Analytics.qualityProfile(spark, sf).collect()
+    assert(rows.length == 3)
+    val n = Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_null") == 0)
+      assert(r.getAs[Long]("n_distinct") >= 1 && r.getAs[Long]("n_distinct") <= n)
+    }
+  }
+
+  test("corpus_sample_quota takes exactly K per stratum (or the whole stratum)") {
+    val sizes = Tables.documents(spark, sf).groupBy(col("source")).count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val got = CorpusClean.sampleQuota(spark, sf).groupBy(col("source")).count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(got.keySet == sizes.keySet)
+    got.foreach { case (src, k) =>
+      assert(k == math.min(CorpusClean.QuotaK.toLong, sizes(src)), src)
+    }
+  }
+
   test("corpus_row_ids assigns dense 1..N ids in doc_id order without a global window") {
     val df = CorpusClean.rowIds(spark, sf)
     val rows = df.orderBy("doc_id").collect()
