@@ -44,7 +44,10 @@ object PlanAudit {
     "q17_small_qty",
     // quality_fk_orphans / quality_profile: per-check global counts /
     // per-column profile aggregates — each a 1-row reduce of count partials
-    "quality_fk_orphans", "quality_profile")
+    "quality_fk_orphans", "quality_profile",
+    // q22_idle_customers: the scalar positive-balance average — a 1-row
+    // global aggregate broadcast back over the customer scan
+    "q22_idle_customers")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,

@@ -252,6 +252,144 @@ object Analytics {
     prof("o_orderstatus").unionByName(prof("o_orderpriority")).unionByName(prof("o_custkey"))
   }
 
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** B39 — TPC-H Q7-style nation-pair trade volume: the nation dim joins the
+    * fact TWICE in different roles (supplier side / customer side), aliased
+    * so Catalyst treats them as independent broadcasts. Nation and supplier
+    * are hinted broadcast (bounded dims); the orders and customer joins are
+    * left to Catalyst — at small SF they broadcast, at 100 TB the same plan
+    * falls back to shuffle joins on the keys. One final shuffle on the
+    * (supp_nation, cust_nation, year) group keys.
+    */
+  def q7Volume(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(revenue).as("revenue"))
+  }
+
+  /** B40 — TPC-H Q13-style customer order-count distribution: LEFT join so
+    * zero-order customers survive with count 0, then a second tiny aggregate
+    * over the per-customer counts. The first shuffle is on c_custkey (the
+    * real work); the second input is one row per customer and its output one
+    * row per distinct count.
+    */
+  def q13Custdist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** B41 — TPC-H Q19-style disjunctive predicate: OR-of-ANDs over part
+    * attributes and lineitem quantity. The part-side conjuncts cannot be
+    * pushed below the join individually, but Catalyst pushes the UNION of
+    * the brand predicates to the part scan and the quantity hull to the
+    * lineitem scan — the plan to check is that both scans show
+    * PushedFilters, not a post-join residual-only filter.
+    */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), dsum(revenue).as("revenue"))
+
+  /** B42 — TPC-H Q22-style idle high-balance customers: customers whose
+    * balance exceeds the global positive-balance average and who placed no
+    * order since the cutoff, counted per nation. The scalar average is a
+    * whitelisted 1-row global aggregate broadcast back over the scan; the
+    * idleness test is a LEFT ANTI join against the date-pruned orders scan
+    * (the filter pushes to parquet, so the anti-join's build side is only
+    * the recent slice; at scale it shuffles on the key and the per-nation
+    * result is bounded by the nation count). The 6dp-rounded decimal-exact
+    * average makes the balance threshold bit-identical on both engines.
+    */
+  val IdleCutoff = "2000-01-01"
+
+  def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= expr(s"timestamp'$IdleCutoff 00:00:00'"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+  }
+
+  /** B43 — time-RANGE rolling aggregate: per-customer 30-day trailing order
+    * count and decimal-exact spend, as a RANGE frame over integer day
+    * offsets. Value-based frames make ties (same-day orders) deterministic
+    * regardless of intra-day row order — a ROWS frame would not be. Work
+    * partitions by o_custkey; no global sort anywhere.
+    */
+  val RollEpoch = "1990-01-01"
+  val RollDays = 30
+
+  def windowRangeRolling(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-RollDays, 0)
+    Tables.orders(s, d)
+      .withColumn("day",
+        datediff(col("o_orderdate"), lit(RollEpoch).cast("date")).cast("long"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum",
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("roll_n"), col("roll_sum"))
+  }
+
+  /** B44 — z-score outlier detection: per-group mean/variance from
+    * decimal-exact sums (sum x in DECIMAL(18,4), sum x² in DECIMAL(38,4) —
+    * the square of a 6-digit price needs the wide type), variance and
+    * z-scores then computed in IEEE doubles with the IDENTICAL expression
+    * shape on both engines, so every op is exactly rounded and the |z|>2
+    * cut cannot flip on a boundary row. The group stats (5 rows) broadcast
+    * back over the scan — two passes over orders, no extra shuffle.
+    *
+    * Threshold 1.5, not the textbook 2: o_totalprice is a near-uniform sum
+    * (kurtosis ≈ -1.2), so |z| tops out around 1.7 — a 2σ cut would select
+    * nothing at any SF and the query would be vacuous.
+    */
+  val ZThreshold = 1.5
+
+  def statsOutliers(s: SparkSession, d: String): DataFrame = {
+    val x = col("o_totalprice")
+    val stats = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(sum(x.cast(DecimalType(18, 4))).cast("double").as("sx"),
+        sum((x * x).cast(DecimalType(38, 4))).cast("double").as("sxx"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        (col("sx") / col("n")).as("mean"),
+        (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+          .as("varp"))
+    Tables.orders(s, d).join(broadcast(stats), "o_orderpriority")
+      .withColumn("z", (x - col("mean")) / sqrt(col("varp")))
+      .filter(abs(col("z")) > ZThreshold)
+      .select(col("o_orderkey"), col("o_orderpriority"), round(col("z"), 6).as("z_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_large_volume" -> q18LargeVolume _,
     "grouping_sets_agg" -> groupingSetsAgg _,
@@ -264,7 +402,13 @@ object Analytics {
     "layout_zorder" -> layoutZorder _,
     "approx_quantile_hist" -> approxQuantileHist _,
     "quality_fk_orphans" -> qualityFkOrphans _,
-    "quality_profile" -> qualityProfile _
+    "quality_profile" -> qualityProfile _,
+    "q7_volume" -> q7Volume _,
+    "q13_custdist" -> q13Custdist _,
+    "q19_disjunctive" -> q19Disjunctive _,
+    "q22_idle_customers" -> q22IdleCustomers _,
+    "window_range_rolling" -> windowRangeRolling _,
+    "stats_outliers" -> statsOutliers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,6 +519,65 @@ object Analytics {
       SELECT 'o_custkey', COUNT(*),
         COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
         COUNT(DISTINCT o_custkey) FROM orders
-      ORDER BY column_name"""
+      ORDER BY column_name""",
+    "q7_volume" -> s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q13_custdist" -> """
+      SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY c_count""",
+    "q19_disjunctive" -> s"""
+      SELECT p_brand, COUNT(*) AS n_items,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+          AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+          AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 20 AND 30)
+      GROUP BY p_brand ORDER BY p_brand""",
+    "q22_idle_customers" -> s"""
+      SELECT c_nationkey, COUNT(*) AS numcust,
+        ${sqlDsum("c_acctbal")} AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT ${sqlDavg("c_acctbal")} FROM customer
+                         WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '$IdleCutoff 00:00:00')
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "window_range_rolling" -> s"""
+      SELECT o_orderkey, o_custkey,
+        COUNT(*) OVER w AS roll_n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum
+      FROM (SELECT *, DATEDIFF('day', TIMESTAMP '$RollEpoch 00:00:00',
+              o_orderdate) AS day FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        RANGE BETWEEN $RollDays PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey""",
+    "stats_outliers" -> s"""
+      WITH st AS (SELECT o_orderpriority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+          COUNT(*) AS n FROM orders GROUP BY 1),
+      m AS (SELECT o_orderpriority, sx / n AS mean,
+          sxx / n - (sx / n) * (sx / n) AS varp FROM st)
+      SELECT o_orderkey, o.o_orderpriority,
+        ROUND((o_totalprice - mean) / SQRT(varp), 6) AS z_score
+      FROM orders o JOIN m USING (o_orderpriority)
+      WHERE ABS((o_totalprice - mean) / SQRT(varp)) > $ZThreshold
+      ORDER BY o_orderkey"""
   )
 }

@@ -163,6 +163,78 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q7_volume excludes domestic trade and partitions total cross-border revenue") {
+    val rows = Analytics.q7Volume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation"))
+      assert(r.getAs[Long]("l_year") >= 1995L && r.getAs[Long]("l_year") <= 2001L)
+    }
+  }
+
+  test("q13_custdist counts every customer exactly once across the distribution") {
+    val rows = Analytics.q13Custdist(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("custdist")).sum ==
+      Tables.customer(spark, sf).count())
+    // zero-order customers must be representable (left join, not inner)
+    assert(rows.forall(_.getAs[Long]("c_count") >= 0))
+  }
+
+  test("q19_disjunctive pushes the brand disjunction into both scans") {
+    val df = Analytics.q19Disjunctive(spark, sf)
+    val brands = df.collect().map(_.getAs[String]("p_brand")).toSet
+    assert(brands.subsetOf(Set("Brand#12", "Brand#23", "Brand#34")), brands)
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("PushedFilters"), "expected parquet pushdown")
+  }
+
+  test("q22_idle_customers only keeps above-average customers idle since the cutoff") {
+    val rows = Analytics.q22IdleCustomers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("numcust")).sum
+    // every counted customer is above the positive-balance average → strictly
+    // fewer than the positive-balance population
+    val posCount = Tables.customer(spark, sf).filter(col("c_acctbal") > 0).count()
+    assert(total > 0 && total < posCount)
+    // the anti-join must actually test recency: strictly fewer customers
+    // survive than are above-average, i.e. some above-average customer was
+    // excluded for having a recent order
+    val ab = Tables.customer(spark, sf).filter(col("c_acctbal") > 0)
+      .agg(graft.operators.Exact.davg(col("c_acctbal")).as("a")).head.getDouble(0)
+    val nAbove = Tables.customer(spark, sf).filter(col("c_acctbal") > ab).count()
+    assert(total < nAbove, s"recency filter excluded nobody: $total vs $nAbove")
+  }
+
+  test("window_range_rolling counts exactly the orders in the trailing window") {
+    val df = Analytics.windowRangeRolling(spark, sf)
+    // cross-check one heavy customer against a direct self-join recompute
+    val ck = Tables.orders(spark, sf).groupBy("o_custkey").count()
+      .orderBy(col("count").desc).head.getAs[Long]("o_custkey")
+    val mine = df.filter(col("o_custkey") === ck)
+      .select("o_orderkey", "roll_n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf).filter(col("o_custkey") === ck)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit(Analytics.RollEpoch).cast("date"))
+          .cast("long").as("day"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    o.foreach { case (k, t) =>
+      val expect = o.count { case (_, t2) =>
+        t2 <= t && (t - t2) <= Analytics.RollDays.toLong }
+      assert(mine(k) == expect, s"order $k: ${mine(k)} vs $expect")
+    }
+  }
+
+  test("stats_outliers flags only |z| above threshold and both tails exist") {
+    val rows = Analytics.statsOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val zs = rows.map(_.getAs[Double]("z_score"))
+    zs.foreach(z => assert(math.abs(z) > Analytics.ZThreshold - 1e-6, z.toString))
+    assert(zs.exists(_ > 0) && zs.exists(_ < 0), "expected both tails")
+    // outliers are a small fraction under any plausible distribution
+    assert(rows.length < Tables.orders(spark, sf).count() / 4)
+  }
+
   test("corpus_row_ids assigns dense 1..N ids in doc_id order without a global window") {
     val df = CorpusClean.rowIds(spark, sf)
     val rows = df.orderBy("doc_id").collect()
