@@ -390,6 +390,88 @@ object Analytics {
       .select(col("o_orderkey"), col("o_orderpriority"), round(col("z"), 6).as("z_score"))
   }
 
+  /** C9 — weekly cohort retention: users bucketed by first-activity week,
+    * counted per (cohort, weeks-since-cohort) cell. Three shuffles, all on
+    * bounded keys: first-day per user and the (user, day) activity dedup
+    * both hash on user_id (co-partitioned, so the join between them is
+    * shuffle-free under AQE reuse), and the final cell aggregate's
+    * cardinality is cohorts × offsets, tiny at any corpus size. Day
+    * arithmetic is integer DIV — replayed exactly by DuckDB's `//`.
+    */
+  val CohortEpoch = "2024-01-01"
+
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      datediff(col("ts"), lit(CohortEpoch).cast("date")).cast("long").as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day0"))
+    val active = ev.distinct()
+    active.join(firstDay, "user_id")
+      .groupBy(expr("day0 DIV 7").as("cohort_week"),
+        expr("(day - day0) DIV 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** C10 — DAU/WAU: per-day distinct actives and 7-day trailing distinct
+    * actives. The trailing distinct uses the contribution-explode shape: each
+    * (user, active-day) row is exploded to the 7 target days it supports,
+    * deduplicated, and counted — a bounded 7× row blowup that keeps the
+    * whole computation in hash aggregates, where the naive form (self-join
+    * of every day against a 7-day activity range) is a range join that
+    * degrades quadratically with density at 100 TB.
+    */
+  def activeUsers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      datediff(col("ts"), lit(CohortEpoch).cast("date")).cast("long").as("day"))
+      .distinct()
+    val dau = ev.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ev
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    // inner join restricts to observed days (explode emits up to 6 phantom
+    // trailing days past each user's last activity)
+    dau.join(wau, "day")
+  }
+
+  /** B45 — event debouncing: drop events that arrive within the debounce
+    * window of the previous event of the same (user, type) — the retry/
+    * double-click thinning step ahead of any event analytics. One window
+    * over the natural partition key; the gap test is integer microseconds
+    * (no float time math), and the (us, event_id) sort key makes
+    * equal-timestamp ordering deterministic.
+    */
+  val DebounceUs: Long = 10L * 60 * 1000000L
+
+  def eventsDebounce(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNull || col("us") - col("prev") > DebounceUs)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
+  /** H10 — per-source length trimming: drop each source's shortest 5% and
+    * longest 5% of documents — the outlier-length quality cut every corpus
+    * pipeline applies, stratified so one verbose source doesn't set the
+    * thresholds for all. Rank bounds are pure integer arithmetic
+    * (rk·100 vs n·5 / n·95), so the cut is bit-exact on both engines; work
+    * partitions by source.
+    */
+  def corpusLengthTrim(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .filter(col("rk") * 100 > col("n") * 5 && col("rk") * 100 <= col("n") * 95)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_large_volume" -> q18LargeVolume _,
     "grouping_sets_agg" -> groupingSetsAgg _,
@@ -408,7 +490,11 @@ object Analytics {
     "q19_disjunctive" -> q19Disjunctive _,
     "q22_idle_customers" -> q22IdleCustomers _,
     "window_range_rolling" -> windowRangeRolling _,
-    "stats_outliers" -> statsOutliers _
+    "stats_outliers" -> statsOutliers _,
+    "cohort_retention" -> cohortRetention _,
+    "events_active_users" -> activeUsers _,
+    "events_debounce" -> eventsDebounce _,
+    "corpus_length_trim" -> corpusLengthTrim _
   )
 
   val oracles: Map[String, String] = Map(
@@ -578,6 +664,42 @@ object Analytics {
         ROUND((o_totalprice - mean) / SQRT(varp), 6) AS z_score
       FROM orders o JOIN m USING (o_orderpriority)
       WHERE ABS((o_totalprice - mean) / SQRT(varp)) > $ZThreshold
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+    "cohort_retention" -> s"""
+      WITH ev AS (SELECT user_id,
+          DATEDIFF('day', TIMESTAMP '$CohortEpoch 00:00:00', ts) AS day
+        FROM events),
+      f AS (SELECT user_id, MIN(day) AS day0 FROM ev GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, day FROM ev)
+      SELECT day0 // 7 AS cohort_week, (day - day0) // 7 AS week_offset,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_active_users" -> s"""
+      WITH ev AS (SELECT DISTINCT user_id,
+          DATEDIFF('day', TIMESTAMP '$CohortEpoch 00:00:00', ts) AS day
+        FROM events),
+      dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY 1),
+      wau AS (SELECT t.day, COUNT(DISTINCT e.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM ev) t
+        JOIN ev e ON e.day BETWEEN t.day - 6 AND t.day
+        GROUP BY 1)
+      SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""",
+    "events_debounce" -> s"""
+      WITH x AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+          LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+            ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events)
+      SELECT event_id, user_id, event_type FROM x
+      WHERE prev IS NULL OR us - prev > $DebounceUs
+      ORDER BY event_id""",
+    "corpus_length_trim" -> """
+      WITH r AS (SELECT doc_id, source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT doc_id, source, n_chars FROM r
+      WHERE rk * 100 > n * 5 AND rk * 100 <= n * 95
+      ORDER BY doc_id"""
   )
 }

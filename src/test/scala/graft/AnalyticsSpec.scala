@@ -235,6 +235,79 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.length < Tables.orders(spark, sf).count() / 4)
   }
 
+  test("cohort_retention cells are bounded by cohort size and cover all users") {
+    val rows = Analytics.cohortRetention(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(rows.nonEmpty)
+    val cohortSizes = rows.collect { case ((cw, 0L), n) => cw -> n }
+    // offset-0 cell IS the cohort (every user is active in their first week)
+    assert(cohortSizes.map(_._2).sum ==
+      Tables.events(spark, sf).select("user_id").distinct().count())
+    rows.foreach { case ((cw, off), n) =>
+      assert(off >= 0)
+      assert(n <= cohortSizes.toMap.apply(cw), s"cell ($cw,$off) exceeds cohort")
+    }
+  }
+
+  test("events_active_users: wau bounds dau and matches a direct recompute") {
+    val rows = Analytics.activeUsers(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") -> (r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, (dau, wau)) => assert(wau >= dau, s"day $d") }
+    // direct recompute for a middle day
+    val days = rows.keys.toSeq.sorted
+    val mid = days(days.length / 2)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(col("ts"), lit(Analytics.CohortEpoch).cast("date"))
+          .cast("long").as("day"))
+    val expect = ev.filter(col("day").between(mid - 6, mid))
+      .select("user_id").distinct().count()
+    assert(rows(mid)._2 == expect, s"wau($mid): ${rows(mid)._2} vs $expect")
+  }
+
+  test("events_debounce keeps first events and enforces the minimum gap") {
+    val kept = Analytics.eventsDebounce(spark, sf)
+    val nAll = Tables.events(spark, sf).count()
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < nAll, s"$nKept of $nAll")
+    // recompute for the busiest (user, type) key
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+    val top = ev.groupBy("user_id", "event_type").count()
+      .orderBy(col("count").desc).head
+    val (u, t) = (top.getAs[Long]("user_id"), top.getAs[String]("event_type"))
+    val times = ev.filter(col("user_id") === u && col("event_type") === t)
+      .orderBy("us", "event_id").collect().map(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+    val expectIds = times.zip((Long.MinValue, 0L) +: times.dropRight(1)).collect {
+      case ((us, id), (prev, _)) if prev == Long.MinValue || us - prev > Analytics.DebounceUs => id
+    }.toSet
+    val gotIds = kept.filter(col("user_id") === u && col("event_type") === t)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(gotIds == expectIds)
+  }
+
+  test("corpus_length_trim keeps the middle 90% of each source by rank") {
+    val kept = Analytics.corpusLengthTrim(spark, sf)
+    val bySource = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val keptBySource = kept.groupBy("source").count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(keptBySource.keySet == bySource.keySet)
+    keptBySource.foreach { case (src, k) =>
+      val n = bySource(src)
+      // ranks in (n*5/100, n*95/100] → exactly floor(95n/100) - floor(5n/100)
+      assert(k == n * 95 / 100 - n * 5 / 100, s"$src: $k of $n")
+    }
+    // extremes are actually dropped: global min-length doc of each source gone
+    val minDoc = Tables.documents(spark, sf)
+      .orderBy(col("n_chars"), col("doc_id")).select("doc_id").head.getLong(0)
+    assert(!kept.filter(col("doc_id") === minDoc).head(1).nonEmpty)
+  }
+
   test("corpus_row_ids assigns dense 1..N ids in doc_id order without a global window") {
     val df = CorpusClean.rowIds(spark, sf)
     val rows = df.orderBy("doc_id").collect()
