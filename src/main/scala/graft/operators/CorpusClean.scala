@@ -348,9 +348,87 @@ object CorpusClean {
     FROM rk WHERE rk <= $QuotaK ORDER BY source, rk"""
   }
 
+  /** H11 — deterministic corpus shuffle: the global pseudo-random training
+    * order. Each doc's position is its rank under splitmix64(doc_id) — a
+    * stable permutation reproducible across runs and engines. The global
+    * rank uses the [[rowIds]] two-pass shape (range-partition by hash +
+    * in-partition sort + zipWithIndex): no single-partition window, driver
+    * state is one offset per partition.
+    */
+  def corpusShuffle(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = Tables.documents(s, d)
+      .select(col("doc_id"), graft.plans.MixHash.splitmix64Col(col("doc_id")).as("hv"))
+      .repartitionByRange(p, col("hv"), col("doc_id"))
+      .sortWithinPartitions(col("hv"), col("doc_id"))
+    val stamped = sorted.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }
+    s.createDataFrame(stamped).toDF("doc_id", "shuffle_pos")
+  }
+
+  val corpusShuffleSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH h0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents),
+    h1 AS (SELECT doc_id, ${sqlMixStep1("z")} AS z FROM h0),
+    h2 AS (SELECT doc_id, ${sqlMixStep2("z")} AS z FROM h1),
+    h3 AS (SELECT doc_id, ${sqlMixStep3("z")} AS z FROM h2),
+    h4 AS (SELECT doc_id, ${sqlMixStep4("z")} AS z FROM h3),
+    sgn AS (SELECT doc_id, ${sqlToSigned("z")} AS hv FROM h4)
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS shuffle_pos
+    FROM sgn ORDER BY doc_id"""
+  }
+
+  /** H12 — weighted mixture interleaving: the deterministic merged training
+    * order under per-source weights (stride scheduling — a doc's virtual
+    * time is its within-source rank over its source's weight, so a
+    * weight-4 source appears 4× as often as a weight-1 source at any
+    * prefix of the order). Within-source ranks partition by source;
+    * the global order reuses the two-pass rank shape. The virtual time is
+    * one IEEE division (rank/weight) — identical on both engines — with
+    * (source, rank) breaking cross-source ties deterministically.
+    */
+  def mixOrder(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranked = Tables.documents(s, d)
+      .withColumn("hv", graft.plans.MixHash.splitmix64Col(col("doc_id")))
+      .withColumn("w", expr("CAST(substring(source, 4) AS INT) % 4 + 1"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+      .withColumn("vt", col("r").cast("double") / col("w"))
+    val sorted = ranked.select(col("doc_id"), col("source"), col("vt"), col("r"))
+      .repartitionByRange(p, col("vt"), col("source"), col("r"))
+      .sortWithinPartitions(col("vt"), col("source"), col("r"))
+    val stamped = sorted.rdd.map(row => (row.getLong(0), row.getString(1)))
+      .zipWithIndex.map { case ((id, src), i) => (id, src, i + 1L) }
+    s.createDataFrame(stamped).toDF("doc_id", "source", "mix_pos")
+  }
+
+  val mixOrderSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH h0 AS (SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS z FROM documents),
+    h1 AS (SELECT doc_id, source, ${sqlMixStep1("z")} AS z FROM h0),
+    h2 AS (SELECT doc_id, source, ${sqlMixStep2("z")} AS z FROM h1),
+    h3 AS (SELECT doc_id, source, ${sqlMixStep3("z")} AS z FROM h2),
+    h4 AS (SELECT doc_id, source, ${sqlMixStep4("z")} AS z FROM h3),
+    sgn AS (SELECT doc_id, source, ${sqlToSigned("z")} AS hv FROM h4),
+    rk AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS r
+           FROM sgn),
+    wt AS (SELECT doc_id, source, r,
+             CAST(substring(source, 4) AS INTEGER) % 4 + 1 AS w
+           FROM rk)
+    SELECT doc_id, source,
+      ROW_NUMBER() OVER (ORDER BY CAST(r AS DOUBLE) / w, source, r) AS mix_pos
+    FROM wt ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean _,
     "corpus_sample_quota" -> sampleQuota _,
+    "corpus_shuffle" -> corpusShuffle _,
+    "corpus_mix_order" -> mixOrder _,
     "corpus_row_ids" -> rowIds _,
     "corpus_sample_weighted" -> sampleWeighted _,
     "corpus_split" -> trainSplit _,
@@ -366,6 +444,8 @@ object CorpusClean {
     "corpus_row_ids" -> rowIdsSql,
     "corpus_sample_weighted" -> sampleWeightedSql,
     "corpus_sample_quota" -> sampleQuotaSql,
+    "corpus_shuffle" -> corpusShuffleSql,
+    "corpus_mix_order" -> mixOrderSql,
     "corpus_split" -> splitSql,
     "corpus_token_stats" -> tokenStatsSql,
     "corpus_decontaminate" -> decontaminateSql,

@@ -308,6 +308,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(!kept.filter(col("doc_id") === minDoc).head(1).nonEmpty)
   }
 
+  test("corpus_shuffle is a dense permutation decorrelated from doc_id order") {
+    val rows = CorpusClean.corpusShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = rows.length
+    assert(rows.map(_._2).sorted.toSeq == (1L to n).toSeq, "not a dense permutation")
+    // decorrelation: the permutation must not be close to identity — count
+    // adjacent doc_id pairs that stay adjacent in shuffle order
+    val pos = rows.toMap
+    val ids = rows.map(_._1).sorted
+    val adjacentKept = ids.zip(ids.tail).count { case (a, b) => pos(b) - pos(a) == 1 }
+    assert(adjacentKept < n / 10, s"$adjacentKept of $n adjacent pairs preserved")
+  }
+
+  test("corpus_mix_order interleaves sources proportionally to their weights") {
+    val rows = CorpusClean.mixOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq, "not a dense order")
+    def weight(src: String): Int = src.drop(3).toInt % 4 + 1
+    // in the first half of the order, each source's share tracks its weight:
+    // a weight-4 source must appear strictly more often than a weight-1 one
+    val firstHalf = rows.filter(_._3 <= n / 2).groupBy(_._2).view.mapValues(_.length)
+    val byWeight = firstHalf.toSeq.groupBy { case (src, _) => weight(src) }
+      .view.mapValues(g => g.map(_._2).sum.toDouble / g.length)
+    assert(byWeight(4) > byWeight(1) * 2,
+      s"stride scheduling not proportional: $byWeight")
+  }
+
   test("corpus_row_ids assigns dense 1..N ids in doc_id order without a global window") {
     val df = CorpusClean.rowIds(spark, sf)
     val rows = df.orderBy("doc_id").collect()
