@@ -4,11 +4,13 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The corpus-cleaning composite is the engine's identity piece: quality
-    * gate + language ID + exact dedup fused into one Catalyst plan.
+    * The end-to-end data-prep composite is the engine's identity piece:
+    * quality gate + language ID + exact dedup + eval-set decontamination +
+    * per-source length trim fused into ONE Catalyst plan, reduced to
+    * per-source corpus stats.
     */
   def entry(spark: SparkSession): DataFrame =
-    CorpusClean.corpusClean(spark, "/root/testdata/sf0.001")
+    CorpusClean.corpusPrepare(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ BeamParity.queries ++ TextAnalysis.queries ++

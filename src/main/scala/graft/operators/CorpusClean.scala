@@ -348,6 +348,89 @@ object CorpusClean {
     FROM rk WHERE rk <= $QuotaK ORDER BY source, rk"""
   }
 
+  /** H13 — the end-to-end data-prep composite: quality gate + language
+    * filter + exact dedup + eval-set decontamination + per-source length
+    * trim, fused into ONE declarative plan, reduced to per-source corpus
+    * stats. This is the shape a real 100 TB prep job runs: every stage is a
+    * narrow filter/window over the same scan lineage, the only data-sized
+    * shuffles are the fp-dedup window, the per-source trim window, and the
+    * shingle⋈eval-gram contamination probe (eval grams broadcast — the eval
+    * set is small by construction), and Catalyst is free to pipeline the
+    * stages because nothing materializes in between. Eval docs
+    * (doc_id < EvalDocs) are excluded from the training side up front.
+    */
+  def corpusPrepare(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d)
+    val evalGrams = raw.filter(col("doc_id") < EvalDocs)
+      .select(explode(graft.plans.ShingleArray.shingles(
+        col("text"), DecontaminationGram)).as("g"))
+      .distinct()
+    val cleaned = raw
+      .withColumn("alpha_ratio", alphaRatio(col("text")))
+      .withColumn("space_ratio", spaceRatio(col("text")))
+      .withColumn("pred_lang", langId(col("text")))
+      .withColumn("fp", fingerprint(col("text")))
+      .filter(col("doc_id") >= EvalDocs &&
+        length(col("text")) >= MinChars &&
+        col("alpha_ratio") >= MinAlpha && col("space_ratio") <= MaxSpace &&
+        col("pred_lang") === "en")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val contaminated = cleaned
+      .select(col("doc_id"), explode(graft.plans.ShingleArray.shingles(
+        col("text"), DecontaminationGram)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+    val decontam = cleaned.join(contaminated, Seq("doc_id"), "left_anti")
+    val trimmed = decontam
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rk") * 100 > col("n") * 5 && col("rk") * 100 <= col("n") * 95)
+    trimmed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokens(col("text")).cast("long")).as("ws_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val corpusPrepareSql: String = s"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars, text,
+        ${alphaRatioSql("text")} AS alpha_ratio,
+        ${spaceRatioSql("text")} AS space_ratio,
+        ${langIdSql("text")} AS pred_lang,
+        ${fingerprintSql("text")} AS fp
+      FROM documents),
+    cleaned0 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE doc_id >= $EvalDocs AND length(text) >= $MinChars
+        AND alpha_ratio >= $MinAlpha AND space_ratio <= $MaxSpace
+        AND pred_lang = 'en'),
+    cleaned AS (SELECT doc_id, source, n_chars, text FROM cleaned0 WHERE rn = 1),
+    w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+                       for i in range(1, len(ws) - 3)]) AS s
+      FROM w WHERE len(ws) >= 5),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < $EvalDocs),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id FROM sh c, ev
+      WHERE c.doc_id >= $EvalDocs AND list_contains(c.s, ev.g)),
+    decon AS (SELECT * FROM cleaned
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    r AS (SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+        COUNT(*) OVER (PARTITION BY source) AS n
+      FROM decon),
+    trimmed AS (SELECT * FROM r WHERE rk * 100 > n * 5 AND rk * 100 <= n * 95)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(${wsTokensSql("text")}) AS BIGINT) AS ws_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM trimmed GROUP BY source ORDER BY source"""
+
   /** H11 — deterministic corpus shuffle: the global pseudo-random training
     * order. Each doc's position is its rank under splitmix64(doc_id) — a
     * stable permutation reproducible across runs and engines. The global
@@ -429,6 +512,7 @@ object CorpusClean {
     "corpus_sample_quota" -> sampleQuota _,
     "corpus_shuffle" -> corpusShuffle _,
     "corpus_mix_order" -> mixOrder _,
+    "corpus_prepare" -> corpusPrepare _,
     "corpus_row_ids" -> rowIds _,
     "corpus_sample_weighted" -> sampleWeighted _,
     "corpus_split" -> trainSplit _,
@@ -446,6 +530,7 @@ object CorpusClean {
     "corpus_sample_quota" -> sampleQuotaSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "corpus_mix_order" -> mixOrderSql,
+    "corpus_prepare" -> corpusPrepareSql,
     "corpus_split" -> splitSql,
     "corpus_token_stats" -> tokenStatsSql,
     "corpus_decontaminate" -> decontaminateSql,

@@ -336,6 +336,25 @@ class AnalyticsSpec extends SparkSpec {
       s"stride scheduling not proportional: $byWeight")
   }
 
+  test("corpus_prepare composes the stages: stats bounded by each stage's output") {
+    val rows = CorpusClean.corpusPrepare(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("ws_tokens"), r.getAs[Long]("sum_chars")))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2._1).sum
+    // strictly fewer docs than the raw non-eval corpus (every stage cuts)
+    val rawNonEval = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= CorpusClean.EvalDocs).count()
+    assert(total > 0 && total < rawNonEval, s"$total of $rawNonEval")
+    // and no more than the clean+dedup stage alone admits
+    val cleanedN = CorpusClean.corpusClean(spark, sf)
+      .filter(col("doc_id") >= CorpusClean.EvalDocs).count()
+    assert(total <= cleanedN, s"$total > $cleanedN")
+    rows.foreach { case (src, (n, tok, ch)) =>
+      assert(n > 0 && tok >= n && ch >= n, s"$src: $n docs, $tok tokens, $ch chars")
+    }
+  }
+
   test("corpus_row_ids assigns dense 1..N ids in doc_id order without a global window") {
     val df = CorpusClean.rowIds(spark, sf)
     val rows = df.orderBy("doc_id").collect()
