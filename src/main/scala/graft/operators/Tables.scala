@@ -29,6 +29,11 @@ object Tables {
     * on read). A source layer hardcoding one encoding breaks every events
     * consumer when the file flips (round 6: 21 operators), so the reader
     * probes and branches instead.
+    *
+    * The cache is keyed by path only and never invalidated: if the file at
+    * a path is REGENERATED with a different ts encoding inside one JVM, the
+    * stale branch is taken. Acceptable for bench/verify runs (one dataset
+    * generation per JVM); a long-lived service would key on (path, mtime).
     */
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
@@ -37,12 +42,46 @@ object Tables {
     tsTypeCache.computeIfAbsent(s"$d/events.parquet", { path =>
       try s.read.parquet(path).schema("ts").dataType
       catch {
-        // TIMESTAMP(NANOS) without the legacy conf fails schema inference
-        case _: Exception =>
+        // Only the specific TIMESTAMP(NANOS) schema-inference failure
+        // ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))") selects the
+        // legacy-nanos branch; any other failure (missing file, corrupt
+        // footer, permissions) propagates untouched instead of flipping the
+        // session-wide legacy conf as a side effect.
+        case e: Exception if {
+          val m = String.valueOf(e.getMessage)
+          m.contains("TIMESTAMP(NANOS") || m.contains("Illegal Parquet type")
+        } =>
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           s.read.parquet(path).schema("ts").dataType
       }
     })
+
+  /** Data-era sanity gate, cached per path (one column-pruned scan per JVM):
+    * after normalization, min(ts) must be a plausible event time. A
+    * timestamp-unit mistake on read (µs read as ns, or ns as µs) lands
+    * decades away — near 1970 after a 1000× shrink, past year 5000 after a
+    * 1000× stretch — and silently passes row-count smoke checks while every
+    * window/session/join answer is garbage (the round-6/7 failure class).
+    * This makes the unit mistake CRASH at the source instead. Every events
+    * consumer (batch and streaming) runs through it.
+    */
+  private val eraChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val EraMin = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
+  private val EraMax = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+
+  def assertEventsEra(s: SparkSession, d: String): Unit = {
+    eraChecked.computeIfAbsent(s"$d/events.parquet", { path =>
+      val mn = eventsNormalized(s, d)
+        .agg(org.apache.spark.sql.functions.min(col("ts"))).head.getTimestamp(0)
+      if (mn != null && (mn.before(EraMin) || mn.after(EraMax)))
+        throw new IllegalStateException(
+          s"events.ts era check failed for $path: min(ts)=$mn outside " +
+            "[1990, 2100] — timestamp unit mismatch (ns/µs confusion) on read")
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
 
   /** events with `ts` normalized to TimestampType (UTC instants — every
     * entry point pins `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast
@@ -51,16 +90,23 @@ object Tables {
     * `DIV`, not `/`, because a double round-trip at ~1.7e18 ns loses
     * precision; matches DuckDB's own ns→µs truncation.
     */
-  def events(s: SparkSession, d: String): DataFrame = eventsTsType(s, d) match {
-    case TimestampType    => t(s, d, "events")
-    case TimestampNTZType => t(s, d, "events")
-      .withColumn("ts", col("ts").cast(TimestampType))
-    case LongType =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    case other => throw new IllegalStateException(
-      s"events.ts has unsupported physical type $other — expected " +
-        "timestamp[us/ms], int64 nanos, or TIMESTAMP(NANOS)")
+  private def eventsNormalized(s: SparkSession, d: String): DataFrame =
+    eventsTsType(s, d) match {
+      case TimestampType    => t(s, d, "events")
+      case TimestampNTZType => t(s, d, "events")
+        .withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — expected " +
+          "timestamp[us/ms], int64 nanos, or TIMESTAMP(NANOS)")
+    }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = eventsNormalized(s, d)
+    assertEventsEra(s, d)
+    df
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

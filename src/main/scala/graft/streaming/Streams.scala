@@ -70,6 +70,51 @@ object Streams {
 
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Bounded-file streaming source over `$d/events.parquet` with `ts`
+    * normalized to TimestampType — the streaming twin of
+    * [[graft.operators.Tables.events]]. The physical ts encoding is PROBED
+    * (Tables.eventsTsType) and branched on, never assumed: the testdata has
+    * shipped both int64-nanos and timestamp[us] eras, and a hardcoded
+    * BIGINT schema silently reads micros as nanos — every timestamp 1000×
+    * too small, windows merged, sessions never closing (round 7: three
+    * wrong gated queries). The batch-side era gate runs first so any
+    * residual unit mistake crashes instead of corrupting.
+    *
+    * `restCols` is the non-ts part of the read schema (file sources require
+    * an explicit schema; parquet matches columns by name, and listing only
+    * what the query needs prunes the scan).
+    *
+    * The sf dirs ship events as a single FILE. FileStreamSource derives
+    * basePath from a NON-glob path as the path itself (a file → "must be a
+    * directory" failure; a user-supplied basePath option is overridden). A
+    * glob that matches exactly that file makes the derived basePath the
+    * parent directory, which is what the source needs.
+    */
+  private def eventsStream(s: SparkSession, d: String, restCols: String): DataFrame = {
+    import graft.operators.Tables
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    Tables.assertEventsEra(s, d)
+    val glob = s"$d/{events.parquet}"
+    Tables.eventsTsType(s, d) match {
+      case TimestampType =>
+        s.readStream.schema(s"$restCols, ts TIMESTAMP").parquet(glob)
+      case TimestampNTZType =>
+        // NTZ→LTZ cast is wall-clock-identical under the pinned UTC session
+        // time zone (same convention as the batch reader)
+        s.readStream.schema(s"$restCols, ts TIMESTAMP_NTZ").parquet(glob)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        // raw TIMESTAMP(NANOS): read as int64, truncate ns→µs with integer
+        // division (a double round-trip at ~1.7e18 loses precision)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.readStream.schema(s"$restCols, ts BIGINT").parquet(glob)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — expected " +
+          "timestamp[us/ms], int64 nanos, or TIMESTAMP(NANOS)")
+    }
+  }
+
   /** Stateful-operator partition count for the gated run-to-completion
     * queries, decoupled from the session's batch shuffle width via
     * `graft.streaming.statePartitions` (default 8). State partitioning is
@@ -129,17 +174,13 @@ object Streams {
     * final watermark hasn't passed (by design), so its drained sink is a
     * strict subset of the batch answer; complete mode emits the full
     * aggregation state, which is exactly what the batch
-    * `events_window_agg` oracle computes. The raw-nanos `ts` column is read
-    * as BIGINT (see Tables.events) and converted to a microsecond timestamp
-    * identically to the batch side.
+    * `events_window_agg` oracle computes. `ts` comes through the
+    * probe-and-branch [[eventsStream]] source, normalized identically to
+    * the batch side.
     */
   def streamingWindowAgg(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_winagg_sink_" + sinkId.incrementAndGet()
-    val src = s.readStream
-      .schema("ts BIGINT, event_type STRING, value DOUBLE")
-      .parquet(s"$d/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = eventsStream(s, d, "event_type STRING, value DOUBLE")
     withStateParts(s) {
       val q = windowedAgg(src)
         .writeStream.format("memory").queryName(name)
@@ -188,14 +229,11 @@ object Streams {
     * the emitted set is deterministic.
     */
   def streamingSessionize(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_sess_sink_" + sinkId.incrementAndGet()
     import s.implicits._
-    val src = s.readStream
-      .schema("user_id BIGINT, ts BIGINT, value DOUBLE")
-      .parquet(s"$d/{events.parquet}")
-      // raw TIMESTAMP(NANOS) to exact microseconds (see Tables.events)
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("value"))
+    // normalized TimestampType → exact epoch-µs for the state machine
+    val src = eventsStream(s, d, "user_id BIGINT, value DOUBLE")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
       .as[Ev]
     withStateParts(s) {
       val q = sessionize(src)
@@ -221,12 +259,8 @@ object Streams {
     * formulation; the streaming operator is the scale path.)
     */
   def streamingJoin(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = "graft_stream_join_sink_" + sinkId.incrementAndGet()
-    def src = s.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING")
-      .parquet(s"$d/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src = eventsStream(s, d, "event_id BIGINT, user_id BIGINT, event_type STRING")
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")

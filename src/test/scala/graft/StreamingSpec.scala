@@ -120,6 +120,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("era gate: a 1000x-shrunk events file crashes batch and streaming readers") {
+    // plant a file whose timestamps were compressed 1000x (the exact
+    // corruption a µs-as-ns read produces): every reader must CRASH on it,
+    // never silently aggregate 1970-era windows
+    val dir = Files.createTempDirectory("graft-era").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"),
+        timestamp_micros(expr("unix_micros(ts) DIV 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val eBatch = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(eBatch.getMessage.contains("era check failed"))
+    val eStream = intercept[IllegalStateException](Streams.streamingWindowAgg(spark, dir))
+    assert(eStream.getMessage.contains("era check failed"))
+  }
+
   test("C6: stream-static enrichment join == batch join") {
     val staged = stageDir()
     val dim = Tables.customer(spark, sf)
