@@ -32,7 +32,13 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // self-diagnosing gate: an erroring query must appear in the
+        // artifact as an err row, never vanish (round 6 lost a whole block
+        // to silent absences). The driver/check tool sees <name>.err where
+        // the result parquet would be.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name.err"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(4000)}")
       }
       // several queries persist intermediates; drop them so 56 queries
       // don't accumulate cached blocks in one JVM

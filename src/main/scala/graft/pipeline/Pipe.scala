@@ -73,9 +73,26 @@ object SideInput {
     of(p, (xs: Array[(K, V)]) =>
       xs.groupBy(_._1).map { case (k, vs) => k -> vs.toSeq.map(_._2) })
 
+  /** Rows a side input may collect to the driver before we refuse. A side
+    * input IS a driver-materialized broadcast by contract (same as Beam's),
+    * so the cap is a guard rail against feeding a full-size table through
+    * it at scale — conf `graft.sideinput.maxRows` raises/lowers it.
+    */
+  val DefaultMaxRows = 10000000
+
   private def of[T, S: ClassTag](p: Pipe[T], view: Array[T] => S): SideInput[S] = {
-    val sc = p.ds.sparkSession.sparkContext
-    new SideInput(sc.broadcast(view(p.consumed.collect())))
+    val spark = p.ds.sparkSession
+    val max = spark.conf.getOption("graft.sideinput.maxRows")
+      .map(_.toInt).getOrElse(DefaultMaxRows)
+    // limit(max+1) bounds what ever reaches the driver: an oversized side
+    // input fails with max+1 rows held, not the full dataset
+    val xs = p.consumed.limit(max + 1).collect()
+    if (xs.length > max) throw new IllegalStateException(
+      s"side input exceeds graft.sideinput.maxRows=$max rows; a side input " +
+        "is driver-materialized broadcast state — for large lookup tables " +
+        "use a broadcast join on the Dataset (join(broadcast(dim), ...)) " +
+        "or raise graft.sideinput.maxRows deliberately")
+    new SideInput(spark.sparkContext.broadcast(view(xs)))
   }
 }
 

@@ -103,6 +103,21 @@ class PipelineSpec extends SparkSpec {
     assert(SideInput.asDict(Pipe.create(spark, Seq(("a", 1), ("b", 2)))).value == Map("a" -> 1, "b" -> 2))
   }
 
+  test("side input over graft.sideinput.maxRows fails with a broadcast-join hint") {
+    // the guard rail: a side input is driver-held broadcast state, so a
+    // full-size table fed through it must FAIL (bounded at max+1 collected
+    // rows), not OOM the driver at scale
+    spark.conf.set("graft.sideinput.maxRows", "10")
+    try {
+      val e = intercept[IllegalStateException](
+        SideInput.asList(Pipe.create(spark, (1 to 100))))
+      assert(e.getMessage.contains("graft.sideinput.maxRows"))
+      assert(e.getMessage.contains("broadcast join"))
+      // at or under the cap still works
+      assert(SideInput.asList(Pipe.create(spark, (1 to 10))).value.size == 10)
+    } finally spark.conf.unset("graft.sideinput.maxRows")
+  }
+
   test("side input injected as a process argument (test_dict_side_input)") {
     // the runner hands the materialized view to process — the DoFn body
     // never touches the SideInput object (reference UseMultimap.process)

@@ -64,7 +64,13 @@ def main():
         sql = oracles[name]
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output")
+            # Verify writes <name>.err when the query threw — surface the
+            # exception instead of a bare absence
+            try:
+                err = open(f"{out_dir}/{name}.err").read().strip()
+                print(f"FAIL {name}: spark error: {err[:300]}")
+            except OSError:
+                print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         try:
