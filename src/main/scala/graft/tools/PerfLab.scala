@@ -90,8 +90,10 @@ object PerfLab {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(label: String)(df: => DataFrame): Unit = {
-      (1 to 3).foreach { i =>
+    def time(label: String)(df: => DataFrame): Unit = timeN(label, 3)(df)
+
+    def timeN(label: String, reps: Int)(df: => DataFrame): Unit = {
+      (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -287,6 +289,19 @@ object PerfLab {
           spark.conf.set("spark.sql.shuffle.partitions", saved)
         }
         run("32"); run("8"); run("4")
+      case "quant" =>
+        // F5 store-and-scan vs the brute float path it must beat (r7 item:
+        // quantized was 2.31 s vs brute 0.86 s with interpreted HOFs over
+        // re-derived doubles). First quantized rep pays the one-time index
+        // build; steady state is the int8 scan.
+        timeN("f1-brute", 5)(graft.SparkEntry.queries("ann_brute_topk")(spark, sfDir))
+        timeN("f5-quantized", 5)(graft.SparkEntry.queries("ann_quantized_topk")(spark, sfDir))
+      case "pin" =>
+        // 5-rep spreads for the r7 bench outliers (merge_upsert 3.4x,
+        // join_shuffle 1.6x — no code changed) and the jaccard bimodality
+        Seq("merge_upsert", "join_shuffle", "dedup_jaccard_pairs").foreach { n =>
+          timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
+        }
       case "current" => time("jaccard-current")(Dedup.jaccardPairs(spark, sfDir))
       case "window"  => time("jaccard-window")(jaccardWindow(spark, sfDir))
       case "thresh" =>
