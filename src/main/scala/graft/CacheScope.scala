@@ -20,6 +20,33 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheScope {
 
+  private val nonceCtr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Persist `df` under a logical plan made UNIQUE by a nonce projection
+    * that the optimizer prunes away.
+    *
+    * `Dataset.unpersist` drops cache entries by canonical-plan equality, so
+    * the ASYNC release in [[releaseAfterUse]] (listener-bus callback +
+    * non-blocking unpersist) can collide with a later run of the SAME
+    * query: run N's late release matches — and drops — run N+1's freshly
+    * persisted entry for the identical plan, silently forcing full
+    * recomputation on every read of the supposedly-cached subtree (a 4×
+    * slowdown when four branches read it). Tagging each persist with a
+    * unique literal — projected in and straight back out — keeps every
+    * scope's canonical plan distinct: analysis retains the literal (so the
+    * cache key differs), the optimizer prunes it (zero runtime cost), and
+    * within one scope every consumer derives from the returned Dataset so
+    * cache lookups still hit. CacheScopeSpec pins both properties.
+    */
+  def scopedPersist(df: DataFrame): DataFrame = {
+    val nonce = "__cache_scope_nonce"
+    val tagged = df
+      .withColumn(nonce, org.apache.spark.sql.functions.lit(nonceCtr.incrementAndGet()))
+      .drop(nonce)
+    tagged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tagged
+  }
+
   /** Wire `scoped` datasets (already persisted by the caller) for automatic
     * release after `out` is first consumed. Release also fires on action
     * failure, so an aborted query doesn't leak its cache.

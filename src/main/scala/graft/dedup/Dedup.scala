@@ -68,9 +68,8 @@ object Dedup {
     // shingle arrays feed the index build AND candidate verification: persist
     // so the (expensive) shingling runs once; released after the first
     // consuming action (CacheScope)
-    val docs = withShingles(Tables.documents(s, d))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
-      .persist()
+    val docs = graft.CacheScope.scopedPersist(withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")))
     val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
     // per-shingle document frequency as a COUNT WINDOW over the shingle: one
     // shuffle + an in-partition sort, entirely inside whole-stage codegen's
@@ -93,9 +92,9 @@ object Dedup {
     val ranked = withDf
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-    val prefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
-      .select(col("doc_id"), col("sh"))
-      .persist()
+    val prefix = graft.CacheScope.scopedPersist(
+      ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+        .select(col("doc_id"), col("sh")))
     val cand = prefix.as("a").join(prefix.as("b"), col("a.sh") === col("b.sh")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -134,9 +133,9 @@ object Dedup {
   def incrementalNew(s: SparkSession, d: String): DataFrame = {
     val isNewExpr = col("doc_id") % 10 >= 8
     val (oldPrefix, oldDf, oldArrs) = ensureIncrementalIndex(s, d, !isNewExpr)
-    val batch = withShingles(Tables.documents(s, d).filter(isNewExpr))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
-      .persist()
+    val batch = graft.CacheScope.scopedPersist(
+      withShingles(Tables.documents(s, d).filter(isNewExpr))
+        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")))
     val bpost = batch
       .select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
       .join(oldDf, Seq("sh"), "left")
@@ -467,9 +466,8 @@ object Dedup {
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val shingled = withShingles(docs)
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
-      .persist()
+    val shingled = graft.CacheScope.scopedPersist(withShingles(docs)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")))
     val postings = shingled
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("h", graft.plans.MixHash.polyHashCol(col("sh")))
@@ -481,9 +479,9 @@ object Dedup {
     }
     // mega-bucket skew cap (see MaxBandBucketDefault): all-pairs only inside
     // sub-cap buckets; oversized buckets emit member→representative stars
-    val bandRows = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
-      .persist()
+    val bandRows = graft.CacheScope.scopedPersist(
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.bh")))
     val buckets = withBucketStats(bandRows, Seq("band", "bh"),
       col("doc_id"), maxBandBucket(s))
     val small = buckets.filter(col("bn").isNull)
@@ -533,7 +531,7 @@ object Dedup {
           struct(lit(b).as("band"),
             shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
-      .persist()
+      .transform(graft.CacheScope.scopedPersist)
     val banded = withBucketStats(bandRows, Seq("band", "bv"),
       struct(col("doc_id"), col("simhash")), maxBandBucket(s))
     val small = banded.filter(col("bn").isNull)
@@ -590,9 +588,8 @@ object Dedup {
         col("doc_id"), lit(0), MaxFingerprintDf).as("dps"))
       .select(col("fp"), explode(col("dps.ps")).as("p"))
       .select(col("p.doc_id").as("doc_id"), col("fp"))
-    val withN = postings
-      .withColumn("nfp", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .persist()
+    val withN = graft.CacheScope.scopedPersist(postings
+      .withColumn("nfp", count(lit(1)).over(Window.partitionBy(col("doc_id")))))
     val out = withN.as("a").join(withN.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

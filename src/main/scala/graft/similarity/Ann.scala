@@ -189,8 +189,8 @@ object Ann {
 
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = withNorm(Tables.embeddings(s, d))
-      .select(col("vec_id"), col("v"), col("nrm")).persist()
+    val e = graft.CacheScope.scopedPersist(withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("nrm")))
     // deterministic seeds: min-vec_id vector per residue class
     val seedRows = e
       .withColumn("cls", pmod(col("vec_id"), lit(IvfCells.toLong)))

@@ -302,6 +302,28 @@ object PerfLab {
         Seq("merge_upsert", "join_shuffle", "dedup_jaccard_pairs").foreach { n =>
           timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
         }
+      case "jacrace" =>
+        // through the CacheScope listener path (the shape Bench uses):
+        // rep N's async unpersist-by-plan can kill rep N+1's identical
+        // cache entry — the bimodality suspect
+        timeN("jaccard-cachescope", 10)(
+          graft.SparkEntry.queries("dedup_jaccard_pairs")(spark, sfDir))
+      case "jacmode" =>
+        // bimodality hunt: per-rep time + the join strategies AQE actually
+        // chose in the final plan (slow mode hypothesis: broadcast<->SMJ flip)
+        (1 to 10).foreach { i =>
+          spark.catalog.clearCache(); System.gc()
+          val (out, scoped) = Dedup.jaccardCore(spark, sfDir)
+          val t0 = System.nanoTime()
+          out.write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val plan = out.queryExecution.executedPlan.toString
+          val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+          val smj = "SortMergeJoin".r.findAllIn(plan).length
+          val shj = "ShuffledHashJoin".r.findAllIn(plan).length
+          println(f"[perflab] jacmode run$i: $dt%.2f s bhj=$bhj smj=$smj shj=$shj")
+          scoped.foreach(_.unpersist(true))
+        }
       case "current" => time("jaccard-current")(Dedup.jaccardPairs(spark, sfDir))
       case "window"  => time("jaccard-window")(jaccardWindow(spark, sfDir))
       case "thresh" =>
