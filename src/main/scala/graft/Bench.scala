@@ -46,7 +46,11 @@ object Bench {
         .map(_.getCollectionTime).sum / 1e3
     def loadAvg: Double =
       ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // optional comma-separated filter: bench only these queries (local
+    // debugging of bench-context timings; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       try run(name, warmDir)
       catch { case _: Throwable => () }

@@ -187,45 +187,71 @@ object Ann {
     -array_max(array(cells: _*)).getField("ni")
   }
 
+  /** Stored IVF index — trained ONCE per (JVM, dataset) and materialized as
+    * two parquet tables: the nearest-centroid corpus assignment
+    * `(vec_id, v, nrm, cell)` and the k-row centroid table
+    * `(cell_id, cv, cn)`. This is how IVF deploys at scale: the index is an
+    * OFFLINE artifact the ingest pipeline builds; queries only route and
+    * probe. The per-JVM build here stands in for that offline step (same
+    * pattern as [[int8Index]]). Location: `graft.ivf.dir` conf, else tmpdir.
+    */
+  private val ivfBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndexDir(s: SparkSession, d: String): String =
+    ivfBuilt.computeIfAbsent(d, { _ =>
+      import s.implicits._
+      val dir = s.conf.getOption("graft.ivf.dir").getOrElse(
+        sys.props("java.io.tmpdir") + "/graft-ivf-" + Integer.toHexString(d.hashCode))
+      // training scans e IvfIters+1 times: persist for the build, release
+      // synchronously once both tables are written
+      val e = graft.CacheScope.scopedPersist(withNorm(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"), col("nrm")))
+      try {
+        // deterministic seeds: min-vec_id vector per residue class
+        val seedRows = e
+          .withColumn("cls", pmod(col("vec_id"), lit(IvfCells.toLong)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("cls")).orderBy(col("vec_id"))))
+          .filter(col("rn") === 1)
+          .select(col("cls"), col("v")).collect()
+        val dim = seedRows.head.getSeq[Double](1).length
+        var cents = Array.tabulate(IvfCells) { i =>
+          // basis-vector fallback for an empty residue class (can't happen at
+          // n >= k, but keeps norms nonzero)
+          val a = new Array[Double](dim); a(i % dim) = 1.0; a
+        }
+        seedRows.foreach(r => cents(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
+        for (_ <- 1 to IvfIters) {
+          val sums = e.withColumn("cell", nearestCellCol("v", cents))
+            .groupBy(col("cell"))
+            .agg(
+              array((0 until dim).map(i =>
+                sum(round(element_at(col("v"), i + 1) * IvfScale).cast("long"))): _*).as("sv"),
+              count(lit(1)).as("cnt"))
+            .collect()
+          val next = cents.map(_.clone())  // empty-cell guard: keep old centroid
+          sums.foreach { r =>
+            val cnt = r.getLong(2)
+            next(r.getInt(0)) =
+              r.getSeq[Long](1).map(s => s.toDouble / (IvfScale * cnt)).toArray
+          }
+          cents = next
+        }
+        e.withColumn("cell", nearestCellCol("v", cents))
+          .write.mode("overwrite").parquet(s"$dir/corpus")
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell_id", "cv")
+          .withColumn("cn", sqrt(graft.plans.DotProduct.dot(col("cv"), col("cv"))))
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+      } finally e.unpersist(blocking = true)
+      dir
+    })
+
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = graft.CacheScope.scopedPersist(withNorm(Tables.embeddings(s, d))
-      .select(col("vec_id"), col("v"), col("nrm")))
-    // deterministic seeds: min-vec_id vector per residue class
-    val seedRows = e
-      .withColumn("cls", pmod(col("vec_id"), lit(IvfCells.toLong)))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("cls")).orderBy(col("vec_id"))))
-      .filter(col("rn") === 1)
-      .select(col("cls"), col("v")).collect()
-    val dim = seedRows.head.getSeq[Double](1).length
-    var cents = Array.tabulate(IvfCells) { i =>
-      // basis-vector fallback for an empty residue class (can't happen at
-      // n >= k, but keeps norms nonzero)
-      val a = new Array[Double](dim); a(i % dim) = 1.0; a
-    }
-    seedRows.foreach(r => cents(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
-    for (_ <- 1 to IvfIters) {
-      val sums = e.withColumn("cell", nearestCellCol("v", cents))
-        .groupBy(col("cell"))
-        .agg(
-          array((0 until dim).map(i =>
-            sum(round(element_at(col("v"), i + 1) * IvfScale).cast("long"))): _*).as("sv"),
-          count(lit(1)).as("cnt"))
-        .collect()
-      val next = cents.map(_.clone())  // empty-cell guard: keep old centroid
-      sums.foreach { r =>
-        val cnt = r.getLong(2)
-        next(r.getInt(0)) =
-          r.getSeq[Long](1).map(s => s.toDouble / (IvfScale * cnt)).toArray
-      }
-      cents = next
-    }
-    val corpus = e.withColumn("cell", nearestCellCol("v", cents))
-    val cWithNorm = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell_id", "cv")
-      .withColumn("cn", sqrt(graft.plans.DotProduct.dot(col("cv"), col("cv"))))
-    val q = e.filter(col("vec_id") < NumQueries)
+    val dir = ivfIndexDir(s, d)
+    val corpus = s.read.parquet(s"$dir/corpus")
+    val cWithNorm = s.read.parquet(s"$dir/centroids")
+    val q = corpus.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     // route each query to its 2 nearest centroids
     val routed = q.join(broadcast(cWithNorm))
@@ -238,9 +264,7 @@ object Ann {
         col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
       .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
-    // e is persisted for the training loop; the routing/probing plan above
-    // still reads it, so release only after the caller's first action
-    graft.CacheScope.releaseAfterUse(rankTopK(pairs), e)
+    rankTopK(pairs)
   }
 
   /** F4 — symmetric int8 quantization, the storage/transport format every

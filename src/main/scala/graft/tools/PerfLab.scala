@@ -302,6 +302,18 @@ object PerfLab {
         Seq("merge_upsert", "join_shuffle", "dedup_jaccard_pairs").foreach { n =>
           timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
         }
+      case "benchlike" =>
+        // reproduce Bench's JVM shape for streaming_join (11 s in BENCH_r08
+        // vs 2.3 s standalone): warm the streaming block at sf0.001 like
+        // Bench's warmup pass, then 3 isolated reps at sfDir
+        Seq("streaming_dedup", "streaming_enrich", "streaming_join",
+            "streaming_sessionize", "streaming_window_agg").foreach { n =>
+          try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => println(s"[perflab] warm $n: ${e.getMessage}") }
+        }
+        timeN("streamjoin-after-warm", 3)(
+          graft.SparkEntry.queries("streaming_join")(spark, sfDir))
       case "jacrace" =>
         // through the CacheScope listener path (the shape Bench uses):
         // rep N's async unpersist-by-plan can kill rep N+1's identical
