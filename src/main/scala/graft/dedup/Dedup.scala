@@ -300,33 +300,43 @@ object Dedup {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  /** Edge-list parquet locations built this JVM, keyed by data dir — the E8
+    * pair graph is a PERSISTENT ARTIFACT (SURVEY §5): derive the PPJoin
+    * pipeline once per corpus, then every clustering run consumes the stored
+    * edges. Same build-once pattern as the E7 corpus index and the F3/F5
+    * stored ANN indexes.
+    */
+  private val pairsBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def clusterPairs(s: SparkSession, d: String): DataFrame = {
-    // E2's pair output is derived ONCE; the CC strategy is size-adaptive
-    // (the E5 broadcast→grid guard pattern): the pair set is persisted and
-    // counted, and below `graft.dedup.ccLocalMaxEdges` the edges are
-    // collected and union-found ON THE DRIVER — a near-dup pair graph that
-    // fits there gains nothing from 5 rounds of distributed join latency,
-    // and the returned frame (documents ⋈ broadcast local labels) is
-    // trivially replayable with no checkpoint blocks to manage. Above the
-    // threshold (the 100 TB shape) the distributed path below runs.
-    val (pairsUnsorted, scoped) = jaccardCore(s, d)
-    // The E2 pipeline is materialized EXACTLY ONCE, to a plain parquet edge
-    // list: a persist+count probe costs MORE than a full materialization
-    // (AQE is disabled inside cached subplans) and limit-collect's
-    // incremental job waves recompute the expensive verify stage when the
-    // limit never saturates. From the parquet, the edge count is a
-    // metadata-only footer read at any scale, and whichever CC path runs
-    // consumes the files without re-deriving the PPJoin pipeline.
-    val pairsLoc = warehousePath(s, "graft_pairs_" + dirSlug(d) + "_edges")
-    val fs = pairsLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    pairsUnsorted.select(col("doc_a"), col("doc_b"))
-      .write.mode("overwrite").parquet(pairsLoc.toString)
-    scoped.foreach(_.unpersist(false))
-    val pairsPq = s.read.parquet(pairsLoc.toString)
+    // E2's pair output is derived ONCE PER CORPUS; the CC strategy is
+    // size-adaptive (the E5 broadcast→grid guard pattern): the edge count is
+    // probed from the stored parquet, and below `graft.dedup.ccLocalMaxEdges`
+    // the edges are collected and union-found ON THE DRIVER — a near-dup
+    // pair graph that fits there gains nothing from 5 rounds of distributed
+    // join latency, and the returned frame (documents ⋈ broadcast local
+    // labels) is trivially replayable with no checkpoint blocks to manage.
+    // Above the threshold (the 100 TB shape) the distributed path below runs.
+    val pairsLocStr = pairsBuilt.computeIfAbsent(d, { _ =>
+      // The E2 pipeline is materialized EXACTLY ONCE, to a plain parquet
+      // edge list: a persist+count probe costs MORE than a full
+      // materialization (AQE is disabled inside cached subplans) and
+      // limit-collect's incremental job waves recompute the expensive verify
+      // stage when the limit never saturates. From the parquet, the edge
+      // count is a metadata-only footer read at any scale, and whichever CC
+      // path runs consumes the files without re-deriving the PPJoin pipeline.
+      val (pairsUnsorted, scoped) = jaccardCore(s, d)
+      val loc = warehousePath(s, "graft_pairs_" + dirSlug(d) + "_edges")
+      pairsUnsorted.select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(loc.toString)
+      scoped.foreach(_.unpersist(false))
+      loc.toString
+    })
+    val pairsPq = s.read.parquet(pairsLocStr)
     val nEdges = pairsPq.count() // parquet count-star: footers only
     if (nEdges <= ccLocalMaxEdges(s)) {
       val edges = pairsPq.collect().map(r => (r.getLong(0), r.getLong(1)))
-      fs.delete(pairsLoc, true) // consumed; keep the warehouse clean
       val labels = unionFindMinLabels(edges).toSeq
       import s.implicits._
       val labelsDf = labels.toDF("doc_id", "cluster_id")
@@ -352,7 +362,8 @@ object Dedup {
       .write.mode("overwrite").format("parquet")
       .bucketBy(nb, "src")
       .saveAsTable(tbl)
-    fs.delete(pairsLoc, true) // superseded by the bucketed table
+    // the plain edge parquet stays: it is the per-corpus artifact later
+    // calls (and the local CC path) consume without re-deriving PPJoin
     val edges = s.table(tbl)
     // min-label propagation over ONLY the vertices that touch an edge — an
     // isolated doc is its own cluster by construction, so the iteration
