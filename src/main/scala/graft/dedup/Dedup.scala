@@ -196,7 +196,7 @@ object Dedup {
         .select(col("sh"), col("doc_id"))
         .repartition(nb, col("sh"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(nb, "sh").saveAsTable(prefixTbl)
+        .bucketBy(nb, "sh").sortBy("sh").saveAsTable(prefixTbl)
       // FULL df table (capped shingles included): the batch side must
       // distinguish corpus-hot shingles (dropped, as the corpus side dropped
       // them) from corpus-unseen ones (ranked last but kept)
@@ -204,11 +204,11 @@ object Dedup {
         .agg(max(col("df")).as("df"))
         .repartition(nb, col("sh"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(nb, "sh").saveAsTable(dfTbl)
+        .bucketBy(nb, "sh").sortBy("sh").saveAsTable(dfTbl)
       old.select(col("doc_id"), col("shingles"), col("sz"))
         .repartition(nb, col("doc_id"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(nb, "doc_id").saveAsTable(arrTbl)
+        .bucketBy(nb, "doc_id").sortBy("doc_id").saveAsTable(arrTbl)
       old.unpersist(blocking = false)
     }
     (s.table(prefixTbl), s.table(dfTbl), s.table(arrTbl))
@@ -360,7 +360,7 @@ object Dedup {
       .toDF("src", "dst")
       .repartition(nb, col("src")) // one file per bucket
       .write.mode("overwrite").format("parquet")
-      .bucketBy(nb, "src")
+      .bucketBy(nb, "src").sortBy("src")
       .saveAsTable(tbl)
     // the plain edge parquet stays: it is the per-corpus artifact later
     // calls (and the local CC path) consume without re-deriving PPJoin
