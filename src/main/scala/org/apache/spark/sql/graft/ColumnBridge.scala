@@ -23,4 +23,12 @@ object ColumnBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** `AbstractDataType` / `TypeCollection` are private[sql]; expose them so
+    * expressions outside the sql package can declare `inputTypes` (the
+    * analysis-time type contract ExpectsInputTypes enforces).
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+  def typeCollection(ts: AbstractType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(ts: _*)
 }

@@ -73,6 +73,58 @@ class EdgeCaseSpec extends SparkSpec {
     assert(e.getMessage.contains("key types differ"))
   }
 
+  test("DotProductInt8 matches exact BigInt arithmetic at the byte extremes") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(50) { i =>
+      val n = 1 + rnd.nextInt(80)
+      val a = Array.fill(n)((rnd.nextInt(256) - 128).toByte)
+      val b = Array.fill(n)((rnd.nextInt(256) - 128).toByte)
+      (i, a, b)
+    } :+ ((50, Array(Byte.MinValue, Byte.MaxValue), Array(Byte.MinValue, Byte.MaxValue)))
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("dot", graft.plans.DotProductInt8.dot(col("a"), col("b")))
+    val got = df.select("id", "dot").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (i, a, b) =>
+      val want = a.zip(b).map { case (x, y) => BigInt(x.toInt) * BigInt(y.toInt) }.sum
+      assert(BigInt(got(i)) == want, s"row $i")
+    }
+  }
+
+  test("DotProductInt8 truncates to the shorter array and is null-intolerant") {
+    val df = Seq(
+      (1, Array[Byte](1, 2, 3), Array[Byte](4, 5)),       // min-length prefix
+      (2, Array.empty[Byte], Array[Byte](7))               // empty side
+    ).toDF("id", "a", "b")
+      .withColumn("dot", graft.plans.DotProductInt8.dot(col("a"), col("b")))
+    val got = df.select("id", "dot").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(1) == 1 * 4 + 2 * 5)
+    assert(got(2) == 0L)
+    val withNull = Seq((3, null.asInstanceOf[Array[Byte]], Array[Byte](1)))
+      .toDF("id", "a", "b")
+      .withColumn("dot", graft.plans.DotProductInt8.dot(col("a"), col("b")))
+    assert(withNull.select("dot").collect().head.isNullAt(0))
+  }
+
+  test("DotProductInt8 accepts binary and array<tinyint> layouts, mixed") {
+    // Array[Byte] encodes as BinaryType (packed), Seq[Byte] as
+    // array<tinyint> (columnar) — the kernel scores across layouts
+    val df = Seq((1, Array[Byte](2, 3), Seq[Byte](5, 7)))
+      .toDF("id", "bin", "arr")
+      .withColumn("bb", graft.plans.DotProductInt8.dot(col("bin"), col("bin")))
+      .withColumn("ba", graft.plans.DotProductInt8.dot(col("bin"), col("arr")))
+      .withColumn("ab", graft.plans.DotProductInt8.dot(col("arr"), col("bin")))
+      .withColumn("aa", graft.plans.DotProductInt8.dot(col("arr"), col("arr")))
+    val r = df.select("bb", "ba", "ab", "aa").collect().head
+    assert(r.getLong(0) == 13 && r.getLong(1) == 31 && r.getLong(2) == 31 && r.getLong(3) == 74)
+    // wrong element type fails at ANALYSIS, not with a runtime cast error
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1, Seq(1, 2))).toDF("id", "ints")
+        .withColumn("dot", graft.plans.DotProductInt8.dot(col("ints"), col("ints")))
+        .collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("type"))
+  }
+
   test("pipe groupByKey and combinePerKey on empty input") {
     import graft.pipeline._
     import graft.pipeline.Pipe._
