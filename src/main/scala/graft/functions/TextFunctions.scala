@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Occurrences of literal `sub` via the replace trick — engine-portable
-    * (no regex dialect drift, plain substring scan, no pattern compile):
-    * (len(x) - len(replace(x, sub))) / len(sub).
+  /** Non-overlapping occurrences of literal `sub` — a native single-pass
+    * indexOf walk (graft.plans.CountSubstring; zero string copies). The SQL
+    * twin keeps the engine-portable replace trick
+    * (len(x) - len(replace(x, sub, ''))) / len(sub), which removes the same
+    * left-to-right non-overlapping matches, so both sides count identically.
     */
   def occurrences(c: Column, sub: String): Column =
-    (length(c) - length(call_function("replace", c, lit(sub), lit("")))) / sub.length
+    graft.plans.CountSubstring.count(c, sub)
 
   def occurrencesSql(x: String, sub: String): String = {
     val q = sub.replace("'", "''")

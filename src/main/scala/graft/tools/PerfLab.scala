@@ -302,6 +302,16 @@ object PerfLab {
         Seq("merge_upsert", "join_shuffle", "dedup_jaccard_pairs").foreach { n =>
           timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
         }
+      case "clean" =>
+        // decompose corpus_clean: which text expression dominates?
+        import graft.functions.TextFunctions._
+        val docs = Tables.documents(spark, sfDir)
+        time("clean-scan-only")(docs.select(col("doc_id"), length(col("text")).as("n")))
+        time("clean-alpha-only")(docs.select(col("doc_id"), alphaRatio(col("text")).as("a")))
+        time("clean-space-only")(docs.select(col("doc_id"), spaceRatio(col("text")).as("s")))
+        time("clean-langid-only")(docs.select(col("doc_id"), langId(col("text")).as("l")))
+        time("clean-fp-only")(docs.select(col("doc_id"), fingerprint(col("text")).as("f")))
+        time("clean-full")(graft.SparkEntry.queries("corpus_clean")(spark, sfDir))
       case "benchlike" =>
         // reproduce Bench's JVM shape for streaming_join (11 s in BENCH_r08
         // vs 2.3 s standalone): warm the streaming block at sf0.001 like

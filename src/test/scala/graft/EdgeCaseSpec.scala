@@ -73,6 +73,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(e.getMessage.contains("key types differ"))
   }
 
+  test("CountSubstring equals the replace-trick count on Unicode and overlaps") {
+    val texts = Seq("the the the", " thethe ", "naïve café déjà vu café café",
+      "ααβααα", "日本語 の の テスト", "", "aaaa", "aaa", "ab",
+      "mixed αの café the aa end")
+    val pats = Seq("the", " ", "α", "café", "の", "aa", "zz")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+    pats.foreach { p =>
+      val got = df.select(col("id"),
+          graft.plans.CountSubstring.count(col("t"), p).as("c"),
+          ((length(col("t")) - length(call_function("replace", col("t"), lit(p), lit(""))))
+            / p.length).as("ref"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getInt(1).toDouble == r.getDouble(2),
+          s"pattern '$p' text '${texts(r.getInt(0))}': ${r.getInt(1)} vs ${r.getDouble(2)}")
+      }
+    }
+  }
+
   test("DotProductInt8 matches exact BigInt arithmetic at the byte extremes") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.tabulate(50) { i =>
