@@ -289,16 +289,24 @@ object Ann {
   }
 
   /** Stored int8 index for F5 — F4's quantization materialized ONCE per
-    * (JVM, dataset) as a parquet table `(vec_id, q array<tinyint>, qn2)` and
+    * (JVM, dataset) as a parquet table `(vec_id, q BINARY, qn2)` and
     * scanned from disk by every subsequent query. This is the point of
-    * quantizing at all: the query-time scan moves 8× fewer vector bytes than
-    * the double arrays (array<tinyint> vs array<double>), and the squared
-    * norm is precomputed at build time instead of per candidate pair. At
-    * 100 TB this table IS the serving artifact — built by the ingest
-    * pipeline, scanned by queries; the per-JVM build here stands in for
-    * that offline step. Location: `graft.int8.dir` conf, else tmpdir.
+    * quantizing at all: the query-time scan moves 8× fewer vector bytes
+    * than the double arrays, and the squared norm is precomputed at build
+    * time instead of per candidate pair. `q` is the PACKED form — one
+    * parquet byte_array per vector instead of a repeated tinyint list
+    * (no per-element repetition levels, and it deserializes as a plain
+    * `byte[]` memcpy for the scoring kernel; [[graft.plans.DotProductInt8]]
+    * accepts it natively). At 100 TB this table IS the serving artifact —
+    * built by the ingest pipeline, scanned by queries; the per-JVM build
+    * here stands in for that offline step. Location: `graft.int8.dir`
+    * conf, else tmpdir.
     */
   private val int8Built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // build-time-only UDF (one pass per dataset, not in the query hot path):
+  // array<tinyint> → packed binary
+  private val packBytes = udf((xs: Seq[Byte]) => xs.toArray)
 
   private def int8Index(s: SparkSession, d: String): DataFrame = {
     val path = int8Built.computeIfAbsent(d, { _ =>
@@ -310,10 +318,10 @@ object Ann {
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
         .select(col("vec_id"),
-          when(col("scale") > 0,
+          packBytes(when(col("scale") > 0,
             transform(col("v"), x =>
               round(lit(127.0) * x / col("scale")).cast("byte")))
-            .otherwise(transform(col("v"), _ => lit(0).cast("byte"))).as("q"))
+            .otherwise(transform(col("v"), _ => lit(0).cast("byte")))).as("q"))
         .withColumn("qn2", graft.plans.DotProductInt8.dot(col("q"), col("q")))
       q.write.mode("overwrite").parquet(dir)
       dir
@@ -336,7 +344,7 @@ object Ann {
     * scoring and ranks identically; DedupSpec pins recall@10 ≥ 0.9 against
     * exact F1 (quantization noise reorders only near-ties).
     */
-  def quantizedTopK(s: SparkSession, d: String): DataFrame = {
+  def quantizedTopKDeclarative(s: SparkSession, d: String): DataFrame = {
     val e = int8Index(s, d)
     val qs = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("qn2").as("qq2"))
@@ -346,6 +354,57 @@ object Ann {
         (sqrt(col("qn2").cast("double")) * sqrt(col("qq2").cast("double"))), 6))
       .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
     rankTopK(pairs)
+  }
+
+  /** F5, packed-vector path (bound to the query key, like F1's
+    * [[bruteTopK]]): broadcast the ≤[[NumQueries]] int8 query codes as
+    * primitive arrays and stream each partition of the STORED int8 table
+    * through bounded per-query heaps — the integer MACs run over byte
+    * arrays with none of the per-pair join/row machinery or the
+    * queries×corpus rank window the declarative form pays. The dot is a
+    * Long sum of byte products (exact in any order); rcos then rounds
+    * exactly like the declarative form (HALF_UP, 6 dp over identical
+    * double arithmetic), so results are bit-identical — pinned by spec
+    * against [[quantizedTopKDeclarative]] and by the shared SQL oracle.
+    */
+  def quantizedTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = int8Index(s, d)
+      .select(col("vec_id"), col("q"), col("qn2"))
+      .as[(Long, Array[Byte], Long)]
+    val queries = e.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(queries)
+    val k = TopK
+    val partials = e.mapPartitions { it =>
+      val qs = bc.value
+      val ord = Ordering.by[(Double, Long), (Double, Long)] {
+        case (rcos, nid) => (-rcos, nid)
+      }
+      val heaps = Array.fill(qs.length)(
+        new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+      it.foreach { case (nid, v, n2) =>
+        val nrm = math.sqrt(n2.toDouble)
+        var i = 0
+        while (i < qs.length) {
+          val (qid, qv, qn2) = qs(i)
+          if (nid != qid) {
+            var acc = 0L
+            var j = 0
+            while (j < qv.length) { acc += qv(j).toLong * v(j).toLong; j += 1 }
+            val rcos = BigDecimal(acc.toDouble / (math.sqrt(qn2.toDouble) * nrm))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val cand = (rcos, nid)
+            if (heaps(i).size < k) heaps(i).enqueue(cand)
+            else if (ord.lt(cand, heaps(i).head)) { heaps(i).dequeue(); heaps(i).enqueue(cand) }
+          }
+          i += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (rcos, nid) => (qs(i)._1, nid, rcos) }
+      }
+    }.toDF("qid", "nid", "rcos")
+    rankTopK(partials)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -294,6 +294,17 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("packed int8 topk is bit-identical to the declarative int8 join form") {
+    // same guarantee as F1's packed/declarative pair: the mapPartitions
+    // heap path must reproduce the join+window form exactly — same integer
+    // dot, same HALF_UP 6dp rounding, same (rcos desc, nid asc) ranking.
+    val packed = Ann.quantizedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    val decl = Ann.quantizedTopKDeclarative(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(packed.sameElements(decl))
+  }
+
   test("ivf ann recall@10 beats the scanned fraction by >=2x at nprobe=2") {
     // same honest claim as the LSH spec: centroid routing must find
     // substantially more true neighbors than scanning a random nprobe/cells
