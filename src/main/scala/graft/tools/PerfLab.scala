@@ -296,6 +296,27 @@ object PerfLab {
         // build; steady state is the int8 scan.
         timeN("f1-brute", 5)(graft.SparkEntry.queries("ann_brute_topk")(spark, sfDir))
         timeN("f5-quantized", 5)(graft.SparkEntry.queries("ann_quantized_topk")(spark, sfDir))
+      case "dsum" =>
+        // is the DECIMAL(18,4) exact-sum path the cost in the lineitem agg
+        // family (q1/rollup/cube/grouping_sets)? Compare q1's agg with
+        // plain double sums, decimal dsum, and a scan-only control.
+        import graft.operators.Exact
+        val li = Tables.lineitem(spark, sfDir)
+          .filter(col("l_shipdate") < expr("timestamp'1999-06-01 00:00:00'"))
+        def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        time("q1-scan-only")(li.select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")))
+        time("q1-double-sum")(li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")), sum(col("l_extendedprice")), sum(rev),
+            avg(col("l_quantity")), avg(col("l_discount")), count(lit(1))))
+        time("q1-decimal-sum")(li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(Exact.decSum(col("l_quantity")), Exact.decSum(col("l_extendedprice")),
+            Exact.decSum(rev), count(lit(1))))
+        time("q1-int128-dsum")(li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(Exact.dsum(col("l_quantity")), Exact.dsum(col("l_extendedprice")),
+            Exact.dsum(rev), Exact.davg(col("l_quantity")),
+            Exact.davg(col("l_discount")), count(lit(1))))
+        time("q1-full")(graft.SparkEntry.queries("q1_pricing")(spark, sfDir))
       case "pin" =>
         // 5-rep spreads for the r7 bench outliers (merge_upsert 3.4x,
         // join_shuffle 1.6x — no code changed) and the jaccard bimodality
