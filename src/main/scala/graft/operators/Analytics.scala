@@ -355,18 +355,18 @@ object Analytics {
       .withColumn("day",
         datediff(col("o_orderdate"), lit(RollEpoch).cast("date")).cast("long"))
       .withColumn("roll_n", count(lit(1)).over(w))
-      .withColumn("roll_sum",
-        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .withColumn("roll_sum", graft.operators.Exact.dsumOver(col("o_totalprice"), w))
       .select(col("o_orderkey"), col("o_custkey"), col("roll_n"), col("roll_sum"))
   }
 
   /** B44 — z-score outlier detection: per-group mean/variance from
-    * decimal-exact sums (sum x in DECIMAL(18,4), sum x² in DECIMAL(38,4) —
-    * the square of a 6-digit price needs the wide type), variance and
-    * z-scores then computed in IEEE doubles with the IDENTICAL expression
-    * shape on both engines, so every op is exactly rounded and the |z|>2
-    * cut cannot flip on a boundary row. The group stats (5 rows) broadcast
-    * back over the scan — two passes over orders, no extra shuffle.
+    * int128-exact sums (Σx and Σx² both in 1e-4 units; a 6-digit price
+    * squared is ~1e14 units per row, far inside the 128-bit range),
+    * variance and z-scores then computed in IEEE doubles with the IDENTICAL
+    * expression shape on both engines, so every op is exactly rounded and
+    * the |z| cut cannot flip on a boundary row. The group stats (5 rows)
+    * broadcast back over the scan — two passes over orders, no extra
+    * shuffle.
     *
     * Threshold 1.5, not the textbook 2: o_totalprice is a near-uniform sum
     * (kurtosis ≈ -1.2), so |z| tops out around 1.7 — a 2σ cut would select
@@ -377,9 +377,7 @@ object Analytics {
   def statsOutliers(s: SparkSession, d: String): DataFrame = {
     val x = col("o_totalprice")
     val stats = Tables.orders(s, d).groupBy(col("o_orderpriority"))
-      .agg(sum(x.cast(DecimalType(18, 4))).cast("double").as("sx"),
-        sum((x * x).cast(DecimalType(38, 4))).cast("double").as("sxx"),
-        count(lit(1)).as("n"))
+      .agg(dsum(x).as("sx"), dsum(x * x).as("sxx"), count(lit(1)).as("n"))
       .select(col("o_orderpriority"),
         (col("sx") / col("n")).as("mean"),
         (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
@@ -647,7 +645,7 @@ object Analytics {
     "window_range_rolling" -> s"""
       SELECT o_orderkey, o_custkey,
         COUNT(*) OVER w AS roll_n,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum
+        ${Exact.sqlDsumOver("o_totalprice", "OVER w")} AS roll_sum
       FROM (SELECT *, DATEDIFF('day', TIMESTAMP '$RollEpoch 00:00:00',
               o_orderdate) AS day FROM orders)
       WINDOW w AS (PARTITION BY o_custkey ORDER BY day
@@ -655,8 +653,8 @@ object Analytics {
       ORDER BY o_orderkey""",
     "stats_outliers" -> s"""
       WITH st AS (SELECT o_orderpriority,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-          CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+          ${sqlDsum("o_totalprice")} AS sx,
+          ${sqlDsum("o_totalprice * o_totalprice")} AS sxx,
           COUNT(*) AS n FROM orders GROUP BY 1),
       m AS (SELECT o_orderpriority, sx / n AS mean,
           sxx / n - (sx / n) * (sx / n) AS varp FROM st)

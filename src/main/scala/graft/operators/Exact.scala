@@ -41,9 +41,21 @@ object Exact {
   def sqlDavg(x: String): String =
     s"ROUND(${sqlUnits(x)} / 10000.0 / COUNT(*), 6)"
 
-  /** Decimal-exact forms, kept for window frames (SumInt128 is an aggregate
-    * for grouped paths; windowed exact sums still route through decimal) and
-    * for weighted/conditional sums whose twins predate the unit form.
+  /** Exact sum over a window frame — the same unit/int128 stack evaluated
+    * per frame by WindowExec's aggregate processor (running frames update
+    * incrementally; sliding frames recompute, as with any Spark aggregate).
+    */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    graft.plans.ExactSum.sumUnits(c).over(w) / lit(Scale)
+
+  /** DuckDB twin of [[dsumOver]]; `over` is the OVER clause ("OVER w",
+    * "OVER (PARTITION BY ...)").
+    */
+  def sqlDsumOver(x: String, over: String): String =
+    s"(CAST(SUM(${graft.plans.ScaledLong.sql(x, "10000.0")}) $over AS DOUBLE) / 10000.0)"
+
+  /** Decimal-exact form, kept for weighted/conditional sums whose twins
+    * predate the unit form (PerfLab also uses it as the measured baseline).
     */
   def decSum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
   def sqlDecSum(x: String): String =

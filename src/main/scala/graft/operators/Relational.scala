@@ -113,14 +113,16 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("rn"))
   }
 
-  /** B10 — running aggregate per key (decimal-exact cumulative sum). */
+  /** B10 — running aggregate per key (int128-exact cumulative sum; the
+    * running frame updates the two-long accumulator incrementally, no
+    * BigDecimal per row-in-frame).
+    */
   def windowRunning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
-      .withColumn("running_value",
-        sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .withColumn("running_value", dsumOver(col("value"), w))
       .select(col("event_id"), col("user_id"), col("running_value"))
   }
 
@@ -304,17 +306,16 @@ object Relational {
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("high_line_count"),
         sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_line_count"))
 
-  /** B20 — Q14-style conditional-revenue ratio: two decimal-exact sums, one
+  /** B20 — Q14-style conditional-revenue ratio: two int128-exact sums, one
     * final division.
     */
   def q14Promo(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .agg(
-        (lit(100.0) * sum(when(col("p_type").startsWith("PROMO"),
-            revenue.cast(DecimalType(18, 4))).otherwise(lit(0).cast(DecimalType(18, 4))))
-            .cast("double")
-          / sum(revenue.cast(DecimalType(18, 4))).cast("double")).as("promo_ratio"))
+        (lit(100.0) * dsum(when(col("p_type").startsWith("PROMO"), revenue)
+            .otherwise(lit(0.0)))
+          / dsum(revenue)).as("promo_ratio"))
       .select(round(col("promo_ratio"), 6).as("promo_ratio"))
 
   /** B21 — Q10-style returned-item ranking: join + agg + top 20 customers. */
@@ -629,11 +630,11 @@ object Relational {
           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) t
       WHERE rn <= 3 ORDER BY o_custkey, rn""",
-    "window_running" -> """
+    "window_running" -> s"""
       SELECT event_id, user_id,
-        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        ${Exact.sqlDsumOver("value", """OVER (
           PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")} AS running_value
       FROM events ORDER BY event_id""",
     "distinct_op" -> """
       SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
@@ -693,12 +694,10 @@ object Relational {
         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q14_promo" -> """
+    "q14_promo" -> s"""
       SELECT ROUND(
-        100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_ratio
+        100.0 * ${Exact.sqlDsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+        / ${Exact.sqlDsum("l_extendedprice * (1 - l_discount)")}, 6) AS promo_ratio
       FROM lineitem JOIN part ON l_partkey = p_partkey""",
     "q10_returns" -> s"""
       SELECT c_custkey, c_name, ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
