@@ -262,8 +262,24 @@ object BeamParity {
       .csv(dir.toString)
   }
 
+  /** A23 — ORC round-trip: the second columnar format a lakehouse ingests
+    * (Spark's native ORC datasource — vectorized reader, predicate pushdown,
+    * column pruning, same as parquet). Explicit schema-on-read like A21/A22;
+    * the oracle hash-verifies losslessness of the full documents table
+    * through the format, including multi-line UTF-8 text.
+    */
+  def sourceOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir(s, d, "orc_rt")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.orc(dir.toString)
+    s.read.schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+      .orc(dir.toString)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_text_roundtrip" -> sinkTextRoundtrip _,
+    "source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "source_schema_evolution" -> sourceSchemaEvolution _,
     "sink_partitioned_prune" -> sinkPartitionedPrune _,
     "source_jsonl_roundtrip" -> sourceJsonlRoundtrip _,
@@ -295,6 +311,8 @@ object BeamParity {
       SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""",
     "source_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id",
+    "source_orc_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id",
     "source_csv_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id",
