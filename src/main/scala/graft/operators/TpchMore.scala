@@ -1,0 +1,328 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Exact._
+
+/** TPC-H pattern completion (SURVEY §2 B46+): the remaining nine of the 22
+  * TPC-H query shapes, adapted where this schema lacks `partsupp` or the
+  * commit/receipt dates (each adaptation keeps the query's distinctive plan
+  * pattern — correlated min subquery, double-EXISTS, share-of-total — on the
+  * columns that exist). Same contract as [[Relational]]/[[Analytics]]:
+  * declarative plans, unsorted outputs, int128-exact money sums.
+  */
+object TpchMore {
+
+  private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** B46 — Q6-style forecast revenue: the canonical pure scan-filter-agg.
+    * Zero joins, zero shuffles beyond the final 1-row reduce; every predicate
+    * (ship year, discount band, quantity cap) pushes to the parquet scan, so
+    * at 100 TB the query reads only row groups whose min/max stats overlap
+    * the band. The plan to check is PushedFilters on all three columns.
+    */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** B47 — Q4-style priority check (EXISTS): orders in one quarter that had
+    * at least one slow-to-ship line (>60 days after order; the schema has no
+    * commit/receipt dates, so lateness is ship-vs-order). The EXISTS is a
+    * LEFT SEMI join on o_orderkey with the lateness test in the join
+    * condition — the probe side is date-pruned at the scan, and the count per
+    * priority is a 5-row aggregate.
+    */
+  def q4PriorityExists(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("timestamp'1996-04-01 00:00:00'"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** B48 — Q8-style national market share: one nation's share of a region's
+    * import volume for one part type, per order year. The nation dim joins
+    * twice in different roles (customer region membership / supplier
+    * nationality); the share is a ratio of two int128-exact conditional sums
+    * computed in the SAME aggregate pass — one scan, one group-by-year
+    * shuffle, never two queries joined.
+    */
+  val Q8Nation = "NATION_2"
+
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate").between(
+            expr("timestamp'1996-01-01 00:00:00'"),
+            expr("timestamp'1997-12-31 00:00:00'"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(asia), col("c_rk") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        dsum(when(col("supp_nation") === Q8Nation, revenue).otherwise(lit(0.0)))
+          / dsum(revenue), 6).as("mkt_share"))
+  }
+
+  /** B49 — Q9-style product-line profit: per supplier nation and order year,
+    * profit on parts matching a name pattern. The schema has no
+    * ps_supplycost, so cost is the 0.6·p_retailprice·l_quantity proxy — the
+    * plan shape (LIKE-filtered part dim broadcast into the fact, then a
+    * (nation, year) rollup) is the Q9 pattern. The amount expression runs in
+    * IEEE doubles identically on both engines before the one exact rounding.
+    */
+  def q9Profit(s: SparkSession, d: String): DataFrame = {
+    val amount = revenue - lit(0.6) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("gear"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(amount).as("sum_profit"))
+  }
+
+  /** B50 — Q15-style top supplier: quarterly revenue per supplier, return
+    * the supplier(s) achieving the maximum. The revenue view aggregates
+    * BEFORE anything joins (one shuffle on l_suppkey); the max is a 1-row
+    * aggregate over the per-supplier rows broadcast back as a filter — the
+    * view-plus-scalar-subquery pattern without materializing a view. Revenue
+    * equality is safe because both engines compute the identical int128-exact
+    * sum.
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("timestamp'1996-04-01 00:00:00'"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(revenue).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** B51 — Q16-style supplier diversity count: distinct suppliers per part
+    * (brand, type, size) bucket, excluding a supplier blacklist (negative
+    * account balance, standing in for Q16's complaints filter). The
+    * blacklist is a broadcast ANTI join; COUNT(DISTINCT) shuffles (bucket,
+    * suppkey) pairs — bounded by parts × suppliers, not lineitems.
+    */
+  val Q16Sizes: Seq[Int] = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(Q16Sizes: _*))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** B52 — Q2-style min-cost supplier: for each small part, the supplier
+    * with the lowest observed average unit price (no partsupp table, so the
+    * price book is derived from lineitem history). The correlated min
+    * subquery becomes a per-part min joined back on (part, cost) equality —
+    * both sides shuffle on l_partkey, ties broken by MIN(suppkey). The 6dp
+    * rounding makes the equality join deterministic on both engines.
+    */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val pc = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(davg(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val m = pc.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    pc.join(m, col("l_partkey") === col("m_partkey") &&
+        col("unit_cost") === col("min_cost"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 5)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("min_cost"))
+      .agg(min(col("l_suppkey")).as("best_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("best_suppkey"), col("min_cost"))
+  }
+
+  /** B53 — Q20-style dominant supplier: suppliers shipping more than twice
+    * the average supplier's share of a part's total volume (among parts with
+    * ≥3 suppliers) — the share-of-total shape Q20 runs against availqty,
+    * derived from shipment history. Two stacked aggregates on l_partkey
+    * reuse one hash partitioning; quantities are integer-valued so every sum
+    * and the 2× threshold compare are exact in doubles.
+    */
+  def q20DominantSupplier(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("q"))
+    val pt = ps.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("q")).as("tot"), count(lit(1)).as("ns"))
+    ps.join(pt, col("l_partkey") === col("t_partkey"))
+      .filter(col("ns") >= 3 && col("q") * col("ns") > lit(2.0) * col("tot"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_parts_dominant"))
+  }
+
+  /** B54 — Q21-style waiting-blame (double EXISTS): in finished
+    * multi-supplier orders, the supplier whose line shipped late (>30 days
+    * after order) while every OTHER supplier's lines were on time — Q21's
+    * "who held up the order" with ship-vs-order lateness standing in for the
+    * missing commit/receipt dates. EXISTS is a LEFT SEMI against all lines,
+    * NOT EXISTS a LEFT ANTI against the late set, both keyed on l_orderkey
+    * with the supplier-inequality in the join condition, so the whole query
+    * reuses one hash partitioning on orderkey before the per-supplier count.
+    */
+  def q21LateSupplier(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    late
+      .join(others, col("l_orderkey") === col("o2_orderkey") &&
+        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
+        col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> q6Forecast _,
+    "q4_priority" -> q4PriorityExists _,
+    "q8_market_share" -> q8MarketShare _,
+    "q9_profit" -> q9Profit _,
+    "q15_top_supplier" -> q15TopSupplier _,
+    "q16_supplier_cnt" -> q16SupplierCnt _,
+    "q2_min_cost_supplier" -> q2MinCostSupplier _,
+    "q20_dominant_supplier" -> q20DominantSupplier _,
+    "q21_late_supplier" -> q21LateSupplier _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q6_forecast" -> s"""
+      SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q4_priority" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1 ORDER BY 1""",
+    "q8_market_share" -> s"""
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        ROUND(
+          ${sqlDsum(s"CASE WHEN n2.n_name = '$Q8Nation' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+          / ${sqlDsum("l_extendedprice * (1 - l_discount)")}, 6) AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+          AND TIMESTAMP '1997-12-31 00:00:00'
+      GROUP BY 1 ORDER BY 1""",
+    "q9_profit" -> s"""
+      SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        ${sqlDsum("l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity")} AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q15_top_supplier" -> s"""
+      WITH rev AS (
+        SELECT l_suppkey, ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      ORDER BY s_suppkey""",
+    "q16_supplier_cnt" -> s"""
+      SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        AND p_size IN (${Q16Sizes.mkString(", ")})
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q2_min_cost_supplier" -> s"""
+      WITH pc AS (
+        SELECT l_partkey, l_suppkey,
+          ${sqlDavg("l_extendedprice / l_quantity")} AS unit_cost
+        FROM lineitem GROUP BY 1, 2),
+      m AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM pc GROUP BY 1)
+      SELECT p_partkey, p_name, MIN(l_suppkey) AS best_suppkey, min_cost
+      FROM pc
+      JOIN m ON pc.l_partkey = m.l_partkey AND pc.unit_cost = m.min_cost
+      JOIN part ON p_partkey = pc.l_partkey
+      WHERE p_size <= 5
+      GROUP BY 1, 2, 4 ORDER BY 1""",
+    "q20_dominant_supplier" -> s"""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey, ${sqlDsum("l_quantity")} AS q
+        FROM lineitem GROUP BY 1, 2),
+      pt AS (SELECT l_partkey, SUM(q) AS tot, COUNT(*) AS ns FROM ps GROUP BY 1)
+      SELECT s_suppkey, s_name, COUNT(*) AS n_parts_dominant
+      FROM ps JOIN pt USING (l_partkey)
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE ns >= 3 AND q * ns > 2.0 * tot
+      GROUP BY 1, 2 ORDER BY 1""",
+    "q21_late_supplier" -> """
+      WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      SELECT s_name, COUNT(*) AS numwait
+      FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey)
+      GROUP BY 1 ORDER BY 1"""
+  )
+}

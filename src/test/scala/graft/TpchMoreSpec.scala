@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Tables, TpchMore}
+
+class TpchMoreSpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6_forecast pushes all three predicates to the lineitem scan") {
+    val df = TpchMore.q6Forecast(spark, sf)
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters"))
+    // shipdate, discount and quantity must all reach the scan
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(plan.replaceAll("\\s+", " ").matches(s".*PushedFilters: \\[[^\\]]*$c.*"),
+        s"$c not pushed:\n$plan")
+    val rev = df.head.getAs[Double]("revenue")
+    assert(rev > 0)
+  }
+
+  test("q4_priority counts each qualifying order once per priority") {
+    val rows = TpchMore.q4PriorityExists(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("order_count")).sum
+    // semi-join semantics: never more than the orders in the quarter
+    val quarter = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("timestamp'1996-04-01 00:00:00'")).count()
+    assert(total <= quarter, s"$total > $quarter — EXISTS multiplied rows")
+  }
+
+  test("q8_market_share is a valid share in [0, 1] per year") {
+    val rows = TpchMore.q8MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0, r.toString)
+    }
+  }
+
+  test("q15_top_supplier returns the max-revenue supplier(s) only") {
+    val rows = TpchMore.q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).toSet
+    assert(revs.size == 1, s"mixed revenues in result: $revs")
+  }
+
+  test("q16_supplier_cnt never counts blacklisted suppliers") {
+    val bad = Tables.supplier(spark, sf).filter(col("s_acctbal") < 0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    // recompute without the blacklist: totals differ exactly when the data
+    // has blacklisted suppliers (sf0.001's 10 suppliers may have none)
+    val withBad = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)
+          .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(TpchMore.Q16Sizes: _*))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    val strict = TpchMore.q16SupplierCnt(spark, sf)
+      .agg(sum(col("supplier_cnt"))).head.getLong(0)
+    val loose = withBad.agg(sum(col("supplier_cnt"))).head.getLong(0)
+    if (bad.nonEmpty) assert(strict < loose, "blacklist anti-join did not bind")
+    else assert(strict == loose, "no blacklisted suppliers, yet counts differ")
+  }
+
+  test("q2_min_cost_supplier picks a supplier achieving its part's min cost") {
+    val res = TpchMore.q2MinCostSupplier(spark, sf)
+    val pc = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(graft.operators.Exact.davg(col("l_extendedprice") / col("l_quantity"))
+        .as("unit_cost"))
+    // joining the result back on (part, best supplier) must land on min_cost
+    val joined = res.join(pc,
+      res("p_partkey") === pc("l_partkey") && res("best_suppkey") === pc("l_suppkey"))
+    assert(joined.count() == res.count())
+    joined.collect().foreach { r =>
+      assert(r.getAs[Double]("unit_cost") == r.getAs[Double]("min_cost"), r.toString)
+    }
+  }
+
+  test("q20_dominant_supplier rows genuinely exceed 2x the average share") {
+    val rows = TpchMore.q20DominantSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // spot check: recompute a dominated part-supplier share for one supplier
+    val ps = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(graft.operators.Exact.dsum(col("l_quantity")).as("q"))
+    val pt = ps.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("q")).as("tot"), count(lit(1)).as("ns"))
+    val n = ps.join(pt, col("l_partkey") === col("t_partkey"))
+      .filter(col("ns") >= 3 && col("q") * col("ns") > lit(2.0) * col("tot"))
+      .count()
+    assert(n == rows.map(_.getAs[Long]("n_parts_dominant")).sum)
+  }
+
+  test("q21_late_supplier uses semi+anti joins, not a nested loop") {
+    val df = TpchMore.q21LateSupplier(spark, sf)
+    val plan = formatted(df)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"theta join planned as nested loop:\n$plan")
+    assert(df.count() > 0)
+  }
+}
