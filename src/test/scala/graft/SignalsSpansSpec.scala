@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusSpans, Signals, Tables}
+
+class SignalsSpansSpec extends SparkSpec {
+
+  test("span_dedup keeps exactly one occurrence of every distinct span") {
+    val docs = Tables.documents(spark, sf)
+    val spans = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(
+        s"transform(sequence(0, (size(ws) - 1) DIV ${CorpusSpans.SpanWords}, 1), " +
+          s"k -> concat_ws(' ', slice(ws, k * ${CorpusSpans.SpanWords} + 1, ${CorpusSpans.SpanWords})))"))
+        .as("span"))
+    val distinctSpans = spans.distinct().count()
+    val kept = CorpusSpans.spanDedup(spark, sf)
+      .agg(sum(col("n_spans_kept"))).head.getLong(0)
+    assert(kept == distinctSpans, s"$kept kept vs $distinctSpans distinct")
+    // the op must actually bind on this corpus (repeated spans exist)
+    assert(kept < spans.count(), "no duplicate spans — vacuous test data")
+  }
+
+  test("span_dedup reassembles untouched documents verbatim") {
+    val res = CorpusSpans.spanDedup(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val nWords = CorpusSpans.SpanWords
+    // documents whose span count survived intact must round-trip their text
+    val joined = res.join(docs, "doc_id")
+      .withColumn("n_spans_orig",
+        (size(split(col("text"), " ")) - 1) / nWords + 1)
+      .filter(col("n_spans_kept") === col("n_spans_orig"))
+    assert(joined.count() > 0)
+    joined.collect().foreach { r =>
+      assert(r.getAs[String]("text_dedup") == r.getAs[String]("text"),
+        s"doc ${r.getAs[Long]("doc_id")} mutated without span loss")
+    }
+  }
+
+  test("ngram_counts top-1 bigram matches a direct recount") {
+    val rows = CorpusSpans.ngramCounts(spark, sf).collect()
+    assert(rows.length == CorpusSpans.TopNgrams)
+    val counts = rows.map(_.getAs[Long]("n"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val top = rows.head
+    val recount = Tables.documents(spark, sf)
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))")).as("b"))
+      .filter(col("b") === top.getAs[String]("bigram")).count()
+    assert(recount == top.getAs[Long]("n"))
+  }
+
+  test("gap_fill_locf carries the last observed value across filled hours") {
+    val res = Signals.eventsGapFillLocf(spark, sf).collect()
+    val filled = res.filter(_.getAs[Boolean]("filled"))
+    assert(filled.nonEmpty, "no gaps in test data — LOCF vacuous")
+    filled.foreach(r => assert(r.getAs[Long]("n") == 0L))
+    // for each filled hour, ff value equals the latest earlier observed hour
+    val byType = res.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[java.sql.Timestamp]("hour_start").getTime)
+      var lastObserved = 0.0
+      sorted.foreach { r =>
+        if (!r.getAs[Boolean]("filled")) lastObserved = r.getAs[Double]("sum_value_ff")
+        else assert(r.getAs[Double]("sum_value_ff") == lastObserved, r.toString)
+      }
+    }
+  }
+
+  test("rate_alert flags exactly the hours above mean + 2 sigma") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byType = hourly.collect().groupBy(_.getAs[String]("event_type"))
+    // byType.toSeq: flatMap on a Map with tuple results would rebuild a Map
+    // and silently collapse to one flagged hour per type
+    val expected = byType.toSeq.flatMap { case (et, rows) =>
+      val ns = rows.map(_.getAs[Long]("n").toDouble)
+      val mean = ns.sum / ns.length
+      val varp = ns.map(x => x * x).sum / ns.length - mean * mean
+      rows.filter(r =>
+        (r.getAs[Long]("n") - mean) / math.sqrt(varp) > Signals.AlertZ)
+        .map(r => (et, r.getAs[java.sql.Timestamp]("hour_start"))).toSeq
+    }.toSet
+    val actual = Signals.eventsRateAlert(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("hour_start")))
+      .toSet
+    assert(actual == expected)
+    assert(actual.nonEmpty, "no rate spikes in test data — alert vacuous")
+  }
+}
