@@ -107,13 +107,76 @@ object Signals {
     WHERE (n - mean) / SQRT(varp) > $AlertZ
     ORDER BY 1, 2"""
 
+  /** B55 — count-min frequency sketch: per-user event counts estimated from
+    * a 4×1024 counter grid (32 KB of mergeable state at ANY corpus size —
+    * the sketch you keep when exact per-key counts would be another 100 TB
+    * table). Each row r hashes the key with splitmix64(key XOR seed_r); the
+    * counters are plain additive partial aggregates (order-independent, so
+    * the sketch is DETERMINISTIC and the DuckDB oracle replays it bit-exactly
+    * in HUGEINT — same replay discipline as the B16b HLL). The probe set
+    * (user_id ≡ 0 mod 7) joins the tiny counter table broadcast; the
+    * estimate is the standard min-over-rows upper bound.
+    */
+  val CmsRows = 4
+  val CmsCols = 1024
+
+  private def cmsBucket(r: Int, key: org.apache.spark.sql.Column) =
+    pmod(graft.plans.MixHash.splitmix64Col(
+      key.bitwiseXOR(lit(graft.plans.MixHash.slotB(r)))), lit(CmsCols.toLong))
+
+  def freqSketchCms(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val counters = ev
+      .select(posexplode(array((0 until CmsRows).map(r =>
+        struct(lit(r).as("r"), cmsBucket(r, col("user_id")).as("bucket"))): _*))
+        .as(Seq("i", "rb")))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = ev.filter(pmod(col("user_id"), lit(7L)) === 0).distinct()
+    val probeBuckets = probes
+      .select(col("user_id"), posexplode(array((0 until CmsRows).map(r =>
+        struct(lit(r).as("r"), cmsBucket(r, col("user_id")).as("bucket"))): _*))
+        .as(Seq("i", "rb")))
+      .select(col("user_id"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    probeBuckets.join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("user_id"))
+      .agg(min(col("c")).as("n_est"))
+  }
+
+  val freqSketchCmsSql: String = {
+    import graft.plans.MixHash._
+    val seeds = (0 until CmsRows)
+      .map(r => s"($r, ${java.lang.Long.toUnsignedString(slotB(r))}::HUGEINT)")
+      .mkString(", ")
+    def chain(src: String, keep: String, out: String): String = s"""
+      ${out}0 AS (SELECT $keep, xor(CAST(user_id AS HUGEINT), sd) AS z FROM $src, seeds),
+      ${out}1 AS (SELECT $keep, ${sqlMixStep1("z")} AS z FROM ${out}0),
+      ${out}2 AS (SELECT $keep, ${sqlMixStep2("z")} AS z FROM ${out}1),
+      ${out}3 AS (SELECT $keep, ${sqlMixStep3("z")} AS z FROM ${out}2),
+      ${out}4 AS (SELECT $keep, ${sqlMixStep4("z")} AS z FROM ${out}3)"""
+    s"""
+    WITH seeds(r, sd) AS (SELECT * FROM (VALUES $seeds) t(r, sd)),
+    ev AS (SELECT user_id FROM events),
+    ${chain("ev", "user_id, r", "c")},
+    counters AS (SELECT r, z % $CmsCols AS bucket, COUNT(*) AS c
+                 FROM c4 GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+    ${chain("probes", "user_id, r", "p")},
+    pb AS (SELECT user_id, r, z % $CmsCols AS bucket FROM p4)
+    SELECT user_id, MIN(c) AS n_est
+    FROM pb JOIN counters USING (r, bucket)
+    GROUP BY 1 ORDER BY 1"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_gap_fill_locf" -> eventsGapFillLocf _,
-    "events_rate_alert" -> eventsRateAlert _
+    "events_rate_alert" -> eventsRateAlert _,
+    "freq_sketch_cms" -> freqSketchCms _
   )
 
   val oracles: Map[String, String] = Map(
     "events_gap_fill_locf" -> eventsGapFillLocfSql,
-    "events_rate_alert" -> eventsRateAlertSql
+    "events_rate_alert" -> eventsRateAlertSql,
+    "freq_sketch_cms" -> freqSketchCmsSql
   )
 }

@@ -281,15 +281,89 @@ object Streams {
     s.table(name)
   }
 
+  case class FunnelEv(user_id: Long, event_type: String, ts_us: Long)
+  case class FunnelState(s: Option[Long], v: Option[Long], p: Option[Long]) {
+    def stage: Int = if (p.nonEmpty) 3 else if (v.nonEmpty) 2 else if (s.nonEmpty) 1 else 0
+  }
+  case class FunnelOut(user_id: Long, stage: Int)
+
+  /** C13 — the funnel state machine (batch C8's streaming twin): per-user
+    * (signup ts, first-view-after ts, first-purchase-within-24h ts) lives in
+    * the state store; a user emits a row whenever their funnel ADVANCES, and
+    * the rollup counts users by max emitted stage — append-mode-safe (no
+    * retractions needed) and incremental across event-time-ordered batches.
+    * Scanning each user's events in ts order makes "first qualifying" equal
+    * the batch MIN() definitions; strict > comparisons make equal-ts ties
+    * non-qualifying in either processing order, so the result is
+    * deterministic. With the bounded one-micro-batch source the emitted
+    * stages equal the batch funnel exactly (out-of-order ARRIVAL across
+    * batches — an earlier-ts signup arriving after a view was processed —
+    * would need retraction, which append mode rules out by construction).
+    */
+  def funnelStages(events: Dataset[FunnelEv]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          val prev = st.stage
+          evs.toArray.sortBy(_.ts_us).foreach { e =>
+            e.event_type match {
+              case "signup" if st.s.isEmpty => st = st.copy(s = Some(e.ts_us))
+              case "view" if st.s.nonEmpty && st.v.isEmpty && e.ts_us > st.s.get =>
+                st = st.copy(v = Some(e.ts_us))
+              case "purchase" if st.v.nonEmpty && st.p.isEmpty &&
+                  e.ts_us > st.v.get &&
+                  e.ts_us - st.v.get <= graft.operators.Analytics.FunnelPurchaseWindowUs =>
+                st = st.copy(p = Some(e.ts_us))
+              case _ =>
+            }
+          }
+          state.update(st)
+          if (st.stage > prev) Iterator(FunnelOut(userId, st.stage)) else Iterator.empty
+      }
+  }
+
+  /** C13 as a CORRECTNESS-GATED query: the drained stage advances rolled up
+    * to the 3-row funnel (users at step k = max emitted stage ≥ k), gated
+    * against the SAME oracle as the batch `event_funnel`.
+    */
+  def streamingFunnel(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_funnel_sink_" + sinkId.incrementAndGet()
+    import s.implicits._
+    val src = eventsStream(s, d, "user_id BIGINT, event_type STRING")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[FunnelEv]
+    withStateParts(s) {
+      val q = funnelStages(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val stages = s.table(name)
+      .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+    def stageRow(k: Int, nm: String): DataFrame =
+      stages.filter(col("stage") >= k).agg(count(lit(1)).as("n_users"))
+        .select(lit(k).as("step"), lit(nm).as("stage"), col("n_users"))
+    stageRow(1, "signup").unionByName(stageRow(2, "view"))
+      .unionByName(stageRow(3, "purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "streaming_dedup" -> streamingDedup _,
       "streaming_window_agg" -> streamingWindowAgg _,
       "streaming_enrich" -> streamingEnrich _,
       "streaming_sessionize" -> streamingSessionize _,
+      "streaming_funnel" -> streamingFunnel _,
       "streaming_join" -> streamingJoin _)
 
   val oracles: Map[String, String] = Map(
+    // the streaming funnel must equal the batch funnel on the bounded source
+    "streaming_funnel" -> graft.operators.Analytics.oracles("event_funnel"),
     "streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "streaming_window_agg" -> s"""

@@ -69,6 +69,24 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("freq_sketch_cms estimates are upper bounds within the CMS error") {
+    val exact = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(7L)) === 0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_true")).toMap
+    val est = Signals.freqSketchCms(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_est")).toMap
+    assert(est.keySet == exact.keySet)
+    val totalN = Tables.events(spark, sf).count()
+    // CMS guarantee: exact <= est, and est - exact <= e/cols * N whp per row
+    // (min over 4 independent rows makes the bound loose in practice)
+    val bound = math.ceil(math.E / Signals.CmsCols * totalN).toLong * 3
+    est.foreach { case (u, e) =>
+      assert(e >= exact(u), s"user $u: est $e < true ${exact(u)}")
+      assert(e - exact(u) <= bound, s"user $u: est $e vs true ${exact(u)} over bound $bound")
+    }
+  }
+
   test("rate_alert flags exactly the hours above mean + 2 sigma") {
     val hourly = Tables.events(spark, sf)
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))

@@ -176,4 +176,13 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("C13: streaming funnel == batch event_funnel") {
+    val got = Streams.streamingFunnel(spark, sf).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[Long]("n_users"))).toMap
+    val want = graft.operators.Analytics.eventFunnel(spark, sf).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[Long]("n_users"))).toMap
+    assert(got == want, s"$got vs $want")
+    assert(want(1) > 0 && want.size == 3)
+  }
 }
