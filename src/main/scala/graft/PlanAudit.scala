@@ -47,7 +47,16 @@ object PlanAudit {
     "quality_fk_orphans", "quality_profile",
     // q22_idle_customers: the scalar positive-balance average — a 1-row
     // global aggregate broadcast back over the customer scan
-    "q22_idle_customers")
+    "q22_idle_customers",
+    // q6_forecast: Q6's single-row answer — final reduce of per-partition
+    // sum partials, the canonical global-aggregate shape
+    "q6_forecast",
+    // q15_top_supplier: the 1-row MAX over per-supplier revenue partials,
+    // broadcast back as the top-revenue filter
+    "q15_top_supplier",
+    // streaming_funnel: three 1-row stage counts over per-user max-stage
+    // rows (the C8 shape; the sink table is bounded by the user count)
+    "streaming_funnel")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,
@@ -59,7 +68,11 @@ object PlanAudit {
     "agg_percentiles", "combine_aggregator", "group_by_key",
     // skew_report: exact percentile over per-key counts — the buffer holds
     // one value per DISTINCT key, bounded by key cardinality like B17
-    "skew_report")
+    "skew_report",
+    // corpus_span_dedup: collect_list of surviving (blk, span) pairs per
+    // document — bounded by the document's own span count (words/8), never
+    // by corpus size
+    "corpus_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")
