@@ -56,7 +56,10 @@ object PlanAudit {
     "q15_top_supplier",
     // streaming_funnel: three 1-row stage counts over per-user max-stage
     // rows (the C8 shape; the sink table is bounded by the user count)
-    "streaming_funnel")
+    "streaming_funnel",
+    // basket_pairs: the 1-row basket-total COUNT(DISTINCT) broadcast into
+    // the lift expression — the q22 scalar-aggregate shape
+    "basket_pairs")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,

@@ -214,7 +214,40 @@ object TpchMore {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** B56 — market-basket pair mining: part pairs co-purchased in the same
+    * order, with support counts and lift — the association-rule primitive
+    * behind recommenders. The within-basket self-join is keyed on
+    * l_orderkey, so its blowup is bounded by basket size squared (≤7 lines
+    * per order at any corpus size — linear overall, never corpus²); the
+    * (pa < pb) canonical orientation halves the pairs and makes output
+    * deterministic. Lift = support·N / (ca·cb) runs on exact integer counts
+    * with one rounded double division per surviving pair.
+    */
+  val BasketMinSupport = 3
+
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("pb"))
+    val pairs = a.join(b, col("l_orderkey") === col("o2") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= BasketMinSupport)
+    val partCounts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    // basket total as a 1-row broadcast, not a driver action (q22 pattern)
+    val nBaskets = li.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    pairs
+      .join(broadcast(partCounts.select(col("l_partkey").as("pa"), col("c").as("ca"))), "pa")
+      .join(broadcast(partCounts.select(col("l_partkey").as("pb"), col("c").as("cb"))), "pb")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("pa"), col("pb"), col("support"),
+        round(col("support") * col("n_baskets").cast("double") / (col("ca") * col("cb")), 6)
+          .as("lift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_pairs" -> basketPairs _,
     "q6_forecast" -> q6Forecast _,
     "q4_priority" -> q4PriorityExists _,
     "q8_market_share" -> q8MarketShare _,
@@ -227,6 +260,21 @@ object TpchMore {
   )
 
   val oracles: Map[String, String] = Map(
+    "basket_pairs" -> s"""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      p AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= $BasketMinSupport),
+      pc AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+      nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li)
+      SELECT pa, pb, support,
+        ROUND(support * CAST(n_baskets AS DOUBLE) / (ca.c * cb.c), 6) AS lift
+      FROM p
+      JOIN pc ca ON ca.l_partkey = pa
+      JOIN pc cb ON cb.l_partkey = pb, nb
+      ORDER BY pa, pb""",
     "q6_forecast" -> s"""
       SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue
       FROM lineitem

@@ -407,12 +407,51 @@ object Ann {
     rankTopK(partials)
   }
 
+  /** F7 — two-stage retrieval (candidate generation + exact re-rank): the
+    * production serving pattern every large vector deployment runs. Stage 1
+    * scores the STORED int8 index ([[int8Index]] — 8× less scan bandwidth)
+    * and keeps the top [[RerankCand]] candidates per query by
+    * (int8-cosine, nid); stage 2 joins only those candidates back to the
+    * float vectors and re-ranks with the exact cosine. The expensive exact
+    * arithmetic touches queries × [[RerankCand]] pairs instead of
+    * queries × corpus — the cheap integer kernel does the winnowing. Both
+    * stages are deterministic (6dp rounds, nid tie-breaks), so the DuckDB
+    * oracle replays the full cascade bit-exactly; DedupSpec pins recall@10
+    * against the exact brute ranking.
+    */
+  val RerankCand = 40
+
+  def rerankTopK(s: SparkSession, d: String): DataFrame = {
+    val e8 = int8Index(s, d)
+    val qs8 = e8.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qn2").as("qq2"))
+    val cand = e8.join(broadcast(qs8), col("vec_id") =!= col("qid"))
+      .withColumn("dot", graft.plans.DotProductInt8.dot(col("q"), col("qq")))
+      .withColumn("rcos8", round(col("dot").cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("qq2").cast("double"))), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rcos8").desc, col("vec_id"))))
+      .filter(col("crank") <= RerankCand)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val ev = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val qe = ev.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = cand
+      .join(broadcast(qe), col("qid") === col("q_id"))
+      .join(ev, col("nid") === col("vec_id"))
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("nid"), col("rcos"))
+    rankTopK(pairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK _,
     "ann_lsh_topk" -> lshTopK _,
     "ann_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> embQuantize _,
-    "ann_quantized_topk" -> quantizedTopK _
+    "ann_quantized_topk" -> quantizedTopK _,
+    "ann_rerank_topk" -> rerankTopK _
   )
 
   /** Full SQL twin of lshTopK. The hyperplanes are deterministic constants
@@ -577,6 +616,41 @@ object Ann {
         SELECT qid, nid, rcos,
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
         FROM p)
+      WHERE rank <= $TopK ORDER BY qid, rank""",
+    "ann_rerank_topk" -> s"""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM v),
+      q AS (
+        SELECT vec_id,
+          CASE WHEN scale > 0
+            THEN list_transform(v, x -> round(127.0 * x / scale))
+            ELSE list_transform(v, x -> 0.0) END AS q
+        FROM sc),
+      n AS (
+        SELECT vec_id, q, list_dot_product(q, q) AS qn2 FROM q),
+      c8 AS (
+        SELECT a.vec_id AS qid, c.vec_id AS nid,
+          ROUND(list_dot_product(a.q, c.q) / (sqrt(a.qn2) * sqrt(c.qn2)), 6) AS rcos8
+        FROM n a JOIN n c ON c.vec_id <> a.vec_id
+        WHERE a.vec_id < $NumQueries),
+      cand AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos8 DESC, nid) AS crank
+          FROM c8)
+        WHERE crank <= $RerankCand)
+      SELECT qid, nid, rank, rcos FROM (
+        SELECT cand.qid, cand.nid,
+          ROUND(list_cosine_similarity(qv.v, nv.v), 6) AS rcos,
+          ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+            ROUND(list_cosine_similarity(qv.v, nv.v), 6) DESC, cand.nid) AS rank
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.qid
+        JOIN v nv ON nv.vec_id = cand.nid) t
       WHERE rank <= $TopK ORDER BY qid, rank""",
     "ann_brute_topk" -> s"""
       WITH p AS (

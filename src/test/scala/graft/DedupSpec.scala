@@ -294,6 +294,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("rerank topk strictly improves on quantized recall and orders exactly") {
+    // stage 2 rescoring with exact cosines fixes quantization near-tie
+    // swaps, so rerank recall@10 must dominate the pure-int8 ranking's
+    val brute = Ann.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Ann.quantizedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Ann.rerankTopK(spark, sf).collect()
+    val rrSet = rr.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallQ = brute.intersect(quant).size.toDouble / brute.size
+    val recallR = brute.intersect(rrSet).size.toDouble / brute.size
+    assert(recallR >= recallQ, s"rerank $recallR < quantized $recallQ")
+    assert(recallR >= 0.95, s"recall@10 = $recallR")
+    // within each query the emitted scores are the EXACT cosines, descending
+    rr.groupBy(_.getLong(0)).values.foreach { rows =>
+      val scores = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("packed int8 topk is bit-identical to the declarative int8 join form") {
     // same guarantee as F1's packed/declarative pair: the mapPartitions
     // heap path must reproduce the join+window form exactly — same integer

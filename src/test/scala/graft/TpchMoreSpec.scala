@@ -96,6 +96,26 @@ class TpchMoreSpec extends SparkSpec {
     assert(n == rows.map(_.getAs[Long]("n_parts_dominant")).sum)
   }
 
+  test("basket_pairs orients pairs canonically and lift recomputes") {
+    val rows = TpchMore.basketPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"))
+      assert(r.getAs[Long]("support") >= TpchMore.BasketMinSupport)
+    }
+    // recompute lift for the highest-support pair from first principles
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val top = rows.maxBy(r => (r.getAs[Long]("support"), r.getAs[Long]("pa")))
+    val ca = li.filter(col("l_partkey") === top.getAs[Long]("pa")).count()
+    val cb = li.filter(col("l_partkey") === top.getAs[Long]("pb")).count()
+    val nb = li.select("l_orderkey").distinct().count()
+    val lift = BigDecimal(top.getAs[Long]("support") * nb.toDouble / (ca * cb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(lift - top.getAs[Double]("lift")) < 1e-9,
+      s"lift ${top.getAs[Double]("lift")} vs recomputed $lift")
+  }
+
   test("q21_late_supplier uses semi+anti joins, not a nested loop") {
     val df = TpchMore.q21LateSupplier(spark, sf)
     val plan = formatted(df)
