@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{DotProduct, ShingleArray, Winnow}
+import graft.plans.{DotProduct, DotProductInt8, PolyHash, ShingleArray, Splitmix64, Winnow}
 
 /** SQL registration of graft's native expressions.
   *
@@ -39,7 +39,13 @@ object GraftExtensions {
       ShingleArray(args(0), if (args.length > 1) intArg(args(1), "shingles") else 3)),
     "winnow" -> ((args: Seq[Expression]) => Winnow(args(0),
       if (args.length > 1) intArg(args(1), "winnow") else 5,
-      if (args.length > 2) intArg(args(2), "winnow") else 4))
+      if (args.length > 2) intArg(args(2), "winnow") else 4)),
+    // the int8 kernel (array<tinyint> or packed binary), the replayable
+    // integer hashes — the same codegen expressions the operators run on,
+    // callable from plain SQL
+    "dot_product_int8" -> ((args: Seq[Expression]) => DotProductInt8(args(0), args(1))),
+    "poly_hash" -> ((args: Seq[Expression]) => PolyHash(args(0))),
+    "splitmix64" -> ((args: Seq[Expression]) => Splitmix64(args(0)))
   )
 
   /** Register into an already-built session (temp functions). */

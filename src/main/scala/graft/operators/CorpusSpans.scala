@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Span-level corpus operators (SURVEY §2 H14+): sub-document repeated-span
@@ -19,10 +18,15 @@ object CorpusSpans {
     * cannot see — is removed everywhere but its first site.
     *
     * Shape: one explode (bounded ×(words/span) blowup), one shuffle keyed on
-    * the span text for the keep-first window, one shuffle back on doc_id for
-    * reassembly — linear at any corpus size, where the reference suffix-array
-    * formulation is superlinear and single-machine. First-occurrence is
-    * (doc_id, position) lexicographic, so the output is replay-deterministic.
+    * the span text for the keep-first MIN aggregate, one shuffle back on
+    * doc_id for reassembly — linear at any corpus size, where the reference
+    * suffix-array formulation is superlinear and single-machine.
+    * First-occurrence is the lexicographic MIN of (doc_id, position) structs
+    * — a hash aggregate with map-side partial combine, chosen over the
+    * equivalent ROW_NUMBER()=1 window because a hyper-frequent boilerplate
+    * span (the EXPECTED skew shape of crawl corpora) would force the window
+    * to sort one giant partition, while the min-struct form reduces it
+    * map-side to one row per partition before the shuffle.
     */
   val SpanWords = 8
 
@@ -34,10 +38,10 @@ object CorpusSpans {
           s"transform(sequence(0, (size(ws) - 1) DIV $SpanWords), " +
             s"k -> concat_ws(' ', slice(ws, k * $SpanWords + 1, $SpanWords)))"))
           .as(Seq("blk", "span")))
-    val keepFirst = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("blk"))
     spans
-      .withColumn("rn", row_number().over(keepFirst))
-      .filter(col("rn") === 1)
+      .groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("blk"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"), col("first.blk").as("blk"), col("span"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans_kept"),
         concat_ws(" ", expr("transform(array_sort(collect_list(struct(blk, span))), x -> x.span)"))
@@ -88,13 +92,62 @@ object CorpusSpans {
     SELECT bigram, COUNT(*) AS n FROM g
     GROUP BY 1 ORDER BY n DESC, bigram LIMIT $TopNgrams"""
 
+  /** H16 — contamination SCORING (the graded companion to H2's binary
+    * decontamination gate): per training document, the fraction of its
+    * distinct 5-grams that appear in the eval set. Pipelines threshold this
+    * (keep < 10% overlap, drop ≥) instead of dropping on a single shared
+    * gram; the score is also the audit artifact reviewers ask for. Same
+    * shape as H2: eval grams broadcast (eval sets are small by definition),
+    * per-doc hit counts from one hash aggregate, ratio on exact integer
+    * counts. Docs under 5 words carry no grams and are excluded, as in H2.
+    */
+  def contaminationScore(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.plans.ShingleArray.shingles(col("text"),
+          CorpusClean.DecontaminationGram).as("g5"))
+      .filter(size(col("g5")) > 0)
+    val evalGrams = sh.filter(col("doc_id") < CorpusClean.EvalDocs)
+      .select(explode(col("g5")).as("g")).distinct()
+    val hits = sh.filter(col("doc_id") >= CorpusClean.EvalDocs)
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hit"))
+    sh.filter(col("doc_id") >= CorpusClean.EvalDocs)
+      .select(col("doc_id"), size(col("g5")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("hit"), lit(0L)) / col("n_grams"), 6).as("contamination"))
+  }
+
+  val contaminationScoreSql: String = s"""
+    WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+                       for i in range(1, len(ws) - 3)]) AS s
+      FROM w WHERE len(ws) >= 5),
+    ev AS (SELECT DISTINCT unnest(s) AS g
+           FROM sh WHERE doc_id < ${CorpusClean.EvalDocs}),
+    x AS (SELECT doc_id, unnest(s) AS g FROM sh
+          WHERE doc_id >= ${CorpusClean.EvalDocs}),
+    h AS (SELECT doc_id, COUNT(*) AS n_hit FROM x JOIN ev USING (g) GROUP BY 1)
+    SELECT b.doc_id, len(b.s) AS n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+      ROUND(COALESCE(h.n_hit, 0) / len(b.s), 6) AS contamination
+    FROM sh b LEFT JOIN h USING (doc_id)
+    WHERE b.doc_id >= ${CorpusClean.EvalDocs}
+    ORDER BY b.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_span_dedup" -> spanDedup _,
-    "corpus_ngram_counts" -> ngramCounts _
+    "corpus_ngram_counts" -> ngramCounts _,
+    "corpus_contamination_score" -> contaminationScore _
   )
 
   val oracles: Map[String, String] = Map(
     "corpus_span_dedup" -> spanDedupSql,
-    "corpus_ngram_counts" -> ngramCountsSql
+    "corpus_ngram_counts" -> ngramCountsSql,
+    "corpus_contamination_score" -> contaminationScoreSql
   )
 }

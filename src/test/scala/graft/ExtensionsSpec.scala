@@ -16,4 +16,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 3)
     assert(r.getInt(2) >= 1)
   }
+
+  test("hash and int8 kernels are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT splitmix64(42L) AS sm,
+                poly_hash('abc') AS ph,
+                dot_product_int8(array(1Y, 2Y), array(3Y, 4Y)) AS d8""").collect().head
+    assert(r.getLong(0) == graft.plans.MixHash.splitmix64(42L))
+    assert(r.getLong(1) == graft.plans.MixHash.polyHash("abc"))
+    assert(r.getLong(2) == 11L)
+  }
 }

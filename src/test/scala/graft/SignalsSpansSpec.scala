@@ -69,6 +69,22 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("contamination score 0 exactly characterizes the decontamination survivors") {
+    val scores = CorpusSpans.contaminationScore(spark, sf).collect()
+    scores.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_grams"), r.toString)
+      val c = r.getAs[Double]("contamination")
+      assert(c >= 0.0 && c <= 1.0, r.toString)
+    }
+    val zeroScore = scores.filter(_.getAs[Long]("n_hit") == 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val survivors = graft.operators.CorpusClean.decontaminate(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(zeroScore == survivors,
+      s"score-0 docs and H2 survivors differ: ${zeroScore.diff(survivors)} / ${survivors.diff(zeroScore)}")
+    assert(scores.length > zeroScore.size, "no contaminated docs — score vacuous")
+  }
+
   test("freq_sketch_cms estimates are upper bounds within the CMS error") {
     val exact = Tables.events(spark, sf)
       .filter(pmod(col("user_id"), lit(7L)) === 0)
