@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Exact._
+import graft.plans.ScaledLong
+
+/** Graph analytics over DERIVED graphs (SURVEY §2 B57): iterative PageRank
+  * on the co-purchase part graph. The pattern this block exists to prove:
+  * fixed-iteration distributed graph algorithms as edge-partitioned join/agg
+  * rounds — per round one shuffle keyed on the edge source (contribution
+  * join) and one on the destination (contribution sum), driver state bounded
+  * by the loop counter. The same shape runs PageRank at web scale.
+  */
+object Graph {
+
+  val PrIters = 5
+  val PrDamping = 0.85
+
+  /** Both-direction edge list of the co-purchase graph (basket pairs with
+    * support ≥ [[TpchMore.BasketMinSupport]]-1): undirected edges realized
+    * as two directed rows, the standard distributed representation.
+    */
+  val PrMinSupport = 2
+
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("pb"))
+    val pairs = a.join(b, col("l_orderkey") === col("o2") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= PrMinSupport)
+    pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+  }
+
+  /** B57 — PageRank, [[PrIters]] fixed iterations, damping 0.85, ranks in
+    * the mass-N normalization (init 1.0 per node, teleport 0.15). Exactness:
+    * the per-node contribution sum — the ONLY order-dependent reduction —
+    * runs through the scaled-int128 exact aggregate ([[Exact.dsum]]), and
+    * each iteration's rank is rounded once to 6 dp, so five rounds of
+    * float arithmetic replay bit-identically in DuckDB's unrolled CTE twin.
+    * The edge list is scope-persisted ([[graft.CacheScope]]): the five
+    * rounds plus the degree/node derivations all read one cached edge
+    * table during the consuming action, and the cache releases itself
+    * afterwards — the returned plan stays lazy and the session leaks no
+    * storage (plan-audit-asserted).
+    */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val e = graft.CacheScope.scopedPersist(edges(s, d))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src")
+    var ranks = e.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1.0))
+    for (_ <- 1 to PrIters) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(dsum(col("c")).as("in_sum"))
+      ranks = ranks.select(col("node"))
+        .join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(1 - PrDamping) +
+            lit(PrDamping) * coalesce(col("in_sum"), lit(0.0)), 6).as("pr"))
+    }
+    graft.CacheScope.releaseAfterUse(ranks, e)
+  }
+
+  /** DuckDB twin: the identical five rounds unrolled as CTEs, contribution
+    * sums replayed through the same 1e-4-unit HALF_UP rounding + integer
+    * sum ([[ScaledLong.sql]]), ranks rounded 6 dp per round.
+    */
+  val pageRankSql: String = {
+    val units = ScaledLong.sql("r.pr / deg.deg", "10000.0")
+    val rounds = (1 to PrIters).map { i =>
+      s"""c$i AS (
+        SELECT e.dst AS node, CAST(SUM($units) AS DOUBLE) / 10000.0 AS in_sum
+        FROM e JOIN deg ON e.src = deg.src JOIN r${i - 1} r ON r.node = e.src
+        GROUP BY 1),
+      r$i AS (
+        SELECT n.node,
+          ROUND(${1 - PrDamping} + $PrDamping * COALESCE(c$i.in_sum, 0.0), 6) AS pr
+        FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)"""
+    }.mkString(",\n      ")
+    s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= $PrMinSupport),
+    e AS (SELECT pa AS src, pb AS dst FROM p
+          UNION ALL SELECT pb, pa FROM p),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    r0 AS (SELECT node, 1.0 AS pr FROM nodes),
+    $rounds
+    SELECT node, pr FROM r$PrIters ORDER BY node"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> pageRank _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankSql
+  )
+}

@@ -116,6 +116,23 @@ class TpchMoreSpec extends SparkSpec {
       s"lift ${top.getAs[Double]("lift")} vs recomputed $lift")
   }
 
+  test("graph_pagerank conserves mass and rewards degree") {
+    val rows = graft.operators.Graph.pageRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val prs = rows.map(_.getAs[Double]("pr"))
+    // every rank carries at least the teleport mass
+    prs.foreach(pr => assert(pr >= 0.15 - 1e-9, pr.toString))
+    // mass-N normalization: total rank stays within rounding drift of N
+    val total = prs.sum
+    assert(math.abs(total - n) < 0.01 * n, s"mass $total vs $n nodes")
+    // determinism across runs (exact aggregate + per-round rounding)
+    val again = graft.operators.Graph.pageRank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Double]("pr"))).toMap
+    rows.foreach(r =>
+      assert(again(r.getAs[Long]("node")) == r.getAs[Double]("pr")))
+  }
+
   test("q21_late_supplier uses semi+anti joins, not a nested loop") {
     val df = TpchMore.q21LateSupplier(spark, sf)
     val plan = formatted(df)
