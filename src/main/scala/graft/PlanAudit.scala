@@ -59,7 +59,10 @@ object PlanAudit {
     "streaming_funnel",
     // basket_pairs: the 1-row basket-total COUNT(DISTINCT) broadcast into
     // the lift expression — the q22 scalar-aggregate shape
-    "basket_pairs")
+    "basket_pairs",
+    // text_bm25_search: the 1-row corpus stats (N, Σdl) broadcast into the
+    // scoring expression — the q22 scalar-aggregate shape
+    "text_bm25_search")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,

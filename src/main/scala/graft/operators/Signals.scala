@@ -168,15 +168,56 @@ object Signals {
     GROUP BY 1 ORDER BY 1"""
   }
 
+  /** C15 — state intervals (gaps-and-islands run-length encoding): collapse
+    * each user's event stream into maximal runs of the same event type with
+    * validity bounds — the SCD2-style interval build every temporal
+    * dimension table needs, and the one shape GROUP BY cannot express
+    * (identical states in different runs must NOT merge). One shuffle on
+    * user_id serves both windows and the final aggregate; (ts, event_id)
+    * ordering makes island boundaries tie-deterministic.
+    */
+  def eventsStateIntervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), max(col("ts")).as("valid_to"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val eventsStateIntervalsSql: String = """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN LAG(event_type) OVER w IS NULL
+               OR LAG(event_type) OVER w <> event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+        CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      FROM flagged)
+    SELECT user_id, island, event_type,
+      MIN(ts) AS valid_from, MAX(ts) AS valid_to, COUNT(*) AS n_events
+    FROM numbered GROUP BY 1, 2, 3 ORDER BY user_id, island"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_gap_fill_locf" -> eventsGapFillLocf _,
     "events_rate_alert" -> eventsRateAlert _,
+    "events_state_intervals" -> eventsStateIntervals _,
     "freq_sketch_cms" -> freqSketchCms _
   )
 
   val oracles: Map[String, String] = Map(
     "events_gap_fill_locf" -> eventsGapFillLocfSql,
     "events_rate_alert" -> eventsRateAlertSql,
+    "events_state_intervals" -> eventsStateIntervalsSql,
     "freq_sketch_cms" -> freqSketchCmsSql
   )
 }

@@ -102,7 +102,87 @@ object TextAnalysis {
         regexp_count(col("props"), lit("[0-9]+")).as("n_masked"),
         regexp_replace(col("props"), "[0-9]+", "<NUM>").as("masked"))
 
+  /** D9 — BM25 keyword search (Robertson/Lucene idf form, k1=1.2, b=0.75):
+    * score every document against a fixed query, return the top 20. The
+    * term-frequency table is FILTERED to the query terms before any
+    * aggregation (the posting scan touches query-term rows only, never the
+    * full vocabulary); df and the corpus stats are 1-row/|q|-row broadcasts.
+    * Determinism: each per-term score lands in its own conditional sum (≤1
+    * nonzero addend → order-proof), the 3-term total is one fixed-order
+    * expression rounded to 6 dp, and ln/÷ run IEEE-identically on both
+    * engines. Top-k is TakeOrdered on (score DESC, doc_id).
+    */
+  val Bm25Terms: Seq[String] = Seq("dup", "join", "scan")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  def textBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"), col("ws"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val dfT = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / (col("sum_dl") / col("n_docs")))))
+    val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("score_t")).otherwise(0.0)).as(s"s$i")
+    }
+    scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        round(Bm25Terms.indices.map(i => col(s"s$i")).reduce(_ + _), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val textBm25Sql: String = {
+    val cases = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN score_t ELSE 0.0 END) AS s$i"
+    }.mkString(", ")
+    val total = Bm25Terms.indices.map(i => s"s$i").mkString(" + ")
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH docs AS (
+      SELECT doc_id, CAST(len(str_split(text, ' ')) AS DOUBLE) AS dl,
+        str_split(text, ' ') AS ws
+      FROM documents),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, dl, unnest(ws) AS term FROM docs)
+      WHERE term IN ($terms) GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM docs),
+    dft AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term,
+        LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+          * (tf * ${Bm25K1 + 1.0}) /
+          (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / (sum_dl / n_docs)))
+          AS score_t
+      FROM tf JOIN dft USING (term) CROSS JOIN stats),
+    agg AS (SELECT doc_id, $cases FROM scored GROUP BY 1)
+    SELECT doc_id, ROUND($total, 6) AS bm25 FROM agg
+    ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_search" -> textBm25 _,
     "text_mask_numbers" -> textMaskNumbers _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
@@ -113,6 +193,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bm25_search" -> textBm25Sql,
     "text_mask_numbers" -> """
       SELECT event_id,
         CAST(LENGTH(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked,

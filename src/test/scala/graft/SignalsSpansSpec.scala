@@ -85,6 +85,48 @@ class SignalsSpansSpec extends SparkSpec {
     assert(scores.length > zeroScore.size, "no contaminated docs — score vacuous")
   }
 
+  test("state intervals partition the stream into alternating maximal runs") {
+    val rows = Signals.eventsStateIntervals(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("valid_from")
+        .after(r.getAs[java.sql.Timestamp]("valid_to")), r.toString)
+    }
+    // adjacent islands of one user must carry DIFFERENT types (maximality)
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+      val byIsland = rs.sortBy(_.getAs[Long]("island"))
+      byIsland.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"),
+            s"adjacent islands share a type: $a / $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("bm25 ranks rare-term documents above common-term-only documents") {
+    import graft.operators.TextAnalysis
+    val top = TextAnalysis.textBm25(spark, sf).collect()
+    assert(top.length <= TextAnalysis.Bm25TopK && top.nonEmpty)
+    val scores = top.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0))
+    // 'dup' is the corpus's one rare term — every doc containing it must
+    // outscore every doc scored on the two common terms alone
+    val dupDocs = Tables.documents(spark, sf)
+      .filter(array_contains(split(col("text"), " "), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    if (dupDocs.nonEmpty) {
+      val topIds = top.map(_.getAs[Long]("doc_id"))
+      val firstNonDup = topIds.indexWhere(id => !dupDocs.contains(id))
+      val lastDup = topIds.lastIndexWhere(dupDocs.contains)
+      if (firstNonDup >= 0 && lastDup >= 0)
+        assert(lastDup < firstNonDup || dupDocs.size > topIds.count(dupDocs.contains),
+          "a dup-bearing doc ranked below a common-only doc inside the top-k")
+    }
+  }
+
   test("freq_sketch_cms estimates are upper bounds within the CMS error") {
     val exact = Tables.events(spark, sf)
       .filter(pmod(col("user_id"), lit(7L)) === 0)
