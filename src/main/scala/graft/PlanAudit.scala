@@ -78,7 +78,10 @@ object PlanAudit {
     // corpus_span_dedup: collect_list of surviving (blk, span) pairs per
     // document — bounded by the document's own span count (words/8), never
     // by corpus size
-    "corpus_span_dedup")
+    "corpus_span_dedup",
+    // basket_pairs / graph_pagerank: collect_set of one order's distinct
+    // parts — bounded by basket size (≤7 lines/order at any corpus size)
+    "basket_pairs", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")

@@ -24,14 +24,7 @@ object Graph {
   val PrMinSupport = 2
 
   private def edges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("pb"))
-    val pairs = a.join(b, col("l_orderkey") === col("o2") && col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= PrMinSupport)
+    val pairs = TpchMore.coPurchasePairs(s, d, PrMinSupport)
     pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
   }

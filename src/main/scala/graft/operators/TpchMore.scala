@@ -225,15 +225,31 @@ object TpchMore {
     */
   val BasketMinSupport = 3
 
+  /** Co-purchase pair counts above `minSupport`, shared by [[basketPairs]]
+    * and the B57 PageRank edge derivation. NOT a self-join: each order's
+    * distinct parts are collected into one sorted basket array (bounded by
+    * basket size — an ObjectHashAggregate over ≤7 elements) and the pairs
+    * enumerate IN-ARRAY, so the whole derivation is two hash aggregates —
+    * one shuffle on l_orderkey, one on the pair key — where the join form
+    * paid a distinct shuffle plus both self-join sides. Sorted distinct
+    * baskets make the (pa < pb) orientation free; the enumeration itself is
+    * the codegen [[graft.plans.ArrayPairs]] nested loop, not interpreted
+    * HOF lambdas.
+    */
+  def coPurchasePairs(s: SparkSession, d: String, minSupport: Int): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(graft.plans.ArrayPairs.pairs(col("ps"))).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+
   def basketPairs(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("pb"))
-    val pairs = a.join(b, col("l_orderkey") === col("o2") && col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= BasketMinSupport)
+    val pairs = coPurchasePairs(s, d, BasketMinSupport)
     val partCounts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
     // basket total as a 1-row broadcast, not a driver action (q22 pattern)
     val nBaskets = li.agg(countDistinct(col("l_orderkey")).as("n_baskets"))

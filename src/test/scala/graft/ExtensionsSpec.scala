@@ -27,4 +27,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) == graft.plans.MixHash.polyHash("abc"))
     assert(r.getLong(2) == 11L)
   }
+
+  test("array_pairs enumerates all ordered pairs, empty below two elements") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT array_pairs(array(1L, 2L, 3L)) AS p3,
+                array_pairs(array(7L)) AS p1,
+                array_pairs(CAST(array() AS ARRAY<BIGINT>)) AS p0""").collect().head
+    val p3 = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(p3 == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(r.getSeq[Any](1).isEmpty && r.getSeq[Any](2).isEmpty)
+  }
 }
