@@ -120,9 +120,12 @@ object Signals {
   val CmsRows = 4
   val CmsCols = 1024
 
-  private def cmsBucket(r: Int, key: org.apache.spark.sql.Column) =
+  /** Row-r bucket of a long key (public: the streaming twin reuses it). */
+  def cmsBucketCol(r: Int, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(graft.plans.MixHash.splitmix64Col(
       key.bitwiseXOR(lit(graft.plans.MixHash.slotB(r)))), lit(CmsCols.toLong))
+
+  private def cmsBucket(r: Int, key: org.apache.spark.sql.Column) = cmsBucketCol(r, key)
 
   def freqSketchCms(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("user_id"))

@@ -352,6 +352,82 @@ object Streams {
       .unionByName(stageRow(3, "purchase"))
   }
 
+  /** C14 — streaming rate alert (batch C12's twin): the hourly counts run
+    * as a complete-mode streaming aggregation (the stateful part — counter
+    * state per (hour, type) window key); the per-type calibration and the
+    * 2σ cut then run as plain batch expressions over the drained counter
+    * table, whose size is |types|×|hours|, not the stream length. Gated
+    * against the SAME oracle as `events_rate_alert`.
+    */
+  def streamingRateAlert(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_alert_sink_" + sinkId.incrementAndGet()
+    val src = eventsStream(s, d, "event_type STRING")
+    withStateParts(s) {
+      val q = src
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // the sink view joins a derivation of ITSELF; aliasing both sides keeps
+    // the MemoryPlan self-join's attribute references distinct
+    val hourly = s.table(name).alias("h")
+    val stats = s.table(name).groupBy(col("event_type"))
+      .agg(sum(col("n").cast("double")).as("sx"),
+        sum((col("n") * col("n")).cast("double")).as("sxx"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type").as("st_type"),
+        (col("sx") / col("cnt")).as("mean"),
+        (col("sxx") / col("cnt") - (col("sx") / col("cnt")) * (col("sx") / col("cnt")))
+          .as("varp"))
+    hourly.join(broadcast(stats), col("event_type") === col("st_type"))
+      .withColumn("z", (col("n") - col("mean")) / sqrt(col("varp")))
+      .filter(col("z") > graft.operators.Signals.AlertZ)
+      .select(col("event_type"), col("hour_start"), col("n"),
+        round(col("z"), 6).as("z_score"))
+  }
+
+  /** C16 — streaming count-min sketch (batch B55's twin): the counter grid
+    * is an ADDITIVE aggregate, so it maintains incrementally as a streaming
+    * groupBy over the exploded (row, bucket) keys — state is the ≤4×1024
+    * grid regardless of stream length, the property that makes CMS the
+    * streaming frequency sketch. Probe estimates then read the drained
+    * grid exactly as the batch operator does; gated against the SAME
+    * oracle as `freq_sketch_cms`.
+    */
+  def streamingFreqSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Signals
+    val name = "graft_stream_cms_sink_" + sinkId.incrementAndGet()
+    withStateParts(s) {
+      val q = s.readStream
+        .schema("user_id BIGINT")
+        .parquet(s"$d/{events.parquet}")
+        .select(posexplode(array((0 until Signals.CmsRows).map(r =>
+          struct(lit(r).as("r"), Signals.cmsBucketCol(r, col("user_id")).as("bucket"))): _*))
+          .as(Seq("i", "rb")))
+        .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val counters = s.table(name)
+    val probes = graft.operators.Tables.events(s, d)
+      .select(col("user_id"))
+      .filter(pmod(col("user_id"), lit(7L)) === 0).distinct()
+    probes
+      .select(col("user_id"), posexplode(array((0 until Signals.CmsRows).map(r =>
+        struct(lit(r).as("r"), Signals.cmsBucketCol(r, col("user_id")).as("bucket"))): _*))
+        .as(Seq("i", "rb")))
+      .select(col("user_id"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("user_id"))
+      .agg(min(col("c")).as("n_est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "streaming_dedup" -> streamingDedup _,
@@ -359,11 +435,16 @@ object Streams {
       "streaming_enrich" -> streamingEnrich _,
       "streaming_sessionize" -> streamingSessionize _,
       "streaming_funnel" -> streamingFunnel _,
+      "streaming_rate_alert" -> streamingRateAlert _,
+      "streaming_freq_sketch" -> streamingFreqSketch _,
       "streaming_join" -> streamingJoin _)
 
   val oracles: Map[String, String] = Map(
     // the streaming funnel must equal the batch funnel on the bounded source
     "streaming_funnel" -> graft.operators.Analytics.oracles("event_funnel"),
+    // streaming twins of the batch alert/sketch share their batch oracles
+    "streaming_rate_alert" -> graft.operators.Signals.oracles("events_rate_alert"),
+    "streaming_freq_sketch" -> graft.operators.Signals.oracles("freq_sketch_cms"),
     "streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "streaming_window_agg" -> s"""

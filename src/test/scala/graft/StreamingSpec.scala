@@ -177,6 +177,19 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("C14/C16: streaming alert and sketch == their batch twins") {
+    val alertS = Streams.streamingRateAlert(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val alertB = graft.operators.Signals.eventsRateAlert(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(alertS == alertB && alertB.nonEmpty)
+    val cmsS = Streams.streamingFreqSketch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cmsB = graft.operators.Signals.freqSketchCms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cmsS == cmsB && cmsB.nonEmpty)
+  }
+
   test("C13: streaming funnel == batch event_funnel") {
     val got = Streams.streamingFunnel(spark, sf).collect()
       .map(r => (r.getAs[Int]("step"), r.getAs[Long]("n_users"))).toMap
