@@ -11,6 +11,26 @@ import graft.operators.Exact._
   */
 object BeamParity {
 
+  /** A24 — small-file compaction: rewrite a directory of many undersized
+    * parquet files into ~`targetFileBytes` files. The file count comes from
+    * the scan's OWN size statistics (footer-derived, no data read), so the
+    * operator needs no caller-supplied row estimates; the rewrite is one
+    * round-robin repartition — no key skew possible by construction. The
+    * background maintenance every streaming/micro-batch sink needs at
+    * 100 TB: small files are the #1 lakehouse read-amplification problem.
+    * Returns the planned file count (spec-verified; no SQL twin — the
+    * observable is the output LAYOUT, not a row set).
+    */
+  def compactParquet(s: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long): Int = {
+    val df = s.read.parquet(inDir)
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = (((totalBytes + BigInt(targetFileBytes) - 1) /
+      BigInt(targetFileBytes)).toLong max 1L).toInt
+    df.repartition(nFiles).write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** A1 Create — in-memory source (reference: transform_evaluators.py:16). */
   def createValues(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

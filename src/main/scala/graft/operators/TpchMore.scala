@@ -262,7 +262,63 @@ object TpchMore {
           .as("lift"))
   }
 
+  /** B58 — snapshot diff (data reconciliation): classify every key as
+    * added / removed / changed between two per-customer activity snapshots
+    * (1995-1997 vs 1996-1998 order windows — overlapping so all three
+    * classes populate). One full-outer join on the key; unchanged keys are
+    * dropped so the output is the EXCEPTION REPORT, which is what stays
+    * small at 100 TB (the diff of two healthy snapshots is near-empty
+    * even when the snapshots are huge). The aggregate pair reuses one hash
+    * partitioning on o_custkey.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    def snap(lo: String, hi: String) = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= expr(s"timestamp'$lo 00:00:00'") &&
+        col("o_orderdate") < expr(s"timestamp'$hi 00:00:00'"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    val s1 = snap("1995-01-01", "1998-01-01")
+      .select(col("o_custkey"), col("n").as("n1"), col("total").as("t1"))
+    val s2 = snap("1996-01-01", "1999-01-01")
+      .select(col("o_custkey").as("c2"), col("n").as("n2"), col("total").as("t2"))
+    s1.join(s2, col("o_custkey") === col("c2"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("c2")).as("custkey"),
+        when(col("o_custkey").isNull, "added")
+          .when(col("c2").isNull, "removed")
+          .when(col("n1") =!= col("n2") || col("t1") =!= col("t2"), "changed")
+          .otherwise("same").as("change"),
+        col("n1"), col("t1"), col("n2"), col("t2"))
+      .filter(col("change") =!= "same")
+  }
+
+  val snapshotDiffSql: String = s"""
+    WITH s1 AS (
+      SELECT o_custkey, COUNT(*) AS n1, ${sqlDsum("o_totalprice")} AS t1
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1),
+    s2 AS (
+      SELECT o_custkey, COUNT(*) AS n2, ${sqlDsum("o_totalprice")} AS t2
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY 1)
+    SELECT COALESCE(s1.o_custkey, s2.o_custkey) AS custkey,
+      CASE WHEN s1.o_custkey IS NULL THEN 'added'
+           WHEN s2.o_custkey IS NULL THEN 'removed'
+           WHEN s1.n1 <> s2.n2 OR s1.t1 <> s2.t2 THEN 'changed'
+           ELSE 'same' END AS change,
+      s1.n1, s1.t1, s2.n2, s2.t2
+    FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+    WHERE CASE WHEN s1.o_custkey IS NULL THEN 'added'
+           WHEN s2.o_custkey IS NULL THEN 'removed'
+           WHEN s1.n1 <> s2.n2 OR s1.t1 <> s2.t2 THEN 'changed'
+           ELSE 'same' END <> 'same'
+    ORDER BY custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_diff" -> snapshotDiff _,
     "basket_pairs" -> basketPairs _,
     "q6_forecast" -> q6Forecast _,
     "q4_priority" -> q4PriorityExists _,
@@ -276,6 +332,7 @@ object TpchMore {
   )
 
   val oracles: Map[String, String] = Map(
+    "snapshot_diff" -> snapshotDiffSql,
     "basket_pairs" -> s"""
       WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       p AS (

@@ -90,4 +90,23 @@ class SourceSinkSpec extends SparkSpec {
     assert(df.agg(sum(col("n_with_source"))).head.getLong(0) ==
       docs.filter(pmod(col("doc_id"), lit(2)) === 1).count())
   }
+
+  test("compaction rewrites a shattered directory into few full files, losslessly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val inDir = s"$base/shattered"
+    val outDir = s"$base/compacted"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+    docs.repartition(64).write.parquet(inDir)
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(inDir) == 64)
+    val totalBytes = spark.read.parquet(inDir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val planned = graft.operators.BeamParity.compactParquet(
+      spark, inDir, outDir, (totalBytes / 4).toLong)
+    assert(planned <= 6, s"planned $planned files")
+    assert(parquetFiles(outDir) == planned)
+    val rt = spark.read.parquet(outDir)
+    assert(rt.exceptAll(docs).isEmpty && docs.exceptAll(rt).isEmpty)
+  }
 }
