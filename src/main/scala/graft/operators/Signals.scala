@@ -171,6 +171,23 @@ object Signals {
     GROUP BY 1 ORDER BY 1"""
   }
 
+  /** C2b — sessionization via Spark's NATIVE `session_window` keyword (the
+    * built-in alternative to C2's lag/cumsum composition — one aggregate,
+    * no window functions; Spark merges overlapping gap-extended intervals
+    * inside the aggregation operator, the same machinery its streaming
+    * session windows use). `session_window.end` is last-event-ts + gap, so
+    * subtracting the gap recovers C2's max-ts session_end exactly. Gated
+    * against the SAME oracle as `events_session`; a spec pins the two
+    * implementations identical row-for-row.
+    */
+  def eventsSessionNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        (col("sw.end") - expr("interval 30 minutes")).as("session_end"),
+        col("n_events"))
+
   /** C15 — state intervals (gaps-and-islands run-length encoding): collapse
     * each user's event stream into maximal runs of the same event type with
     * validity bounds — the SCD2-style interval build every temporal
@@ -214,6 +231,7 @@ object Signals {
     "events_gap_fill_locf" -> eventsGapFillLocf _,
     "events_rate_alert" -> eventsRateAlert _,
     "events_state_intervals" -> eventsStateIntervals _,
+    "events_session_native" -> eventsSessionNative _,
     "freq_sketch_cms" -> freqSketchCms _
   )
 
@@ -221,6 +239,8 @@ object Signals {
     "events_gap_fill_locf" -> eventsGapFillLocfSql,
     "events_rate_alert" -> eventsRateAlertSql,
     "events_state_intervals" -> eventsStateIntervalsSql,
+    // the native session_window form must equal C2's composition exactly
+    "events_session_native" -> Relational.oracles("events_session"),
     "freq_sketch_cms" -> freqSketchCmsSql
   )
 }

@@ -85,6 +85,13 @@ class SignalsSpansSpec extends SparkSpec {
     assert(scores.length > zeroScore.size, "no contaminated docs — score vacuous")
   }
 
+  test("native session_window sessionization == the lag/cumsum composition") {
+    val native = Signals.eventsSessionNative(spark, sf)
+    val composed = graft.operators.Relational.eventsSession(spark, sf)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    assert(native.count() > 0)
+  }
+
   test("state intervals partition the stream into alternating maximal runs") {
     val rows = Signals.eventsStateIntervals(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum ==
