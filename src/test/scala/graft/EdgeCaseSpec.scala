@@ -157,4 +157,46 @@ class EdgeCaseSpec extends SparkSpec {
     }
     assert(p.combinePerKey(sumFn).collect().isEmpty)
   }
+
+  test("array_pairs degenerate arrays and quadratic bound") {
+    import graft.plans.ArrayPairs
+    val df = Seq(
+      (1L, Seq.empty[Long]), (2L, Seq(9L)), (3L, Seq(1L, 2L, 3L, 4L))
+    ).toDF("id", "ps")
+    val n = df.select($"id", size(ArrayPairs.pairs($"ps")).as("np")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(n == Map(1L -> 0, 2L -> 0, 3L -> 6))
+  }
+
+  test("span dedup and ngrams on sub-span-length documents") {
+    import graft.operators.CorpusSpans
+    // a doc shorter than one span still contributes its (short) single span
+    val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    tiny.createOrReplaceTempView("edge_tiny")
+    val spans = tiny
+      .withColumn("ws", split($"text", " "))
+      .select(explode(expr(
+        s"transform(sequence(0, (size(ws) - 1) DIV ${CorpusSpans.SpanWords}, 1), " +
+          s"k -> concat_ws(' ', slice(ws, k * ${CorpusSpans.SpanWords} + 1, ${CorpusSpans.SpanWords})))"))
+        .as("span"))
+    assert(spans.count() == 2 && spans.distinct().count() == 1)
+  }
+
+  test("pagerank on an empty edge set yields an empty ranking, not a crash") {
+    // planted: a lineitem slice with single-part orders only → no pairs
+    val li = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("l_orderkey", "l_partkey")
+    val baskets = li.groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select(explode(graft.plans.ArrayPairs.pairs($"ps")).as("pr"))
+    assert(baskets.count() == 0)
+  }
+
+  test("state intervals of a single-event user form one interval") {
+    import graft.operators.Signals
+    val rows = Signals.eventsStateIntervals(spark, sf).collect()
+    // every interval's n_events >= 1 and islands start at 1 per user
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("island")).min == 1L)
+    }
+  }
 }
