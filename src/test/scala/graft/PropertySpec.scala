@@ -80,4 +80,37 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted == plain)
   }
+
+  test("array_pairs emits exactly n*(n-1)/2 oriented pairs for any sorted-distinct array") {
+    val arr = Gen.listOf(Gen.chooseNum(0L, 1000L)).map(_.distinct.sorted)
+    forAllSeeded(arr) { xs =>
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        xs.map(x => x: Any).toArray)
+      val out = graft.plans.ArrayPairs.compute(ad)
+      assert(out.numElements() == xs.length * (xs.length - 1) / 2)
+      (0 until out.numElements()).foreach { i =>
+        val r = out.getStruct(i, 2)
+        assert(r.getLong(0) < r.getLong(1))
+      }
+      // every pair present exactly once
+      val pairs = (0 until out.numElements())
+        .map { i => val r = out.getStruct(i, 2); (r.getLong(0), r.getLong(1)) }
+      assert(pairs.toSet.size == pairs.length)
+      for (a <- xs; b <- xs if a < b) assert(pairs.contains((a, b)))
+    }
+  }
+
+  test("scaled-long rounding == BigDecimal HALF_UP at scale 0 of x*1e4") {
+    // the documented contract: scale(x, 1e4) rounds the DOUBLE product
+    // x*1e4 half-up away from zero, exactly as BigDecimal does at scale 0
+    val d = Gen.chooseNum(-1.0e9, 1.0e9)
+    forAllSeeded(d, n = 500) { x =>
+      val got = graft.plans.ScaledLong.scale(x, 10000.0)
+      val want = BigDecimal(x * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      assert(got == want, s"x=$x got=$got want=$want")
+    }
+    // the Math.round trap input: floor(x+0.5) would misround this tie-adjacent value
+    assert(graft.plans.ScaledLong.scale(0.49999999999999994 / 10000.0 * 10000.0, 1.0) == 0L)
+  }
 }
