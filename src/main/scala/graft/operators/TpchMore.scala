@@ -223,7 +223,7 @@ object TpchMore {
     * deterministic. Lift = support·N / (ca·cb) runs on exact integer counts
     * with one rounded double division per surviving pair.
     */
-  val BasketMinSupport = 3
+  val BasketMinSupport = 2
 
   /** Co-purchase pair counts above `minSupport`, shared by [[basketPairs]]
     * and the B57 PageRank edge derivation. NOT a self-join: each order's
