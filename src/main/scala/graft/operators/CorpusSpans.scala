@@ -139,15 +139,72 @@ object CorpusSpans {
     WHERE b.doc_id >= ${CorpusClean.EvalDocs}
     ORDER BY b.doc_id"""
 
+  /** H17 — train/val/test leakage audit: near-duplicate pairs (E2's
+    * verified Jaccard ≥ 0.8 set) whose members land in DIFFERENT splits of
+    * H6's deterministic partition — the contamination that inflates eval
+    * numbers while exact-match checks stay green. Pure composition: the
+    * pair derivation and the split assignment are the already-gated
+    * operators; the audit is two key joins over the pair list (near-dup
+    * pairs are rare by definition, so the join input is tiny at any corpus
+    * size). Empty output is the healthy state a pipeline asserts on.
+    */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.jaccardPairs(s, d)
+    val splits = CorpusClean.trainSplit(s, d).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jac"))
+  }
+
+  val splitLeakageSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct([str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1] || ' ' || str_split(text,' ')[i+2]
+                       for i in range(1, len(str_split(text,' ')) - 1)]) AS shingles
+      FROM documents
+      WHERE len(str_split(text,' ')) >= 3),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.8),
+    h0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents),
+    h1 AS (SELECT doc_id, ${sqlMixStep1("z")} AS z FROM h0),
+    h2 AS (SELECT doc_id, ${sqlMixStep2("z")} AS z FROM h1),
+    h3 AS (SELECT doc_id, ${sqlMixStep3("z")} AS z FROM h2),
+    h4 AS (SELECT doc_id, ${sqlMixStep4("z")} AS z FROM h3),
+    sgn AS (SELECT doc_id, ${sqlToSigned("z")} AS v FROM h4),
+    spl AS (
+      SELECT doc_id,
+        CASE WHEN ((v % 100) + 100) % 100 < 90 THEN 'train'
+             WHEN ((v % 100) + 100) % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM sgn)
+    SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, jac
+    FROM p
+    JOIN spl sa ON sa.doc_id = doc_a
+    JOIN spl sb ON sb.doc_id = doc_b
+    WHERE sa.split <> sb.split
+    ORDER BY doc_a, doc_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_span_dedup" -> spanDedup _,
     "corpus_ngram_counts" -> ngramCounts _,
-    "corpus_contamination_score" -> contaminationScore _
+    "corpus_contamination_score" -> contaminationScore _,
+    "corpus_split_leakage" -> splitLeakage _
   )
 
   val oracles: Map[String, String] = Map(
     "corpus_span_dedup" -> spanDedupSql,
     "corpus_ngram_counts" -> ngramCountsSql,
-    "corpus_contamination_score" -> contaminationScoreSql
+    "corpus_contamination_score" -> contaminationScoreSql,
+    "corpus_split_leakage" -> splitLeakageSql
   )
 }

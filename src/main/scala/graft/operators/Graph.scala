@@ -18,8 +18,8 @@ object Graph {
   val PrDamping = 0.85
 
   /** Both-direction edge list of the co-purchase graph (basket pairs with
-    * support ≥ [[TpchMore.BasketMinSupport]]-1): undirected edges realized
-    * as two directed rows, the standard distributed representation.
+    * support ≥ [[PrMinSupport]]): undirected edges realized as two directed
+    * rows, the standard distributed representation.
     */
   val PrMinSupport = 2
 

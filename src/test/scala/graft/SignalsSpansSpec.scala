@@ -134,6 +134,17 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("split leakage == jaccard pairs with differing split labels") {
+    val splits = graft.operators.CorpusClean.trainSplit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val expected = graft.dedup.Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter { case (a, b) => splits(a) != splits(b) }.toSet
+    val got = CorpusSpans.splitLeakage(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == expected)
+  }
+
   test("freq_sketch_cms estimates are upper bounds within the CMS error") {
     val exact = Tables.events(spark, sf)
       .filter(pmod(col("user_id"), lit(7L)) === 0)
