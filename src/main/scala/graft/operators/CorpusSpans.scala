@@ -76,9 +76,13 @@ object CorpusSpans {
   def ngramCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("ws", split(col("text"), " "))
+      // single-token docs: sequence(1, 0) counts DOWN in Spark and
+      // element_at(ws, 0) throws — guard to an empty gram list, matching
+      // the oracle's range(len-1)
       .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
         .as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))

@@ -34,9 +34,13 @@ object Graph {
 
   private def edges(s: SparkSession, d: String): DataFrame = {
     val path = edgesBuilt.computeIfAbsent(d, { _ =>
-      val dir = s.conf.getOption("graft.graph.dir").getOrElse(
-        sys.props("java.io.tmpdir") + "/graft-graph-" +
-          Integer.toHexString(d.hashCode)) + "/copurchase_edges"
+      // the per-dataset component goes on BOTH the conf path and the tmpdir
+      // fallback: a fixed suffix under a shared conf dir would let a second
+      // dataset's build silently clobber the first's cached artifact
+      val slug = java.lang.Long.toHexString(graft.plans.MixHash.polyHash(d))
+      val dir = s.conf.getOption("graft.graph.dir")
+        .getOrElse(sys.props("java.io.tmpdir") + "/graft-graph") +
+        s"/copurchase_edges-$slug"
       val pairs = TpchMore.coPurchasePairs(s, d, PrMinSupport)
       pairs.select(col("pa").as("src"), col("pb").as("dst"))
         .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))

@@ -71,23 +71,39 @@ object Signals {
     */
   val AlertZ = 2.0
 
-  def eventsRateAlert(s: SparkSession, d: String): DataFrame = {
-    val hourly = Tables.events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val stats = hourly.groupBy(col("event_type"))
+  /** The calibration + cut over an hourly (hour_start, event_type, n)
+    * counter table — shared by the batch operator and the streaming twin so
+    * the two cannot diverge. The stats table is aliased defensively: the
+    * streaming twin's counter table is a memory-sink VIEW, and a view
+    * self-join without distinct aliases fails attribute deduplication.
+    * `varp > 0` guards the degenerate types (constant counts, or a single
+    * observed hour): 0/0 would otherwise be NaN, which Spark's
+    * NaN-is-largest ordering treats as > AlertZ — a spurious alert for a
+    * perfectly constant rate (and DuckDB would error on sqrt of a
+    * cancellation-negative variance).
+    */
+  def rateAlertFrom(hourly: DataFrame, statsSrc: DataFrame): DataFrame = {
+    val stats = statsSrc.groupBy(col("event_type"))
       .agg(sum(col("n").cast("double")).as("sx"),
         sum((col("n") * col("n")).cast("double")).as("sxx"),
         count(lit(1)).as("cnt"))
-      .select(col("event_type"),
+      .select(col("event_type").as("st_type"),
         (col("sx") / col("cnt")).as("mean"),
         (col("sxx") / col("cnt") - (col("sx") / col("cnt")) * (col("sx") / col("cnt")))
           .as("varp"))
-    hourly.join(broadcast(stats), "event_type")
+    hourly.join(broadcast(stats), col("event_type") === col("st_type"))
+      .filter(col("varp") > 0)
       .withColumn("z", (col("n") - col("mean")) / sqrt(col("varp")))
       .filter(col("z") > AlertZ)
       .select(col("event_type"), col("hour_start"), col("n"),
         round(col("z"), 6).as("z_score"))
+  }
+
+  def eventsRateAlert(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    rateAlertFrom(hourly, hourly)
   }
 
   val eventsRateAlertSql: String = s"""
@@ -104,7 +120,7 @@ object Signals {
     SELECT event_type, hour_start, n,
       ROUND((n - mean) / SQRT(varp), 6) AS z_score
     FROM hourly JOIN m USING (event_type)
-    WHERE (n - mean) / SQRT(varp) > $AlertZ
+    WHERE varp > 0 AND (n - mean) / SQRT(varp) > $AlertZ
     ORDER BY 1, 2"""
 
   /** B55 — count-min frequency sketch: per-user event counts estimated from
@@ -125,25 +141,33 @@ object Signals {
     pmod(graft.plans.MixHash.splitmix64Col(
       key.bitwiseXOR(lit(graft.plans.MixHash.slotB(r)))), lit(CmsCols.toLong))
 
-  private def cmsBucket(r: Int, key: org.apache.spark.sql.Column) = cmsBucketCol(r, key)
+  /** Explode `user_id` rows to their (r, bucket) grid coordinates — the
+    * build side's key derivation AND the probe side's, shared with the
+    * streaming twin so the hash pipeline cannot diverge.
+    */
+  def cmsGridKeys(df: DataFrame): DataFrame =
+    df.select(col("user_id"), posexplode(array((0 until CmsRows).map(r =>
+        struct(lit(r).as("r"), cmsBucketCol(r, col("user_id")).as("bucket"))): _*))
+        .as(Seq("i", "rb")))
+      .select(col("user_id"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+
+  /** Min-over-rows estimates for the probe keys against a drained counter
+    * grid — shared by the batch operator and the streaming twin.
+    */
+  def cmsEstimatesFrom(counters: DataFrame, probeSrc: DataFrame): DataFrame = {
+    val probes = probeSrc.filter(pmod(col("user_id"), lit(7L)) === 0).distinct()
+    cmsGridKeys(probes)
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("user_id"))
+      .agg(min(col("c")).as("n_est"))
+  }
 
   def freqSketchCms(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("user_id"))
-    val counters = ev
-      .select(posexplode(array((0 until CmsRows).map(r =>
-        struct(lit(r).as("r"), cmsBucket(r, col("user_id")).as("bucket"))): _*))
-        .as(Seq("i", "rb")))
-      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    val counters = cmsGridKeys(ev)
+      .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val probes = ev.filter(pmod(col("user_id"), lit(7L)) === 0).distinct()
-    val probeBuckets = probes
-      .select(col("user_id"), posexplode(array((0 until CmsRows).map(r =>
-        struct(lit(r).as("r"), cmsBucket(r, col("user_id")).as("bucket"))): _*))
-        .as(Seq("i", "rb")))
-      .select(col("user_id"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-    probeBuckets.join(broadcast(counters), Seq("r", "bucket"))
-      .groupBy(col("user_id"))
-      .agg(min(col("c")).as("n_est"))
+    cmsEstimatesFrom(counters, ev)
   }
 
   val freqSketchCmsSql: String = {

@@ -46,7 +46,13 @@ case class ArrayPairs(child: Expression) extends UnaryExpression {
 object ArrayPairs {
   def compute(xs: ArrayData): GenericArrayData = {
     val n = xs.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // n(n-1)/2 in Long: Int arithmetic would overflow (to a negative or
+    // silently-wrong size) from ~46k elements, and array_pairs is exposed
+    // as a general SQL function with no caller-side bound
+    val sz = n.toLong * (n - 1) / 2
+    require(sz <= Int.MaxValue,
+      s"array_pairs: $n elements would emit $sz pairs (limit ${Int.MaxValue})")
+    val out = new Array[Any](sz.toInt)
     var k = 0
     var i = 0
     while (i < n) {

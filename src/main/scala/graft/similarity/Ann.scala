@@ -200,8 +200,11 @@ object Ann {
   private def ivfIndexDir(s: SparkSession, d: String): String =
     ivfBuilt.computeIfAbsent(d, { _ =>
       import s.implicits._
-      val dir = s.conf.getOption("graft.ivf.dir").getOrElse(
-        sys.props("java.io.tmpdir") + "/graft-ivf-" + Integer.toHexString(d.hashCode))
+      // per-dataset component on BOTH the conf path and the tmpdir fallback
+      // (a fixed suffix under a shared conf dir would cross-clobber datasets)
+      val dir = s.conf.getOption("graft.ivf.dir")
+        .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf") +
+        "/index-" + java.lang.Long.toHexString(graft.plans.MixHash.polyHash(d))
       // training scans e IvfIters+1 times: persist for the build, release
       // synchronously once both tables are written
       val e = graft.CacheScope.scopedPersist(withNorm(Tables.embeddings(s, d))
@@ -310,9 +313,12 @@ object Ann {
 
   private def int8Index(s: SparkSession, d: String): DataFrame = {
     val path = int8Built.computeIfAbsent(d, { _ =>
-      val dir = s.conf.getOption("graft.int8.dir").getOrElse(
-        sys.props("java.io.tmpdir") + "/graft-int8-" +
-          Integer.toHexString(d.hashCode)) + "/embeddings_int8"
+      // per-dataset component on BOTH the conf path and the tmpdir fallback
+      // (a fixed suffix under a shared conf dir would cross-clobber datasets)
+      val slug = java.lang.Long.toHexString(graft.plans.MixHash.polyHash(d))
+      val dir = s.conf.getOption("graft.int8.dir")
+        .getOrElse(sys.props("java.io.tmpdir") + "/graft-int8") +
+        s"/embeddings_int8-$slug"
       val q = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -371,22 +371,11 @@ object Streams {
       q.processAllAvailable()
       q.stop()
     }
-    // the sink view joins a derivation of ITSELF; aliasing both sides keeps
-    // the MemoryPlan self-join's attribute references distinct
-    val hourly = s.table(name).alias("h")
-    val stats = s.table(name).groupBy(col("event_type"))
-      .agg(sum(col("n").cast("double")).as("sx"),
-        sum((col("n") * col("n")).cast("double")).as("sxx"),
-        count(lit(1)).as("cnt"))
-      .select(col("event_type").as("st_type"),
-        (col("sx") / col("cnt")).as("mean"),
-        (col("sxx") / col("cnt") - (col("sx") / col("cnt")) * (col("sx") / col("cnt")))
-          .as("varp"))
-    hourly.join(broadcast(stats), col("event_type") === col("st_type"))
-      .withColumn("z", (col("n") - col("mean")) / sqrt(col("varp")))
-      .filter(col("z") > graft.operators.Signals.AlertZ)
-      .select(col("event_type"), col("hour_start"), col("n"),
-        round(col("z"), 6).as("z_score"))
+    // the drained sink joins a derivation of ITSELF; the shared helper
+    // aliases the stats side so the MemoryPlan self-join's attribute
+    // references stay distinct
+    graft.operators.Signals.rateAlertFrom(
+      s.table(name).alias("h"), s.table(name))
   }
 
   /** C16 — streaming count-min sketch (batch B55's twin): the counter grid
@@ -401,31 +390,17 @@ object Streams {
     import graft.operators.Signals
     val name = "graft_stream_cms_sink_" + sinkId.incrementAndGet()
     withStateParts(s) {
-      val q = s.readStream
-        .schema("user_id BIGINT")
-        .parquet(s"$d/{events.parquet}")
-        .select(posexplode(array((0 until Signals.CmsRows).map(r =>
-          struct(lit(r).as("r"), Signals.cmsBucketCol(r, col("user_id")).as("bucket"))): _*))
-          .as(Seq("i", "rb")))
-        .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      val q = Signals.cmsGridKeys(
+          s.readStream.schema("user_id BIGINT").parquet(s"$d/{events.parquet}"))
+        .groupBy(col("r"), col("bucket"))
         .agg(count(lit(1)).as("c"))
         .writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable()
       q.stop()
     }
-    val counters = s.table(name)
-    val probes = graft.operators.Tables.events(s, d)
-      .select(col("user_id"))
-      .filter(pmod(col("user_id"), lit(7L)) === 0).distinct()
-    probes
-      .select(col("user_id"), posexplode(array((0 until Signals.CmsRows).map(r =>
-        struct(lit(r).as("r"), Signals.cmsBucketCol(r, col("user_id")).as("bucket"))): _*))
-        .as(Seq("i", "rb")))
-      .select(col("user_id"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .join(broadcast(counters), Seq("r", "bucket"))
-      .groupBy(col("user_id"))
-      .agg(min(col("c")).as("n_est"))
+    Signals.cmsEstimatesFrom(s.table(name),
+      graft.operators.Tables.events(s, d).select(col("user_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -28,7 +28,7 @@ class SignalsSpansSpec extends SparkSpec {
     // documents whose span count survived intact must round-trip their text
     val joined = res.join(docs, "doc_id")
       .withColumn("n_spans_orig",
-        (size(split(col("text"), " ")) - 1) / nWords + 1)
+        expr(s"(size(split(text, ' ')) - 1) DIV $nWords + 1"))
       .filter(col("n_spans_kept") === col("n_spans_orig"))
     assert(joined.count() > 0)
     joined.collect().foreach { r =>
@@ -161,6 +161,18 @@ class SignalsSpansSpec extends SparkSpec {
       assert(e >= exact(u), s"user $u: est $e < true ${exact(u)}")
       assert(e - exact(u) <= bound, s"user $u: est $e vs true ${exact(u)} over bound $bound")
     }
+  }
+
+  test("rate_alert never fires on a constant-rate or single-hour type") {
+    import SparkSpecBase.spark.implicits._
+    // constant counts → varp = 0 → z would be NaN, and Spark's
+    // NaN-is-largest ordering would pass the > cut without the varp guard
+    val hourly = Seq(
+      ("flat", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L),
+      ("flat", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 5L),
+      ("once", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 9L)
+    ).toDF("event_type", "hour_start", "n")
+    assert(Signals.rateAlertFrom(hourly, hourly).count() == 0)
   }
 
   test("rate_alert flags exactly the hours above mean + 2 sigma") {
