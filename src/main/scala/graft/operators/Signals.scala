@@ -251,7 +251,48 @@ object Signals {
       MIN(ts) AS valid_from, MAX(ts) AS valid_to, COUNT(*) AS n_events
     FROM numbered GROUP BY 1, 2, 3 ORDER BY user_id, island"""
 
+  /** B59 — per-group Pearson correlation from EXACT moments: Σx, Σy, Σxy,
+    * Σx², Σy² all through the scaled-int128 aggregate (one pass, one
+    * shuffle into k group rows), the r formula then evaluated in IEEE
+    * doubles with the identical expression shape on both engines — the
+    * [[Analytics.statsOutliers]] determinism argument extended to
+    * bivariate stats. The built-in `corr` streams float partials whose
+    * accumulation order is nondeterministic — unusable under a hash gate.
+    * Degenerate groups (either variance 0) are emitted with NULL r, like
+    * SQL corr.
+    */
+  def statsCorrelation(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("pearson_r"))
+  }
+
+  val statsCorrelationSql: String = s"""
+    WITH m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        ${sqlDsum("l_quantity")} AS sx,
+        ${sqlDsum("l_extendedprice")} AS sy,
+        ${sqlDsum("l_quantity * l_extendedprice")} AS sxy,
+        ${sqlDsum("l_quantity * l_quantity")} AS sxx,
+        ${sqlDsum("l_extendedprice * l_extendedprice")} AS syy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      ROUND((n * sxy - sx * sy) /
+        (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS pearson_r
+    FROM m ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_correlation" -> statsCorrelation _,
     "events_gap_fill_locf" -> eventsGapFillLocf _,
     "events_rate_alert" -> eventsRateAlert _,
     "events_state_intervals" -> eventsStateIntervals _,
@@ -260,6 +301,7 @@ object Signals {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_correlation" -> statsCorrelationSql,
     "events_gap_fill_locf" -> eventsGapFillLocfSql,
     "events_rate_alert" -> eventsRateAlertSql,
     "events_state_intervals" -> eventsStateIntervalsSql,

@@ -163,6 +163,28 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("correlation is in [-1,1] and matches a driver-side recompute") {
+    val rows = Signals.statsCorrelation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val p = r.getAs[Double]("pearson_r")
+      assert(p >= -1.0 && p <= 1.0, r.toString)
+      val xs = data(r.getString(0)).map(_.getDouble(1))
+      val ys = data(r.getString(0)).map(_.getDouble(2))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(b => b * b).sum)
+      val want = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      // driver sums are plain doubles (not exact), so compare loosely
+      assert(math.abs(p - want) < 1e-4, s"$p vs recomputed $want for ${r.getString(0)}")
+    }
+  }
+
   test("rate_alert never fires on a constant-rate or single-hour type") {
     import SparkSpecBase.spark.implicits._
     // constant counts → varp = 0 → z would be NaN, and Spark's
