@@ -178,7 +178,12 @@ object Dedup {
     val dfTbl = s"graft_incr_df_$slug"
     val arrTbl = s"graft_incr_arr_$slug"
     val names = Seq(prefixTbl, dfTbl, arrTbl)
-    if (!names.forall(s.catalog.tableExists)) {
+    // amortized across batches BY DESIGN, but never across a corpus
+    // regeneration: the in-JVM fingerprint ledger forces a rebuild when
+    // documents.parquet changes under an existing catalog entry
+    val fp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
+    if (!names.forall(s.catalog.tableExists) ||
+        graft.Artifacts.tableStale(prefixTbl, fp)) {
       names.foreach(resetTable(s, _))
       val nb = edgeBuckets(s)
       val old = withShingles(Tables.documents(s, d).filter(isOld))
@@ -210,6 +215,7 @@ object Dedup {
         .write.mode("overwrite").format("parquet")
         .bucketBy(nb, "doc_id").sortBy("doc_id").saveAsTable(arrTbl)
       old.unpersist(blocking = false)
+      graft.Artifacts.markTableBuilt(prefixTbl, fp)
     }
     (s.table(prefixTbl), s.table(dfTbl), s.table(arrTbl))
   }
@@ -307,7 +313,7 @@ object Dedup {
     * stored ANN indexes.
     */
   private val pairsBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
 
   def clusterPairs(s: SparkSession, d: String): DataFrame = {
     // E2's pair output is derived ONCE PER CORPUS; the CC strategy is
@@ -318,7 +324,10 @@ object Dedup {
     // join latency, and the returned frame (documents ⋈ broadcast local
     // labels) is trivially replayable with no checkpoint blocks to manage.
     // Above the threshold (the 100 TB shape) the distributed path below runs.
-    val pairsLocStr = pairsBuilt.computeIfAbsent(d, { _ =>
+    // keyed on (dataset, documents fingerprint): regenerating the corpus in
+    // place rebuilds the pair graph instead of clustering stale edges
+    val pairsFp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
+    val pairsLocStr = graft.Artifacts.cachedLocation(pairsBuilt, d, pairsFp) {
       // The E2 pipeline is materialized EXACTLY ONCE, to a plain parquet
       // edge list: a persist+count probe costs MORE than a full
       // materialization (AQE is disabled inside cached subplans) and
@@ -332,7 +341,7 @@ object Dedup {
         .write.mode("overwrite").parquet(loc.toString)
       scoped.foreach(_.unpersist(false))
       loc.toString
-    })
+    }
     val pairsPq = s.read.parquet(pairsLocStr)
     val nEdges = pairsPq.count() // parquet count-star: footers only
     if (nEdges <= ccLocalMaxEdges(s)) {
@@ -374,13 +383,46 @@ object Dedup {
     // state is small enough that localCheckpoint's fault-tolerance trade
     // (non-replayable blocks) is acceptable — the expensive artifact (the
     // pair table) is on reliable storage above.
+    val labelsLoc = warehousePath(s, tbl + "_labels").toString
+    propagateMinLabels(s, edges, labelsLoc)
+    // the pair table only feeds the (eager, completed) CC rounds above — drop
+    // it so a long-lived session doesn't accumulate one table per data dir
+    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    // re-attach the non-edge docs (their own clusters) for the full labeling
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(s.read.parquet(labelsLoc), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Round cap for the distributed min-label propagation
+    * (`graft.dedup.ccMaxRounds`, default 50). Rounds track component
+    * DIAMETER, and near-dup clusters are dense (tiny diameter), so 50 is
+    * generous — but a pathological chain-shaped component larger than the
+    * cap must FAIL LOUDLY, never silently emit half-merged clusters.
+    */
+  private[graft] def ccMaxRounds(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.ccMaxRounds").map(_.toInt).getOrElse(50)
+
+  /** Distributed min-label propagation to exact fixpoint over a
+    * both-direction edge table; converged labels land at `labelsLoc` as
+    * parquet. Each round's labels are localCheckpointed (lineage one round
+    * deep) and the superseded round's blocks are freed eagerly. The labels
+    * are written to reliable storage and every checkpoint freed HERE —
+    * returning a plan over non-replayable checkpoint blocks was the round-5
+    * correctness hazard. THROWS if the fixpoint is not reached within
+    * [[ccMaxRounds]] — an unconverged exit would silently label one
+    * component as several (round-9 verdict item 4).
+    */
+  private[graft] def propagateMinLabels(
+      s: SparkSession, edges: DataFrame, labelsLoc: String): Unit = {
+    val maxRounds = ccMaxRounds(s)
     var ckpt = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
     var labels = ckpt
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val next = labels.join(
           edges.join(labels.select(col("doc_id").as("src"), col("cluster_id").as("nl")), "src")
             .groupBy(col("dst").as("doc_id"))
@@ -398,26 +440,16 @@ object Dedup {
       labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
-    // The converged labels are tiny (edge-touching docs only) but live in
-    // NON-REPLAYABLE localCheckpoint blocks. Returning a plan over them and
-    // freeing on first use (round 5) was a latent correctness hazard: the
-    // second action on the returned frame — a caller's count()+collect() —
-    // would fail with missing checkpoint blocks, and a listener firing on an
-    // unrelated failure could free them before ANY use. Fail closed instead:
-    // write the labels to reliable storage (overwritten per run — at most one
-    // small dir per data dir accumulates), free every checkpoint block
-    // eagerly and synchronously HERE, and return a plan over the parquet —
-    // replayable through any number of downstream actions.
-    val labelsLoc = warehousePath(s, tbl + "_labels")
-    labels.write.mode("overwrite").parquet(labelsLoc.toString)
+    if (changed > 0) {
+      freeCheckpoint(ckpt)
+      throw new IllegalStateException(
+        s"connected-components did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — a component's diameter " +
+          "exceeds graft.dedup.ccMaxRounds; raise it (or investigate the " +
+          "pair graph: near-dup clusters should be dense, not chains)")
+    }
+    labels.write.mode("overwrite").parquet(labelsLoc)
     freeCheckpoint(ckpt)
-    // the pair table only feeds the (eager, completed) CC rounds above — drop
-    // it so a long-lived session doesn't accumulate one table per data dir
-    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
-    // re-attach the non-edge docs (their own clusters) for the full labeling
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(s.read.parquet(labelsLoc.toString), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   // ---- MinHash ----

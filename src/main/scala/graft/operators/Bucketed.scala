@@ -36,7 +36,13 @@ object Bucketed {
     val slug = dirSlug(d)
     val lt = s"graft_bkt_lineitem_$slug"
     val ot = s"graft_bkt_orders_$slug"
-    if (!Seq(lt, ot).forall(s.catalog.tableExists)) {
+    // write-once BY DESIGN, but never across a source regeneration: the
+    // in-JVM fingerprint ledger ([[graft.Artifacts]]) forces a rebuild when
+    // the fact parquet changes under an existing catalog entry
+    val fp = graft.Artifacts.fingerprint(
+      s, s"$d/lineitem.parquet", s"$d/orders.parquet")
+    if (!Seq(lt, ot).forall(s.catalog.tableExists) ||
+        graft.Artifacts.tableStale(lt, fp)) {
       Seq(lt, ot).foreach(resetTable(s, _))
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"))
@@ -46,6 +52,7 @@ object Bucketed {
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(ot)
+      graft.Artifacts.markTableBuilt(lt, fp)
     }
     (lt, ot)
   }

@@ -30,23 +30,28 @@ object Graph {
     * the scan, not the basket derivation. Location: `graft.graph.dir` conf,
     * else tmpdir.
     */
-  private val edgesBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val edgesBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
 
   private def edges(s: SparkSession, d: String): DataFrame = {
-    val path = edgesBuilt.computeIfAbsent(d, { _ =>
-      // the per-dataset component goes on BOTH the conf path and the tmpdir
-      // fallback: a fixed suffix under a shared conf dir would let a second
-      // dataset's build silently clobber the first's cached artifact
+    // the per-dataset component goes on BOTH the conf path and the tmpdir
+    // fallback: a fixed suffix under a shared conf dir would let a second
+    // dataset's build silently clobber the first's cached artifact. Keyed on
+    // (dataset, resolved base dir, lineitem fingerprint) so regenerating the
+    // fact table in place — or repointing graft.graph.dir — rebuilds the
+    // edge artifact instead of serving the stale graph ([[graft.Artifacts]]).
+    val base = s.conf.getOption("graft.graph.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-graph")
+    val fp = graft.Artifacts.fingerprint(s, s"$d/lineitem.parquet")
+    val path = graft.Artifacts.cachedLocation(edgesBuilt, s"$d@$base", fp) {
       val slug = java.lang.Long.toHexString(graft.plans.MixHash.polyHash(d))
-      val dir = s.conf.getOption("graft.graph.dir")
-        .getOrElse(sys.props("java.io.tmpdir") + "/graft-graph") +
-        s"/copurchase_edges-$slug"
+      val dir = base + s"/copurchase_edges-$slug"
       val pairs = TpchMore.coPurchasePairs(s, d, PrMinSupport)
       pairs.select(col("pa").as("src"), col("pb").as("dst"))
         .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
         .write.mode("overwrite").parquet(dir)
       dir
-    })
+    }
     s.read.parquet(path)
   }
 

@@ -30,16 +30,19 @@ object Tables {
     * consumer when the file flips (round 6: 21 operators), so the reader
     * probes and branches instead.
     *
-    * The cache is keyed by path only and never invalidated: if the file at
-    * a path is REGENERATED with a different ts encoding inside one JVM, the
-    * stale branch is taken. Acceptable for bench/verify runs (one dataset
-    * generation per JVM); a long-lived service would key on (path, mtime).
+    * The cache is keyed on (path, metadata fingerprint) — see
+    * [[graft.Artifacts.fingerprint]]: regenerating the file in place (even
+    * with a different ts encoding) takes a fresh probe instead of the stale
+    * branch, at the cost of one file listing per lookup.
     */
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
 
-  def eventsTsType(s: SparkSession, d: String): DataType =
-    tsTypeCache.computeIfAbsent(s"$d/events.parquet", { path =>
+  def eventsTsType(s: SparkSession, d: String): DataType = {
+    val p = s"$d/events.parquet"
+    tsTypeCache.computeIfAbsent(
+      s"$p@${graft.Artifacts.fingerprint(s, p)}", { _ =>
+      val path = p
       try s.read.parquet(path).schema("ts").dataType
       catch {
         // Only the specific TIMESTAMP(NANOS) schema-inference failure
@@ -55,6 +58,7 @@ object Tables {
           s.read.parquet(path).schema("ts").dataType
       }
     })
+  }
 
   /** Data-era sanity gate, cached per path (one column-pruned scan per JVM):
     * after normalization, min(ts) must be a plausible event time. A
@@ -71,12 +75,16 @@ object Tables {
   private val EraMax = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
 
   def assertEventsEra(s: SparkSession, d: String): Unit = {
-    eraChecked.computeIfAbsent(s"$d/events.parquet", { path =>
+    val p = s"$d/events.parquet"
+    // (path, fingerprint) key: a regenerated file is re-checked, so a bad
+    // overwrite cannot hide behind a pass recorded for the old data
+    eraChecked.computeIfAbsent(
+      s"$p@${graft.Artifacts.fingerprint(s, p)}", { _ =>
       val mn = eventsNormalized(s, d)
         .agg(org.apache.spark.sql.functions.min(col("ts"))).head.getTimestamp(0)
       if (mn != null && (mn.before(EraMin) || mn.after(EraMax)))
         throw new IllegalStateException(
-          s"events.ts era check failed for $path: min(ts)=$mn outside " +
+          s"events.ts era check failed for $p: min(ts)=$mn outside " +
             "[1990, 2100] — timestamp unit mismatch (ns/µs confusion) on read")
       java.lang.Boolean.TRUE
     })

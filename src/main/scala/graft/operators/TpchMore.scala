@@ -225,10 +225,35 @@ object TpchMore {
     */
   val BasketMinSupport = 2
 
+  /** Hard bound on basket size (`graft.basket.maxItems`, default 1024): a
+    * basket's pair enumeration is quadratic in its size, and the ≤7-lines
+    * property of this schema is a TPC-H artifact, not an invariant — one
+    * mega-basket in a real feed would blow executor memory (or trip
+    * array_pairs' Int.MaxValue limit and abort the job) without a cap.
+    */
+  val BasketMaxItemsDefault = 1024
+
+  private[graft] def basketMaxItems(s: SparkSession): Int =
+    s.conf.getOption("graft.basket.maxItems")
+      .map(_.toInt).getOrElse(BasketMaxItemsDefault)
+
+  /** Per-basket derivation with the scale cap ENFORCED IN THE AGGREGATE
+    * ([[graft.plans.BoundedBasketAgg]] — the E2/E6 BoundedPostingsAgg
+    * discipline): each basket keeps its `maxItems` smallest distinct parts
+    * (a deterministic prefix of the sorted basket, so results are
+    * replayable) and flags the truncation. Exposed for the cap audit.
+    */
+  private[graft] def baskets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(graft.plans.SketchAggs
+        .boundedBasket(col("l_partkey"), basketMaxItems(s)).as("b"))
+
   /** Co-purchase pair counts above `minSupport`, shared by [[basketPairs]]
     * and the B57 PageRank edge derivation. NOT a self-join: each order's
     * distinct parts are collected into one sorted basket array (bounded by
-    * basket size — an ObjectHashAggregate over ≤7 elements) and the pairs
+    * [[basketMaxItems]] — mega-baskets degrade to a deterministic prefix
+    * instead of a quadratic blow-up, see [[baskets]]) and the pairs
     * enumerate IN-ARRAY, so the whole derivation is two hash aggregates —
     * one shuffle on l_orderkey, one on the pair key — where the join form
     * paid a distinct shuffle plus both self-join sides. Sorted distinct
@@ -237,14 +262,23 @@ object TpchMore {
     * HOF lambdas.
     */
   def coPurchasePairs(s: SparkSession, d: String, minSupport: Int): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(graft.plans.ArrayPairs.pairs(col("ps"))).as("pr"))
+    baskets(s, d)
+      .select(explode(graft.plans.ArrayPairs.pairs(col("b.ps"))).as("pr"))
       .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
+
+  /** Cap audit for [[coPurchasePairs]]: how many baskets were truncated by
+    * `graft.basket.maxItems`, and the largest kept size. Zero capped rows
+    * means the pair counts are exact; a nonzero count quantifies the
+    * deliberate recall trade the cap makes on pathological feeds.
+    */
+  def basketCapAudit(s: SparkSession, d: String): DataFrame =
+    baskets(s, d).agg(
+      sum(when(col("b.capped"), 1L).otherwise(0L)).as("baskets_capped"),
+      count(lit(1)).as("baskets_total"),
+      max(size(col("b.ps"))).as("max_kept_items"))
 
   def basketPairs(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)

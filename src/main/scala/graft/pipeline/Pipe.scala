@@ -125,9 +125,19 @@ final case class Pipe[T](ds: Dataset[T]) {
     * computed once. Persisting at graph-construction time means the first
     * action already populates the cache (the reference materializes whole
     * stages for the same reason — Beam graphs are built fully before run()).
+    *
+    * Storage hygiene (round-9 verdict item 5): every auto-persist is
+    * REGISTERED — with the enclosing [[Pipe.run]] scope when one is active
+    * (released when the scope closes, the CacheScope discipline applied to
+    * the DSL), else with the session-wide ledger [[Pipe.releaseAll]] drains.
+    * The reference leaks these by design (its persists die with the
+    * pipeline process); a long-lived graft session must not.
     */
   private[pipeline] def consumed: Dataset[T] = {
-    if (consumers.incrementAndGet() == 2) ds.persist(StorageLevel.MEMORY_AND_DISK)
+    if (consumers.incrementAndGet() == 2) {
+      ds.persist(StorageLevel.MEMORY_AND_DISK)
+      Pipe.registerAutoPersist(ds)
+    }
     ds
   }
 
@@ -263,6 +273,50 @@ final case class Pipe[T](ds: Dataset[T]) {
 }
 
 object Pipe {
+
+  /** Auto-persists of the pipeline graph(s) built inside the active
+    * [[run]] scope (thread-local: graph CONSTRUCTION is driver-side and
+    * single-threaded per pipeline, like Beam's). The session-wide ledger
+    * catches scopeless use.
+    */
+  private val scopePersists =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Dataset[_]]]()
+  private val globalPersists =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Dataset[_], java.lang.Boolean]())
+
+  private[pipeline] def registerAutoPersist(ds: Dataset[_]): Unit = {
+    val scope = scopePersists.get()
+    if (scope != null) scope += ds
+    else { globalPersists.add(ds); () }
+  }
+
+  /** Execute a whole pipeline — construction plus every terminal action —
+    * and release ALL auto-persisted shared branches when the block exits
+    * (normally or not). This is the Beam `pipeline.run()` shape: within the
+    * scope every multi-consumer branch is computed once; after it, no
+    * persistent-RDD entries survive (PipelineSpec pins this). Persists made
+    * outside any scope keep reference-parity lifetime and can be drained
+    * explicitly with [[releaseAll]].
+    */
+  def run[A](body: => A): A = {
+    val outer = scopePersists.get()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    scopePersists.set(buf)
+    try body
+    finally {
+      scopePersists.set(outer)
+      buf.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Drain every scopeless auto-persist made so far (session cleanup for
+    * DSL use outside [[run]]). */
+  def releaseAll(): Unit = {
+    val it = globalPersists.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+  }
+
   /** Create from in-memory values, with the reference's partition heuristic:
     * ceil(sqrt(n)/sqrt(100)) partitions (transform_evaluators.py:19) — a tiny
     * Create stays one task instead of fanning out over default parallelism.

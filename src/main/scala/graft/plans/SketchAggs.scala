@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
 /** Sketch aggregates as single TypedImperativeAggregates (SURVEY §2 E3/E4).
@@ -244,6 +244,101 @@ case class BoundedPostingsAgg(
     copy(idExpr = newLeft, szExpr = newRight)
 }
 
+/** Mutable buffer for [[BoundedBasketAgg]]: sorted-distinct items capped at
+  * maxItems, plus an eviction flag.
+  */
+final class BasketBuffer(var capped: Boolean, val items: ArrayBuffer[Long])
+
+/** Size-capped sorted-distinct collector — `sort_array(collect_set(x))`
+  * with a hard bound on the aggregation buffer (SURVEY B56: the
+  * BoundedPostingsAgg discipline applied to basket mining). Keeps the
+  * `maxItems` SMALLEST distinct values; a mega-basket degrades to its
+  * deterministic prefix instead of growing an unbounded buffer and then
+  * exploding quadratically in the pair enumeration (or tripping
+  * array_pairs' hard limit and failing the job).
+  *
+  * Merge soundness: each partial keeps its own maxItems smallest distinct
+  * items, and the global maxItems smallest are a subset of the union of
+  * partial keeps — so the merged prefix is EXACT, and `capped` is exact
+  * too (a partial evicts only when its distinct count exceeds the cap,
+  * which implies the global distinct count does; the final merge truncates
+  * whenever the global count does).
+  */
+case class BoundedBasketAgg(
+    itemExpr: Expression,
+    maxItems: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BasketBuffer] with UnaryLike[Expression] {
+
+  override def child: Expression = itemExpr
+
+  override def createAggregationBuffer(): BasketBuffer =
+    new BasketBuffer(false, ArrayBuffer.empty)
+
+  private def insert(buf: BasketBuffer, v: Long): Unit = {
+    var lo = 0
+    var hi = buf.items.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf.items(mid) < v) lo = mid + 1 else hi = mid
+    }
+    if (lo < buf.items.length && buf.items(lo) == v) return // already present
+    if (buf.items.length >= maxItems) {
+      buf.capped = true
+      if (lo >= maxItems) return // larger than everything kept
+      buf.items.remove(buf.items.length - 1)
+    }
+    buf.items.insert(lo, v)
+  }
+
+  override def update(buf: BasketBuffer, input: InternalRow): BasketBuffer = {
+    val v = itemExpr.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: BasketBuffer, other: BasketBuffer): BasketBuffer = {
+    buf.capped ||= other.capped
+    other.items.foreach(insert(buf, _))
+    buf
+  }
+
+  override def eval(buf: BasketBuffer): Any =
+    InternalRow(new GenericArrayData(buf.items.toArray), buf.capped)
+
+  override def serialize(buf: BasketBuffer): Array[Byte] = {
+    val m = buf.items.length
+    val bb = ByteBuffer.allocate(1 + 4 + 8 * m)
+    bb.put(if (buf.capped) 1.toByte else 0.toByte)
+    bb.putInt(m)
+    buf.items.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BasketBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val capped = bb.get() == 1.toByte
+    val m = bb.getInt
+    val items = new ArrayBuffer[Long](m)
+    var i = 0
+    while (i < m) { items += bb.getLong; i += 1 }
+    new BasketBuffer(capped, items)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ps", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("capped", BooleanType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(offset: Int): BoundedBasketAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BoundedBasketAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedBasketAgg =
+    copy(itemExpr = newChild)
+}
+
 object SketchAggs {
   /** MinHash signature column (array<long> of numPerms slots). */
   def minhash(h: Column, numPerms: Int = 64): Column =
@@ -258,4 +353,10 @@ object SketchAggs {
     */
   def boundedPostings(id: Column, sz: Column, maxDf: Int): Column =
     column(BoundedPostingsAgg(expression(id), expression(sz), maxDf).toAggregateExpression())
+
+  /** Capped sorted-distinct basket: struct(ps: array<long> — the maxItems
+    * smallest distinct values, ascending — capped: boolean).
+    */
+  def boundedBasket(item: Column, maxItems: Int): Column =
+    column(BoundedBasketAgg(expression(item), maxItems).toAggregateExpression())
 }

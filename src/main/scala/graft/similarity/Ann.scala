@@ -195,20 +195,48 @@ object Ann {
     * probe. The per-JVM build here stands in for that offline step (same
     * pattern as [[int8Index]]). Location: `graft.ivf.dir` conf, else tmpdir.
     */
-  private val ivfBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
 
-  private def ivfIndexDir(s: SparkSession, d: String): String =
-    ivfBuilt.computeIfAbsent(d, { _ =>
+  private def ivfIndexDir(s: SparkSession, d: String): String = {
+    // per-dataset component on BOTH the conf path and the tmpdir fallback
+    // (a fixed suffix under a shared conf dir would cross-clobber datasets);
+    // cache key includes the resolved base dir AND the input fingerprint, so
+    // regenerating embeddings.parquet in place — or repointing graft.ivf.dir
+    // mid-session — rebuilds instead of serving the stale index
+    val base = s.conf.getOption("graft.ivf.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf")
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    val maxTrainKey = s.conf.getOption("graft.ann.trainSampleRows").getOrElse("")
+    graft.Artifacts.cachedLocation(ivfBuilt, s"$d@$base@$maxTrainKey", fp) {
       import s.implicits._
-      // per-dataset component on BOTH the conf path and the tmpdir fallback
-      // (a fixed suffix under a shared conf dir would cross-clobber datasets)
-      val dir = s.conf.getOption("graft.ivf.dir")
-        .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf") +
+      val dir = base +
         "/index-" + java.lang.Long.toHexString(graft.plans.MixHash.polyHash(d))
-      // training scans e IvfIters+1 times: persist for the build, release
-      // synchronously once both tables are written
-      val e = graft.CacheScope.scopedPersist(withNorm(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("v"), col("nrm")))
+      val full = withNorm(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"), col("nrm"))
+      // SAMPLED TRAINING (SURVEY §5's 100 TB path, now code): above
+      // `graft.ann.trainSampleRows` the Lloyd iterations scan only a
+      // deterministic splitmix64 residue sample of ~that many rows — k-means
+      // quality depends on the sample being representative, not exhaustive,
+      // and a hash residue of vec_id is replayable and stable under corpus
+      // growth (the H6 discipline). ASSIGNMENT stays full-corpus below, so
+      // the stored index still covers every vector.
+      val n = Tables.embeddings(s, d).count() // parquet count-star: footers only
+      val maxTrain = s.conf.getOption("graft.ann.trainSampleRows")
+        .map(_.toLong).getOrElse(1000000L)
+      val sampled = n > maxTrain
+      val trainSrc = if (!sampled) full else {
+        val den = 1L << 20
+        val keep = (den * maxTrain / n).max(1L)
+        full.filter(pmod(graft.plans.MixHash.splitmix64Col(col("vec_id")),
+          lit(den)) < lit(keep))
+      }
+      // training scans the (possibly sampled) set IvfIters+1 times: persist
+      // for the build, release synchronously once both tables are written
+      val e = graft.CacheScope.scopedPersist(trainSrc)
+      // full-corpus assignment reads the cached training set when it IS the
+      // corpus; under sampling it re-scans the source once instead
+      val assignSrc = if (sampled) full else e
       try {
         // deterministic seeds: min-vec_id vector per residue class
         val seedRows = e
@@ -240,7 +268,7 @@ object Ann {
           }
           cents = next
         }
-        e.withColumn("cell", nearestCellCol("v", cents))
+        assignSrc.withColumn("cell", nearestCellCol("v", cents))
           .write.mode("overwrite").parquet(s"$dir/corpus")
         cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
           .toDF("cell_id", "cv")
@@ -248,7 +276,8 @@ object Ann {
           .write.mode("overwrite").parquet(s"$dir/centroids")
       } finally e.unpersist(blocking = true)
       dir
-    })
+    }
+  }
 
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val dir = ivfIndexDir(s, d)
@@ -305,20 +334,24 @@ object Ann {
     * here stands in for that offline step. Location: `graft.int8.dir`
     * conf, else tmpdir.
     */
-  private val int8Built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val int8Built =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
 
   // build-time-only UDF (one pass per dataset, not in the query hot path):
   // array<tinyint> → packed binary
   private val packBytes = udf((xs: Seq[Byte]) => xs.toArray)
 
   private def int8Index(s: SparkSession, d: String): DataFrame = {
-    val path = int8Built.computeIfAbsent(d, { _ =>
-      // per-dataset component on BOTH the conf path and the tmpdir fallback
-      // (a fixed suffix under a shared conf dir would cross-clobber datasets)
+    // per-dataset component on BOTH the conf path and the tmpdir fallback
+    // (a fixed suffix under a shared conf dir would cross-clobber datasets);
+    // keyed on (dataset, resolved base dir, input fingerprint) — see
+    // [[graft.Artifacts]] for the staleness rationale
+    val base = s.conf.getOption("graft.int8.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-int8")
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    val path = graft.Artifacts.cachedLocation(int8Built, s"$d@$base", fp) {
       val slug = java.lang.Long.toHexString(graft.plans.MixHash.polyHash(d))
-      val dir = s.conf.getOption("graft.int8.dir")
-        .getOrElse(sys.props("java.io.tmpdir") + "/graft-int8") +
-        s"/embeddings_int8-$slug"
+      val dir = base + s"/embeddings_int8-$slug"
       val q = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -331,7 +364,7 @@ object Ann {
         .withColumn("qn2", graft.plans.DotProductInt8.dot(col("q"), col("q")))
       q.write.mode("overwrite").parquet(dir)
       dir
-    })
+    }
     s.read.parquet(path)
   }
 

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bucketed, Graph, Tables}
+
+/** The stored-artifact staleness contract (round-9 verdict item 1): every
+  * per-JVM cache — the F3/F5 ANN indexes, the B57 edge table, the E7/E8
+  * dedup artifacts, B22's bucketed facts, the events ts-type/era probes —
+  * keys on a METADATA FINGERPRINT of its input dataset, so overwriting the
+  * data in place forces a rebuild instead of serving answers derived from
+  * the old corpus.
+  */
+class ArtifactsSpec extends SparkSpec {
+
+  private def copyFile(src: String, dst: String): Unit = {
+    Files.createDirectories(Paths.get(dst).getParent)
+    Files.copy(Paths.get(src), Paths.get(dst), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("fingerprint is stable on unchanged data and moves on overwrite") {
+    val dir = Files.createTempDirectory("graft-fp").toString
+    copyFile(s"$sf/events.parquet", s"$dir/events.parquet")
+    val f1 = Artifacts.fingerprint(spark, s"$dir/events.parquet")
+    val f2 = Artifacts.fingerprint(spark, s"$dir/events.parquet")
+    assert(f1 == f2)
+    // overwrite with different content (length changes → fingerprint must)
+    Tables.events(spark, sf).limit(10).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val f3 = Artifacts.fingerprint(spark, s"$dir/events.parquet")
+    assert(f3 != f1)
+    // absent path fingerprints distinctly rather than throwing
+    val fAbsent = Artifacts.fingerprint(spark, s"$dir/nope.parquet")
+    assert(fAbsent != f1)
+  }
+
+  test("events ts-type and era probes re-run after an in-place overwrite") {
+    val dir = Files.createTempDirectory("graft-stale-ev").toString
+    copyFile(s"$sf/events.parquet", s"$dir/events.parquet")
+    assert(Tables.events(spark, dir).limit(1).count() == 1) // probes pass
+    // overwrite IN PLACE with a 1000x-shrunk file: with a path-only cache
+    // the recorded era pass would mask the corruption; the fingerprint key
+    // must re-check and crash
+    Tables.events(spark, sf)
+      .select(col("event_id"),
+        timestamp_micros(expr("unix_micros(ts) DIV 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("era check failed"))
+  }
+
+  test("B57 edge artifact rebuilds when lineitem is regenerated in place") {
+    val dir = Files.createTempDirectory("graft-stale-gr").toString
+    copyFile(s"$sf/lineitem.parquet", s"$dir/lineitem.parquet")
+    val n1 = Graph.pageRank(spark, dir).count()
+    assert(n1 > 0)
+    // regenerate with a disjoint slice: half the orders → different graph
+    Tables.lineitem(spark, sf).filter(col("l_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val n2 = Graph.pageRank(spark, dir).count()
+    assert(n2 != n1, "stale co-purchase edge artifact served after overwrite")
+  }
+
+  test("F5 int8 index rebuilds when embeddings are regenerated in place") {
+    val dir = Files.createTempDirectory("graft-stale-i8").toString
+    copyFile(s"$sf/embeddings.parquet", s"$dir/embeddings.parquet")
+    val n1 = graft.similarity.Ann.quantizedTopK(spark, dir).count()
+    assert(n1 > 0)
+    // shift every vec_id past the query filter: a rebuilt index yields an
+    // empty query set; a stale one would keep answering with the old ids
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val n2 = graft.similarity.Ann.quantizedTopK(spark, dir).count()
+    assert(n2 == 0, s"stale int8 index served after overwrite ($n2 rows)")
+  }
+
+  test("B22 bucketed facts rebuild when the source tables change in place") {
+    val dir = Files.createTempDirectory("graft-stale-bkt").toString
+    copyFile(s"$sf/lineitem.parquet", s"$dir/lineitem.parquet")
+    copyFile(s"$sf/orders.parquet", s"$dir/orders.parquet")
+    val r1 = Bucketed.bucketedJoin(spark, dir).agg(sum(col("n"))).head.getLong(0)
+    Tables.lineitem(spark, sf).filter(col("l_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r2 = Bucketed.bucketedJoin(spark, dir).agg(sum(col("n"))).head.getLong(0)
+    assert(r2 < r1, "stale bucketed fact tables served after overwrite")
+  }
+}

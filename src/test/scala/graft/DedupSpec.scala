@@ -172,6 +172,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("CC propagation reaches the fixpoint or fails loudly (planted 60-node path)") {
+    // a path graph is the worst case for min-label propagation: the min
+    // label travels ONE hop per round, so a 60-node path needs 59 rounds.
+    // Under the default 50-round cap the old code exited silently with a
+    // half-propagated labeling; it must now throw.
+    import SparkSpecBase.spark.implicits._
+    val n = 60L
+    val edges = (0L until n - 1)
+      .flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("src", "dst")
+    val loc = java.nio.file.Files.createTempDirectory("graft-cc").toString + "/labels"
+    val e = intercept[IllegalStateException](
+      Dedup.propagateMinLabels(spark, edges, loc))
+    assert(e.getMessage.contains("did not converge"))
+    spark.conf.set("graft.dedup.ccMaxRounds", "80")
+    try {
+      Dedup.propagateMinLabels(spark, edges, loc)
+      val labels = spark.read.parquet(loc).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(labels.length == n && labels.forall(_._2 == 0L),
+        "single component must converge to one label")
+    } finally spark.conf.unset("graft.dedup.ccMaxRounds")
+  }
+
   test("clusterPairs small and distributed CC paths emit identical labels") {
     val small = Dedup.clusterPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -337,5 +360,39 @@ class DedupSpec extends SparkSpec {
     val scanned = 2.0 / Ann.IvfCells
     assert(recall >= 2 * scanned && recall > 0.1,
       s"recall@10 = $recall, scanned fraction ~= $scanned (${Ann.IvfCells} cells)")
+  }
+
+  test("ivf sampled training: bounded Lloyd scans, full-corpus assignment, recall holds") {
+    // SURVEY §5's 100 TB claim as code: with graft.ann.trainSampleRows below
+    // the corpus size, k-means trains on a deterministic splitmix64 residue
+    // sample, but the stored assignment must still cover EVERY vector and
+    // the recall bound of the unsampled spec must still hold.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sample").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val idxBase = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    spark.conf.set("graft.ann.trainSampleRows", "100") // n=500 → ~20% sample
+    spark.conf.set("graft.ivf.dir", idxBase)
+    try {
+      val ivf = Ann.ivfTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Ann.bruteTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = brute.intersect(ivf).size.toDouble / brute.size
+      val scanned = 2.0 / Ann.IvfCells
+      assert(recall >= 2 * scanned && recall > 0.1,
+        s"sampled-training recall@10 = $recall vs scanned ~= $scanned")
+      // assignment stays full-corpus: the stored index covers every vector
+      val idxDirs = new java.io.File(idxBase).listFiles()
+      assert(idxDirs.length == 1)
+      val assigned = spark.read.parquet(s"${idxDirs.head.getPath}/corpus")
+        .select("vec_id").distinct().count()
+      assert(assigned == n, s"assignment covered $assigned of $n vectors")
+    } finally {
+      spark.conf.unset("graft.ann.trainSampleRows")
+      spark.conf.unset("graft.ivf.dir")
+    }
   }
 }

@@ -142,4 +142,32 @@ class TpchMoreSpec extends SparkSpec {
       s"theta join planned as nested loop:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("mega-basket cap: a planted 10k-item order degrades to a bounded prefix") {
+    // the ≤7-lines basket is a TPC-H schema property, not an invariant —
+    // a pathological feed must degrade gracefully (deterministic prefix +
+    // audit flag), never enumerate Θ(m²) pairs or abort on the array_pairs
+    // hard limit
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-megabasket").toString
+    val mega = (1L to 10000L).map(p => (1L, p))        // one 10k-part order
+    val normal = // a support-2 pair on part keys disjoint from the mega basket
+      Seq((2L, 20001L), (2L, 20002L), (3L, 20001L), (3L, 20002L))
+    (mega ++ normal).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    spark.conf.set("graft.basket.maxItems", "64")
+    try {
+      val pairs = TpchMore.coPurchasePairs(spark, dir, 1).collect()
+      // capped basket contributes exactly C(64,2) pairs over its 64 SMALLEST
+      // part keys; the small baskets contribute their one pair at support 2
+      assert(pairs.length == 64 * 63 / 2 + 1, s"got ${pairs.length} pairs")
+      val megaPairs = pairs.filter(r => r.getLong(2) == 1L)
+      assert(megaPairs.forall(r => r.getLong(0) <= 64 && r.getLong(1) <= 64))
+      assert(pairs.exists(r =>
+        r.getLong(0) == 20001L && r.getLong(1) == 20002L && r.getLong(2) == 2L))
+      val audit = TpchMore.basketCapAudit(spark, dir).head
+      assert(audit.getLong(0) == 1L, s"capped=${audit.getLong(0)}")   // one capped basket
+      assert(audit.getInt(2) == 64, s"max kept=${audit.getInt(2)}")
+    } finally spark.conf.unset("graft.basket.maxItems")
+  }
 }
