@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." footer after a task: the driver's bench
+// harness parses the LAST stdout line as JSON, and the footer landing after
+// Bench's headline line has voided the tail parse three rounds running.
+// With the footer off, the headline (under its "[info] " prefix) is the
+// final stdout line of `sbt -batch "runMain graft.Bench"`.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -62,7 +62,10 @@ object PlanAudit {
     "basket_pairs",
     // text_bm25_search: the 1-row corpus stats (N, Σdl) broadcast into the
     // scoring expression — the q22 scalar-aggregate shape
-    "text_bm25_search")
+    "text_bm25_search",
+    // streaming_hll_distinct: the ≤256-row drained register table reduced
+    // to the 1-row estimate — hll_distinct's shape over the memory sink
+    "streaming_hll_distinct")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,
@@ -79,8 +82,9 @@ object PlanAudit {
     // document — bounded by the document's own span count (words/8), never
     // by corpus size
     "corpus_span_dedup",
-    // basket_pairs / graph_pagerank: collect_set of one order's distinct
-    // parts — bounded by basket size (≤7 lines/order at any corpus size)
+    // basket_pairs / graph_pagerank: the bounded basket collector — buffer
+    // hard-capped at graft.basket.maxItems entries (round 9; previously the
+    // ≤7-lines schema property was the only bound)
     "basket_pairs", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {

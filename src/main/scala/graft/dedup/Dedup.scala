@@ -960,6 +960,27 @@ object Dedup {
     * integer arithmetic mod 2^64 (MixHash), the same trick as the winnow
     * oracle.
     */
+  /** Shared E2 oracle fragments: 3-gram shingle sets (`sh`) and the
+    * Jaccard ≥ [[JaccardT]] canonical pair list (`jp(doc_a, doc_b, jac)`).
+    * Written ONCE and composed by both the E2 oracle and downstream
+    * auditors (H17's split-leakage twin) — a threshold or shingle change
+    * here cannot silently desynchronize a composing oracle.
+    */
+  val jaccardPairsCtes: String = {
+    val jac = """ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6)"""
+    s"""sh AS (
+        SELECT doc_id,
+          list_distinct([str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1] || ' ' || str_split(text,' ')[i+2]
+                         for i in range(1, len(str_split(text,' ')) - 1)]) AS shingles
+        FROM documents
+        WHERE len(str_split(text,' ')) >= 3),
+      jp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jac AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE $jac >= $JaccardT)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,
     "dedup_minhash" -> minhashOracleSql,
@@ -968,20 +989,8 @@ object Dedup {
       SELECT ${TextFunctions.fingerprintSql("text")} AS fp,
         MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keep_id""",
-    "dedup_jaccard_pairs" -> """
-      WITH sh AS (
-        SELECT doc_id,
-          list_distinct([str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1] || ' ' || str_split(text,' ')[i+2]
-                         for i in range(1, len(str_split(text,' ')) - 1)]) AS shingles
-        FROM documents
-        WHERE len(str_split(text,' ')) >= 3)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jac
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.8
-      ORDER BY doc_a, doc_b""",
+    "dedup_jaccard_pairs" ->
+      s"WITH $jaccardPairsCtes SELECT doc_a, doc_b, jac FROM jp ORDER BY doc_a, doc_b",
     // connected components via a recursive transitive-closure CTE: tractable
     // because near-dup components are tiny at oracle SF
     "dedup_clusters" -> """

@@ -128,11 +128,68 @@ object Multimodal {
         md5(expr(s"substring(text, off + 1, $FrameLen)")).as("frame_md5"))
   }
 
+  /** G5 — perceptual-hash near-dup over the multimodal payload: the
+    * pHash-style 64-bit signature (each of 64 stride samples compared to
+    * the payload's own mean — the DCT-sign shape of real image pHash, over
+    * the stubbed "decode") and a MULTI-INDEX hamming search: pairs within
+    * hamming ≤ [[PhashHamT]] found by banding the hash into
+    * [[PhashHamT]]+1 segments (pigeonhole: ≤T differing bits across T+1
+    * bands leave ≥1 band identical) and exact-verifying candidates — the
+    * standard multi-index-hashing layout for hamming search at scale; the
+    * Θ(n²) form never materializes. Mega-bucket behavior follows E3/E4's
+    * analysis: band buckets hash-partition, and a skew-capped variant
+    * would apply the same star cap if a band value went hot.
+    */
+  val PhashBits = 64
+  val PhashHamT = 10
+
+  private def phashFrame(s: SparkSession, d: String): DataFrame = {
+    val codes = (0 until PhashBits).map(i =>
+      ascii(expr(s"substring(text, CAST((${i}L * n_chars) DIV $PhashBits AS INT) + 1, 1)"))
+        .cast("long"))
+    val tot = codes.reduce(_ + _)
+    val bits = codes.zipWithIndex.map { case (c, i) =>
+      when(c * PhashBits > col("tot"), lit(1L << i)).otherwise(0L)
+    }
+    Tables.documents(s, d)
+      .withColumn("n_chars", char_length(col("text")))
+      .filter(col("n_chars") >= PhashBits)
+      .withColumn("tot", tot)
+      .select(col("doc_id"), bits.reduce(_ + _).as("phash"))
+  }
+
+  def phashDedup(s: SparkSession, d: String): DataFrame = {
+    val nBands = PhashHamT + 1
+    val base = PhashBits / nBands        // 5
+    val extra = PhashBits % nBands       // first `extra` bands get base+1
+    val offsets = (0 until nBands).scanLeft(0) {
+      case (off, i) => off + base + (if (i < extra) 1 else 0)
+    }
+    val ph = graft.CacheScope.scopedPersist(phashFrame(s, d))
+    val bands = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until nBands).map { i =>
+        val w = base + (if (i < extra) 1 else 0)
+        expr(s"shiftrightunsigned(phash, ${offsets(i)}) & ${(1L << w) - 1}")
+      }: _*)).as(Seq("band", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.phash").as("pa"),
+        col("b.doc_id").as("doc_b"), col("b.phash").as("pb"))
+      .distinct()
+    val out = cand
+      .withColumn("hamming", expr("bit_count(pa ^ pb)"))
+      .filter(col("hamming") <= PhashHamT)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    graft.CacheScope.releaseAfterUse(out, ph)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta _,
     "mm_feature_stub" -> featureStub _,
     "mm_frame_sample" -> frameSample _,
-    "mm_resize_stub" -> resizeStub _
+    "mm_resize_stub" -> resizeStub _,
+    "mm_phash_dedup" -> phashDedup _
   )
 
   /** Count of hex digit `ch` in string expr `s` (pure SQL histogram bin). */
@@ -170,6 +227,32 @@ object Multimodal {
             FROM documents)
       WHERE frame_idx % 4 = 0
       ORDER BY doc_id, frame_idx""",
+    // the oracle replays the phash build (ord == ascii on this ASCII
+    // corpus; HUGEINT bit sum wrapped to the signed 64-bit value Spark
+    // holds) and takes the exact quadratic hamming join — tractable at
+    // oracle SF, which is precisely what the banded operator avoids
+    "mm_phash_dedup" -> s"""
+      WITH s AS (
+        SELECT doc_id,
+          list_transform(range($PhashBits), i ->
+            ord(substring(text, (i * length(text)) // $PhashBits + 1, 1))) AS codes
+        FROM documents WHERE length(text) >= $PhashBits),
+      m AS (SELECT doc_id, codes, list_sum(codes) AS tot FROM s),
+      hu AS (
+        SELECT doc_id,
+          list_sum(list_transform(range($PhashBits), i ->
+            CASE WHEN codes[i+1] * $PhashBits > tot
+              THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
+        FROM m),
+      ph AS (SELECT doc_id,
+          CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+            THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS phash
+        FROM hu)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamT
+      ORDER BY doc_a, doc_b""",
     "mm_resize_stub" -> """
       SELECT doc_id, 64 AS resized_len,
         md5(array_to_string(

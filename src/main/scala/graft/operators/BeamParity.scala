@@ -13,9 +13,12 @@ object BeamParity {
 
   /** A24 — small-file compaction: rewrite a directory of many undersized
     * parquet files into ~`targetFileBytes` files. The file count comes from
-    * the scan's OWN size statistics (footer-derived, no data read), so the
-    * operator needs no caller-supplied row estimates; the rewrite is one
-    * round-robin repartition — no key skew possible by construction. The
+    * the ACTUAL on-disk byte total of the input files (one filesystem
+    * listing, no data read) — the optimizer's `stats.sizeInBytes` is a
+    * DECOMPRESSED in-memory estimate that would undershoot the target by
+    * the parquet compression ratio (often 3-5×) and emit files several
+    * times larger than asked. The rewrite is one round-robin
+    * repartition — no key skew possible by construction. The
     * background maintenance every streaming/micro-batch sink needs at
     * 100 TB: small files are the #1 lakehouse read-amplification problem.
     * Returns the planned file count (spec-verified; no SQL twin — the
@@ -24,9 +27,16 @@ object BeamParity {
   def compactParquet(s: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long): Int = {
     val df = s.read.parquet(inDir)
-    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = (((totalBytes + BigInt(targetFileBytes) - 1) /
-      BigInt(targetFileBytes)).toLong max 1L).toInt
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var totalBytes = 0L
+    val it = fs.listFiles(in, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) totalBytes += f.getLen
+    }
+    val nFiles = (((totalBytes + targetFileBytes - 1) /
+      targetFileBytes) max 1L).toInt
     df.repartition(nFiles).write.mode("overwrite").parquet(outDir)
     nFiles
   }

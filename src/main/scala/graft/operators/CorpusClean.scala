@@ -75,6 +75,37 @@ object CorpusClean {
       CAST(SUM(${bpeTokensSql("text")}) AS BIGINT) AS bpe_tokens
     FROM documents GROUP BY 1 ORDER BY 1"""
 
+  /** H18 — token BUDGET accounting per (source, lang): what a data team
+    * actually consumes when planning a training run. Training budgets are
+    * tokenizer tokens, and the tokenizer isn't in the engine — so emit the
+    * exact bases (code points, UTF-8 bytes, whitespace tokens, word-regex
+    * tokens) plus a deterministic byte-level BPE proxy (per-doc
+    * ceil(bytes/3.5) in exact integer arithmetic — modern BPE vocabularies
+    * land near 3.5–4 bytes/token on English web text), so any consumer can
+    * calibrate to its own tokenizer. One scan → |sources|×|langs| partial-
+    * agg rows, the cheapest possible shape at 100 TB.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("lang", langId(col("text")))
+      .withColumn("b", octet_length(col("text")))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(col("b").cast("long")).as("n_bytes"),
+        sum(wsTokens(col("text")).cast("long")).as("ws_tokens"),
+        sum(bpeTokens(col("text")).cast("long")).as("word_tokens"),
+        sum(expr("CAST((b * 2 + 6) DIV 7 AS BIGINT)")).as("bpe_est"))
+
+  val tokenBudgetSql: String = s"""
+    SELECT source, ${langIdSql("text")} AS lang, COUNT(*) AS n_docs,
+      CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+      CAST(SUM(${wsTokensSql("text")}) AS BIGINT) AS ws_tokens,
+      CAST(SUM(${bpeTokensSql("text")}) AS BIGINT) AS word_tokens,
+      CAST(SUM((strlen(text) * 2 + 6) // 7) AS BIGINT) AS bpe_est
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Eval-set n-gram decontamination: drop training docs sharing ANY 5-word
     * shingle with the eval set (doc_id < EvalDocs stands in for the eval
     * corpus). The eval gram set is small BY DEFINITION, so it broadcasts and
@@ -235,22 +266,28 @@ object CorpusClean {
           .otherwise("test").as("split"))
   }
 
-  val splitSql: String = {
+  /** Shared H6 oracle fragments: the splitmix64 replay chain ending in
+    * `spl(doc_id, bucket, split)`. Composed by the H6 oracle itself and by
+    * downstream auditors (H17) so the 90/5/5 thresholds and the hash replay
+    * live in exactly one place.
+    */
+  val splitCtes: String = {
     import graft.plans.MixHash._
-    s"""
-    WITH h0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents),
+    s"""h0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents),
     h1 AS (SELECT doc_id, ${sqlMixStep1("z")} AS z FROM h0),
     h2 AS (SELECT doc_id, ${sqlMixStep2("z")} AS z FROM h1),
     h3 AS (SELECT doc_id, ${sqlMixStep3("z")} AS z FROM h2),
     h4 AS (SELECT doc_id, ${sqlMixStep4("z")} AS z FROM h3),
     sgn AS (SELECT doc_id, ${sqlToSigned("z")} AS v FROM h4),
-    b AS (SELECT doc_id, ((v % 100) + 100) % 100 AS bucket FROM sgn)
-    SELECT doc_id, bucket,
-      CASE WHEN bucket < 90 THEN 'train'
-           WHEN bucket < 95 THEN 'val'
+    spl AS (SELECT doc_id, ((v % 100) + 100) % 100 AS bucket,
+      CASE WHEN ((v % 100) + 100) % 100 < 90 THEN 'train'
+           WHEN ((v % 100) + 100) % 100 < 95 THEN 'val'
            ELSE 'test' END AS split
-    FROM b ORDER BY doc_id"""
+      FROM sgn)"""
   }
+
+  val splitSql: String =
+    s"WITH $splitCtes SELECT doc_id, bucket, split FROM spl ORDER BY doc_id"
 
   /** H7 — scalable global row enumeration: dense ids 1..N in doc_id order
     * WITHOUT the single-partition window a naive
@@ -358,6 +395,12 @@ object CorpusClean {
     * set is small by construction), and Catalyst is free to pipeline the
     * stages because nothing materializes in between. Eval docs
     * (doc_id < EvalDocs) are excluded from the training side up front.
+    *
+    * Round 9: the D10 PII scrub ([[TextAnalysis.maskPiiCol]]) is fused in
+    * as one more per-row map in the same codegen stage — masking runs
+    * BEFORE fingerprinting (two docs differing only in a masked span must
+    * dedup together) and the emitted token/char accounting measures the
+    * masked text, which is what ships to training. Same scan count.
     */
   def corpusPrepare(s: SparkSession, d: String): DataFrame = {
     val raw = Tables.documents(s, d)
@@ -366,10 +409,11 @@ object CorpusClean {
         col("text"), DecontaminationGram)).as("g"))
       .distinct()
     val cleaned = raw
+      .withColumn("mtext", TextAnalysis.maskPiiCol(col("text")))
       .withColumn("alpha_ratio", alphaRatio(col("text")))
       .withColumn("space_ratio", spaceRatio(col("text")))
       .withColumn("pred_lang", langId(col("text")))
-      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("fp", fingerprint(col("mtext")))
       .filter(col("doc_id") >= EvalDocs &&
         length(col("text")) >= MinChars &&
         col("alpha_ratio") >= MinAlpha && col("space_ratio") <= MaxSpace &&
@@ -390,25 +434,30 @@ object CorpusClean {
       .filter(col("rk") * 100 > col("n") * 5 && col("rk") * 100 <= col("n") * 95)
     trimmed.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(wsTokens(col("text")).cast("long")).as("ws_tokens"),
-        sum(col("n_chars")).as("sum_chars"))
+        sum(wsTokens(col("mtext")).cast("long")).as("ws_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("mtext")).cast("long")).as("masked_chars"))
   }
 
   val corpusPrepareSql: String = s"""
-    WITH scored AS (
+    WITH masked AS (
       SELECT doc_id, source, n_chars, text,
+        ${TextAnalysis.maskPiiSql("text")} AS mtext
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, n_chars, text, mtext,
         ${alphaRatioSql("text")} AS alpha_ratio,
         ${spaceRatioSql("text")} AS space_ratio,
         ${langIdSql("text")} AS pred_lang,
-        ${fingerprintSql("text")} AS fp
-      FROM documents),
+        ${fingerprintSql("mtext")} AS fp
+      FROM masked),
     cleaned0 AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
       FROM scored
       WHERE doc_id >= $EvalDocs AND length(text) >= $MinChars
         AND alpha_ratio >= $MinAlpha AND space_ratio <= $MaxSpace
         AND pred_lang = 'en'),
-    cleaned AS (SELECT doc_id, source, n_chars, text FROM cleaned0 WHERE rn = 1),
+    cleaned AS (SELECT doc_id, source, n_chars, text, mtext FROM cleaned0 WHERE rn = 1),
     w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
     sh AS (
       SELECT doc_id,
@@ -427,8 +476,9 @@ object CorpusClean {
       FROM decon),
     trimmed AS (SELECT * FROM r WHERE rk * 100 > n * 5 AND rk * 100 <= n * 95)
     SELECT source, COUNT(*) AS n_docs,
-      CAST(SUM(${wsTokensSql("text")}) AS BIGINT) AS ws_tokens,
-      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      CAST(SUM(${wsTokensSql("mtext")}) AS BIGINT) AS ws_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(SUM(length(mtext)) AS BIGINT) AS masked_chars
     FROM trimmed GROUP BY source ORDER BY source"""
 
   /** H11 — deterministic corpus shuffle: the global pseudo-random training
@@ -517,6 +567,7 @@ object CorpusClean {
     "corpus_sample_weighted" -> sampleWeighted _,
     "corpus_split" -> trainSplit _,
     "corpus_token_stats" -> tokenStats _,
+    "corpus_token_budget" -> tokenBudget _,
     "corpus_decontaminate" -> decontaminate _,
     "corpus_sample_mix" -> sampleMix _,
     "corpus_chunk" -> chunk _,
@@ -533,6 +584,7 @@ object CorpusClean {
     "corpus_prepare" -> corpusPrepareSql,
     "corpus_split" -> splitSql,
     "corpus_token_stats" -> tokenStatsSql,
+    "corpus_token_budget" -> tokenBudgetSql,
     "corpus_decontaminate" -> decontaminateSql,
     "corpus_sample_mix" -> sampleMixSql,
     "corpus_chunk" -> chunkSql,

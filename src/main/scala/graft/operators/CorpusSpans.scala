@@ -162,41 +162,21 @@ object CorpusSpans {
       .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jac"))
   }
 
-  val splitLeakageSql: String = {
-    import graft.plans.MixHash._
-    s"""
-    WITH sh AS (
-      SELECT doc_id,
-        list_distinct([str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1] || ' ' || str_split(text,' ')[i+2]
-                       for i in range(1, len(str_split(text,' ')) - 1)]) AS shingles
-      FROM documents
-      WHERE len(str_split(text,' ')) >= 3),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jac
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.8),
-    h0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z FROM documents),
-    h1 AS (SELECT doc_id, ${sqlMixStep1("z")} AS z FROM h0),
-    h2 AS (SELECT doc_id, ${sqlMixStep2("z")} AS z FROM h1),
-    h3 AS (SELECT doc_id, ${sqlMixStep3("z")} AS z FROM h2),
-    h4 AS (SELECT doc_id, ${sqlMixStep4("z")} AS z FROM h3),
-    sgn AS (SELECT doc_id, ${sqlToSigned("z")} AS v FROM h4),
-    spl AS (
-      SELECT doc_id,
-        CASE WHEN ((v % 100) + 100) % 100 < 90 THEN 'train'
-             WHEN ((v % 100) + 100) % 100 < 95 THEN 'val'
-             ELSE 'test' END AS split
-      FROM sgn)
+  /** Pure COMPOSITION of the two gated operators' own oracle fragments —
+    * E2's pair CTEs ([[graft.dedup.Dedup.jaccardPairsCtes]]) and H6's split
+    * CTEs ([[CorpusClean.splitCtes]]). Nothing re-inlined: a threshold or
+    * hash change in either source oracle flows into this twin by
+    * construction.
+    */
+  val splitLeakageSql: String = s"""
+    WITH ${graft.dedup.Dedup.jaccardPairsCtes},
+    ${CorpusClean.splitCtes}
     SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, jac
-    FROM p
+    FROM jp
     JOIN spl sa ON sa.doc_id = doc_a
     JOIN spl sb ON sb.doc_id = doc_b
     WHERE sa.split <> sb.split
     ORDER BY doc_a, doc_b"""
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_span_dedup" -> spanDedup _,

@@ -490,6 +490,14 @@ object Relational {
     * oracle determinism).
     */
   def hllEstimate(src: DataFrame, key: String): DataFrame =
+    hllFromRegs(hllBucketRho(src, key)
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg")))
+
+  /** Per-row (bucket, rho) derivation — the stateless front half of the
+    * sketch, shared with the C17 streaming twin (whose register state is
+    * the groupBy-max over exactly these rows).
+    */
+  def hllBucketRho(src: DataFrame, key: String): DataFrame =
     src
       .select(graft.plans.MixHash.splitmix64Col(col(key)).as("h"))
       .select(expr("shiftrightunsigned(h, 56)").as("bucket"),
@@ -497,7 +505,10 @@ object Relational {
       .select(col("bucket"),
         when(col("lower") === 0, lit(57))
           .otherwise(lit(57) - length(bin(col("lower")))).as("rho"))
-      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+
+  /** Harmonic estimate from a drained register table (bucket, reg). */
+  def hllFromRegs(regs: DataFrame): DataFrame =
+    regs
       .agg(
         sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - reg) AS DECIMAL(38,0))")).as("s_present"),
         count(lit(1)).as("cnt"))
@@ -508,10 +519,12 @@ object Relational {
             .cast("double"), 4).as("approx_distinct"),
         (lit(HllM.toLong) - col("cnt")).as("zero_registers"))
 
-  val hllDistinctSql: String = {
+  /** The HLL oracle over any (table, key) — shared by B16b and the C17
+    * streaming twin so the register replay lives in one place. */
+  def hllSql(table: String, key: String): String = {
     import graft.plans.MixHash._
     s"""
-    WITH h0 AS (SELECT CAST(l_partkey AS HUGEINT) AS z FROM lineitem),
+    WITH h0 AS (SELECT CAST($key AS HUGEINT) AS z FROM $table),
     h1 AS (SELECT ${sqlMixStep1("z")} AS z FROM h0),
     h2 AS (SELECT ${sqlMixStep2("z")} AS z FROM h1),
     h3 AS (SELECT ${sqlMixStep3("z")} AS z FROM h2),
@@ -529,6 +542,8 @@ object Relational {
            $HllM - cnt AS zero_registers
     FROM agg"""
   }
+
+  val hllDistinctSql: String = hllSql("lineitem", "l_partkey")
 
   val q1PricingSql: String = s"""
     SELECT l_returnflag, l_linestatus,

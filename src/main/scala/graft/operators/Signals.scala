@@ -259,7 +259,10 @@ object Signals {
     * bivariate stats. The built-in `corr` streams float partials whose
     * accumulation order is nondeterministic — unusable under a hash gate.
     * Degenerate groups (either variance 0) are emitted with NULL r, like
-    * SQL corr.
+    * SQL corr — guarded EXPLICITLY on both sides: Spark's non-ANSI
+    * divide-by-zero yields NULL but DuckDB's SQRT(0)*SQRT(0) denominator
+    * yields NaN under ieee_floating_point_ops, so leaving the guard to the
+    * engines would diverge the gate on a constant-valued group.
     */
   def statsCorrelation(s: SparkSession, d: String): DataFrame = {
     val x = col("l_quantity")
@@ -270,10 +273,13 @@ object Signals {
         dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
         dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
       .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
-        round(
-          (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        when(
+          col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
           .as("pearson_r"))
   }
 
@@ -287,8 +293,10 @@ object Signals {
         ${sqlDsum("l_extendedprice * l_extendedprice")} AS syy
       FROM lineitem GROUP BY 1)
     SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-      ROUND((n * sxy - sx * sy) /
-        (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS pearson_r
+      CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        THEN ROUND((n * sxy - sx * sy) /
+          (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+        ELSE NULL END AS pearson_r
     FROM m ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

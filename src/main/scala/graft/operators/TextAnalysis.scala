@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -102,6 +102,97 @@ object TextAnalysis {
         regexp_count(col("props"), lit("[0-9]+")).as("n_masked"),
         regexp_replace(col("props"), "[0-9]+", "<NUM>").as("masked"))
 
+  /** D10 — PII masking patterns, shared verbatim by the Spark expressions
+    * and the DuckDB oracle (both engines' regex dialects cover this common
+    * subset: char classes, bounded counts, `\b`). Kept deliberately simple
+    * and high-recall — corpus scrubbing wants false positives over leaks.
+    */
+  val PiiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PiiPhoneRe = """\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"""
+  val PiiIpRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+  val PiiUuidRe =
+    """\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b"""
+
+  /** The D10 masking chain as a column expression: emails, then UUIDs, then
+    * phones, then IPv4s (emails/UUIDs first — their matches contain
+    * digit-dot/digit-dash runs the narrower patterns could bite into).
+    * Pure per-row regexp maps: fuses into whatever scan feeds it, no
+    * shuffle, trivially 100 TB-shaped.
+    */
+  def maskPiiCol(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, PiiEmailRe, "<EMAIL>"),
+          PiiUuidRe, "<UUID>"),
+        PiiPhoneRe, "<PHONE>"),
+      PiiIpRe, "<IP>")
+
+  /** SQL twin of [[maskPiiCol]] (DuckDB needs the explicit 'g' flag where
+    * Spark replaces all matches by default). */
+  def maskPiiSql(c: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       $c, '$PiiEmailRe', '<EMAIL>', 'g'),
+       '$PiiUuidRe', '<UUID>', 'g'),
+       '$PiiPhoneRe', '<PHONE>', 'g'),
+       '$PiiIpRe', '<IP>', 'g')"""
+
+  /** D10 — PII masking (emails / phones / IPv4s / UUIDs), the corpus-prep
+    * scrub D8's numeric masking doesn't cover. The corpus itself carries no
+    * PII-shaped spans (by construction), so the gated query PLANTS a
+    * deterministic PII string per document — doc_id-derived email + IP for
+    * every row, phone on every 3rd, UUID on every 2nd — and masks it: all
+    * four patterns fire with row-varying payloads, and the per-class counts
+    * vary too, so the hash gate exercises the real matching behavior of
+    * both engines, not just a no-op pass.
+    */
+  def textMaskPii(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("string")
+    val raw = concat(
+      lit("contact user"), did, lit("@ex"),
+      pmod(col("doc_id"), lit(10L)).cast("string"), lit(".com"),
+      when(col("doc_id") % 3 === 0, concat(lit(" call +1-415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(""),
+      lit(" from 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+      lit(".0.1"),
+      when(col("doc_id") % 2 === 0, concat(
+        lit(" session 550e8400-e29b-41d4-a716-44665544"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(""),
+      lit(" note "), col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(PiiEmailRe)).as("n_email"),
+        regexp_count(col("raw"), lit(PiiPhoneRe)).as("n_phone"),
+        regexp_count(col("raw"), lit(PiiIpRe)).as("n_ip"),
+        regexp_count(col("raw"), lit(PiiUuidRe)).as("n_uuid"),
+        maskPiiCol(col("raw")).as("masked"))
+  }
+
+  val textMaskPiiSql: String = s"""
+    WITH raw AS (
+      SELECT doc_id,
+        'contact user' || doc_id || '@ex' || (doc_id % 10) || '.com' ||
+        CASE WHEN doc_id % 3 = 0
+          THEN ' call +1-415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END ||
+        ' from 10.' || (doc_id % 256) || '.0.1' ||
+        CASE WHEN doc_id % 2 = 0
+          THEN ' session 550e8400-e29b-41d4-a716-44665544' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END ||
+        ' note ' || text AS raw
+      FROM documents)
+    SELECT doc_id,
+      CAST(LENGTH(regexp_extract_all(raw, '$PiiEmailRe')) AS INTEGER) AS n_email,
+      CAST(LENGTH(regexp_extract_all(raw, '$PiiPhoneRe')) AS INTEGER) AS n_phone,
+      CAST(LENGTH(regexp_extract_all(raw, '$PiiIpRe')) AS INTEGER) AS n_ip,
+      CAST(LENGTH(regexp_extract_all(raw, '$PiiUuidRe')) AS INTEGER) AS n_uuid,
+      ${maskPiiSql("raw")} AS masked
+    FROM raw ORDER BY doc_id"""
+
   /** D9 — BM25 keyword search (Robertson/Lucene idf form, k1=1.2, b=0.75):
     * score every document against a fixed query, return the top 20. The
     * term-frequency table is FILTERED to the query terms before any
@@ -184,6 +275,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_search" -> textBm25 _,
     "text_mask_numbers" -> textMaskNumbers _,
+    "text_mask_pii" -> textMaskPii _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,
@@ -194,6 +286,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_bm25_search" -> textBm25Sql,
+    "text_mask_pii" -> textMaskPiiSql,
     "text_mask_numbers" -> """
       SELECT event_id,
         CAST(LENGTH(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked,

@@ -484,13 +484,43 @@ object Ann {
     rankTopK(pairs)
   }
 
+  /** F8 — FILTERED vector search: exact top-k restricted to corpus vectors
+    * sharing the query's `label` — the metadata-predicate retrieval every
+    * production vector store exposes ("nearest neighbors WHERE tenant/lang/
+    * category = X"). The predicate applies BEFORE scoring as an equi-join
+    * key: the pair space hash-partitions on label, so each query scores
+    * only its own label stripe, never the full corpus — at 100 TB, with a
+    * selective predicate, this is the difference between a stripe scan and
+    * a full sweep (post-filtering top-k instead would also under-fill k).
+    * Smaller top-k (5) than F1: filtered result sets are sparser.
+    */
+  val FilteredTopK = 5
+
+  def filteredTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id").as("nid"), col("label"), col("rcos"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rcos").desc, col("nid"))))
+      .filter(col("rank") <= FilteredTopK)
+      .select(col("qid"), col("label"), col("nid"), col("rank"), col("rcos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK _,
     "ann_lsh_topk" -> lshTopK _,
     "ann_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> embQuantize _,
     "ann_quantized_topk" -> quantizedTopK _,
-    "ann_rerank_topk" -> rerankTopK _
+    "ann_rerank_topk" -> rerankTopK _,
+    "ann_filtered_topk" -> filteredTopK _
   )
 
   /** Full SQL twin of lshTopK. The hyperplanes are deterministic constants
@@ -701,6 +731,18 @@ object Ann {
         SELECT qid, nid, rcos,
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
         FROM p) t
-      WHERE rank <= $TopK ORDER BY qid, rank"""
+      WHERE rank <= $TopK ORDER BY qid, rank""",
+    "ann_filtered_topk" -> s"""
+      WITH p AS (
+        SELECT q.vec_id AS qid, q.label AS label, c.vec_id AS nid,
+          ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS rcos
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < $NumQueries)
+      SELECT qid, label, nid, rank, rcos FROM (
+        SELECT qid, label, nid, rcos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
+        FROM p) t
+      WHERE rank <= $FilteredTopK ORDER BY qid, rank"""
   )
 }

@@ -403,9 +403,37 @@ object Streams {
       graft.operators.Tables.events(s, d).select(col("user_id")))
   }
 
+  /** C17 — streaming HyperLogLog distinct (batch B16b's twin): register
+    * state is a MAX aggregate per bucket — at most [[Relational.HllM]]=256
+    * rows regardless of stream length, the bounded-state property that
+    * makes HLL the streaming cardinality sketch. The per-row (bucket, rho)
+    * derivation is shared verbatim with the batch operator
+    * ([[Relational.hllBucketRho]]); the harmonic estimate reads the drained
+    * register table exactly as batch does. Deterministic (max is
+    * order-independent) → gated against the same register-replay oracle
+    * family as B16b, instantiated over events.user_id.
+    */
+  def streamingHllDistinct(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Relational
+    val name = "graft_stream_hll_sink_" + sinkId.incrementAndGet()
+    withStateParts(s) {
+      val q = Relational.hllBucketRho(
+          s.readStream.schema("user_id BIGINT").parquet(s"$d/{events.parquet}"),
+          "user_id")
+        .groupBy(col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    Relational.hllFromRegs(s.table(name))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "streaming_dedup" -> streamingDedup _,
+      "streaming_hll_distinct" -> streamingHllDistinct _,
       "streaming_window_agg" -> streamingWindowAgg _,
       "streaming_enrich" -> streamingEnrich _,
       "streaming_sessionize" -> streamingSessionize _,
@@ -420,6 +448,8 @@ object Streams {
     // streaming twins of the batch alert/sketch share their batch oracles
     "streaming_rate_alert" -> graft.operators.Signals.oracles("events_rate_alert"),
     "streaming_freq_sketch" -> graft.operators.Signals.oracles("freq_sketch_cms"),
+    // B16b's register-replay oracle instantiated over the stream's source
+    "streaming_hll_distinct" -> graft.operators.Relational.hllSql("events", "user_id"),
     "streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "streaming_window_agg" -> s"""

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.dedup.Dedup
 import graft.similarity.Ann
 
@@ -360,6 +361,26 @@ class DedupSpec extends SparkSpec {
     val scanned = 2.0 / Ann.IvfCells
     assert(recall >= 2 * scanned && recall > 0.1,
       s"recall@10 = $recall, scanned fraction ~= $scanned (${Ann.IvfCells} cells)")
+  }
+
+  test("filtered ann: every neighbor shares the query's label, k respected") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Ann.filteredTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, label, nid, rank) =>
+      assert(label == e(qid), s"result label $label != query label ${e(qid)}")
+      assert(e(nid) == e(qid), s"neighbor $nid crosses the label filter")
+      assert(rank >= 1 && rank <= Ann.FilteredTopK && nid != qid)
+    }
+    // the filter must actually bite: some query's unfiltered top-1 neighbor
+    // (from brute) carries a different label
+    val brute1 = Ann.bruteTopK(spark, sf).filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(brute1.exists { case (q, n) => e(n) != e(q) },
+      "label filter vacuous at test SF: unfiltered top-1s never cross labels")
   }
 
   test("ivf sampled training: bounded Lloyd scans, full-corpus assignment, recall holds") {

@@ -41,4 +41,14 @@ class MultimodalSpec extends SparkSpec {
     val r = Multimodal.binaryMeta(spark, sf).limit(1).collect().head
     assert(r.getString(3).length == 8)
   }
+
+  test("phash near-dup pairs: canonical orientation, bounded hamming, nonempty") {
+    val rows = Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty, "no phash near-dups at test SF — operator vacuous")
+    assert(rows.forall { case (a, b, h) =>
+      a < b && h >= 0 && h <= Multimodal.PhashHamT })
+    // multi-index banding must not emit duplicates after the distinct
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
 }

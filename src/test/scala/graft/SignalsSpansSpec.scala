@@ -218,4 +218,20 @@ class SignalsSpansSpec extends SparkSpec {
     assert(actual == expected)
     assert(actual.nonEmpty, "no rate spikes in test data — alert vacuous")
   }
+
+  test("stats_correlation guards zero-variance groups with NULL, not NaN") {
+    // Spark's non-ANSI x/0 is NULL but DuckDB's SQRT(0)*SQRT(0) denominator
+    // is NaN — the explicit guard keeps a constant-valued group gate-safe
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corr0").toString
+    Seq((1L, "A", 5.0, 10.0), (2L, "A", 5.0, 20.0),   // x constant: r undefined
+        (3L, "B", 1.0, 2.0), (4L, "B", 2.0, 4.0))     // perfect correlation
+      .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = Signals.statsCorrelation(spark, dir).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(rows("A").isEmpty, s"degenerate group must be NULL, got ${rows("A")}")
+    assert(rows("B").contains(1.0), s"perfect correlation must be 1.0, got ${rows("B")}")
+  }
 }

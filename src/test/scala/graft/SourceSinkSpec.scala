@@ -100,11 +100,14 @@ class SourceSinkSpec extends SparkSpec {
     def parquetFiles(dir: String): Int =
       new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
     assert(parquetFiles(inDir) == 64)
-    val totalBytes = spark.read.parquet(inDir)
-      .queryExecution.optimizedPlan.stats.sizeInBytes
+    // target = a quarter of the ON-DISK bytes: the planned count must track
+    // compressed file sizes (the optimizer's decompressed estimate would
+    // plan 3-5x fewer, larger files than asked)
+    val diskBytes = new java.io.File(inDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
     val planned = graft.operators.BeamParity.compactParquet(
-      spark, inDir, outDir, (totalBytes / 4).toLong)
-    assert(planned <= 6, s"planned $planned files")
+      spark, inDir, outDir, (diskBytes / 4) max 1L)
+    assert(planned >= 4 && planned <= 6, s"planned $planned files")
     assert(parquetFiles(outDir) == planned)
     val rt = spark.read.parquet(outDir)
     assert(rt.exceptAll(docs).isEmpty && docs.exceptAll(rt).isEmpty)

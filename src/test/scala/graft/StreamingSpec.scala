@@ -198,4 +198,20 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"$got vs $want")
     assert(want(1) > 0 && want.size == 3)
   }
+
+  test("C17: streaming HLL estimate equals the batch sketch on the bounded source") {
+    // the register table is a max-aggregate: order-independent, so draining
+    // the stream must land on exactly the batch registers and estimate
+    val got = Streams.streamingHllDistinct(spark, sf).collect().head
+    val want = Relational.hllEstimate(
+      Tables.events(spark, sf).select(col("user_id")), "user_id").collect().head
+    assert(got == want, s"$got vs $want")
+    // n (15) << m (256 registers) is below the raw-estimator regime, where
+    // the sketch deliberately biases HIGH (the linear-counting branch is
+    // omitted for oracle determinism — see Relational.hllEstimate): assert
+    // the documented bias direction, not a tight bound
+    val exact = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    val est = got.getDouble(0)
+    assert(est >= exact.toDouble, s"estimate $est below exact $exact")
+  }
 }
