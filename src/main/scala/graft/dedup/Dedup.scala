@@ -315,34 +315,42 @@ object Dedup {
   private val pairsBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
 
-  def clusterPairs(s: SparkSession, d: String): DataFrame = {
-    // E2's pair output is derived ONCE PER CORPUS; the CC strategy is
-    // size-adaptive (the E5 broadcast→grid guard pattern): the edge count is
-    // probed from the stored parquet, and below `graft.dedup.ccLocalMaxEdges`
-    // the edges are collected and union-found ON THE DRIVER — a near-dup
-    // pair graph that fits there gains nothing from 5 rounds of distributed
-    // join latency, and the returned frame (documents ⋈ broadcast local
-    // labels) is trivially replayable with no checkpoint blocks to manage.
-    // Above the threshold (the 100 TB shape) the distributed path below runs.
+  /** The E2 verified pair set as a STORED per-corpus artifact (doc_a,
+    * doc_b, jac): materialized exactly once per (corpus, fingerprint) and
+    * scanned by every consumer — E8's clustering AND H17's split-leakage
+    * audit read this instead of re-deriving the PPJoin pipeline. A
+    * persist+count probe costs MORE than a full materialization (AQE is
+    * disabled inside cached subplans) and limit-collect's incremental job
+    * waves recompute the expensive verify stage when the limit never
+    * saturates; from the parquet, the edge count is a metadata-only footer
+    * read at any scale.
+    */
+  private[graft] def pairsParquet(s: SparkSession, d: String): DataFrame = {
     // keyed on (dataset, documents fingerprint): regenerating the corpus in
-    // place rebuilds the pair graph instead of clustering stale edges
+    // place rebuilds the pair graph instead of serving stale edges
     val pairsFp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
     val pairsLocStr = graft.Artifacts.cachedLocation(pairsBuilt, d, pairsFp) {
-      // The E2 pipeline is materialized EXACTLY ONCE, to a plain parquet
-      // edge list: a persist+count probe costs MORE than a full
-      // materialization (AQE is disabled inside cached subplans) and
-      // limit-collect's incremental job waves recompute the expensive verify
-      // stage when the limit never saturates. From the parquet, the edge
-      // count is a metadata-only footer read at any scale, and whichever CC
-      // path runs consumes the files without re-deriving the PPJoin pipeline.
       val (pairsUnsorted, scoped) = jaccardCore(s, d)
       val loc = warehousePath(s, "graft_pairs_" + dirSlug(d) + "_edges")
-      pairsUnsorted.select(col("doc_a"), col("doc_b"))
+      pairsUnsorted.select(col("doc_a"), col("doc_b"), col("jac"))
         .write.mode("overwrite").parquet(loc.toString)
       scoped.foreach(_.unpersist(false))
       loc.toString
     }
-    val pairsPq = s.read.parquet(pairsLocStr)
+    s.read.parquet(pairsLocStr)
+  }
+
+  def clusterPairs(s: SparkSession, d: String): DataFrame = {
+    // E2's pair output is derived ONCE PER CORPUS ([[pairsParquet]]); the CC
+    // strategy is size-adaptive (the E5 broadcast→grid guard pattern): the
+    // edge count is probed from the stored parquet, and below
+    // `graft.dedup.ccLocalMaxEdges` the edges are collected and union-found
+    // ON THE DRIVER — a near-dup pair graph that fits there gains nothing
+    // from 5 rounds of distributed join latency, and the returned frame
+    // (documents ⋈ broadcast local labels) is trivially replayable with no
+    // checkpoint blocks to manage. Above the threshold (the 100 TB shape)
+    // the distributed path below runs.
+    val pairsPq = pairsParquet(s, d).select(col("doc_a"), col("doc_b"))
     val nEdges = pairsPq.count() // parquet count-star: footers only
     if (nEdges <= ccLocalMaxEdges(s)) {
       val edges = pairsPq.collect().map(r => (r.getLong(0), r.getLong(1)))

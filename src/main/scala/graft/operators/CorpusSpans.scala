@@ -153,7 +153,11 @@ object CorpusSpans {
     * size). Empty output is the healthy state a pipeline asserts on.
     */
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
-    val pairs = graft.dedup.Dedup.jaccardPairs(s, d)
+    // consumes the SAME stored pair artifact E8 clusters from
+    // ([[graft.dedup.Dedup.pairsParquet]]): the audit is two key joins over
+    // a parquet scan, not a re-run of the PPJoin pipeline — at 100 TB the
+    // pair derivation is the ingest pipeline's job, audits just read it
+    val pairs = graft.dedup.Dedup.pairsParquet(s, d)
     val splits = CorpusClean.trainSplit(s, d).select(col("doc_id"), col("split"))
     pairs
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
@@ -178,17 +182,64 @@ object CorpusSpans {
     WHERE sa.split <> sb.split
     ORDER BY doc_a, doc_b"""
 
+  /** H19 — per-source dedup AUDIT: the health report a data team reads
+    * before deciding dedup thresholds. Per source: document count, exact-
+    * duplicate documents (normalized-fingerprint groups, global keep-first
+    * by doc_id — the E1 rule, so the reported drop equals what E1 would
+    * remove), and near-duplicate documents (distinct members of E2's
+    * verified pair set — read from the STORED pair artifact
+    * ([[graft.dedup.Dedup.pairsParquet]]), not re-derived). Two node-sized
+    * joins + one k-row aggregate on top of existing artifacts.
+    */
+  def dedupReport(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val pairs = graft.dedup.Dedup.pairsParquet(s, d)
+    val nearDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("is_near", lit(1L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .join(nearDocs, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_exact_dups"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup_docs"))
+  }
+
+  val dedupReportSql: String = s"""
+    WITH ${graft.dedup.Dedup.jaccardPairsCtes},
+    near AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM jp UNION ALL SELECT doc_b FROM jp)),
+    fp AS (
+      SELECT doc_id, source,
+        ROW_NUMBER() OVER (
+          PARTITION BY ${graft.functions.TextFunctions.fingerprintSql("text")}
+          ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+      CAST(SUM(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_near_dup_docs
+    FROM fp LEFT JOIN near ON fp.doc_id = near.doc_id
+    GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_span_dedup" -> spanDedup _,
     "corpus_ngram_counts" -> ngramCounts _,
     "corpus_contamination_score" -> contaminationScore _,
-    "corpus_split_leakage" -> splitLeakage _
+    "corpus_split_leakage" -> splitLeakage _,
+    "corpus_dedup_report" -> dedupReport _
   )
 
   val oracles: Map[String, String] = Map(
     "corpus_span_dedup" -> spanDedupSql,
     "corpus_ngram_counts" -> ngramCountsSql,
     "corpus_contamination_score" -> contaminationScoreSql,
-    "corpus_split_leakage" -> splitLeakageSql
+    "corpus_split_leakage" -> splitLeakageSql,
+    "corpus_dedup_report" -> dedupReportSql
   )
 }

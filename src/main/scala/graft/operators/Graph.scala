@@ -67,24 +67,51 @@ object Graph {
     * afterwards — the returned plan stays lazy and the session leaks no
     * storage (plan-audit-asserted).
     */
+  /** Node-count ceiling for broadcasting the rank vector
+    * (`graft.graph.broadcastMaxNodes`, default 1M ≈ 16 MB of (node, pr)).
+    * Below it, every round's contribution join BROADCASTS ranks into the
+    * persisted degree-annotated edge table — the edge side (the big side)
+    * is never re-shuffled, and the only per-round exchange is the map-side-
+    * combined contribution aggregate. Above it (web scale), rounds fall
+    * back to shuffle joins on the pre-partitioned edge table — the same
+    * adaptive small-state/large-state split as E8's CC and E5's kernel
+    * switch.
+    */
+  private[graft] def broadcastMaxNodes(s: SparkSession): Long =
+    s.conf.getOption("graft.graph.broadcastMaxNodes")
+      .map(_.toLong).getOrElse(1000000L)
+
   def pageRank(s: SparkSession, d: String): DataFrame = {
-    val e = graft.CacheScope.scopedPersist(edges(s, d))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(deg, "src")
-    var ranks = e.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(1.0))
+    val raw = edges(s, d)
+    val deg = raw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree-annotated edges persisted ONCE: the five rounds re-read this,
+    // not the scan ⋈ deg derivation
+    val withDeg = graft.CacheScope.scopedPersist(raw.join(deg, "src"))
+    // the node SET is loop-invariant: persist it once and rebuild each
+    // round's rank vector as nodes ⟕ sums — referencing the previous
+    // round's plan exactly ONCE per round keeps the five-round lineage
+    // linear (the round-8 form joined ranks back onto a projection of
+    // itself, doubling the subplan every round and leaning on exchange
+    // reuse to stay sane)
+    val nodes = graft.CacheScope.scopedPersist(
+      withDeg.select(col("src").as("node")).distinct())
+    var ranks = nodes.withColumn("pr", lit(1.0))
+    val nNodes = nodes.count() // node-sized state; decides join strategy
+    val bcast = nNodes <= broadcastMaxNodes(s)
     for (_ <- 1 to PrIters) {
       val contrib = withDeg
-        .join(ranks, col("src") === col("node"))
+        .join(if (bcast) broadcast(ranks) else ranks,
+          col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
       val sums = contrib.groupBy(col("dst")).agg(dsum(col("c")).as("in_sum"))
-      ranks = ranks.select(col("node"))
-        .join(sums, col("node") === col("dst"), "left")
+      ranks = nodes
+        .join(if (bcast) broadcast(sums) else sums,
+          col("node") === col("dst"), "left")
         .select(col("node"),
           round(lit(1 - PrDamping) +
             lit(PrDamping) * coalesce(col("in_sum"), lit(0.0)), 6).as("pr"))
     }
-    graft.CacheScope.releaseAfterUse(ranks, e)
+    graft.CacheScope.releaseAfterUse(ranks, withDeg, nodes)
   }
 
   /** DuckDB twin: the identical five rounds unrolled as CTEs, contribution
