@@ -46,17 +46,35 @@ object Artifacts {
   final case class Built(fingerprint: String, location: String)
 
   /** Build-once-per-(key, input-fingerprint): returns the cached location
-    * while the inputs are unchanged, re-runs `build` (which must overwrite
-    * its output location) the moment the fingerprint moves. `compute` holds
-    * the map bucket during the build — same single-build guarantee the old
-    * `computeIfAbsent` sites had.
+    * while the inputs are unchanged, re-runs `build` the moment the
+    * fingerprint moves. `compute` holds the map bucket during the build —
+    * same single-build guarantee the old `computeIfAbsent` sites had.
+    *
+    * Builders should version their OUTPUT location by the fingerprint
+    * (callers receive it as `build`'s argument): a rebuild that overwrote
+    * the previous generation's files in place would yank them out from
+    * under any lazily-held DataFrame still referencing the old location —
+    * per-generation dirs keep in-flight readers valid, at the cost of one
+    * small dir per in-JVM regeneration (rare by definition).
     */
   def cachedLocation(
       map: ConcurrentHashMap[String, Built], key: String, fp: String)(
-      build: => String): String =
+      build: String => String): String =
     map.compute(key, (_, old) =>
-      if (old != null && old.fingerprint == fp) old else Built(fp, build)
+      if (old != null && old.fingerprint == fp) old else Built(fp, build(fp))
     ).location
+
+  /** Generic build-once-per-(key, fingerprint) value cache — the
+    * [[cachedLocation]] pattern for non-path values (e.g. the events
+    * ts-type probe). One entry per key: a moved fingerprint REPLACES the
+    * stale entry instead of accumulating beside it.
+    */
+  def cachedValue[V](
+      map: ConcurrentHashMap[String, (String, V)], key: String, fp: String)(
+      build: => V): V =
+    map.compute(key, (_, old) =>
+      if (old != null && old._1 == fp) old else (fp, build)
+    )._2
 
   /** Fingerprint ledger for warehouse-TABLE artifacts (E7's corpus index,
     * B22's bucketed facts): those sites gate the build on

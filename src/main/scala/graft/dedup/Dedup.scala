@@ -329,9 +329,12 @@ object Dedup {
     // keyed on (dataset, documents fingerprint): regenerating the corpus in
     // place rebuilds the pair graph instead of serving stale edges
     val pairsFp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
-    val pairsLocStr = graft.Artifacts.cachedLocation(pairsBuilt, d, pairsFp) {
+    val pairsLocStr = graft.Artifacts.cachedLocation(pairsBuilt, d, pairsFp) { fpv =>
       val (pairsUnsorted, scoped) = jaccardCore(s, d)
-      val loc = warehousePath(s, "graft_pairs_" + dirSlug(d) + "_edges")
+      // generation-versioned location: a rebuild after an in-place corpus
+      // regeneration must not delete files a lazily-held reader of the OLD
+      // generation still references
+      val loc = warehousePath(s, s"graft_pairs_${dirSlug(d)}_${fpv}_edges")
       pairsUnsorted.select(col("doc_a"), col("doc_b"), col("jac"))
         .write.mode("overwrite").parquet(loc.toString)
       scoped.foreach(_.unpersist(false))
@@ -392,10 +395,11 @@ object Dedup {
     // (non-replayable blocks) is acceptable — the expensive artifact (the
     // pair table) is on reliable storage above.
     val labelsLoc = warehousePath(s, tbl + "_labels").toString
-    propagateMinLabels(s, edges, labelsLoc)
-    // the pair table only feeds the (eager, completed) CC rounds above — drop
-    // it so a long-lived session doesn't accumulate one table per data dir
-    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    // the pair table only feeds the (eager) CC rounds — drop it EVEN when
+    // propagation fails its convergence assert, or a long-lived session
+    // accumulates the largest intermediate per failed data dir
+    try propagateMinLabels(s, edges, labelsLoc)
+    finally s.sql(s"DROP TABLE IF EXISTS `$tbl`")
     // re-attach the non-edge docs (their own clusters) for the full labeling
     Tables.documents(s, d).select(col("doc_id"))
       .join(s.read.parquet(labelsLoc), Seq("doc_id"), "left")
@@ -495,7 +499,7 @@ object Dedup {
     * at 100 TB the window form would sort-shuffle every band row. Sub-cap
     * rows come back with `bn` null.
     */
-  private def withBucketStats(buckets: DataFrame, keys: Seq[String], rep: Column,
+  private[graft] def withBucketStats(buckets: DataFrame, keys: Seq[String], rep: Column,
       cap: Long): DataFrame = {
     val big = buckets.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bn"), min(rep).as("rep"))

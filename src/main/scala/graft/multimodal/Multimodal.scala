@@ -134,26 +134,41 @@ object Multimodal {
     * the stubbed "decode") and a MULTI-INDEX hamming search: pairs within
     * hamming ≤ [[PhashHamT]] found by banding the hash into
     * [[PhashHamT]]+1 segments (pigeonhole: ≤T differing bits across T+1
-    * bands leave ≥1 band identical) and exact-verifying candidates — the
-    * standard multi-index-hashing layout for hamming search at scale; the
-    * Θ(n²) form never materializes. Mega-bucket behavior follows E3/E4's
-    * analysis: band buckets hash-partition, and a skew-capped variant
-    * would apply the same star cap if a band value went hot.
+    * bands leave ≥1 band identical) and exact-verifying candidates.
+    *
+    * Scaling envelope, stated honestly: T+1 bands over 64 bits leave each
+    * band only 5-6 bits wide, so equality banding is EXACT but only
+    * sub-quadratic while n ≲ bands·2^bandwidth — beyond that every band
+    * value saturates into a mega-bucket and candidates trend back toward
+    * n². The E3/E4 star cap bounds that regime: a bucket over
+    * `graft.dedup.maxBandBucket` emits member→representative edges (m−1,
+    * not Θ(m²)) and candidates are still hamming-verified, so output stays
+    * a correct subset — the same deliberate, audit-visible recall trade
+    * the LSH bands make. For web-scale hamming search at large T you raise
+    * the hash width (128/256-bit pHash) so bands stay selective; the
+    * operator's shape is unchanged.
     */
   val PhashBits = 64
-  val PhashHamT = 10
+  // T=8 → 9 bands of 7-8 bits: each halving of T+1 roughly doubles band
+  // width, squaring band selectivity — at T=10 the 5-6-bit bands saturate
+  // ~10× earlier for no recall the 8-bit radius doesn't already give on
+  // near-identical payloads
+  val PhashHamT = 8
 
   private def phashFrame(s: SparkSession, d: String): DataFrame = {
+    // one-pass native sampling (graft.plans.StrideSample) — the composable
+    // 64×substring form re-walks the string per sample (O(k·n)/row; it was
+    // ~half this query's wall time); element_at over the sampled array is
+    // O(1) codegen
     val codes = (0 until PhashBits).map(i =>
-      ascii(expr(s"substring(text, CAST((${i}L * n_chars) DIV $PhashBits AS INT) + 1, 1)"))
-        .cast("long"))
+      element_at(col("codes"), i + 1).cast("long"))
     val tot = codes.reduce(_ + _)
     val bits = codes.zipWithIndex.map { case (c, i) =>
       when(c * PhashBits > col("tot"), lit(1L << i)).otherwise(0L)
     }
     Tables.documents(s, d)
-      .withColumn("n_chars", char_length(col("text")))
-      .filter(col("n_chars") >= PhashBits)
+      .filter(char_length(col("text")) >= PhashBits)
+      .withColumn("codes", graft.plans.StrideSample.sample(col("text"), PhashBits))
       .withColumn("tot", tot)
       .select(col("doc_id"), bits.reduce(_ + _).as("phash"))
   }
@@ -171,16 +186,34 @@ object Multimodal {
         val w = base + (if (i < extra) 1 else 0)
         expr(s"shiftrightunsigned(phash, ${offsets(i)}) & ${(1L << w) - 1}")
       }: _*)).as(Seq("band", "bv")))
-    val cand = bands.as("a").join(bands.as("b"),
+    // mega-bucket star cap (the E3/E4 discipline): all-pairs only inside
+    // sub-cap buckets; saturated buckets emit member→representative edges
+    val stats = graft.dedup.Dedup.withBucketStats(
+      bands, Seq("band", "bv"), col("doc_id"),
+      graft.dedup.Dedup.maxBandBucket(s))
+    val small = stats.filter(col("bn").isNull)
+    val candSmall = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.phash").as("pa"),
         col("b.doc_id").as("doc_b"), col("b.phash").as("pb"))
-      .distinct()
-    val out = cand
+    // rep = min doc_id of the bucket, so star edges are already (a < b)
+    val star = stats
+      .filter(col("bn").isNotNull && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"),
+        col("doc_id").as("doc_b"), col("phash").as("pb"))
+      .join(ph.select(col("doc_id").as("doc_a"), col("phash").as("pa")), "doc_a")
+      .select(col("doc_a"), col("pa"), col("doc_b"), col("pb"))
+    // verify BEFORE deduplicating: bit_count is one codegen'd instruction,
+    // so filtering the (band-multiplied) candidate stream first means the
+    // distinct shuffles only true matches × ≤(T+1) band hits, not every
+    // bucket collision (at saturated-band scale that is the difference
+    // between shuffling matches and shuffling ~n²/2^bandwidth rows)
+    val out = candSmall.unionByName(star)
       .withColumn("hamming", expr("bit_count(pa ^ pb)"))
       .filter(col("hamming") <= PhashHamT)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
     graft.CacheScope.releaseAfterUse(out, ph)
   }
 

@@ -43,8 +43,14 @@ object Graph {
     val base = s.conf.getOption("graft.graph.dir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-graph")
     val fp = graft.Artifacts.fingerprint(s, s"$d/lineitem.parquet")
-    val path = graft.Artifacts.cachedLocation(edgesBuilt, s"$d@$base", fp) {
-      val slug = java.lang.Long.toHexString(graft.plans.MixHash.polyHash(d))
+    // the basket cap changes the derived edges, so it is part of the cache
+    // identity too — flipping graft.basket.maxItems mid-session must not
+    // serve edges derived under the old cap
+    val cap = TpchMore.basketMaxItems(s)
+    val path = graft.Artifacts.cachedLocation(
+        edgesBuilt, s"$d@$base@$cap", fp) { fpv =>
+      val slug = java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@$cap@$fpv"))
       val dir = base + s"/copurchase_edges-$slug"
       val pairs = TpchMore.coPurchasePairs(s, d, PrMinSupport)
       pairs.select(col("pa").as("src"), col("pb").as("dst"))

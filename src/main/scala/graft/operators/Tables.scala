@@ -30,19 +30,22 @@ object Tables {
     * consumer when the file flips (round 6: 21 operators), so the reader
     * probes and branches instead.
     *
-    * The cache is keyed on (path, metadata fingerprint) — see
-    * [[graft.Artifacts.fingerprint]]: regenerating the file in place (even
-    * with a different ts encoding) takes a fresh probe instead of the stale
-    * branch, at the cost of one file listing per lookup.
+    * Cached per path with the metadata fingerprint as the staleness token
+    * ([[graft.Artifacts.cachedValue]]): regenerating the file in place
+    * (even with a different ts encoding) takes a fresh probe instead of the
+    * stale branch, a moved fingerprint REPLACES the old entry (no
+    * unbounded growth), and [[events]] computes the fingerprint once per
+    * call and shares it with the era probe — one listing per events() call.
     */
   private val tsTypeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataType)]()
 
-  def eventsTsType(s: SparkSession, d: String): DataType = {
-    val p = s"$d/events.parquet"
-    tsTypeCache.computeIfAbsent(
-      s"$p@${graft.Artifacts.fingerprint(s, p)}", { _ =>
-      val path = p
+  def eventsTsType(s: SparkSession, d: String): DataType =
+    eventsTsTypeFp(s, d, graft.Artifacts.fingerprint(s, s"$d/events.parquet"))
+
+  private def eventsTsTypeFp(s: SparkSession, d: String, fp: String): DataType = {
+    val path = s"$d/events.parquet"
+    graft.Artifacts.cachedValue(tsTypeCache, path, fp) {
       try s.read.parquet(path).schema("ts").dataType
       catch {
         // Only the specific TIMESTAMP(NANOS) schema-inference failure
@@ -57,7 +60,7 @@ object Tables {
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           s.read.parquet(path).schema("ts").dataType
       }
-    })
+    }
   }
 
   /** Data-era sanity gate, cached per path (one column-pruned scan per JVM):
@@ -70,24 +73,26 @@ object Tables {
     * consumer (batch and streaming) runs through it.
     */
   private val eraChecked =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, java.lang.Boolean)]()
   private val EraMin = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
   private val EraMax = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
 
-  def assertEventsEra(s: SparkSession, d: String): Unit = {
+  def assertEventsEra(s: SparkSession, d: String): Unit =
+    assertEventsEraFp(s, d, graft.Artifacts.fingerprint(s, s"$d/events.parquet"))
+
+  private def assertEventsEraFp(s: SparkSession, d: String, fp: String): Unit = {
     val p = s"$d/events.parquet"
-    // (path, fingerprint) key: a regenerated file is re-checked, so a bad
-    // overwrite cannot hide behind a pass recorded for the old data
-    eraChecked.computeIfAbsent(
-      s"$p@${graft.Artifacts.fingerprint(s, p)}", { _ =>
-      val mn = eventsNormalized(s, d)
+    // fingerprint as the staleness token: a regenerated file is re-checked,
+    // so a bad overwrite cannot hide behind a pass recorded for the old data
+    graft.Artifacts.cachedValue(eraChecked, p, fp) {
+      val mn = eventsNormalizedFp(s, d, fp)
         .agg(org.apache.spark.sql.functions.min(col("ts"))).head.getTimestamp(0)
       if (mn != null && (mn.before(EraMin) || mn.after(EraMax)))
         throw new IllegalStateException(
           s"events.ts era check failed for $p: min(ts)=$mn outside " +
             "[1990, 2100] — timestamp unit mismatch (ns/µs confusion) on read")
       java.lang.Boolean.TRUE
-    })
+    }
     ()
   }
 
@@ -98,8 +103,8 @@ object Tables {
     * `DIV`, not `/`, because a double round-trip at ~1.7e18 ns loses
     * precision; matches DuckDB's own ns→µs truncation.
     */
-  private def eventsNormalized(s: SparkSession, d: String): DataFrame =
-    eventsTsType(s, d) match {
+  private def eventsNormalizedFp(s: SparkSession, d: String, fp: String): DataFrame =
+    eventsTsTypeFp(s, d, fp) match {
       case TimestampType    => t(s, d, "events")
       case TimestampNTZType => t(s, d, "events")
         .withColumn("ts", col("ts").cast(TimestampType))
@@ -112,8 +117,10 @@ object Tables {
     }
 
   def events(s: SparkSession, d: String): DataFrame = {
-    val df = eventsNormalized(s, d)
-    assertEventsEra(s, d)
+    // ONE metadata listing per call, shared by the ts-type and era probes
+    val fp = graft.Artifacts.fingerprint(s, s"$d/events.parquet")
+    val df = eventsNormalizedFp(s, d, fp)
+    assertEventsEraFp(s, d, fp)
     df
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -133,10 +133,20 @@ final case class Pipe[T](ds: Dataset[T]) {
     * The reference leaks these by design (its persists die with the
     * pipeline process); a long-lived graft session must not.
     */
+  /** The [[Pipe.run]] scope active when this NODE was constructed owns its
+    * auto-persist. Ownership-at-construction (not at consumption) matters:
+    * a pipe built outside any scope whose second consumer merely happens
+    * inside one must keep reference-parity lifetime — releasing it when
+    * that scope exits would leave the node's consumer count past the
+    * persist-once trigger with no cache, silently recomputing the shared
+    * branch for every later consumer.
+    */
+  private val ownerScope = Pipe.activeScope
+
   private[pipeline] def consumed: Dataset[T] = {
     if (consumers.incrementAndGet() == 2) {
       ds.persist(StorageLevel.MEMORY_AND_DISK)
-      Pipe.registerAutoPersist(ds)
+      Pipe.registerAutoPersist(ownerScope, ds)
     }
     ds
   }
@@ -285,9 +295,13 @@ object Pipe {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[Dataset[_], java.lang.Boolean]())
 
-  private[pipeline] def registerAutoPersist(ds: Dataset[_]): Unit = {
-    val scope = scopePersists.get()
-    if (scope != null) scope += ds
+  private[pipeline] def activeScope: scala.collection.mutable.ArrayBuffer[Dataset[_]] =
+    scopePersists.get()
+
+  private[pipeline] def registerAutoPersist(
+      scope: scala.collection.mutable.ArrayBuffer[Dataset[_]],
+      ds: Dataset[_]): Unit = {
+    if (scope != null) scope.synchronized { scope += ds; () }
     else { globalPersists.add(ds); () }
   }
 

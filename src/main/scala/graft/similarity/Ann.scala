@@ -208,10 +208,15 @@ object Ann {
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf")
     val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
     val maxTrainKey = s.conf.getOption("graft.ann.trainSampleRows").getOrElse("")
-    graft.Artifacts.cachedLocation(ivfBuilt, s"$d@$base@$maxTrainKey", fp) {
+    graft.Artifacts.cachedLocation(ivfBuilt, s"$d@$base@$maxTrainKey", fp) { fpv =>
       import s.implicits._
-      val dir = base +
-        "/index-" + java.lang.Long.toHexString(graft.plans.MixHash.polyHash(d))
+      // the on-disk slug carries everything the cache key carries (dataset,
+      // training-sample conf, AND input fingerprint): distinct entries
+      // writing to one directory would serve each other's index files, and
+      // a rebuild overwriting the previous generation in place would break
+      // lazily-held readers of it
+      val dir = base + "/index-" + java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@$maxTrainKey@$fpv"))
       val full = withNorm(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"), col("nrm"))
       // SAMPLED TRAINING (SURVEY §5's 100 TB path, now code): above
@@ -349,8 +354,9 @@ object Ann {
     val base = s.conf.getOption("graft.int8.dir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-int8")
     val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
-    val path = graft.Artifacts.cachedLocation(int8Built, s"$d@$base", fp) {
-      val slug = java.lang.Long.toHexString(graft.plans.MixHash.polyHash(d))
+    val path = graft.Artifacts.cachedLocation(int8Built, s"$d@$base", fp) { fpv =>
+      val slug = java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@$fpv"))
       val dir = base + s"/embeddings_int8-$slug"
       val q = Tables.embeddings(s, d)
         .select(col("vec_id"),

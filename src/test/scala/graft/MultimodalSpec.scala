@@ -51,4 +51,24 @@ class MultimodalSpec extends SparkSpec {
     // multi-index banding must not emit duplicates after the distinct
     assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
   }
+
+  test("phash mega-bucket cap: identical payloads degrade to a star, not all-pairs") {
+    // m identical payloads share every band value; above the cap the bucket
+    // must emit m-1 representative edges instead of C(m,2) — hamming 0, so
+    // all survive verification and connectivity is preserved
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash-mega").toString
+    val m = 300L
+    val text = (1 to 30).map(_ => "same words here").mkString(" ") // >= 64 chars
+    (0L until m).map(i => (i, text)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    spark.conf.set("graft.dedup.maxBandBucket", "50")
+    try {
+      val rows = Multimodal.phashDedup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.length == (m - 1),
+        s"expected star (${m - 1} edges), got ${rows.length}")
+      assert(rows.forall { case (a, b, h) => a == 0L && b > 0L && h == 0 })
+    } finally spark.conf.unset("graft.dedup.maxBandBucket")
+  }
 }
