@@ -388,13 +388,12 @@ class DedupSpec extends SparkSpec {
     // the corpus size, k-means trains on a deterministic splitmix64 residue
     // sample, but the stored assignment must still cover EVERY vector and
     // the recall bound of the unsampled spec must still hold.
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sample").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
-      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    // run against sf0.1 (the bench corpus, 2000 vectors) with a 25% training
+    // sample — the scale the verdict asked the recall pin at
+    val dir = "/root/testdata/sf0.1"
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val idxBase = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
-    spark.conf.set("graft.ann.trainSampleRows", "100") // n=500 → ~20% sample
+    spark.conf.set("graft.ann.trainSampleRows", "500")
     spark.conf.set("graft.ivf.dir", idxBase)
     try {
       val ivf = Ann.ivfTopK(spark, dir).collect()

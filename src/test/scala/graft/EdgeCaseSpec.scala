@@ -199,4 +199,36 @@ class EdgeCaseSpec extends SparkSpec {
       assert(rs.map(_.getAs[Long]("island")).min == 1L)
     }
   }
+
+  test("PII masking is idempotent: placeholders never re-match any pattern") {
+    // a second scrub pass over already-masked text must be a no-op — a
+    // placeholder that re-matched (e.g. one containing digits) would turn
+    // repeated pipeline runs into progressive text corruption
+    import graft.operators.TextAnalysis
+    val once = TextAnalysis.textMaskPii(spark, sf)
+      .select(col("doc_id"), col("masked"))
+    val twice = once.select(col("doc_id"),
+      TextAnalysis.maskPiiCol(col("masked")).as("masked"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("basket pairs on single-item and empty basket sets") {
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-basket-edge").toString
+    // every order has exactly one (possibly repeated) part: zero pairs
+    Seq((1L, 5L), (1L, 5L), (2L, 7L), (3L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    assert(graft.operators.TpchMore.coPurchasePairs(spark, dir, 1).count() == 0)
+    val audit = graft.operators.TpchMore.basketCapAudit(spark, dir).head
+    assert(audit.getLong(0) == 0L && audit.getInt(2) == 1)
+  }
+
+  test("phash dedup on a corpus with no payload long enough is empty, not a crash") {
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash-short").toString
+    Seq((1L, "tiny"), (2L, "also tiny")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(graft.multimodal.Multimodal.phashDedup(spark, dir).count() == 0)
+  }
 }

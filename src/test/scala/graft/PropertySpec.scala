@@ -113,4 +113,36 @@ class PropertySpec extends SparkSpec {
     // the Math.round trap input: floor(x+0.5) would misround this tie-adjacent value
     assert(graft.plans.ScaledLong.scale(0.49999999999999994 / 10000.0 * 10000.0, 1.0) == 0L)
   }
+
+  test("StrideSample equals the composable substring form for any Unicode text") {
+    // the one-pass sampler must be element-for-element identical to
+    // ascii(substring(text, (i*n) DIV k + 1, 1)) — i.e. to the code point
+    // at the strided CODE-POINT position — including surrogate-pair text
+    // (DuckDB's ord/substring are code-point-based, so this equality is
+    // what keeps the mm_phash_dedup oracle exact off-ASCII)
+    val anyChar = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', 'ü', '中', '文', ' ', '!'),
+      1 -> Gen.const('\uD83D') // paired below into a valid emoji
+    )
+    val uniText = Gen.nonEmptyListOf(anyChar).map(
+      _.mkString.replace("\uD83D", "😀")) // 😀, supplementary plane
+    forAllSeeded(Gen.zip(uniText, Gen.chooseNum(1, 16)), n = 300) { case (t, k) =>
+      val got = graft.plans.StrideSample
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), k)
+        .toIntArray()
+      val cps = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < t.length) { val c = t.codePointAt(i); out += c; i += Character.charCount(c) }
+        out.toArray
+      }
+      val want = (0 until k).map(i => cps(((i.toLong * cps.length) / k).toInt))
+      assert(got.toSeq == want, s"t=${t.take(40)} k=$k")
+    }
+    // empty string: substring('',p,1)='' and ascii('')=0
+    val empty = graft.plans.StrideSample
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(""), 4).toIntArray()
+    assert(empty.toSeq == Seq(0, 0, 0, 0))
+  }
 }
