@@ -46,7 +46,10 @@ object GraftExtensions {
     "dot_product_int8" -> ((args: Seq[Expression]) => DotProductInt8(args(0), args(1))),
     "poly_hash" -> ((args: Seq[Expression]) => PolyHash(args(0))),
     "splitmix64" -> ((args: Seq[Expression]) => Splitmix64(args(0))),
-    "array_pairs" -> ((args: Seq[Expression]) => graft.plans.ArrayPairs(args(0)))
+    "array_pairs" -> ((args: Seq[Expression]) => graft.plans.ArrayPairs(args(0))),
+    // one-pass strided code-point sampling (the G5 perceptual-hash front)
+    "stride_sample" -> ((args: Seq[Expression]) =>
+      graft.plans.StrideSample(args(0), args(1)))
   )
 
   /** Register into an already-built session (temp functions). */

@@ -39,4 +39,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(p3 == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(r.getSeq[Any](1).isEmpty && r.getSeq[Any](2).isEmpty)
   }
+
+  test("stride_sample is callable from SQL and matches the substring form") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT stride_sample('abcdefgh', 4) AS s,
+                transform(sequence(0, 3),
+                  i -> ascii(substring('abcdefgh', (i * 8) DIV 4 + 1, 1))) AS want
+      """).collect().head
+    assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    assert(r.getSeq[Int](0) == Seq('a'.toInt, 'c'.toInt, 'e'.toInt, 'g'.toInt))
+  }
 }
