@@ -48,8 +48,14 @@ object GraftExtensions {
     "splitmix64" -> ((args: Seq[Expression]) => Splitmix64(args(0))),
     "array_pairs" -> ((args: Seq[Expression]) => graft.plans.ArrayPairs(args(0))),
     // one-pass strided code-point sampling (the G5 perceptual-hash front)
-    "stride_sample" -> ((args: Seq[Expression]) =>
-      graft.plans.StrideSample(args(0), args(1)))
+    "stride_sample" -> ((args: Seq[Expression]) => {
+      if (args.length != 2) throw new IllegalArgumentException(
+        s"stride_sample expects (text, k) — got ${args.length} argument(s)")
+      if (intArg(args(1), "stride_sample") <= 0)
+        throw new IllegalArgumentException(
+          s"stride_sample: k must be a positive literal int, got ${args(1)}")
+      graft.plans.StrideSample(args(0), args(1))
+    })
   )
 
   /** Register into an already-built session (temp functions). */

@@ -109,9 +109,16 @@ object TextAnalysis {
     */
   val PiiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   val PiiPhoneRe = """\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"""
-  val PiiIpRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+  // NO leading \b on the digit-shaped patterns: a UUID/IP jammed against a
+  // preceding digit run (e.g. a phone number) has no word boundary there,
+  // and requiring one lets the span survive the scrub until a LATER
+  // replacement manufactures the boundary — a one-pass PII leak. Without
+  // it the match may start mid-run (over-masking a digit tail), which is
+  // the right side of the trade for corpus scrubbing. The trailing \b
+  // stays: it stops the bounded counts from sliding into following text.
+  val PiiIpRe = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
   val PiiUuidRe =
-    """\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b"""
+    """[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b"""
 
   /** The D10 masking chain as a column expression: emails, then UUIDs, then
     * phones, then IPv4s (emails/UUIDs first — their matches contain

@@ -389,8 +389,8 @@ class DedupSpec extends SparkSpec {
     // sample, but the stored assignment must still cover EVERY vector and
     // the recall bound of the unsampled spec must still hold.
     // run against sf0.1 (the bench corpus, 2000 vectors) with a 25% training
-    // sample — the scale the verdict asked the recall pin at
-    val dir = "/root/testdata/sf0.1"
+    // sample — the scale the recall pin belongs at
+    val dir = sf01
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val idxBase = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
     spark.conf.set("graft.ann.trainSampleRows", "500")

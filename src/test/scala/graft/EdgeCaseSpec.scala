@@ -212,6 +212,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("PII masking catches digit-adjacent spans in ONE pass (no boundary leak)") {
+    // a UUID jammed against a phone has no word boundary before it; with a
+    // leading \b the UUID would survive pass 1 (leak) and only fall to a
+    // second pass after the phone replacement manufactured the boundary.
+    // The patterns must catch every span in a single scrub.
+    import SparkSpecBase.spark.implicits._
+    import graft.operators.TextAnalysis
+    val adversarial =
+      "call +1-415-555-0123550e8400-e29b-41d4-a716-446655440000 from 10.1.2.34.5.6.7.8"
+    val masked = Seq(adversarial).toDF("t")
+      .select(TextAnalysis.maskPiiCol(col("t")).as("m")).head.getString(0)
+    assert(!masked.contains("550e8400"), s"UUID leaked through one pass: $masked")
+    assert(!masked.contains("415"), s"phone leaked: $masked")
+    // and the adversarial output is itself stable under a second pass
+    val again = Seq(masked).toDF("t")
+      .select(TextAnalysis.maskPiiCol(col("t")).as("m")).head.getString(0)
+    assert(again == masked, s"second pass changed: $masked -> $again")
+  }
+
   test("basket pairs on single-item and empty basket sets") {
     import SparkSpecBase.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-basket-edge").toString

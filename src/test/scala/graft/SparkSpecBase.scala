@@ -18,9 +18,12 @@ object SparkSpecBase {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+  /** The bench-scale sibling, for specs that pin behavior at sf0.1. */
+  val sf01: String = "/root/testdata/sf0.1"
 }
 
 abstract class SparkSpec extends AnyFunSuite {
   def spark: SparkSession = SparkSpecBase.spark
   def sf: String = SparkSpecBase.sf
+  def sf01: String = SparkSpecBase.sf01
 }
