@@ -227,8 +227,76 @@ object CorpusSpans {
     FROM fp LEFT JOIN near ON fp.doc_id = near.doc_id
     GROUP BY source ORDER BY source"""
 
+  /** H20 — per-source PII audit: how many documents carry each PII class
+    * and how many spans a scrub would mask — the report a data team reads
+    * before enabling D10's masking (and the after-the-fact evidence that a
+    * scrubbed corpus is actually clean: re-run on masked text, every count
+    * must be zero). Pure per-row regexp counts folded into one k-row
+    * aggregate; the corpus itself carries no PII by construction, so the
+    * same deterministic planted column the D10 gate uses feeds the counts —
+    * the oracle replays plant + count end to end.
+    */
+  def piiReport(s: SparkSession, d: String): DataFrame = {
+    import TextAnalysis._
+    val did = col("doc_id").cast("string")
+    val raw = concat(
+      lit("contact user"), did, lit("@ex"),
+      pmod(col("doc_id"), lit(10L)).cast("string"), lit(".com"),
+      when(col("doc_id") % 3 === 0, concat(lit(" call +1-415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(""),
+      lit(" from 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+      lit(".0.1"),
+      when(col("doc_id") % 2 === 0, concat(
+        lit(" session 550e8400-e29b-41d4-a716-44665544"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(""),
+      lit(" note "), col("text"))
+    Tables.documents(s, d)
+      .select(col("source"), raw.as("raw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(regexp_count(col("raw"), lit(PiiEmailRe)) > 0, 1L)
+          .otherwise(0L)).as("docs_email"),
+        sum(regexp_count(col("raw"), lit(PiiEmailRe)).cast("long")).as("spans_email"),
+        sum(when(regexp_count(col("raw"), lit(PiiPhoneRe)) > 0, 1L)
+          .otherwise(0L)).as("docs_phone"),
+        sum(regexp_count(col("raw"), lit(PiiPhoneRe)).cast("long")).as("spans_phone"),
+        sum(regexp_count(col("raw"), lit(PiiIpRe)).cast("long")).as("spans_ip"),
+        sum(regexp_count(col("raw"), lit(PiiUuidRe)).cast("long")).as("spans_uuid"))
+  }
+
+  val piiReportSql: String = {
+    import TextAnalysis._
+    s"""
+    WITH raw AS (
+      SELECT source,
+        'contact user' || doc_id || '@ex' || (doc_id % 10) || '.com' ||
+        CASE WHEN doc_id % 3 = 0
+          THEN ' call +1-415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END ||
+        ' from 10.' || (doc_id % 256) || '.0.1' ||
+        CASE WHEN doc_id % 2 = 0
+          THEN ' session 550e8400-e29b-41d4-a716-44665544' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END ||
+        ' note ' || text AS raw
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN LENGTH(regexp_extract_all(raw, '$PiiEmailRe')) > 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+      CAST(SUM(LENGTH(regexp_extract_all(raw, '$PiiEmailRe'))) AS BIGINT) AS spans_email,
+      CAST(SUM(CASE WHEN LENGTH(regexp_extract_all(raw, '$PiiPhoneRe')) > 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+      CAST(SUM(LENGTH(regexp_extract_all(raw, '$PiiPhoneRe'))) AS BIGINT) AS spans_phone,
+      CAST(SUM(LENGTH(regexp_extract_all(raw, '$PiiIpRe'))) AS BIGINT) AS spans_ip,
+      CAST(SUM(LENGTH(regexp_extract_all(raw, '$PiiUuidRe'))) AS BIGINT) AS spans_uuid
+    FROM raw GROUP BY source ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_span_dedup" -> spanDedup _,
+    "corpus_pii_report" -> piiReport _,
     "corpus_ngram_counts" -> ngramCounts _,
     "corpus_contamination_score" -> contaminationScore _,
     "corpus_split_leakage" -> splitLeakage _,
@@ -240,6 +308,7 @@ object CorpusSpans {
     "corpus_ngram_counts" -> ngramCountsSql,
     "corpus_contamination_score" -> contaminationScoreSql,
     "corpus_split_leakage" -> splitLeakageSql,
-    "corpus_dedup_report" -> dedupReportSql
+    "corpus_dedup_report" -> dedupReportSql,
+    "corpus_pii_report" -> piiReportSql
   )
 }
