@@ -557,8 +557,48 @@ object CorpusClean {
     FROM wt ORDER BY doc_id"""
   }
 
+  /** H21 — curriculum ordering: the quality-descending training schedule
+    * (curriculum learning feeds cleanest data first; within a quality tier
+    * the order is the deterministic splitmix64 shuffle so equal-quality
+    * docs don't arrive in id order). Global rank by (alpha_ratio DESC, hash,
+    * doc_id) through the SAME window-free two-pass shape as [[corpusShuffle]]
+    * — range-partition on the sort key, in-partition sort, zipWithIndex;
+    * NO single-partition window at any scale. Oracle = the ROW_NUMBER form
+    * the operator exists to avoid; alpha_ratio is 6dp-rounded identically
+    * on both engines, ties broken by the exact-integer hash then doc_id.
+    */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), alphaRatio(col("text")).as("q"),
+        graft.plans.MixHash.splitmix64Col(col("doc_id")).as("hv"))
+    val sorted = keyed
+      .repartitionByRange(p, col("q").desc, col("hv"), col("doc_id"))
+      .sortWithinPartitions(col("q").desc, col("hv"), col("doc_id"))
+    val stamped = sorted.rdd
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .zipWithIndex.map { case ((id, q), i) => (id, q, i + 1L) }
+    s.createDataFrame(stamped).toDF("doc_id", "q", "curriculum_pos")
+  }
+
+  val curriculumSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH h0 AS (SELECT doc_id, text, CAST(doc_id AS HUGEINT) AS z FROM documents),
+    h1 AS (SELECT doc_id, text, ${sqlMixStep1("z")} AS z FROM h0),
+    h2 AS (SELECT doc_id, text, ${sqlMixStep2("z")} AS z FROM h1),
+    h3 AS (SELECT doc_id, text, ${sqlMixStep3("z")} AS z FROM h2),
+    h4 AS (SELECT doc_id, text, ${sqlMixStep4("z")} AS z FROM h3),
+    sgn AS (SELECT doc_id, ${alphaRatioSql("text")} AS q,
+              ${sqlToSigned("z")} AS hv FROM h4)
+    SELECT doc_id, q,
+      ROW_NUMBER() OVER (ORDER BY q DESC, hv, doc_id) AS curriculum_pos
+    FROM sgn ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean _,
+    "corpus_curriculum" -> curriculum _,
     "corpus_sample_quota" -> sampleQuota _,
     "corpus_shuffle" -> corpusShuffle _,
     "corpus_mix_order" -> mixOrder _,
@@ -576,6 +616,7 @@ object CorpusClean {
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
+    "corpus_curriculum" -> curriculumSql,
     "corpus_row_ids" -> rowIdsSql,
     "corpus_sample_weighted" -> sampleWeightedSql,
     "corpus_sample_quota" -> sampleQuotaSql,
