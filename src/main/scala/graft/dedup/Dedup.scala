@@ -130,8 +130,13 @@ object Dedup {
     * applied identically on both sides (capped shingles dropped before
     * ranking); no-op at test SFs.
     */
+  /** The deterministic 20% "arriving batch" split E7 demonstrates with —
+    * shared with the perf probe so a split change can't silently desync
+    * what the probe measures from what the query runs. */
+  private[graft] def incrementalBatchPredicate: Column = col("doc_id") % 10 >= 8
+
   def incrementalNew(s: SparkSession, d: String): DataFrame = {
-    val isNewExpr = col("doc_id") % 10 >= 8
+    val isNewExpr = incrementalBatchPredicate
     val (oldPrefix, oldDf, oldArrs) = ensureIncrementalIndex(s, d, !isNewExpr)
     val batch = graft.CacheScope.scopedPersist(
       withShingles(Tables.documents(s, d).filter(isNewExpr))
@@ -247,7 +252,7 @@ object Dedup {
     * raw-cased one). Single writer per data dir assumed: two concurrent
     * builds against the same dir race on DROP/delete/CTAS.
     */
-  private def dirSlug(d: String): String =
+  private[graft] def dirSlug(d: String): String =
     d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
 
   private def warehousePath(s: SparkSession, name: String): org.apache.hadoop.fs.Path =

@@ -569,8 +569,11 @@ object CorpusClean {
     */
   def curriculum(s: SparkSession, d: String): DataFrame = {
     val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // empty text makes alphaRatio's division NULL: rank such docs as
+    // quality 0 (last) instead of NPE-ing the primitive getter below
     val keyed = Tables.documents(s, d)
-      .select(col("doc_id"), alphaRatio(col("text")).as("q"),
+      .select(col("doc_id"),
+        coalesce(alphaRatio(col("text")), lit(0.0)).as("q"),
         graft.plans.MixHash.splitmix64Col(col("doc_id")).as("hv"))
     val sorted = keyed
       .repartitionByRange(p, col("q").desc, col("hv"), col("doc_id"))
@@ -589,7 +592,7 @@ object CorpusClean {
     h2 AS (SELECT doc_id, text, ${sqlMixStep2("z")} AS z FROM h1),
     h3 AS (SELECT doc_id, text, ${sqlMixStep3("z")} AS z FROM h2),
     h4 AS (SELECT doc_id, text, ${sqlMixStep4("z")} AS z FROM h3),
-    sgn AS (SELECT doc_id, ${alphaRatioSql("text")} AS q,
+    sgn AS (SELECT doc_id, COALESCE(${alphaRatioSql("text")}, 0.0) AS q,
               ${sqlToSigned("z")} AS hv FROM h4)
     SELECT doc_id, q,
       ROW_NUMBER() OVER (ORDER BY q DESC, hv, doc_id) AS curriculum_pos

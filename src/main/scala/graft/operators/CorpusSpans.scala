@@ -238,59 +238,34 @@ object CorpusSpans {
     */
   def piiReport(s: SparkSession, d: String): DataFrame = {
     import TextAnalysis._
-    val did = col("doc_id").cast("string")
-    val raw = concat(
-      lit("contact user"), did, lit("@ex"),
-      pmod(col("doc_id"), lit(10L)).cast("string"), lit(".com"),
-      when(col("doc_id") % 3 === 0, concat(lit(" call +1-415-555-"),
-        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
-        .otherwise(""),
-      lit(" from 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
-      lit(".0.1"),
-      when(col("doc_id") % 2 === 0, concat(
-        lit(" session 550e8400-e29b-41d4-a716-44665544"),
-        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
-        .otherwise(""),
-      lit(" note "), col("text"))
+    def docsAndSpans(re: String, cls: String) = Seq(
+      sum(when(regexp_count(col("raw"), lit(re)) > 0, 1L)
+        .otherwise(0L)).as(s"docs_$cls"),
+      sum(regexp_count(col("raw"), lit(re)).cast("long")).as(s"spans_$cls"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      (docsAndSpans(PiiEmailRe, "email") ++ docsAndSpans(PiiPhoneRe, "phone") ++
+        docsAndSpans(PiiIpRe, "ip") ++ docsAndSpans(PiiUuidRe, "uuid"))
     Tables.documents(s, d)
-      .select(col("source"), raw.as("raw"))
+      .select(col("source"), plantPiiCol.as("raw"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(regexp_count(col("raw"), lit(PiiEmailRe)) > 0, 1L)
-          .otherwise(0L)).as("docs_email"),
-        sum(regexp_count(col("raw"), lit(PiiEmailRe)).cast("long")).as("spans_email"),
-        sum(when(regexp_count(col("raw"), lit(PiiPhoneRe)) > 0, 1L)
-          .otherwise(0L)).as("docs_phone"),
-        sum(regexp_count(col("raw"), lit(PiiPhoneRe)).cast("long")).as("spans_phone"),
-        sum(regexp_count(col("raw"), lit(PiiIpRe)).cast("long")).as("spans_ip"),
-        sum(regexp_count(col("raw"), lit(PiiUuidRe)).cast("long")).as("spans_uuid"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   val piiReportSql: String = {
     import TextAnalysis._
+    def docsAndSpans(re: String, cls: String) =
+      s"""CAST(SUM(CASE WHEN LENGTH(regexp_extract_all(raw, '$re')) > 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS docs_$cls,
+      CAST(SUM(LENGTH(regexp_extract_all(raw, '$re'))) AS BIGINT) AS spans_$cls"""
     s"""
     WITH raw AS (
-      SELECT source,
-        'contact user' || doc_id || '@ex' || (doc_id % 10) || '.com' ||
-        CASE WHEN doc_id % 3 = 0
-          THEN ' call +1-415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-          ELSE '' END ||
-        ' from 10.' || (doc_id % 256) || '.0.1' ||
-        CASE WHEN doc_id % 2 = 0
-          THEN ' session 550e8400-e29b-41d4-a716-44665544' ||
-            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-          ELSE '' END ||
-        ' note ' || text AS raw
+      SELECT source, $plantPiiSql AS raw
       FROM documents)
     SELECT source, COUNT(*) AS n_docs,
-      CAST(SUM(CASE WHEN LENGTH(regexp_extract_all(raw, '$PiiEmailRe')) > 0
-        THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
-      CAST(SUM(LENGTH(regexp_extract_all(raw, '$PiiEmailRe'))) AS BIGINT) AS spans_email,
-      CAST(SUM(CASE WHEN LENGTH(regexp_extract_all(raw, '$PiiPhoneRe')) > 0
-        THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
-      CAST(SUM(LENGTH(regexp_extract_all(raw, '$PiiPhoneRe'))) AS BIGINT) AS spans_phone,
-      CAST(SUM(LENGTH(regexp_extract_all(raw, '$PiiIpRe'))) AS BIGINT) AS spans_ip,
-      CAST(SUM(LENGTH(regexp_extract_all(raw, '$PiiUuidRe'))) AS BIGINT) AS spans_uuid
+      ${docsAndSpans(PiiEmailRe, "email")},
+      ${docsAndSpans(PiiPhoneRe, "phone")},
+      ${docsAndSpans(PiiIpRe, "ip")},
+      ${docsAndSpans(PiiUuidRe, "uuid")}
     FROM raw GROUP BY source ORDER BY source"""
   }
 

@@ -153,9 +153,14 @@ object TextAnalysis {
     * vary too, so the hash gate exercises the real matching behavior of
     * both engines, not just a no-op pass.
     */
-  def textMaskPii(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic PII plant shared by the D10 gate and the H20 audit
+    * — ONE definition per dialect, so the two gates can never silently
+    * diverge on what was planted: doc_id-derived email + IP every row,
+    * phone on every 3rd, UUID on every 2nd, row-varying payloads.
+    */
+  def plantPiiCol: Column = {
     val did = col("doc_id").cast("string")
-    val raw = concat(
+    concat(
       lit("contact user"), did, lit("@ex"),
       pmod(col("doc_id"), lit(10L)).cast("string"), lit(".com"),
       when(col("doc_id") % 3 === 0, concat(lit(" call +1-415-555-"),
@@ -168,8 +173,23 @@ object TextAnalysis {
         lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
         .otherwise(""),
       lit(" note "), col("text"))
+  }
+
+  val plantPiiSql: String = """
+        'contact user' || doc_id || '@ex' || (doc_id % 10) || '.com' ||
+        CASE WHEN doc_id % 3 = 0
+          THEN ' call +1-415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END ||
+        ' from 10.' || (doc_id % 256) || '.0.1' ||
+        CASE WHEN doc_id % 2 = 0
+          THEN ' session 550e8400-e29b-41d4-a716-44665544' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END ||
+        ' note ' || text"""
+
+  def textMaskPii(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), plantPiiCol.as("raw"))
       .select(col("doc_id"),
         regexp_count(col("raw"), lit(PiiEmailRe)).as("n_email"),
         regexp_count(col("raw"), lit(PiiPhoneRe)).as("n_phone"),
@@ -180,17 +200,7 @@ object TextAnalysis {
 
   val textMaskPiiSql: String = s"""
     WITH raw AS (
-      SELECT doc_id,
-        'contact user' || doc_id || '@ex' || (doc_id % 10) || '.com' ||
-        CASE WHEN doc_id % 3 = 0
-          THEN ' call +1-415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-          ELSE '' END ||
-        ' from 10.' || (doc_id % 256) || '.0.1' ||
-        CASE WHEN doc_id % 2 = 0
-          THEN ' session 550e8400-e29b-41d4-a716-44665544' ||
-            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-          ELSE '' END ||
-        ' note ' || text AS raw
+      SELECT doc_id, $plantPiiSql AS raw
       FROM documents)
     SELECT doc_id,
       CAST(LENGTH(regexp_extract_all(raw, '$PiiEmailRe')) AS INTEGER) AS n_email,

@@ -25,16 +25,17 @@ object IncrProbe {
       time(s"full rep$i")(graft.dedup.Dedup.incrementalNew(spark, d)
         .write.format("noop").mode("overwrite").save())
     }
-    // pieces: batch shingling alone
-    val isNew = col("doc_id") % 10 >= 8
+    // pieces: batch shingling alone (the SAME split the query uses)
     val batch = graft.dedup.Dedup.withShingles(
-        graft.operators.Tables.documents(spark, d).filter(isNew))
+        graft.operators.Tables.documents(spark, d)
+          .filter(graft.dedup.Dedup.incrementalBatchPredicate))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
     time("batch shingles only")(batch.write.format("noop").mode("overwrite").save())
-    // index scan alone
-    Seq("graft_incr_prefix_", "graft_incr_df_", "graft_incr_arr_").foreach { p =>
-      val tbl = spark.catalog.listTables().collect()
-        .map(_.name).find(_.startsWith(p)).get
+    // index scan alone — slug-exact names, never a prefix guess (another
+    // corpus's index in the same warehouse must not be what gets timed)
+    val slug = graft.dedup.Dedup.dirSlug(d)
+    Seq(s"graft_incr_prefix_$slug", s"graft_incr_df_$slug",
+        s"graft_incr_arr_$slug").foreach { tbl =>
       time(s"scan $tbl")(spark.table(tbl)
         .write.format("noop").mode("overwrite").save())
     }
