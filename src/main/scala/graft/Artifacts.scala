@@ -21,6 +21,16 @@ object Artifacts {
     * XOR-combined so the (filesystem-dependent) listing order cannot change
     * the result; a missing path contributes a distinct constant rather than
     * failing — the consumer's own read will surface the real error.
+    *
+    * Granularity caveat: (length, mtime) alone cannot distinguish an
+    * in-place regeneration that lands identical file sizes within the
+    * filesystem's mtime tick (1 s on some local FSes) — exactly the stale
+    * read this abstraction exists to prevent. For `file:` paths we therefore
+    * fold in a cheap CONTENT hint: the last 16 bytes of each file (for
+    * parquet that covers the footer-length word + magic, which moves with
+    * any row-group/stat change). One pread of 16 bytes per local file is
+    * ~free; on remote filesystems (one RPC per open would not be) the
+    * metadata-only form stands and mtime granularity there is millisecond.
     */
   def fingerprint(s: SparkSession, paths: String*): String = {
     var acc = 0x9e3779b97f4a7c15L
@@ -30,11 +40,20 @@ object Artifacts {
       if (!fs.exists(p)) {
         acc ^= graft.plans.MixHash.polyHash(s"absent:$ps")
       } else {
+        val local = fs.getScheme == "file"
         val it = fs.listFiles(p, true)
         while (it.hasNext) {
           val f = it.next()
+          val tail =
+            if (local && f.getLen > 0) {
+              val n = math.min(16L, f.getLen).toInt
+              val buf = new Array[Byte](n)
+              val in = fs.open(f.getPath)
+              try { in.readFully(f.getLen - n, buf) } finally in.close()
+              java.util.Base64.getEncoder.encodeToString(buf)
+            } else ""
           acc ^= graft.plans.MixHash.polyHash(
-            s"${f.getPath.toString}|${f.getLen}|${f.getModificationTime}")
+            s"${f.getPath.toString}|${f.getLen}|${f.getModificationTime}|$tail")
         }
       }
     }
@@ -80,15 +99,50 @@ object Artifacts {
     * B22's bucketed facts): those sites gate the build on
     * `catalog.tableExists`, which a fresh JVM fails (→ rebuild, correct)
     * but a long-lived JVM passes even after the source dataset was
-    * regenerated. `stale` adds the in-JVM fingerprint check; callers record
-    * the build with `markBuilt`.
+    * regenerated. `tableStale` adds the fingerprint check; callers record
+    * the build with `markTableBuilt`.
+    *
+    * The fingerprint is ALSO persisted beside the artifact (a
+    * `_fingerprint` file inside the table's warehouse dir — underscore
+    * prefix keeps Spark's file index from reading it as data): a fresh JVM
+    * whose catalog still knows the table (persistent metastore) validates
+    * the on-disk fingerprint instead of unconditionally rebuilding — the
+    * cross-JVM reuse the in-memory ledger alone would lose.
     */
   private val tableFps = new ConcurrentHashMap[String, String]()
 
-  def tableStale(key: String, fp: String): Boolean =
-    tableFps.get(key) != fp
+  private def fpFile(s: SparkSession, tbl: String): Path =
+    new Path(new Path(s.conf.get("spark.sql.warehouse.dir"), tbl), "_fingerprint")
 
-  def markTableBuilt(key: String, fp: String): Unit = {
-    tableFps.put(key, fp); ()
+  def tableStale(s: SparkSession, tbl: String, fp: String): Boolean = {
+    val mem = tableFps.get(tbl)
+    if (mem != null) return mem != fp
+    // fresh JVM: fall back to the fingerprint persisted beside the table
+    val persisted =
+      try {
+        val f = fpFile(s, tbl)
+        val fs = f.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(f)) None
+        else {
+          val in = fs.open(f)
+          try Some(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim)
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    if (persisted.contains(fp)) { tableFps.put(tbl, fp); false } else true
+  }
+
+  /** Test-only: forget every in-JVM table fingerprint, simulating a fresh
+    * JVM so the persisted `_fingerprint` fallback path is exercised. */
+  private[graft] def clearTableLedgerForTest(): Unit = tableFps.clear()
+
+  def markTableBuilt(s: SparkSession, tbl: String, fp: String): Unit = {
+    val f = fpFile(s, tbl)
+    val fs = f.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    tableFps.put(tbl, fp); ()
   }
 }

@@ -184,11 +184,12 @@ object Dedup {
     val arrTbl = s"graft_incr_arr_$slug"
     val names = Seq(prefixTbl, dfTbl, arrTbl)
     // amortized across batches BY DESIGN, but never across a corpus
-    // regeneration: the in-JVM fingerprint ledger forces a rebuild when
+    // regeneration: the fingerprint ledger (in-JVM, with the persisted
+    // _fingerprint fallback for fresh JVMs) forces a rebuild when
     // documents.parquet changes under an existing catalog entry
     val fp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
     if (!names.forall(s.catalog.tableExists) ||
-        graft.Artifacts.tableStale(prefixTbl, fp)) {
+        graft.Artifacts.tableStale(s, prefixTbl, fp)) {
       names.foreach(resetTable(s, _))
       val nb = edgeBuckets(s)
       val old = withShingles(Tables.documents(s, d).filter(isOld))
@@ -220,7 +221,7 @@ object Dedup {
         .write.mode("overwrite").format("parquet")
         .bucketBy(nb, "doc_id").sortBy("doc_id").saveAsTable(arrTbl)
       old.unpersist(blocking = false)
-      graft.Artifacts.markTableBuilt(prefixTbl, fp)
+      graft.Artifacts.markTableBuilt(s, prefixTbl, fp)
     }
     (s.table(prefixTbl), s.table(dfTbl), s.table(arrTbl))
   }
@@ -378,38 +379,52 @@ object Dedup {
     // block mid-query fails the job), and bucketing on `src` means the
     // per-round edge-side shuffle for the `src` join is pre-done at write
     // time. Deriving it from the parquet is pure IO — no PPJoin recompute.
-    val tbl = "graft_pairs_" + dirSlug(d)
-    resetTable(s, tbl)
-    val nb = edgeBuckets(s)
-    pairsPq.union(pairsPq.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .repartition(nb, col("src")) // one file per bucket
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(nb, "src").sortBy("src")
-      .saveAsTable(tbl)
-    // the plain edge parquet stays: it is the per-corpus artifact later
-    // calls (and the local CC path) consume without re-deriving PPJoin
-    val edges = s.table(tbl)
-    // min-label propagation over ONLY the vertices that touch an edge — an
-    // isolated doc is its own cluster by construction, so the iteration
-    // state is bounded by the pair-graph size (tiny vs the corpus: near-dup
-    // graphs are sparse), not the corpus. Rounds are bounded by component
-    // diameter; each round is one small join + min-agg, and each round's
-    // labels are checkpointed so lineage stays one round deep. The label
-    // state is small enough that localCheckpoint's fault-tolerance trade
-    // (non-replayable blocks) is acceptable — the expensive artifact (the
-    // pair table) is on reliable storage above.
-    val labelsLoc = warehousePath(s, tbl + "_labels").toString
-    // the pair table only feeds the (eager) CC rounds — drop it EVEN when
-    // propagation fails its convergence assert, or a long-lived session
-    // accumulates the largest intermediate per failed data dir
-    try propagateMinLabels(s, edges, labelsLoc)
-    finally s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    //
+    // The converged labels parquet follows the SAME per-generation
+    // discipline as the pair parquet (keyed on the documents fingerprint,
+    // generation-suffixed dir, build-once per (corpus, fingerprint)): an
+    // in-place overwrite per run would yank files out from under a
+    // lazily-held frame a previous clusterPairs call returned.
+    val ccFp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
+    val labelsLoc = graft.Artifacts.cachedLocation(labelsBuilt, d, ccFp) { fpv =>
+      val tbl = "graft_pairs_" + dirSlug(d)
+      resetTable(s, tbl)
+      val nb = edgeBuckets(s)
+      pairsPq.union(pairsPq.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .repartition(nb, col("src")) // one file per bucket
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nb, "src").sortBy("src")
+        .saveAsTable(tbl)
+      // the plain edge parquet stays: it is the per-corpus artifact later
+      // calls (and the local CC path) consume without re-deriving PPJoin
+      val edges = s.table(tbl)
+      // min-label propagation over ONLY the vertices that touch an edge — an
+      // isolated doc is its own cluster by construction, so the iteration
+      // state is bounded by the pair-graph size (tiny vs the corpus: near-dup
+      // graphs are sparse), not the corpus. Each round's labels are
+      // checkpointed so lineage stays one round deep. The label state is
+      // small enough that localCheckpoint's fault-tolerance trade
+      // (non-replayable blocks) is acceptable — the expensive artifact (the
+      // pair table) is on reliable storage above.
+      val loc = warehousePath(s, s"graft_pairs_${dirSlug(d)}_${fpv}_labels").toString
+      // the pair table only feeds the (eager) CC rounds — drop it EVEN when
+      // propagation fails its convergence assert, or a long-lived session
+      // accumulates the largest intermediate per failed data dir
+      try propagateMinLabels(s, edges, loc)
+      finally s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      loc
+    }
     // re-attach the non-edge docs (their own clusters) for the full labeling
     Tables.documents(s, d).select(col("doc_id"))
       .join(s.read.parquet(labelsLoc), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
+
+  /** Build-once ledger for the distributed-CC labels parquet — same
+    * per-(corpus, fingerprint) discipline as [[pairsBuilt]]. */
+  private val labelsBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
 
   /** Round cap for the distributed min-label propagation
     * (`graft.dedup.ccMaxRounds`, default 50). Rounds track component

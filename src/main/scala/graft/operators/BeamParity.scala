@@ -33,7 +33,11 @@ object BeamParity {
     val it = fs.listFiles(in, true)
     while (it.hasNext) {
       val f = it.next()
-      if (!f.getPath.getName.startsWith("_")) totalBytes += f.getLen
+      val n = f.getPath.getName
+      // data files only: "_"-prefixed (_SUCCESS, _metadata) AND "."-prefixed
+      // (the .part-*.crc checksums ChecksumFileSystem writes on file://
+      // paths) are metadata — counting them inflates the byte total
+      if (!n.startsWith("_") && !n.startsWith(".")) totalBytes += f.getLen
     }
     val nFiles = (((totalBytes + targetFileBytes - 1) /
       targetFileBytes) max 1L).toInt

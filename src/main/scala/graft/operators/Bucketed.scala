@@ -42,7 +42,7 @@ object Bucketed {
     val fp = graft.Artifacts.fingerprint(
       s, s"$d/lineitem.parquet", s"$d/orders.parquet")
     if (!Seq(lt, ot).forall(s.catalog.tableExists) ||
-        graft.Artifacts.tableStale(lt, fp)) {
+        graft.Artifacts.tableStale(s, lt, fp)) {
       Seq(lt, ot).foreach(resetTable(s, _))
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"))
@@ -52,7 +52,7 @@ object Bucketed {
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(ot)
-      graft.Artifacts.markTableBuilt(lt, fp)
+      graft.Artifacts.markTableBuilt(s, lt, fp)
     }
     (lt, ot)
   }

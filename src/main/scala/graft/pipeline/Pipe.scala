@@ -288,21 +288,31 @@ object Pipe {
     * [[run]] scope (thread-local: graph CONSTRUCTION is driver-side and
     * single-threaded per pipeline, like Beam's). The session-wide ledger
     * catches scopeless use.
+    *
+    * A scope CLOSES when its [[run]] block exits: a Pipe constructed inside
+    * the block whose second consumer only arrives after the block returns
+    * (the caller kept the Pipe) must not register into the already-drained
+    * buffer — that persist would be unreachable by both the scope release
+    * and [[releaseAll]], a silent storage leak. Registration into a closed
+    * scope falls back to the session-wide ledger instead.
     */
-  private val scopePersists =
-    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Dataset[_]]]()
+  private[pipeline] final class Scope {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    var closed = false
+  }
+
+  private val scopePersists = new ThreadLocal[Scope]()
   private val globalPersists =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[Dataset[_], java.lang.Boolean]())
 
-  private[pipeline] def activeScope: scala.collection.mutable.ArrayBuffer[Dataset[_]] =
-    scopePersists.get()
+  private[pipeline] def activeScope: Scope = scopePersists.get()
 
-  private[pipeline] def registerAutoPersist(
-      scope: scala.collection.mutable.ArrayBuffer[Dataset[_]],
-      ds: Dataset[_]): Unit = {
-    if (scope != null) scope.synchronized { scope += ds; () }
-    else { globalPersists.add(ds); () }
+  private[pipeline] def registerAutoPersist(scope: Scope, ds: Dataset[_]): Unit = {
+    val tookScope = scope != null && scope.synchronized {
+      if (!scope.closed) { scope.buf += ds; true } else false
+    }
+    if (!tookScope) { globalPersists.add(ds); () }
   }
 
   /** Execute a whole pipeline — construction plus every terminal action —
@@ -315,12 +325,15 @@ object Pipe {
     */
   def run[A](body: => A): A = {
     val outer = scopePersists.get()
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
-    scopePersists.set(buf)
+    val scope = new Scope
+    scopePersists.set(scope)
     try body
     finally {
       scopePersists.set(outer)
-      buf.foreach(_.unpersist(blocking = false))
+      // close BEFORE draining: a registration racing the drain lands in the
+      // global ledger (releasable) instead of the dead buffer (leaked)
+      val drained = scope.synchronized { scope.closed = true; scope.buf.toList }
+      drained.foreach(_.unpersist(blocking = false))
     }
   }
 

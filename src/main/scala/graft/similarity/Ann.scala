@@ -519,6 +519,87 @@ object Ann {
       .select(col("qid"), col("label"), col("nid"), col("rank"), col("rcos"))
   }
 
+  /** Stored LABEL-PARTITIONED int8 index for F9 — the [[int8Index]] artifact
+    * re-laid-out for metadata-filtered retrieval: one parquet partition dir
+    * per `label`, codes packed exactly like F5's. At 100 TB this layout is
+    * what makes a filtered query cheap: the label predicate prunes to its
+    * stripe's DIRECTORIES at planning time (no data touched outside the
+    * stripe), and within the stripe the scan moves 8× fewer vector bytes
+    * than the float arrays. Same offline-build stand-in as [[int8Index]];
+    * location `graft.int8.dir` conf, else tmpdir.
+    */
+  private val int8LblBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  private def int8LabelIndex(s: SparkSession, d: String): DataFrame = {
+    val base = s.conf.getOption("graft.int8.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-int8")
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    val path = graft.Artifacts.cachedLocation(int8LblBuilt, s"$d@$base@lbl", fp) { fpv =>
+      val slug = java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@lbl@$fpv"))
+      val dir = base + s"/embeddings_int8_lbl-$slug"
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .select(col("vec_id"), col("label"),
+          packBytes(when(col("scale") > 0,
+            transform(col("v"), x =>
+              round(lit(127.0) * x / col("scale")).cast("byte")))
+            .otherwise(transform(col("v"), _ => lit(0).cast("byte")))).as("q"))
+        .withColumn("qn2", graft.plans.DotProductInt8.dot(col("q"), col("q")))
+      q.write.mode("overwrite").partitionBy("label").parquet(dir)
+      dir
+    }
+    // partition-column read-back: label comes back via partition inference;
+    // pin the int type so the gate schema matches the unpartitioned source
+    s.read.parquet(path).withColumn("label", col("label").cast("int"))
+  }
+
+  /** F9 — INDEX-BACKED filtered vector search (the F8 semantics on the F5/F7
+    * machinery): candidate generation scans the stored label-partitioned
+    * int8 index — the label predicate is an equi-join key against the
+    * PARTITION column, so each query's candidates come from its own stripe's
+    * quantized codes (directory-pruned at scale, 8× less bandwidth) — keeps
+    * the top [[RerankCand]] per query by int8 cosine, then exact-reranks
+    * only those candidates against the float vectors, F7-style. This is the
+    * production shape for "nearest WHERE tenant/lang = X": today's F8 scores
+    * the full stripe with exact float cosine; here the float arithmetic
+    * touches queries × [[RerankCand]] rows only. Deterministic end-to-end
+    * (integer dots, 6 dp rounds, nid tie-breaks) — the DuckDB oracle replays
+    * the whole cascade; DedupSpec pins recall vs the exact F8 ranking.
+    */
+  def filteredIndexedTopK(s: SparkSession, d: String): DataFrame = {
+    val e8 = int8LabelIndex(s, d)
+    val qs8 = e8.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("q").as("qq"), col("qn2").as("qq2"))
+    val cand = e8.join(broadcast(qs8),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("dot", graft.plans.DotProductInt8.dot(col("q"), col("qq")))
+      .withColumn("rcos8", round(col("dot").cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("qq2").cast("double"))), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rcos8").desc, col("vec_id"))))
+      .filter(col("crank") <= RerankCand)
+      .select(col("qid"), col("qlabel").as("label"), col("vec_id").as("nid"))
+    val ev = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val qe = ev.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = cand
+      .join(broadcast(qe), col("qid") === col("q_id"))
+      .join(ev, col("nid") === col("vec_id"))
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("label"), col("nid"), col("rcos"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rcos").desc, col("nid"))))
+      .filter(col("rank") <= FilteredTopK)
+      .select(col("qid"), col("label"), col("nid"), col("rank"), col("rcos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK _,
     "ann_lsh_topk" -> lshTopK _,
@@ -526,7 +607,8 @@ object Ann {
     "emb_quantize" -> embQuantize _,
     "ann_quantized_topk" -> quantizedTopK _,
     "ann_rerank_topk" -> rerankTopK _,
-    "ann_filtered_topk" -> filteredTopK _
+    "ann_filtered_topk" -> filteredTopK _,
+    "ann_filtered_indexed" -> filteredIndexedTopK _
   )
 
   /** Full SQL twin of lshTopK. The hyperplanes are deterministic constants
@@ -749,6 +831,44 @@ object Ann {
         SELECT qid, label, nid, rcos,
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
         FROM p) t
+      WHERE rank <= $FilteredTopK ORDER BY qid, rank""",
+    "ann_filtered_indexed" -> s"""
+      WITH v AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, label, v,
+          list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM v),
+      q AS (
+        SELECT vec_id, label,
+          CASE WHEN scale > 0
+            THEN list_transform(v, x -> round(127.0 * x / scale))
+            ELSE list_transform(v, x -> 0.0) END AS q
+        FROM sc),
+      n AS (
+        -- integer-valued doubles: every sum below is exact (≪ 2^53)
+        SELECT vec_id, label, q, list_dot_product(q, q) AS qn2 FROM q),
+      c8 AS (
+        SELECT a.vec_id AS qid, a.label AS label, c.vec_id AS nid,
+          ROUND(list_dot_product(a.q, c.q) / (sqrt(a.qn2) * sqrt(c.qn2)), 6) AS rcos8
+        FROM n a JOIN n c ON c.label = a.label AND c.vec_id <> a.vec_id
+        WHERE a.vec_id < $NumQueries),
+      cand AS (
+        SELECT qid, label, nid FROM (
+          SELECT qid, label, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos8 DESC, nid) AS crank
+          FROM c8)
+        WHERE crank <= $RerankCand)
+      SELECT qid, label, nid, rank, rcos FROM (
+        SELECT cand.qid, cand.label, cand.nid,
+          ROUND(list_cosine_similarity(qv.v, nv.v), 6) AS rcos,
+          ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+            ROUND(list_cosine_similarity(qv.v, nv.v), 6) DESC, cand.nid) AS rank
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.qid
+        JOIN v nv ON nv.vec_id = cand.nid) t
       WHERE rank <= $FilteredTopK ORDER BY qid, rank"""
   )
 }

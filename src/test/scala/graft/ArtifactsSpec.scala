@@ -37,6 +37,38 @@ class ArtifactsSpec extends SparkSpec {
     assert(fAbsent != f1)
   }
 
+  test("fingerprint catches a same-length same-mtime rewrite via the tail hint") {
+    // the (length, mtime) metadata pair cannot see this rewrite: identical
+    // byte count, mtime forced back to the original tick. Only the local-FS
+    // content hint (last 16 bytes) distinguishes the generations.
+    val dir = Files.createTempDirectory("graft-fp-tail").toString
+    val f = Paths.get(dir, "data.bin")
+    Files.write(f, Array.fill[Byte](64)('a'))
+    val t0 = Files.getLastModifiedTime(f)
+    val f1 = Artifacts.fingerprint(spark, dir)
+    Files.write(f, Array.fill[Byte](64)('b'))
+    Files.setLastModifiedTime(f, t0)
+    assert(Files.getLastModifiedTime(f) == t0 && Files.size(f) == 64)
+    val f2 = Artifacts.fingerprint(spark, dir)
+    assert(f2 != f1, "same-length same-mtime rewrite went undetected")
+  }
+
+  test("persisted _fingerprint validates tables across a (simulated) fresh JVM") {
+    val tbl = "graft_artifacts_spec_fp_tbl"
+    // the _fingerprint file lands inside the table's warehouse dir
+    Files.createDirectories(Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl))
+    Artifacts.markTableBuilt(spark, tbl, "fp_v1")
+    assert(!Artifacts.tableStale(spark, tbl, "fp_v1"))
+    // fresh JVM: the in-memory ledger is empty, but the persisted file
+    // validates the existing artifact instead of forcing a rebuild
+    Artifacts.clearTableLedgerForTest()
+    assert(!Artifacts.tableStale(spark, tbl, "fp_v1"))
+    // ...and still catches a moved input fingerprint
+    Artifacts.clearTableLedgerForTest()
+    assert(Artifacts.tableStale(spark, tbl, "fp_v2"))
+  }
+
   test("events ts-type and era probes re-run after an in-place overwrite") {
     val dir = Files.createTempDirectory("graft-stale-ev").toString
     copyFile(s"$sf/events.parquet", s"$dir/events.parquet")

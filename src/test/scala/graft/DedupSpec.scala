@@ -383,6 +383,35 @@ class DedupSpec extends SparkSpec {
       "label filter vacuous at test SF: unfiltered top-1s never cross labels")
   }
 
+  test("indexed filtered ann: int8-stripe cascade keeps recall >= 0.9 vs exact F8") {
+    // F9 runs the label predicate against the STORED label-partitioned int8
+    // index and exact-reranks only RerankCand candidates — recall vs the
+    // full-stripe exact scoring must survive the quantized winnowing, and
+    // the label contract of F8 must hold unchanged.
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = Ann.filteredTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val idxDf = Ann.filteredIndexedTopK(spark, sf)
+    val idx = idxDf.collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val (qid, label, nid, rank) = (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))
+      assert(label == labels(qid) && labels(nid) == labels(qid),
+        s"neighbor $nid crosses the label filter for query $qid")
+      assert(rank >= 1 && rank <= Ann.FilteredTopK && nid != qid)
+    }
+    val idxSet = idx.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(idxSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"indexed-filtered recall@${Ann.FilteredTopK} = $recall")
+    // the candidate stage scans the stored label-partitioned index, not the
+    // float embeddings (the plan-shape claim behind the 8x-bandwidth story)
+    val plan = idxDf.queryExecution.executedPlan.toString
+    assert(plan.contains("embeddings_int8_lbl"),
+      "candidate stage does not read the stored label-partitioned int8 index")
+  }
+
   test("ivf sampled training: bounded Lloyd scans, full-corpus assignment, recall holds") {
     // SURVEY §5's 100 TB claim as code: with graft.ann.trainSampleRows below
     // the corpus size, k-means trains on a deterministic splitmix64 residue

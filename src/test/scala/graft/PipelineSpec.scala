@@ -70,6 +70,28 @@ class PipelineSpec extends SparkSpec {
     assert(leaked.isEmpty, s"auto-persists survived Pipe.run: $leaked")
   }
 
+  test("late second consumer after Pipe.run exits registers a releasable persist") {
+    // a Pipe BUILT inside run() whose second consumer only arrives after the
+    // block returns would register its auto-persist into the already-drained
+    // scope buffer — unreachable by both the scope release and releaseAll, a
+    // silent storage leak. A closed scope must route the persist to the
+    // session-wide ledger instead.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val escaped = Pipe.run {
+      Pipe.create(spark, Seq(1, 2, 3)).map(_ * 10)
+    }
+    // both consumers fire after the scope closed → persist-once triggers now
+    assert(escaped.map(_ + 1).collect().sorted == Seq(11, 21, 31))
+    assert(escaped.map(_ + 2).collect().sorted == Seq(12, 22, 32))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "escaped pipe's shared branch was not persisted at its second consumer")
+    Pipe.releaseAll() // the global ledger CAN drain it
+    val deadline = System.nanoTime() + 10000000000L
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"late-registered auto-persist leaked: $leaked")
+  }
+
   test("groupByKey (test_create_map_and_groupby)") {
     val p = Pipe.create(spark, Seq(1)).map(x => (x * 2, x)).groupByKey
     assert(p.collect() == Seq((2, Seq(1))))
