@@ -80,8 +80,46 @@ object Artifacts {
       map: ConcurrentHashMap[String, Built], key: String, fp: String)(
       build: String => String): String =
     map.compute(key, (_, old) =>
-      if (old != null && old.fingerprint == fp) old else Built(fp, build(fp))
+      if (old != null && old.fingerprint == fp) old
+      else {
+        val b = Built(fp, build(fp))
+        // the replaced generation's dir stays on disk (a lazily-held reader
+        // of the old location must stay valid) but is RECORDED so a
+        // long-lived session can reclaim it deliberately via [[sweepStale]]
+        if (old != null && old.location != b.location) {
+          superseded.add(old.location); ()
+        }
+        b
+      }
     ).location
+
+  /** On-disk locations of artifact generations this JVM has superseded
+    * (rebuilt under a moved fingerprint). Kept until [[sweepStale]]. */
+  private val superseded =
+    java.util.Collections.newSetFromMap(
+      new ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Opt-in reclamation for long-lived sessions: delete every artifact
+    * generation this JVM superseded (the per-generation dirs
+    * [[cachedLocation]] deliberately leaves on disk so lazily-held readers
+    * of the old generation stay valid). Call it at a point where no frame
+    * referencing a pre-rebuild artifact is still alive — the caller owns
+    * that judgment, which is why the sweep never runs implicitly. Returns
+    * the deleted locations. Live (current-generation) artifacts are never
+    * touched: only locations REPLACED by a rebuild are recorded.
+    */
+  def sweepStale(s: SparkSession): Seq[String] = {
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = superseded.iterator()
+    while (it.hasNext) {
+      val loc = it.next()
+      it.remove()
+      val p = new Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      dropped += loc
+    }
+    dropped.toSeq
+  }
 
   /** Generic build-once-per-(key, fingerprint) value cache — the
     * [[cachedLocation]] pattern for non-path values (e.g. the events

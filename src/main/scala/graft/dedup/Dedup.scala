@@ -227,13 +227,11 @@ object Dedup {
   }
 
   /** E8 — near-dup CLUSTER resolution: connected components over the E2
-    * pair graph by iterative min-label propagation (the Pregel/GraphX CC
-    * algorithm expressed as DataFrame joins — at 100 TB each round is one
-    * edge join + one min-agg, and rounds are bounded by component diameter,
-    * which for near-dup clusters is tiny). Iterates to an EXACT fixpoint
-    * (convergence checked with a count action per round). Output: every doc
-    * with its cluster id (= min doc_id in its component); dedup keeps the
-    * rows where doc_id == cluster_id.
+    * pair graph by alternating large-star/small-star contraction
+    * (O(log n) rounds regardless of component shape — see
+    * [[propagateMinLabels]]), run to an EXACT star fixpoint. Output: every
+    * doc with its cluster id (= min doc_id in its component); dedup keeps
+    * the rows where doc_id == cluster_id.
     */
   /** Default bucket count for materialized dedup artifacts (the E8 pair
     * table, the E7 corpus index). Overridable per session via
@@ -371,14 +369,16 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     }
-    // Distributed path: the edge list is re-shaped into a BUCKETED PARQUET
-    // TABLE (both directions) — the persistent-index artifact SURVEY §5
-    // promises for 100 TB: every CC round consumes it as a plain one-scan
-    // read (the round-2 plan re-derived the whole PPJoin pipeline 13 times),
-    // it is replayable on executor loss (a localCheckpoint is not: losing a
-    // block mid-query fails the job), and bucketing on `src` means the
-    // per-round edge-side shuffle for the `src` join is pre-done at write
-    // time. Deriving it from the parquet is pure IO — no PPJoin recompute.
+    // Distributed path: the alternating-star contraction consumes the
+    // stored E2 pair parquet DIRECTLY — it already is the reliable,
+    // replayable per-corpus edge artifact (SURVEY §5), and unlike the old
+    // min-label propagation (whose per-round `src` equi-join justified a
+    // pre-bucketed copy) the star rounds re-shape the edge set every
+    // iteration, so no write-time bucketing can pre-pay their shuffles.
+    // The contraction runs over ONLY the vertices that touch an edge — an
+    // isolated doc is its own cluster by construction, so the iteration
+    // state is bounded by the pair-graph size (tiny vs the corpus:
+    // near-dup graphs are sparse), not the corpus.
     //
     // The converged labels parquet follows the SAME per-generation
     // discipline as the pair parquet (keyed on the documents fingerprint,
@@ -387,32 +387,8 @@ object Dedup {
     // lazily-held frame a previous clusterPairs call returned.
     val ccFp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
     val labelsLoc = graft.Artifacts.cachedLocation(labelsBuilt, d, ccFp) { fpv =>
-      val tbl = "graft_pairs_" + dirSlug(d)
-      resetTable(s, tbl)
-      val nb = edgeBuckets(s)
-      pairsPq.union(pairsPq.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-        .repartition(nb, col("src")) // one file per bucket
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(nb, "src").sortBy("src")
-        .saveAsTable(tbl)
-      // the plain edge parquet stays: it is the per-corpus artifact later
-      // calls (and the local CC path) consume without re-deriving PPJoin
-      val edges = s.table(tbl)
-      // min-label propagation over ONLY the vertices that touch an edge — an
-      // isolated doc is its own cluster by construction, so the iteration
-      // state is bounded by the pair-graph size (tiny vs the corpus: near-dup
-      // graphs are sparse), not the corpus. Each round's labels are
-      // checkpointed so lineage stays one round deep. The label state is
-      // small enough that localCheckpoint's fault-tolerance trade
-      // (non-replayable blocks) is acceptable — the expensive artifact (the
-      // pair table) is on reliable storage above.
       val loc = warehousePath(s, s"graft_pairs_${dirSlug(d)}_${fpv}_labels").toString
-      // the pair table only feeds the (eager) CC rounds — drop it EVEN when
-      // propagation fails its convergence assert, or a long-lived session
-      // accumulates the largest intermediate per failed data dir
-      try propagateMinLabels(s, edges, loc)
-      finally s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      propagateMinLabels(s, pairsPq.toDF("src", "dst"), loc)
       loc
     }
     // re-attach the non-edge docs (their own clusters) for the full labeling
@@ -426,61 +402,113 @@ object Dedup {
   private val labelsBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
 
-  /** Round cap for the distributed min-label propagation
-    * (`graft.dedup.ccMaxRounds`, default 50). Rounds track component
-    * DIAMETER, and near-dup clusters are dense (tiny diameter), so 50 is
-    * generous — but a pathological chain-shaped component larger than the
-    * cap must FAIL LOUDLY, never silently emit half-merged clusters.
+  /** Round cap for the distributed CC iteration (`graft.dedup.ccMaxRounds`,
+    * default 50). The alternating star algorithm converges in O(log n)
+    * rounds — ~40 rounds covers any graph that fits in a universe of 2^63
+    * ids — so 50 is a pure loud-failure backstop against an algorithmic
+    * regression, not a knob a real graph should ever need raised. (The
+    * previous min-label propagation tracked component DIAMETER: a planted
+    * 60-node path legitimately needed 59 rounds and could only fail at any
+    * cap; that is the O(log n) rewrite's whole point.)
     */
   private[graft] def ccMaxRounds(s: SparkSession): Int =
     s.conf.getOption("graft.dedup.ccMaxRounds").map(_.toInt).getOrElse(50)
 
-  /** Distributed min-label propagation to exact fixpoint over a
-    * both-direction edge table; converged labels land at `labelsLoc` as
-    * parquet. Each round's labels are localCheckpointed (lineage one round
-    * deep) and the superseded round's blocks are freed eagerly. The labels
-    * are written to reliable storage and every checkpoint freed HERE —
-    * returning a plan over non-replayable checkpoint blocks was the round-5
-    * correctness hazard. THROWS if the fixpoint is not reached within
-    * [[ccMaxRounds]] — an unconverged exit would silently label one
-    * component as several (round-9 verdict item 4).
+  /** Distributed connected components by ALTERNATING LARGE-STAR/SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — the O(log n)-round algorithm every large-graph
+    * system uses for CC), run to the exact star fixpoint; converged labels
+    * (doc_id, cluster_id = component-min doc_id) land at `labelsLoc` as
+    * parquet. Per round:
+    *
+    *  - large-star(u): every neighbor v > u re-points to m = min(Γ⁺(u)) —
+    *    long chains fold toward their minimum from EVERY node at once,
+    *    which is what makes rounds O(log n) instead of O(diameter);
+    *  - small-star(u): every neighbor v ≤ u (edges held canonically as
+    *    src > dst) re-points to m = min(N(u)) — flattening the partial
+    *    trees into stars.
+    *
+    * Both operations preserve connectivity and never point a node above
+    * itself, so the fixpoint is exactly one star per component rooted at
+    * its minimum id. Each round is two (groupBy-min + join) passes over the
+    * edge set — the same per-round shuffle cost class as the old min-label
+    * propagation, with exponentially fewer rounds on chain-shaped graphs
+    * (a 60-node path: 59 rounds before, ~6 now — DedupSpec pins it under
+    * the default cap). Each round's edge set is localCheckpointed (lineage
+    * one round deep, superseded blocks freed eagerly); the labels are
+    * written to reliable storage and every checkpoint freed HERE —
+    * returning a plan over non-replayable checkpoint blocks was the
+    * round-5 correctness hazard. THROWS if the star fixpoint is not
+    * reached within [[ccMaxRounds]] — an unconverged exit would silently
+    * label one component as several.
     */
   private[graft] def propagateMinLabels(
       s: SparkSession, edges: DataFrame, labelsLoc: String): Unit = {
     val maxRounds = ccMaxRounds(s)
-    var ckpt = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
-    var labels = ckpt
-    var changed = 1L
+
+    // canonical edge form: src > dst, self-loops dropped, one row per pair
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()
+
+    // large-star: per node u over the SYMMETRIC neighborhood, re-point
+    // every strictly-larger neighbor at m = min(Γ(u) ∪ {u}). m ≤ u < v,
+    // so the output is canonical by construction.
+    def largeStar(e: DataFrame): DataFrame = {
+      val g = e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = g.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      g.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: per node u over its smaller neighbors N(u) (canonical
+    // input: all dst < src), re-point u and every non-min neighbor at
+    // m = min(N(u)). dst > m on every emitted row — canonical again.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val self = mins.select(col("src"), col("m").as("dst"))
+      val nbrs = e.join(mins, "src").filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      self.union(nbrs).distinct()
+    }
+
+    var ckpt = canon(edges).localCheckpoint()
+    var cnt = ckpt.count()
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val next = labels.join(
-          edges.join(labels.select(col("doc_id").as("src"), col("cluster_id").as("nl")), "src")
-            .groupBy(col("dst").as("doc_id"))
-            .agg(min(col("nl")).as("nbr_min")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-          (col("nbr_min") < col("cluster_id")).as("chg"))
-        .localCheckpoint()
-      changed = next.filter(col("chg")).count()
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(ckpt)).localCheckpoint()
+      val nextCnt = next.count()
+      // both sides are distinct row sets: equal counts + empty difference
+      // ⇔ identical edge sets ⇔ star fixpoint reached
+      converged = nextCnt == cnt && next.except(ckpt).count() == 0
       // `next` is materialized: the superseded round's blocks go NOW, not
       // at some future driver GC
       freeCheckpoint(ckpt)
       ckpt = next
-      labels = next.select(col("doc_id"), col("cluster_id"))
+      cnt = nextCnt
       rounds += 1
     }
-    if (changed > 0) {
+    if (!converged) {
       freeCheckpoint(ckpt)
       throw new IllegalStateException(
-        s"connected-components did not converge in $maxRounds rounds " +
-          s"($changed labels still changing) — a component's diameter " +
-          "exceeds graft.dedup.ccMaxRounds; raise it (or investigate the " +
-          "pair graph: near-dup clusters should be dense, not chains)")
+        s"connected-components did not converge in $maxRounds rounds — " +
+          "the alternating star contraction is O(log n) rounds, so hitting " +
+          "graft.dedup.ccMaxRounds indicates an algorithmic problem (or an " +
+          "artificially tiny cap), not a legitimately deep graph")
     }
-    labels.write.mode("overwrite").parquet(labelsLoc)
+    // fixpoint edges ARE the labeling: (v, m) per non-root member, plus the
+    // roots' self-labels (a root never appears as src in a canonical star)
+    val roots = ckpt.select(col("dst")).distinct()
+      .select(col("dst").as("doc_id"), col("dst").as("cluster_id"))
+    ckpt.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .union(roots)
+      .write.mode("overwrite").parquet(labelsLoc)
     freeCheckpoint(ckpt)
   }
 

@@ -128,64 +128,84 @@ object Multimodal {
         md5(expr(s"substring(text, off + 1, $FrameLen)")).as("frame_md5"))
   }
 
-  /** G5 — perceptual-hash near-dup over the multimodal payload: the
-    * pHash-style 64-bit signature (each of 64 stride samples compared to
-    * the payload's own mean — the DCT-sign shape of real image pHash, over
-    * the stubbed "decode") and a MULTI-INDEX hamming search: pairs within
-    * hamming ≤ [[PhashHamT]] found by banding the hash into
+  /** G5 — perceptual-hash near-dup over the multimodal payload: a
+    * pHash-style signature (each of W stride samples compared to the
+    * payload's own mean — the DCT-sign shape of real image pHash, over the
+    * stubbed "decode") and a MULTI-INDEX hamming search: pairs within
+    * hamming ≤ [[PhashHamT]] found by banding the signature into
     * [[PhashHamT]]+1 segments (pigeonhole: ≤T differing bits across T+1
     * bands leave ≥1 band identical) and exact-verifying candidates.
     *
-    * Scaling envelope, stated honestly: T+1 bands over 64 bits leave each
-    * band only 5-6 bits wide, so equality banding is EXACT but only
-    * sub-quadratic while n ≲ bands·2^bandwidth — beyond that every band
-    * value saturates into a mega-bucket and candidates trend back toward
-    * n². The E3/E4 star cap bounds that regime: a bucket over
-    * `graft.dedup.maxBandBucket` emits member→representative edges (m−1,
-    * not Θ(m²)) and candidates are still hamming-verified, so output stays
-    * a correct subset — the same deliberate, audit-visible recall trade
-    * the LSH bands make. For web-scale hamming search at large T you raise
-    * the hash width (128/256-bit pHash) so bands stay selective; the
-    * operator's shape is unchanged.
+    * SIGNATURE WIDTH is configurable (`graft.phash.bits`, default
+    * [[PhashBitsDefault]] = 64; any multiple of 64 — the signature packs
+    * into W/64 long words, hamming = Σ bit_count per word). Width is the
+    * web-scale lever: T+1 bands over 64 bits are only 7-8 bits wide, so
+    * equality banding is sub-quadratic only while n ≲ bands·2^bandwidth;
+    * at 128 bits the same T gets 14-15-bit bands — each band ~128× more
+    * selective, pushing the saturation envelope ~128× further out for 2×
+    * the signature bytes, with the SAME pigeonhole recall guarantee at
+    * distance ≤ T. Beyond any width's envelope the E3/E4 star cap bounds
+    * the mega-bucket regime: a bucket over `graft.dedup.maxBandBucket`
+    * emits member→representative edges (m−1, not Θ(m²)) and candidates are
+    * still hamming-verified, so output stays a correct subset — the same
+    * deliberate, audit-visible recall trade the LSH bands make.
     */
-  val PhashBits = 64
-  // T=8 → 9 bands of 7-8 bits: each halving of T+1 roughly doubles band
-  // width, squaring band selectivity — at T=10 the 5-6-bit bands saturate
-  // ~10× earlier for no recall the 8-bit radius doesn't already give on
+  val PhashBitsDefault = 64
+  // T=8 → 9 bands: each halving of T+1 roughly doubles band width,
+  // squaring band selectivity — at T=10 the narrower bands saturate ~10×
+  // earlier for no recall the 8-bit radius doesn't already give on
   // near-identical payloads
   val PhashHamT = 8
 
-  private def phashFrame(s: SparkSession, d: String): DataFrame = {
-    // one-pass native sampling (graft.plans.StrideSample) — the composable
-    // 64×substring form re-walks the string per sample (O(k·n)/row; it was
-    // ~half this query's wall time); element_at over the sampled array is
-    // O(1) codegen
-    val codes = (0 until PhashBits).map(i =>
-      element_at(col("codes"), i + 1).cast("long"))
-    val tot = codes.reduce(_ + _)
-    val bits = codes.zipWithIndex.map { case (c, i) =>
-      when(c * PhashBits > col("tot"), lit(1L << i)).otherwise(0L)
-    }
-    Tables.documents(s, d)
-      .filter(char_length(col("text")) >= PhashBits)
-      .withColumn("codes", graft.plans.StrideSample.sample(col("text"), PhashBits))
-      .withColumn("tot", tot)
-      .select(col("doc_id"), bits.reduce(_ + _).as("phash"))
+  private[graft] def phashBits(s: SparkSession): Int = {
+    val w = s.conf.getOption("graft.phash.bits")
+      .map(_.toInt).getOrElse(PhashBitsDefault)
+    require(w >= 64 && w % 64 == 0,
+      s"graft.phash.bits must be a positive multiple of 64, got $w")
+    w
   }
 
-  def phashDedup(s: SparkSession, d: String): DataFrame = {
+  /** Signature + band values in ONE codegen'd pass: `ph` is the packed
+    * W-bit signature as W/64 long words; `bvs` the T+1 band values,
+    * assembled directly from the per-sample sign bits (no cross-word bit
+    * surgery — a band that straddles a word boundary costs nothing here).
+    * One-pass native sampling (graft.plans.StrideSample) — the composable
+    * W×substring form re-walks the string per sample (O(k·n)/row; it was
+    * ~half this query's wall time at W=64).
+    */
+  private def phashFrame(s: SparkSession, d: String, wBits: Int): DataFrame = {
     val nBands = PhashHamT + 1
-    val base = PhashBits / nBands        // 5
-    val extra = PhashBits % nBands       // first `extra` bands get base+1
-    val offsets = (0 until nBands).scanLeft(0) {
-      case (off, i) => off + base + (if (i < extra) 1 else 0)
+    val base = wBits / nBands
+    val extra = wBits % nBands           // first `extra` bands get base+1
+    val widths = (0 until nBands).map(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val codes = (0 until wBits).map(i =>
+      element_at(col("codes"), i + 1).cast("long"))
+    val tot = codes.reduce(_ + _)
+    def bit(i: Int, shift: Int): org.apache.spark.sql.Column =
+      when(codes(i) * wBits > col("tot"), lit(1L << shift)).otherwise(0L)
+    val words = (0 until wBits / 64).map { w =>
+      (0 until 64).map(b => bit(w * 64 + b, b)).reduce(_ + _)
     }
-    val ph = graft.CacheScope.scopedPersist(phashFrame(s, d))
-    val bands = ph.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until nBands).map { i =>
-        val w = base + (if (i < extra) 1 else 0)
-        expr(s"shiftrightunsigned(phash, ${offsets(i)}) & ${(1L << w) - 1}")
-      }: _*)).as(Seq("band", "bv")))
+    val bands = (0 until nBands).map { i =>
+      (0 until widths(i)).map(b => bit(offsets(i) + b, b)).reduce(_ + _)
+    }
+    Tables.documents(s, d)
+      .filter(char_length(col("text")) >= wBits)
+      .withColumn("codes", graft.plans.StrideSample.sample(col("text"), wBits))
+      .withColumn("tot", tot)
+      .select(col("doc_id"), array(words: _*).as("ph"), array(bands: _*).as("bvs"))
+  }
+
+  /** The pre-verification candidate stream (doc_a, pa, doc_b, pb) the
+    * banding emits — exposed so the width-selectivity claim is testable:
+    * MultimodalSpec counts candidates at 64 vs 128 bits on the same corpus.
+    */
+  private[graft] def phashCandidates(s: SparkSession, d: String): DataFrame = {
+    val wBits = phashBits(s)
+    val ph = graft.CacheScope.scopedPersist(phashFrame(s, d, wBits))
+    val bands = ph.select(col("doc_id"), col("ph"),
+      posexplode(col("bvs")).as(Seq("band", "bv")))
     // mega-bucket star cap (the E3/E4 discipline): all-pairs only inside
     // sub-cap buckets; saturated buckets emit member→representative edges
     val stats = graft.dedup.Dedup.withBucketStats(
@@ -195,26 +215,40 @@ object Multimodal {
     val candSmall = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.phash").as("pa"),
-        col("b.doc_id").as("doc_b"), col("b.phash").as("pb"))
+      .select(col("a.doc_id").as("doc_a"), col("a.ph").as("pa"),
+        col("b.doc_id").as("doc_b"), col("b.ph").as("pb"))
     // rep = min doc_id of the bucket, so star edges are already (a < b)
     val star = stats
       .filter(col("bn").isNotNull && col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"),
-        col("doc_id").as("doc_b"), col("phash").as("pb"))
-      .join(ph.select(col("doc_id").as("doc_a"), col("phash").as("pa")), "doc_a")
+        col("doc_id").as("doc_b"), col("ph").as("pb"))
+      .join(ph.select(col("doc_id").as("doc_a"), col("ph").as("pa")), "doc_a")
       .select(col("doc_a"), col("pa"), col("doc_b"), col("pb"))
-    // verify BEFORE deduplicating: bit_count is one codegen'd instruction,
-    // so filtering the (band-multiplied) candidate stream first means the
-    // distinct shuffles only true matches × ≤(T+1) band hits, not every
-    // bucket collision (at saturated-band scale that is the difference
-    // between shuffling matches and shuffling ~n²/2^bandwidth rows)
-    val out = candSmall.unionByName(star)
-      .withColumn("hamming", expr("bit_count(pa ^ pb)"))
+    graft.CacheScope.releaseAfterUse(candSmall.unionByName(star), ph)
+  }
+
+  /** Test access: the packed signature frame at the session's configured
+    * width (doc_id, ph: array<long>). */
+  private[graft] def phashSignatures(s: SparkSession, d: String): DataFrame =
+    phashFrame(s, d, phashBits(s)).select(col("doc_id"), col("ph"))
+
+  def phashDedup(s: SparkSession, d: String): DataFrame = {
+    val wBits = phashBits(s)
+    // verify BEFORE deduplicating: bit_count is one codegen'd instruction
+    // per word, so filtering the (band-multiplied) candidate stream first
+    // means the distinct shuffles only true matches × ≤(T+1) band hits, not
+    // every bucket collision (at saturated-band scale that is the
+    // difference between shuffling matches and shuffling ~n²/2^bandwidth
+    // rows)
+    val hamming = (0 until wBits / 64)
+      .map(w => expr(
+        s"bit_count(element_at(pa, ${w + 1}) ^ element_at(pb, ${w + 1}))"))
+      .reduce(_ + _)
+    phashCandidates(s, d)
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= PhashHamT)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
-    graft.CacheScope.releaseAfterUse(out, ph)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -267,14 +301,14 @@ object Multimodal {
     "mm_phash_dedup" -> s"""
       WITH s AS (
         SELECT doc_id,
-          list_transform(range($PhashBits), i ->
-            ord(substring(text, (i * length(text)) // $PhashBits + 1, 1))) AS codes
-        FROM documents WHERE length(text) >= $PhashBits),
+          list_transform(range($PhashBitsDefault), i ->
+            ord(substring(text, (i * length(text)) // $PhashBitsDefault + 1, 1))) AS codes
+        FROM documents WHERE length(text) >= $PhashBitsDefault),
       m AS (SELECT doc_id, codes, list_sum(codes) AS tot FROM s),
       hu AS (
         SELECT doc_id,
-          list_sum(list_transform(range($PhashBits), i ->
-            CASE WHEN codes[i+1] * $PhashBits > tot
+          list_sum(list_transform(range($PhashBitsDefault), i ->
+            CASE WHEN codes[i+1] * $PhashBitsDefault > tot
               THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
         FROM m),
       ph AS (SELECT doc_id,

@@ -53,6 +53,39 @@ class ArtifactsSpec extends SparkSpec {
     assert(f2 != f1, "same-length same-mtime rewrite went undetected")
   }
 
+  test("superseded artifact generations survive rebuilds until swept on demand") {
+    // per-generation discipline: a rebuild under a moved fingerprint must
+    // NOT delete the old generation's dir (lazily-held readers), but a
+    // long-lived session can reclaim superseded generations deliberately.
+    val dataDir = Files.createTempDirectory("graft-sweep-data").toString
+    val idxBase = Files.createTempDirectory("graft-sweep-idx").toString
+    copyFile(s"$sf/embeddings.parquet", s"$dataDir/embeddings.parquet")
+    spark.conf.set("graft.int8.dir", idxBase)
+    try {
+      def idxDirs = new java.io.File(idxBase).listFiles().map(_.getName).toSet
+      assert(graft.similarity.Ann.quantizedTopK(spark, dataDir).count() > 0)
+      val gen1 = idxDirs
+      assert(gen1.nonEmpty)
+      // regenerate the source in place → fingerprint moves → gen2 built,
+      // gen1 left on disk
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+      assert(graft.similarity.Ann.quantizedTopK(spark, dataDir).count() > 0)
+      assert(gen1.subsetOf(idxDirs) && idxDirs.size > gen1.size,
+        s"superseded generation deleted eagerly: gen1=$gen1 now=$idxDirs")
+      // the sweep reclaims EXACTLY the superseded generations
+      val dropped = Artifacts.sweepStale(spark)
+      assert(dropped.nonEmpty)
+      assert((idxDirs & gen1).isEmpty, s"gen1 survived the sweep: $idxDirs")
+      // live generation untouched and still serving
+      assert(graft.similarity.Ann.quantizedTopK(spark, dataDir).count() > 0)
+      // idempotent: nothing left to sweep
+      assert(Artifacts.sweepStale(spark).isEmpty)
+    } finally {
+      spark.conf.unset("graft.int8.dir")
+    }
+  }
+
   test("persisted _fingerprint validates tables across a (simulated) fresh JVM") {
     val tbl = "graft_artifacts_spec_fp_tbl"
     // the _fingerprint file lands inside the table's warehouse dir

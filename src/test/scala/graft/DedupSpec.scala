@@ -173,26 +173,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("CC propagation reaches the fixpoint or fails loudly (planted 60-node path)") {
-    // a path graph is the worst case for min-label propagation: the min
-    // label travels ONE hop per round, so a 60-node path needs 59 rounds.
-    // Under the default 50-round cap the old code exited silently with a
-    // half-propagated labeling; it must now throw.
+  test("CC star contraction folds the planted 60-node path under the default cap") {
+    // a path graph is the worst case for the old min-label propagation (the
+    // min travels ONE hop per round: 59 rounds, > the 50-round cap — it
+    // could only fail loudly). The alternating large-star/small-star
+    // contraction must fold it in O(log n) rounds, well under the default
+    // cap, with the same min-rooted labels.
     import SparkSpecBase.spark.implicits._
     val n = 60L
     val edges = (0L until n - 1)
       .flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("src", "dst")
     val loc = java.nio.file.Files.createTempDirectory("graft-cc").toString + "/labels"
-    val e = intercept[IllegalStateException](
-      Dedup.propagateMinLabels(spark, edges, loc))
-    assert(e.getMessage.contains("did not converge"))
-    spark.conf.set("graft.dedup.ccMaxRounds", "80")
+    Dedup.propagateMinLabels(spark, edges, loc) // default cap: must converge
+    val labels = spark.read.parquet(loc).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == n && labels.forall(_._2 == 0L),
+      "single component must converge to one label")
+    // the loud-failure backstop survives the rewrite: an artificially tiny
+    // cap must throw, never silently emit a half-contracted labeling
+    spark.conf.set("graft.dedup.ccMaxRounds", "1")
     try {
-      Dedup.propagateMinLabels(spark, edges, loc)
-      val labels = spark.read.parquet(loc).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      assert(labels.length == n && labels.forall(_._2 == 0L),
-        "single component must converge to one label")
+      val e = intercept[IllegalStateException](
+        Dedup.propagateMinLabels(spark, edges,
+          java.nio.file.Files.createTempDirectory("graft-cc2").toString + "/labels"))
+      assert(e.getMessage.contains("did not converge"))
     } finally spark.conf.unset("graft.dedup.ccMaxRounds")
   }
 

@@ -71,4 +71,84 @@ class MultimodalSpec extends SparkSpec {
       assert(rows.forall { case (a, b, h) => a == 0L && b > 0L && h == 0 })
     } finally spark.conf.unset("graft.dedup.maxBandBucket")
   }
+
+  test("phash width: explicit 64-bit conf matches the default gate output") {
+    val dflt = Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    spark.conf.set("graft.phash.bits", "64")
+    try {
+      val explicit = Multimodal.phashDedup(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(explicit == dflt && dflt.nonEmpty)
+    } finally spark.conf.unset("graft.phash.bits")
+  }
+
+  test("phash width: banding stays exact at 128 bits (quadratic replay)") {
+    // the pigeonhole guarantee must survive the multi-word signature: the
+    // banded pair set at 128 bits equals the exact quadratic hamming join
+    // over the same signatures. The sf corpus's planted near-dups perturb
+    // >8/128 samples (T=8 is a stricter RELATIVE radius at 128 bits), so
+    // plant dups here: random docs plus exact-duplicate and lightly
+    // perturbed copies.
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash-exact").toString
+    val rnd = new scala.util.Random(7)
+    def txt() = (0 until 256).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = (0 until 100).map(i => (i.toLong, txt()))
+    val dups = (0 until 20).map { i =>          // exact copies: hamming 0
+      (100L + i, base(i)._2)
+    }
+    val near = (0 until 20).map { i =>          // 2-char perturbations
+      val chars = base(20 + i)._2.toCharArray
+      chars(40) = if (chars(40) == 'z') 'y' else (chars(40) + 1).toChar
+      chars(200) = if (chars(200) == 'z') 'y' else (chars(200) + 1).toChar
+      (200L + i, new String(chars))
+    }
+    (base ++ dups ++ near).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    spark.conf.set("graft.phash.bits", "128")
+    try {
+      val banded = Multimodal.phashDedup(spark, dir)
+        .select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sig = Multimodal.phashSignatures(spark, dir)
+      val exact = sig.select(col("doc_id").as("doc_a"), col("ph").as("pa"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("ph").as("pb")),
+          col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr(
+          "bit_count(element_at(pa, 1) ^ element_at(pb, 1)) + " +
+            "bit_count(element_at(pa, 2) ^ element_at(pb, 2))"))
+        .filter(col("hamming") <= Multimodal.PhashHamT)
+        .select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == exact, s"banded ${banded.size} != exact ${exact.size}")
+      assert(exact.nonEmpty, "no 128-bit near-dups at test SF — claim vacuous")
+    } finally spark.conf.unset("graft.phash.bits")
+  }
+
+  test("phash width: 128-bit bands stay selective where 64-bit bands saturate") {
+    // seeded random corpus with NO true near-dups: every banding candidate
+    // is a false positive. 64-bit banding (7-8-bit bands) collides by
+    // chance across C(m,2) pairs; 128-bit banding (14-15-bit bands) is
+    // ~128x more selective per band — the width lever the scaladoc claims.
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash-wide").toString
+    val rnd = new scala.util.Random(42)
+    val m = 400
+    (0 until m).map { i =>
+      (i.toLong, (0 until 256).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val cand64 = Multimodal.phashCandidates(spark, dir).count()
+    val out64 = Multimodal.phashDedup(spark, dir).count()
+    spark.conf.set("graft.phash.bits", "128")
+    try {
+      val cand128 = Multimodal.phashCandidates(spark, dir).count()
+      val out128 = Multimodal.phashDedup(spark, dir).count()
+      assert(out64 == 0 && out128 == 0,
+        s"random docs produced 'near-dups': 64→$out64, 128→$out128")
+      assert(cand64 > 100, s"64-bit saturation premise vacuous: $cand64 candidates")
+      assert(cand128 * 5 < cand64,
+        s"128-bit bands not selective: $cand128 candidates vs $cand64 at 64-bit")
+    } finally spark.conf.unset("graft.phash.bits")
+  }
 }
