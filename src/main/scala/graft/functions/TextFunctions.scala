@@ -37,6 +37,65 @@ object TextFunctions {
   def bpeTokensSql(x: String): String =
     s"len(regexp_extract_all($x, '[a-z0-9]+|[^a-z0-9 ]'))"
 
+  /** Fixed 256-pair mini-BPE vocabulary (H18): the engine's deterministic,
+    * EXACTLY-replayable stand-in for tokenizer-true counts. One merge round
+    * of byte-pair encoding with a fixed vocabulary, applied greedily
+    * left-to-right without overlap: token count = chars − merges, where
+    * merges = global non-overlapping regex matches of the 256 pair
+    * alternation (all alternatives are length 2, so leftmost-first vs
+    * leftmost-longest engines count identically — Java regex and RE2 agree
+    * by construction). Pairs are code points; on ASCII text that IS
+    * byte-level BPE's first round. Honest residual: real BPE iterates
+    * merges with learned priorities over a 10⁵ vocabulary — this column is
+    * a calibration input that captures actual bigram statistics (unlike the
+    * pure-length `bpe_est` proxy), not a tokenizer replacement.
+    *
+    * The list is frequency-seeded (common English bigrams, space/comma
+    * transitions) and deterministically completed to exactly 256 by
+    * frequency-ordered letter products; every pair is [a-z ,]{2}, so the
+    * alternation needs no regex escaping in either engine.
+    */
+  val miniBpeMerges: Seq[String] = {
+    val seeded = Seq(
+      "e ", " t", "th", "he", "s ", " a", "d ", "in", "t ", "er",
+      "an", " s", "re", "on", " w", "at", "en", "nd", "ti", " o",
+      "es", "or", "te", "of", " i", "ed", "is", "it", "al", "ar",
+      "st", "to", "nt", "ng", "se", "ha", " c", "le", " b", "ou",
+      "io", " f", " m", "ve", "co", "me", "de", "hi", "ri", "ro",
+      "ic", "ne", "ea", "ra", "ce", " h", " p", "li", "ch", "ll",
+      "be", "ma", "si", "om", "ur", "ca", "el", "ta", "la", "ns",
+      " d", "di", "fo", "ho", "pe", "ec", "pr", "no", "ct", "us",
+      "ac", "ot", "il", "tr", "ly", "nc", "et", "ut", "ss", "so",
+      "rs", "un", "lo", "wa", "ge", "ie", "wh", "ee", "wi", "em",
+      "ad", "ol", "rt", "po", "we", "na", "ul", "ni", "ts", "mo",
+      "ow", "pa", "im", "mi", "ai", "sh", "ir", "su", "id", "os",
+      "iv", "ia", "am", "fi", "ci", "vi", "pl", "ig", "tu", "ev",
+      "ld", "ry", "mp", "fe", "bl", "ab", "gh", "ty", "op", "wo",
+      "sa", "ay", "ex", "ke", "ui", "pt", "ag", "ht", "ue", "do",
+      "if", "ef", "da", "ck", "ub", "od", "bu", "ov", "rn", "ap",
+      "cl", "va", "ep", "ga", "du", "y ", "r ", "n ", "o ", ", ",
+      "g ", "l ", "f ", "m ", "h ", "k ", "w ", "p ", " e", " r",
+      " n", " l", " g", " u", " j", " k", " v", " y", " q", " z"
+    ).distinct
+    val order = "etaoinshrdlcumwfgypbvkjxqz"
+    val fill = for (a <- order; b <- order) yield s"$a$b"
+    val all = (seeded ++ fill.filterNot(seeded.contains)).take(256)
+    require(all.length == 256 && all.distinct.length == 256 &&
+      all.forall(_.matches("[a-z ,]{2}")), "malformed mini-BPE vocabulary")
+    all
+  }
+
+  private val miniBpePattern = miniBpeMerges.mkString("|")
+
+  /** Mini-BPE token count: chars − greedy non-overlapping pair merges.
+    * regexp_count is a native codegen'd expression; the whole column fuses
+    * into the scan. */
+  def miniBpeTokens(c: Column): Column =
+    length(c) - regexp_count(c, lit(miniBpePattern))
+
+  def miniBpeTokensSql(x: String): String =
+    s"(length($x) - len(regexp_extract_all($x, '$miniBpePattern')))"
+
   /** Language-marker stopword sets. The heuristic scores each language by
     * total occurrences of its markers (space-padded to approximate word
     * boundaries) and argmaxes with a fixed precedence order.

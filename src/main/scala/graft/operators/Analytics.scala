@@ -189,6 +189,56 @@ object Analytics {
         spread16(col("xb")).bitwiseOR(shiftleft(spread16(col("yb")), 1)).as("zvalue"))
   }
 
+  /** B35b — the z-order loop CLOSED: B35 computes the clustering key; this
+    * operator WRITES the z-ordered layout (range-partition + sort by
+    * `zvalue` → every file/row-group covers a z-range, which bounds BOTH
+    * dimensions' min/max stats) as a stored per-(dataset, fingerprint)
+    * artifact, then reads it back through a 2-D predicate. Both filter
+    * columns push down to the parquet scan, so the reader's row-group
+    * min/max skipping does the pruning the layout exists for — at 100 TB
+    * the 2-D box touches ~√(files) of the layout instead of all of it.
+    * File count tracks `graft.zorder.files` (cluster parallelism at scale).
+    * AnalyticsSpec pins the skipping claim against footer stats: the same
+    * box overlaps strictly fewer row groups than a round-robin layout of
+    * identical file count. The oracle replays the predicate on the plain
+    * table — the layout must be a pure re-ordering, never a row filter.
+    */
+  val ZscanCustLo = 100L
+  val ZscanCustHi = 300L
+  val ZscanDateLo = "1995-03-01"
+  val ZscanDateHi = "1995-06-30"
+
+  private val zorderBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  private[graft] def zorderLayoutDir(s: SparkSession, d: String): String = {
+    val fp = graft.Artifacts.fingerprint(s, s"$d/orders.parquet")
+    graft.Artifacts.cachedLocation(zorderBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_zorder_${slug}_$fpv").toString
+      val nFiles = s.conf.getOption("graft.zorder.files").map(_.toInt).getOrElse(16)
+      val xb = pmod(col("o_custkey"), lit(65536L))
+      val yb = datediff(col("o_orderdate"), lit(ZorderEpoch).cast("date"))
+        .cast("long").bitwiseAND(lit(65535L))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"),
+          spread16(xb).bitwiseOR(shiftleft(spread16(yb), 1)).as("zvalue"))
+        .repartitionByRange(nFiles, col("zvalue"))
+        .sortWithinPartitions(col("zvalue"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+  }
+
+  def layoutZorderScan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(zorderLayoutDir(s, d))
+      .filter(col("o_custkey").between(ZscanCustLo, ZscanCustHi) &&
+        col("o_orderdate").between(lit(ZscanDateLo).cast("date"),
+          lit(ZscanDateHi).cast("date")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+
   /** B36 — approximate quantiles from a fixed histogram: one pass folds the
     * data into (group, bin) partial counts — k×bins rows of state, the
     * mergeable-summary shape that scales to 100 TB — then a tiny window
@@ -480,6 +530,7 @@ object Analytics {
     "window_ntile" -> windowNtile _,
     "q17_small_qty" -> q17SmallQty _,
     "layout_zorder" -> layoutZorder _,
+    "layout_zorder_scan" -> layoutZorderScan _,
     "approx_quantile_hist" -> approxQuantileHist _,
     "quality_fk_orphans" -> qualityFkOrphans _,
     "quality_profile" -> qualityProfile _,
@@ -496,6 +547,12 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder_scan" -> s"""
+      SELECT o_orderkey, o_custkey, o_orderdate
+      FROM orders
+      WHERE o_custkey BETWEEN $ZscanCustLo AND $ZscanCustHi
+        AND o_orderdate BETWEEN DATE '$ZscanDateLo' AND DATE '$ZscanDateHi'
+      ORDER BY o_orderkey""",
     "q18_large_volume" -> s"""
       SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
       FROM (SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty

@@ -79,10 +79,14 @@ object CorpusClean {
     * actually consumes when planning a training run. Training budgets are
     * tokenizer tokens, and the tokenizer isn't in the engine — so emit the
     * exact bases (code points, UTF-8 bytes, whitespace tokens, word-regex
-    * tokens) plus a deterministic byte-level BPE proxy (per-doc
-    * ceil(bytes/3.5) in exact integer arithmetic — modern BPE vocabularies
-    * land near 3.5–4 bytes/token on English web text), so any consumer can
-    * calibrate to its own tokenizer. One scan → |sources|×|langs| partial-
+    * tokens), a deterministic byte-level BPE proxy (per-doc ceil(bytes/3.5)
+    * in exact integer arithmetic — modern BPE vocabularies land near
+    * 3.5–4 bytes/token on English web text), AND the mini-BPE count
+    * (`minibpe_tokens`): one exact merge round of a fixed 256-pair
+    * vocabulary ([[graft.functions.TextFunctions.miniBpeMerges]]) — unlike
+    * the length proxy it responds to the corpus's actual bigram statistics
+    * and is replayed exactly by the oracle. Any consumer calibrates its own
+    * tokenizer against these columns. One scan → |sources|×|langs| partial-
     * agg rows, the cheapest possible shape at 100 TB.
     */
   def tokenBudget(s: SparkSession, d: String): DataFrame =
@@ -95,7 +99,8 @@ object CorpusClean {
         sum(col("b").cast("long")).as("n_bytes"),
         sum(wsTokens(col("text")).cast("long")).as("ws_tokens"),
         sum(bpeTokens(col("text")).cast("long")).as("word_tokens"),
-        sum(expr("CAST((b * 2 + 6) DIV 7 AS BIGINT)")).as("bpe_est"))
+        sum(expr("CAST((b * 2 + 6) DIV 7 AS BIGINT)")).as("bpe_est"),
+        sum(miniBpeTokens(col("text")).cast("long")).as("minibpe_tokens"))
 
   val tokenBudgetSql: String = s"""
     SELECT source, ${langIdSql("text")} AS lang, COUNT(*) AS n_docs,
@@ -103,7 +108,8 @@ object CorpusClean {
       CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
       CAST(SUM(${wsTokensSql("text")}) AS BIGINT) AS ws_tokens,
       CAST(SUM(${bpeTokensSql("text")}) AS BIGINT) AS word_tokens,
-      CAST(SUM((strlen(text) * 2 + 6) // 7) AS BIGINT) AS bpe_est
+      CAST(SUM((strlen(text) * 2 + 6) // 7) AS BIGINT) AS bpe_est,
+      CAST(SUM(${miniBpeTokensSql("text")}) AS BIGINT) AS minibpe_tokens
     FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Eval-set n-gram decontamination: drop training docs sharing ANY 5-word

@@ -84,6 +84,81 @@ class AnalyticsSpec extends SparkSpec {
     assert(v * 7.0 < total * 0.25, s"$v vs $total")
   }
 
+  test("z-order layout round-trip: pure re-ordering; 2-D box prunes row groups") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    // correctness first: the stored layout is a re-ORDERING — the 2-D scan
+    // returns exactly the plain table's predicate rows
+    val scanned = Analytics.layoutZorderScan(spark, sf).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val plain = Tables.orders(spark, sf)
+      .filter(col("o_custkey").between(Analytics.ZscanCustLo, Analytics.ZscanCustHi) &&
+        col("o_orderdate").between(lit(Analytics.ZscanDateLo).cast("date"),
+          lit(Analytics.ZscanDateHi).cast("date")))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(scanned == plain && plain.nonEmpty)
+    // the skipping claim, checked against the actual parquet footers: count
+    // row groups whose (custkey, date) min/max boxes intersect the
+    // predicate box — what the reader's stats-based skipping consults
+    // o_orderdate is TIMESTAMP_NTZ in this parquet → INT64 micros stats
+    val dLo = java.time.LocalDate.parse(Analytics.ZscanDateLo).toEpochDay * 86400000000L
+    val dHi = java.time.LocalDate.parse(Analytics.ZscanDateHi).toEpochDay * 86400000000L
+    val conf = spark.sparkContext.hadoopConfiguration
+    def overlapStats(dir: String): (Int, Int) = {
+      var total = 0
+      var hit = 0
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(conf)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), false)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+          try {
+            rd.getFooter.getBlocks.forEach { b =>
+              total += 1
+              var cMin = Long.MaxValue; var cMax = Long.MinValue
+              var dMin = Long.MaxValue; var dMax = Long.MinValue
+              b.getColumns.forEach { c =>
+                c.getPath.toDotString match {
+                  case "o_custkey" =>
+                    cMin = c.getStatistics.genericGetMin
+                      .asInstanceOf[Number].longValue
+                    cMax = c.getStatistics.genericGetMax
+                      .asInstanceOf[Number].longValue
+                  case "o_orderdate" =>
+                    dMin = c.getStatistics.genericGetMin
+                      .asInstanceOf[Number].longValue
+                    dMax = c.getStatistics.genericGetMax
+                      .asInstanceOf[Number].longValue
+                  case _ => ()
+                }
+              }
+              val cHit = cMin <= Analytics.ZscanCustHi && cMax >= Analytics.ZscanCustLo
+              val dHit = dMin <= dHi && dMax >= dLo
+              if (cHit && dHit) hit += 1
+            }
+          } finally rd.close()
+        }
+      }
+      (hit, total)
+    }
+    val (zHit, zTotal) = overlapStats(Analytics.zorderLayoutDir(spark, sf))
+    // round-robin baseline with the same file count: every file sees the
+    // full value range, so (nearly) every row group overlaps the box
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-zorder-rr").toString
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .repartition(zTotal)
+      .write.mode("overwrite").parquet(baseDir)
+    val (rrHit, rrTotal) = overlapStats(baseDir)
+    assert(zTotal > 4 && rrTotal == zTotal,
+      s"layout shape unexpected: z=$zTotal rr=$rrTotal row groups")
+    assert(zHit < rrHit && zHit < zTotal,
+      s"z-order box overlap $zHit/$zTotal not better than round-robin $rrHit/$rrTotal")
+  }
+
   test("layout_zorder interleaves bits exactly and clusters both dimensions") {
     // exact Morton values on known points: z(x=0b11, y=0) = 0b0101 = 5
     def z(x: Long, y: Long): Long = {

@@ -1,5 +1,7 @@
 package graft
 
+// (mini-BPE parity spec added at the bottom of this file)
+
 import org.apache.spark.sql.functions._
 import graft.operators.{CorpusClean, Relational, Tables}
 
@@ -20,6 +22,37 @@ class CorpusSpec extends SparkSpec {
     val b = CorpusClean.trainSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(a == b)
+  }
+
+  test("mini-BPE: vocabulary well-formed, expression matches the greedy reference") {
+    import graft.functions.TextFunctions
+    // exactly 256 distinct regex-safe pairs
+    val m = TextFunctions.miniBpeMerges
+    assert(m.length == 256 && m.distinct.length == 256)
+    assert(m.forall(_.matches("[a-z ,]{2}")))
+    // the regexp_count form equals a literal greedy left-to-right
+    // non-overlapping pair-merge state machine on real corpus text
+    val mset = m.toSet
+    def refTokens(text: String): Long = {
+      var merges = 0L; var i = 0
+      while (i + 1 < text.length) {
+        if (mset.contains(text.substring(i, i + 2))) { merges += 1; i += 2 }
+        else i += 1
+      }
+      text.length - merges
+    }
+    val rows = Tables.documents(spark, sf).limit(25)
+      .select(col("doc_id"), col("text"),
+        TextFunctions.miniBpeTokens(col("text")).as("t"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2).toLong == refTokens(r.getString(1)),
+        s"mini-BPE mismatch on doc ${r.getLong(0)}")
+    }
+    // the count responds to bigram statistics: english text compresses,
+    // a pairless string does not
+    assert(refTokens("the then there") < "the then there".length)
   }
 
   test("events_hopping_agg counts every event in exactly width/slide windows") {
