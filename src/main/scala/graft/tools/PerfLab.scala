@@ -323,6 +323,15 @@ object PerfLab {
         Seq("merge_upsert", "join_shuffle", "dedup_jaccard_pairs").foreach { n =>
           timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
         }
+      case "pin9" =>
+        // 5-rep spreads for the r9 bench-band suspects (quality_profile
+        // 0.29→0.66, q9_profit 0.56→0.86, quality_fk_orphans 0.44→0.66 —
+        // no code changed; BENCH_DETAIL rep load 2.0-4.6) plus
+        // corpus_prepare (+0.37, expected ~+0.15 from the fused PII chain)
+        Seq("quality_profile", "q9_profit", "quality_fk_orphans",
+            "corpus_prepare").foreach { n =>
+          timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
+        }
       case "clean" =>
         // decompose corpus_clean: which text expression dominates?
         import graft.functions.TextFunctions._
