@@ -46,11 +46,16 @@ object Artifacts {
           val f = it.next()
           val tail =
             if (local && f.getLen > 0) {
-              val n = math.min(16L, f.getLen).toInt
-              val buf = new Array[Byte](n)
-              val in = fs.open(f.getPath)
-              try { in.readFully(f.getLen - n, buf) } finally in.close()
-              java.util.Base64.getEncoder.encodeToString(buf)
+              // a file vanishing between the listing and this read (e.g. a
+              // concurrent regeneration) must MOVE the fingerprint — forcing
+              // a rebuild — not fail the lookup
+              try {
+                val n = math.min(16L, f.getLen).toInt
+                val buf = new Array[Byte](n)
+                val in = fs.open(f.getPath)
+                try { in.readFully(f.getLen - n, buf) } finally in.close()
+                java.util.Base64.getEncoder.encodeToString(buf)
+              } catch { case _: java.io.IOException => "unreadable" }
             } else ""
           acc ^= graft.plans.MixHash.polyHash(
             s"${f.getPath.toString}|${f.getLen}|${f.getModificationTime}|$tail")

@@ -87,11 +87,15 @@ object TextFunctions {
 
   private val miniBpePattern = miniBpeMerges.mkString("|")
 
-  /** Mini-BPE token count: chars − greedy non-overlapping pair merges.
-    * regexp_count is a native codegen'd expression; the whole column fuses
-    * into the scan. */
+  /** Mini-BPE token count: chars − greedy non-overlapping pair merges, via
+    * the one-pass native kernel ([[graft.plans.MiniBpeCount]]: one table
+    * lookup per byte). The SQL twin keeps the equivalent regex form — all
+    * alternatives are length 2, so global regex matching counts exactly the
+    * same merges (CorpusSpec pins it; the 256-way alternation costs Java's
+    * backtracking engine O(alternatives) per position, which is why the
+    * engine side doesn't use regexp_count). */
   def miniBpeTokens(c: Column): Column =
-    length(c) - regexp_count(c, lit(miniBpePattern))
+    length(c) - graft.plans.MiniBpeCount.count(c)
 
   def miniBpeTokensSql(x: String): String =
     s"(length($x) - len(regexp_extract_all($x, '$miniBpePattern')))"

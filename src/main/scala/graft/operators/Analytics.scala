@@ -213,11 +213,16 @@ object Analytics {
 
   private[graft] def zorderLayoutDir(s: SparkSession, d: String): String = {
     val fp = graft.Artifacts.fingerprint(s, s"$d/orders.parquet")
-    graft.Artifacts.cachedLocation(zorderBuilt, d, fp) { fpv =>
+    // the file-count conf SHAPES the artifact, so it belongs in both the
+    // cache key and the on-disk slug (the round-9 cache-contamination rule:
+    // flipping the conf mid-session must rebuild, and two entries must
+    // never share a directory)
+    val nFiles = s.conf.getOption("graft.zorder.files").map(_.toInt).getOrElse(16)
+    graft.Artifacts.cachedLocation(zorderBuilt, s"$d@$nFiles", fp) { fpv =>
       val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
       val dir = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), s"graft_zorder_${slug}_$fpv").toString
-      val nFiles = s.conf.getOption("graft.zorder.files").map(_.toInt).getOrElse(16)
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_zorder_${slug}_${nFiles}_$fpv").toString
       val xb = pmod(col("o_custkey"), lit(65536L))
       val yb = datediff(col("o_orderdate"), lit(ZorderEpoch).cast("date"))
         .cast("long").bitwiseAND(lit(65535L))
