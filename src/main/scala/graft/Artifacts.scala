@@ -94,6 +94,11 @@ object Artifacts {
         if (old != null && old.location != b.location) {
           superseded.add(old.location); ()
         }
+        // a fingerprint CYCLE (A→B→A with deterministic slugs) rebuilds
+        // into a dir recorded as superseded during the A→B transition —
+        // it is live again and must leave the sweep set, or sweepStale
+        // would delete the current generation
+        superseded.remove(b.location)
         b
       }
     ).location
@@ -118,10 +123,16 @@ object Artifacts {
     val it = superseded.iterator()
     while (it.hasNext) {
       val loc = it.next()
-      it.remove()
-      val p = new Path(loc)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      dropped += loc
+      // forget the location only AFTER a successful delete: a failed
+      // delete (permission flip, unmounted volume) stays in the set so a
+      // later sweep retries it, and one bad dir doesn't abort the rest
+      val ok =
+        try {
+          val p = new Path(loc)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          true
+        } catch { case _: java.io.IOException => false }
+      if (ok) { it.remove(); dropped += loc }
     }
     dropped.toSeq
   }

@@ -329,7 +329,15 @@ object Dedup {
     * saturates; from the parquet, the edge count is a metadata-only footer
     * read at any scale.
     */
-  private[graft] def pairsParquet(s: SparkSession, d: String): DataFrame = {
+  /** Resolve the stored pair artifact to (input fingerprint, location) —
+    * ONE fingerprint walk per call, and consumers that derive FURTHER
+    * artifacts from the pairs (E8's labels) must key them on THIS
+    * fingerprint, not a recomputed one: a corpus regeneration racing
+    * between two fingerprint calls would otherwise bind labels built from
+    * the old pair generation to the new fingerprint, permanently serving
+    * wrong clusters for it.
+    */
+  private def pairsArtifact(s: SparkSession, d: String): (String, String) = {
     // keyed on (dataset, documents fingerprint): regenerating the corpus in
     // place rebuilds the pair graph instead of serving stale edges
     val pairsFp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
@@ -344,8 +352,11 @@ object Dedup {
       scoped.foreach(_.unpersist(false))
       loc.toString
     }
-    s.read.parquet(pairsLocStr)
+    (pairsFp, pairsLocStr)
   }
+
+  private[graft] def pairsParquet(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(pairsArtifact(s, d)._2)
 
   def clusterPairs(s: SparkSession, d: String): DataFrame = {
     // E2's pair output is derived ONCE PER CORPUS ([[pairsParquet]]); the CC
@@ -357,7 +368,8 @@ object Dedup {
     // (documents ⋈ broadcast local labels) is trivially replayable with no
     // checkpoint blocks to manage. Above the threshold (the 100 TB shape)
     // the distributed path below runs.
-    val pairsPq = pairsParquet(s, d).select(col("doc_a"), col("doc_b"))
+    val (ccFp, pairsLoc) = pairsArtifact(s, d)
+    val pairsPq = s.read.parquet(pairsLoc).select(col("doc_a"), col("doc_b"))
     val nEdges = pairsPq.count() // parquet count-star: footers only
     if (nEdges <= ccLocalMaxEdges(s)) {
       val edges = pairsPq.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -381,11 +393,11 @@ object Dedup {
     // near-dup graphs are sparse), not the corpus.
     //
     // The converged labels parquet follows the SAME per-generation
-    // discipline as the pair parquet (keyed on the documents fingerprint,
-    // generation-suffixed dir, build-once per (corpus, fingerprint)): an
-    // in-place overwrite per run would yank files out from under a
-    // lazily-held frame a previous clusterPairs call returned.
-    val ccFp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
+    // discipline as the pair parquet (keyed on the fingerprint the PAIRS
+    // were resolved under — see [[pairsArtifact]] — generation-suffixed
+    // dir, build-once per (corpus, fingerprint)): an in-place overwrite
+    // per run would yank files out from under a lazily-held frame a
+    // previous clusterPairs call returned.
     val labelsLoc = graft.Artifacts.cachedLocation(labelsBuilt, d, ccFp) { fpv =>
       val loc = warehousePath(s, s"graft_pairs_${dirSlug(d)}_${fpv}_labels").toString
       propagateMinLabels(s, pairsPq.toDF("src", "dst"), loc)

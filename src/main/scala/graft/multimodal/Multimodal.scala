@@ -162,6 +162,13 @@ object Multimodal {
       .map(_.toInt).getOrElse(PhashBitsDefault)
     require(w >= 64 && w % 64 == 0,
       s"graft.phash.bits must be a positive multiple of 64, got $w")
+    // each of the T+1 band VALUES is one long: a band wider than 64 bits
+    // would wrap `1L << shift` mod 64 and silently alias band bits,
+    // degrading selectivity toward the saturated regime the width knob
+    // exists to avoid
+    require(w <= 64 * (PhashHamT + 1),
+      s"graft.phash.bits=$w exceeds ${64 * (PhashHamT + 1)} " +
+        s"(${PhashHamT + 1} bands × 64-bit band values)")
     w
   }
 

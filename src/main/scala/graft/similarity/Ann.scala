@@ -346,6 +346,27 @@ object Ann {
   // array<tinyint> → packed binary
   private val packBytes = udf((xs: Seq[Byte]) => xs.toArray)
 
+  /** THE quantization rule, defined once: symmetric per-vector int8
+    * (q_i = round(127·x_i/max|x|), zero-vector → zero codes), packed
+    * binary, precomputed squared norm. Both stored indexes ([[int8Index]],
+    * [[int8LabelIndex]]) build through this — a rounding or guard change
+    * landing in one copy but not the other would make F5/F7 and F9
+    * silently disagree on codes for the same corpus. `extra` carries
+    * passenger columns (e.g. the F9 partition label).
+    */
+  private def quantizedCodes(e: DataFrame, extra: Seq[String]): DataFrame = {
+    val keep = extra.map(col)
+    e.select(col("vec_id") +: keep :+
+        transform(col("embedding"), x => x.cast("double")).as("v"): _*)
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id") +: keep :+
+        packBytes(when(col("scale") > 0,
+          transform(col("v"), x =>
+            round(lit(127.0) * x / col("scale")).cast("byte")))
+          .otherwise(transform(col("v"), _ => lit(0).cast("byte")))).as("q"): _*)
+      .withColumn("qn2", graft.plans.DotProductInt8.dot(col("q"), col("q")))
+  }
+
   private def int8Index(s: SparkSession, d: String): DataFrame = {
     // per-dataset component on BOTH the conf path and the tmpdir fallback
     // (a fixed suffix under a shared conf dir would cross-clobber datasets);
@@ -358,17 +379,8 @@ object Ann {
       val slug = java.lang.Long.toHexString(
         graft.plans.MixHash.polyHash(s"$d@$fpv"))
       val dir = base + s"/embeddings_int8-$slug"
-      val q = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
-        .select(col("vec_id"),
-          packBytes(when(col("scale") > 0,
-            transform(col("v"), x =>
-              round(lit(127.0) * x / col("scale")).cast("byte")))
-            .otherwise(transform(col("v"), _ => lit(0).cast("byte")))).as("q"))
-        .withColumn("qn2", graft.plans.DotProductInt8.dot(col("q"), col("q")))
-      q.write.mode("overwrite").parquet(dir)
+      quantizedCodes(Tables.embeddings(s, d), Nil)
+        .write.mode("overwrite").parquet(dir)
       dir
     }
     s.read.parquet(path)
@@ -466,18 +478,27 @@ object Ann {
     */
   val RerankCand = 40
 
-  def rerankTopK(s: SparkSession, d: String): DataFrame = {
-    val e8 = int8Index(s, d)
-    val qs8 = e8.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qn2").as("qq2"))
-    val cand = e8.join(broadcast(qs8), col("vec_id") =!= col("qid"))
+  /** THE two-stage cascade, defined once: int8 candidate winnow (top
+    * [[RerankCand]] per query by (int8-cosine, vec_id)) then exact float
+    * re-rank of only those, top `k` by (exact cosine, nid). F7 and F9 are
+    * both THIS shape — F9 adds a label equi-join and carries the label
+    * through — and their oracles replay the identical arithmetic, so the
+    * tie-break/rounding rules must live in exactly one place. `carry` maps
+    * qs8 columns to output names (e.g. "qlabel" → "label").
+    */
+  private def int8Cascade(s: SparkSession, d: String, e8: DataFrame,
+      qs8: DataFrame, joinCond: Column, carry: Seq[(String, String)],
+      k: Int): DataFrame = {
+    val carried = carry.map { case (_, out) => col(out) }
+    val cand = e8.join(broadcast(qs8), joinCond)
       .withColumn("dot", graft.plans.DotProductInt8.dot(col("q"), col("qq")))
       .withColumn("rcos8", round(col("dot").cast("double") /
         (sqrt(col("qn2").cast("double")) * sqrt(col("qq2").cast("double"))), 6))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("rcos8").desc, col("vec_id"))))
       .filter(col("crank") <= RerankCand)
-      .select(col("qid"), col("vec_id").as("nid"))
+      .select(col("qid") +: carry.map { case (src, out) => col(src).as(out) } :+
+        col("vec_id").as("nid"): _*)
     val ev = withNorm(Tables.embeddings(s, d))
       .select(col("vec_id"), col("v"), col("nrm"))
     val qe = ev.filter(col("vec_id") < NumQueries)
@@ -486,8 +507,20 @@ object Ann {
       .join(broadcast(qe), col("qid") === col("q_id"))
       .join(ev, col("nid") === col("vec_id"))
       .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
-      .select(col("qid"), col("nid"), col("rcos"))
-    rankTopK(pairs)
+      .select(col("qid") +: carried :+ col("nid") :+ col("rcos"): _*)
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rcos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid") +: carried :+ col("nid") :+ col("rank") :+ col("rcos"): _*)
+  }
+
+  def rerankTopK(s: SparkSession, d: String): DataFrame = {
+    val e8 = int8Index(s, d)
+    val qs8 = e8.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qn2").as("qq2"))
+    int8Cascade(s, d, e8, qs8, col("vec_id") =!= col("qid"), Nil, TopK)
+      .select(col("qid"), col("nid"), col("rank"), col("rcos"))
   }
 
   /** F8 — FILTERED vector search: exact top-k restricted to corpus vectors
@@ -539,17 +572,8 @@ object Ann {
       val slug = java.lang.Long.toHexString(
         graft.plans.MixHash.polyHash(s"$d@lbl@$fpv"))
       val dir = base + s"/embeddings_int8_lbl-$slug"
-      val q = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
-        .select(col("vec_id"), col("label"),
-          packBytes(when(col("scale") > 0,
-            transform(col("v"), x =>
-              round(lit(127.0) * x / col("scale")).cast("byte")))
-            .otherwise(transform(col("v"), _ => lit(0).cast("byte")))).as("q"))
-        .withColumn("qn2", graft.plans.DotProductInt8.dot(col("q"), col("q")))
-      q.write.mode("overwrite").partitionBy("label").parquet(dir)
+      quantizedCodes(Tables.embeddings(s, d), Seq("label"))
+        .write.mode("overwrite").partitionBy("label").parquet(dir)
       dir
     }
     // partition-column read-back: label comes back via partition inference;
@@ -575,28 +599,9 @@ object Ann {
     val qs8 = e8.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("q").as("qq"), col("qn2").as("qq2"))
-    val cand = e8.join(broadcast(qs8),
-        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
-      .withColumn("dot", graft.plans.DotProductInt8.dot(col("q"), col("qq")))
-      .withColumn("rcos8", round(col("dot").cast("double") /
-        (sqrt(col("qn2").cast("double")) * sqrt(col("qq2").cast("double"))), 6))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("rcos8").desc, col("vec_id"))))
-      .filter(col("crank") <= RerankCand)
-      .select(col("qid"), col("qlabel").as("label"), col("vec_id").as("nid"))
-    val ev = withNorm(Tables.embeddings(s, d))
-      .select(col("vec_id"), col("v"), col("nrm"))
-    val qe = ev.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val pairs = cand
-      .join(broadcast(qe), col("qid") === col("q_id"))
-      .join(ev, col("nid") === col("vec_id"))
-      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
-      .select(col("qid"), col("label"), col("nid"), col("rcos"))
-    pairs
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("rcos").desc, col("nid"))))
-      .filter(col("rank") <= FilteredTopK)
+    int8Cascade(s, d, e8, qs8,
+      col("label") === col("qlabel") && col("vec_id") =!= col("qid"),
+      Seq("qlabel" -> "label"), FilteredTopK)
       .select(col("qid"), col("label"), col("nid"), col("rank"), col("rcos"))
   }
 

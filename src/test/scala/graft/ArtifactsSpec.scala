@@ -86,6 +86,27 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("sweepStale never deletes a live generation after a fingerprint cycle") {
+    // deterministic slugs mean a fingerprint cycle A→B→A rebuilds into the
+    // SAME dir that was recorded as superseded during the A→B transition;
+    // installing the new entry must take that dir back out of the sweep set
+    val map = new java.util.concurrent.ConcurrentHashMap[String, Artifacts.Built]()
+    val base = Files.createTempDirectory("graft-fp-cycle").toString
+    def build(fp: String): String = {
+      val p = Paths.get(base, "gen-" + fp)
+      Files.createDirectories(p)
+      p.toString
+    }
+    val locA1 = Artifacts.cachedLocation(map, "cyc", "A")(build)
+    val locB = Artifacts.cachedLocation(map, "cyc", "B")(build)
+    val locA2 = Artifacts.cachedLocation(map, "cyc", "A")(build)
+    assert(locA1 == locA2 && locA1 != locB)
+    Artifacts.sweepStale(spark)
+    assert(Files.exists(Paths.get(locA2)),
+      "sweep deleted the LIVE generation after an A→B→A fingerprint cycle")
+    assert(!Files.exists(Paths.get(locB)), "superseded generation survived the sweep")
+  }
+
   test("persisted _fingerprint validates tables across a (simulated) fresh JVM") {
     val tbl = "graft_artifacts_spec_fp_tbl"
     // the _fingerprint file lands inside the table's warehouse dir
