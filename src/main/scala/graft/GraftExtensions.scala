@@ -47,6 +47,12 @@ object GraftExtensions {
     "poly_hash" -> ((args: Seq[Expression]) => PolyHash(args(0))),
     "splitmix64" -> ((args: Seq[Expression]) => Splitmix64(args(0))),
     "array_pairs" -> ((args: Seq[Expression]) => graft.plans.ArrayPairs(args(0))),
+    // non-overlapping literal-substring count (the D2/D3 counting kernel)
+    "count_substring" -> ((args: Seq[Expression]) =>
+      graft.plans.CountSubstring(args(0), args(1))),
+    // greedy mini-BPE pair-merge count (the H18 minibpe_tokens kernel)
+    "minibpe_merges" -> ((args: Seq[Expression]) =>
+      graft.plans.MiniBpeCount(args(0))),
     // one-pass strided code-point sampling (the G5 perceptual-hash front)
     "stride_sample" -> ((args: Seq[Expression]) => {
       if (args.length != 2) throw new IllegalArgumentException(

@@ -210,6 +210,53 @@ object TextAnalysis {
       ${maskPiiSql("raw")} AS masked
     FROM raw ORDER BY doc_id"""
 
+  /** D11 — per-DOMAIN corpus report: URL extraction + domain-level doc/url
+    * counts, the primitive behind web-corpus curation (domain allow/deny
+    * lists, per-domain quality cutoffs, crawl dedup all consume exactly
+    * this table). The corpus carries no URLs by construction, so the gate
+    * PLANTS deterministic doc_id-derived URLs (the D10 plant discipline:
+    * row-varying hosts, a second URL on every 2nd row) and extracts the
+    * host via the same capture-group regex in both engines. Shape: one
+    * scan → explode(extract_all) → |domains|-row partial agg; at 100 TB
+    * the report is domains-sized, never corpus-sized.
+    */
+  val UrlRe = """https?://([a-z0-9.-]+)[a-z0-9./_-]*"""
+
+  def plantUrlCol: Column = concat(
+    lit("see https://site"), pmod(col("doc_id"), lit(23L)).cast("string"),
+    lit(".example"), pmod(col("doc_id"), lit(7L)).cast("string"),
+    lit(".org/p/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 2 === 0, concat(
+      lit(" and http://cdn"), pmod(col("doc_id"), lit(11L)).cast("string"),
+      lit(".example.net/x"))).otherwise(""),
+    lit(" ref "), col("text"))
+
+  val plantUrlSql: String = """
+        'see https://site' || (doc_id % 23) || '.example' || (doc_id % 7) ||
+        '.org/p/' || doc_id ||
+        CASE WHEN doc_id % 2 = 0
+          THEN ' and http://cdn' || (doc_id % 11) || '.example.net/x'
+          ELSE '' END ||
+        ' ref ' || text"""
+
+  def textUrlDomains(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), plantUrlCol.as("raw"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("raw"), lit(UrlRe), lit(1))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
+  val textUrlDomainsSql: String = s"""
+    WITH raw AS (
+      SELECT doc_id, $plantUrlSql AS raw FROM documents),
+    u AS (
+      SELECT doc_id, unnest(regexp_extract_all(raw, '$UrlRe', 1)) AS domain
+      FROM raw)
+    SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+    FROM u GROUP BY domain ORDER BY domain"""
+
   /** D9 — BM25 keyword search (Robertson/Lucene idf form, k1=1.2, b=0.75):
     * score every document against a fixed query, return the top 20. The
     * term-frequency table is FILTERED to the query terms before any
@@ -293,6 +340,7 @@ object TextAnalysis {
     "text_bm25_search" -> textBm25 _,
     "text_mask_numbers" -> textMaskNumbers _,
     "text_mask_pii" -> textMaskPii _,
+    "text_url_domains" -> textUrlDomains _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,
@@ -304,6 +352,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_bm25_search" -> textBm25Sql,
     "text_mask_pii" -> textMaskPiiSql,
+    "text_url_domains" -> textUrlDomainsSql,
     "text_mask_numbers" -> """
       SELECT event_id,
         CAST(LENGTH(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked,

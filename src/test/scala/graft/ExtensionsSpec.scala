@@ -50,4 +50,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Int](0) == r.getSeq[Int](1))
     assert(r.getSeq[Int](0) == Seq('a'.toInt, 'c'.toInt, 'e'.toInt, 'g'.toInt))
   }
+
+  test("count_substring and minibpe_merges are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT count_substring('aaa the aaa', 'aa') AS c, " +
+        "minibpe_merges('the') AS m, minibpe_merges('') AS z").collect().head
+    assert(r.getInt(0) == 2)          // non-overlapping: 'aaa' counts once
+    // 'th' merges (vocabulary pair), leaving 'e' — exactly one merge
+    assert(r.getInt(1) == 1 && r.getInt(2) == 0)
+  }
 }

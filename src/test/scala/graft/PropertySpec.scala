@@ -145,4 +145,29 @@ class PropertySpec extends SparkSpec {
       .compute(org.apache.spark.unsafe.types.UTF8String.fromString(""), 4).toIntArray()
     assert(empty.toSeq == Seq(0, 0, 0, 0))
   }
+
+  test("star-contraction CC equals driver union-find on random graphs") {
+    // the alternating large-star/small-star rewrite must label ANY graph
+    // shape exactly like the reference union-find — not just the planted
+    // path/cluster fixtures. Random sparse graphs over ≤40 nodes hit
+    // chains, cycles, stars, forests, and isolated-edge mixes.
+    import SparkSpecBase.spark.implicits._
+    import graft.dedup.Dedup
+    val edgesGen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 50)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield es.filter { case (a, b) => a != b }
+    forAllSeeded(edgesGen.suchThat(_.nonEmpty), n = 12) { es =>
+      val want = Dedup.unionFindMinLabels(es.toArray)
+      val loc = java.nio.file.Files
+        .createTempDirectory("graft-cc-prop").toString + "/labels"
+      // both directions, like clusterPairs feeds it
+      Dedup.propagateMinLabels(spark,
+        es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst"), loc)
+      val got = spark.read.parquet(loc).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"edges=$es")
+    }
+  }
 }
