@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Span-level corpus operators (SURVEY §2 H14+): sub-document repeated-span
@@ -269,7 +270,126 @@ object CorpusSpans {
     FROM raw GROUP BY source ORDER BY source"""
   }
 
+  /** H22 — bigram-LM quality scoring (the CCNet/Wenzek-et-al perplexity
+    * filter, the quality signal D2's ratio features cannot see): train an
+    * add-one-smoothed bigram language model over the corpus' own top-
+    * [[LmVocab]] vocabulary (everything rarer folds to a single `<unk>`
+    * class) and score every document by its average surprisal — bits per
+    * bigram under the model. Fluent, typical text scores low; gibberish,
+    * boilerplate soup, and wrong-language text score high, and pipelines
+    * threshold on exactly this number.
+    *
+    * Determinism scheme (what makes a float LM hash-gateable): every
+    * probability is an exact rational (cb+1)/(c1+V) — both engines divide
+    * identical integers into the identical double — and each bigram TYPE's
+    * log2 is snapped ONCE to fixed-point ([[LmScale]] = 2^20) on the
+    * ≤(V+1)² model rows. Per-document scores are then SUMS OF LONGS —
+    * exact in any accumulation order, so partial aggregation cannot
+    * perturb the hash, and the DuckDB twin replays bit-identically (the
+    * only cross-engine exposure is a log2 ulp landing within ~1e-9 of a
+    * fixed-point rounding boundary across ≤4096 model values). A naive
+    * float `sum(log(p))` would be order-dependent: irreproducible across
+    * runs AND unverifiable — the IvfScale argument, applied to language
+    * models.
+    *
+    * Shape at 100 TB: vocabulary = one word-count aggregate (map-side
+    * combined, distinct-word cardinality crosses the shuffle) cut by
+    * TakeOrdered to V rows on the driver (the bounded k-row collect the
+    * IVF centroids also do); model = one bigram aggregate bounded by
+    * (V+1)² ≤ 4096 rows, broadcast; scoring = one scan joining each doc's
+    * bigram stream against the broadcast model into a per-doc partial
+    * agg. Three scans total, every shuffle key-bounded; at real scale the
+    * vocab/model passes run over a deterministic hash-residue sample (the
+    * H6 discipline) while scoring stays full-corpus.
+    */
+  val LmVocab = 63                   // top-V tokens; rarer folds to <unk>
+  val LmScale: Long = 1L << 20       // fixed-point grid for log2(p)
+  private val LmUnk = "\u0001"  // chr(1): impossible in the printable corpus
+
+  private def lmBigrams(docs: DataFrame, vocab: Array[String]): DataFrame = {
+    val mapTok = (c: Column) =>
+      when(c.isin(vocab.toIndexedSeq: _*), c).otherwise(lit(LmUnk))
+    docs
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), mapTok).as("mws"))
+      .select(col("doc_id"),
+        explode(when(size(col("mws")) >= 2, expr(
+          "transform(sequence(1, size(mws) - 1), " +
+            "i -> named_struct('w1', element_at(mws, i), " +
+            "'w2', element_at(mws, i + 1)))"))
+          .otherwise(expr(
+            "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+  }
+
+  def lmScoreDf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    // pass 1 — vocabulary: word counts -> TakeOrdered top-V. The collect is
+    // V = 63 strings (bounded by construction, the IVF-centroid precedent);
+    // embedding them as an InSet literal keeps scoring a single codegen'd
+    // scan instead of two more joins against a recomputed vocab frame.
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(LmVocab)
+      .select(col("w")).as[String].collect()
+    val bg = lmBigrams(docs, vocab)
+    // pass 2 — the model: add-one-smoothed conditionals over V+1 classes,
+    // log2 snapped to fixed-point once per TYPE (<= (V+1)^2 rows)
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val model = cb
+      .withColumn("c1", sum(col("cb")).over(Window.partitionBy(col("w1"))))
+      .withColumn("ilog",
+        round(log2((col("cb") + lit(1.0)) / (col("c1") + lit(LmVocab + 1.0)))
+          * lit(LmScale.toDouble)).cast("long"))
+      .select(col("w1"), col("w2"), col("ilog"))
+    // pass 3 — scoring: every corpus bigram was seen in training, so the
+    // broadcast model join is total; docs under 2 tokens carry no bigrams
+    // and drop out (as in H15)
+    lmBigrams(docs, vocab)
+      .join(broadcast(model), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ilog")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s").cast("double")
+          / (col("n_bigrams") * lit(LmScale.toDouble)), 6)
+          .as("bits_per_bigram"))
+  }
+
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreDf(s, Tables.documents(s, d))
+
+  val lmScoreSql: String = s"""
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    voc AS (
+      SELECT w FROM (SELECT unnest(ws) AS w FROM w) t
+      GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT $LmVocab),
+    tok AS (
+      SELECT doc_id, x AS pos, ws[x + 1] AS w
+      FROM w, LATERAL (SELECT unnest(range(len(ws))) AS x)),
+    mt AS (
+      SELECT t.doc_id, t.pos,
+        CASE WHEN v.w IS NOT NULL THEN t.w ELSE chr(1) END AS mw
+      FROM tok t LEFT JOIN voc v ON v.w = t.w),
+    bg AS (
+      SELECT a.doc_id, a.mw AS w1, b.mw AS w2
+      FROM mt a JOIN mt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(cb) AS c1 FROM cb GROUP BY 1),
+    md AS (
+      SELECT cb.w1, cb.w2,
+        CAST(round(log2((cb + 1.0) / (c1 + ${LmVocab + 1}.0))
+          * ${LmScale}.0) AS BIGINT) AS ilog
+      FROM cb JOIN c1 USING (w1))
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      ROUND(-CAST(SUM(ilog) AS DOUBLE) / (COUNT(*) * ${LmScale}.0), 6)
+        AS bits_per_bigram
+    FROM bg JOIN md ON md.w1 = bg.w1 AND md.w2 = bg.w2
+    GROUP BY bg.doc_id ORDER BY bg.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_lm_score" -> lmScore _,
     "corpus_span_dedup" -> spanDedup _,
     "corpus_pii_report" -> piiReport _,
     "corpus_ngram_counts" -> ngramCounts _,
@@ -279,6 +399,7 @@ object CorpusSpans {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_lm_score" -> lmScoreSql,
     "corpus_span_dedup" -> spanDedupSql,
     "corpus_ngram_counts" -> ngramCountsSql,
     "corpus_contamination_score" -> contaminationScoreSql,

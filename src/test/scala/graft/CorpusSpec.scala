@@ -66,4 +66,31 @@ class CorpusSpec extends SparkSpec {
       (minute(col("window_start")) % 30 === 0) && second(col("window_start")) === 0)
     assert(aligned.count() == rows.length)
   }
+
+  test("corpus_lm_score: fluent text beats gibberish; exact bigram counts; deterministic") {
+    import SparkSpecBase.spark.implicits._
+    // 20 copies of a fluent sentence dominate the bigram statistics; one
+    // gibberish doc is all singleton bigrams over out-of-pattern tokens
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val gibberish = "zq vxw pfft qqj nlr brr wik zz plov mnx kchh grd tss"
+    val docs = ((1L to 20L).map(i => (i, fluent)) :+ (99L, gibberish) :+
+      (100L, "solo")).toDF("doc_id", "text")
+    val out = graft.operators.CorpusSpans.lmScoreDf(spark, docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // <2-token docs carry no bigrams and are excluded (H15 discipline)
+    assert(!out.contains(100L))
+    // n_bigrams = tokens - 1, exactly
+    assert(out(1L)._1 == fluent.split(" ").length - 1)
+    assert(out(99L)._1 == gibberish.split(" ").length - 1)
+    // the model finds the repeated sentence highly probable, the
+    // singleton-bigram soup highly surprising
+    assert(out(99L)._2 > out(1L)._2 + 1.0,
+      s"gibberish ${out(99L)._2} bits should far exceed fluent ${out(1L)._2}")
+    // every copy of the same text scores identically
+    assert(out(1L) == out(20L))
+    // integer fixed-point scoring: a rerun is bit-identical
+    val again = graft.operators.CorpusSpans.lmScoreDf(spark, docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == out)
+  }
 }
