@@ -85,7 +85,11 @@ object PlanAudit {
     // basket_pairs / graph_pagerank: the bounded basket collector — buffer
     // hard-capped at graft.basket.maxItems entries (round 9; previously the
     // ≤7-lines schema property was the only bound)
-    "basket_pairs", "graph_pagerank")
+    "basket_pairs", "graph_pagerank",
+    // ann_pq_topk: the per-query ADC distance table — collect_list of
+    // exactly PqSubs×PqK = 512 fixed-point entries per query (a constant
+    // of the codebook geometry, never corpus-sized)
+    "ann_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")

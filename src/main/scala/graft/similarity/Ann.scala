@@ -605,7 +605,190 @@ object Ann {
       .select(col("qid"), col("label"), col("nid"), col("rank"), col("rcos"))
   }
 
+  /** F10 — product quantization with ADC scoring (Jégou et al., the
+    * compression every billion-vector deployment runs when even int8 is too
+    * much bandwidth): each vector splits into [[PqSubs]] subvectors, each
+    * subvector is k-means-coded to one of [[PqK]] codewords, and a vector
+    * ships as [[PqSubs]] small codes (16×5 bits ≈ 10 bytes of payload vs
+    * 512 bytes of float64 — the scan moves ~50× less). Queries never
+    * decode: an
+    * Asymmetric Distance Computation table (query·codeword, [[PqSubs]]×
+    * [[PqK]] entries) turns scoring into [[PqSubs]] table lookups + adds per
+    * candidate. Top-[[RerankCand]] by ADC then exact-rerank, F7-style — the
+    * full modern serving cascade (coarse ADC winnow → exact float on a
+    * bounded candidate set).
+    *
+    * Trained like F3's IVF (per-subspace Lloyd under the [[IvfScale]]
+    * fixed-point scheme, deterministic residue-class seeds) and stored like
+    * F5's index ([[graft.Artifacts]]-fingerprinted codes + codebook parquet).
+    * Determinism is TOTAL here: ADC entries and codeword norms snap to a
+    * 2^20 fixed-point grid, but the snapped inputs are already bit-identical
+    * doubles in both engines (sequential dots, ×2^20 is exponent-only), so
+    * per-candidate scores are sums of longs — exact in any order, replayed
+    * by the oracle with zero float exposure.
+    */
+  val PqSubs = 16
+  val PqSubDim = 4
+  val PqK = 32
+  val PqIters = 2
+  /** Fixed-point grid for ADC entries and codeword norms (2^20). */
+  val PqScale: Double = (1L << 20).toDouble
+
+  /** (vec_id, sub, sv): the PQ subvector decomposition of `v`. */
+  private def subVectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${PqSubs - 1}), " +
+          s"j -> named_struct('sub', j, " +
+          s"'sv', slice(v, j * $PqSubDim + 1, $PqSubDim)))")).as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+
+  /** L2 argmin assignment against the per-subspace codebook, as the standard
+    * distributed k-means join: subvectors × broadcast codebook rows,
+    * dist = ‖c‖² − 2⟨sv,c⟩ (the ‖sv‖² term is argmin-invariant), then a
+    * `min(struct(d, cell, sv))` hash aggregate per (vec_id, sub). Struct
+    * ordering compares dist then the cell index — a stable argmin; (d, cell)
+    * is unique so the carried `sv` never reaches the comparison. min is
+    * associative/commutative: partial aggregation cannot perturb the result.
+    * (An inlined 16×32-branch CASE expression was the first cut — it blew
+    * janino's 64 KB method limit into interpreted fallback; the join form
+    * is both codegen-clean and the shape a 1000-executor build would use.)
+    * ‖c‖² is computed by the same sequential fold as DuckDB's
+    * list_dot_product, so the oracle's distances are bit-identical.
+    */
+  private def assignPqCells(s: SparkSession, sv: DataFrame,
+      cents: Array[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    val cbDf = (for (j <- 0 until PqSubs; i <- 0 until PqK) yield {
+      val c = cents(j)(i)
+      (j, i, c.toSeq, c.map(x => x * x).sum)
+    }).toDF("sub", "cell", "cv", "cn2")
+    sv.join(broadcast(cbDf), "sub")
+      .withColumn("d", col("cn2") -
+        lit(2.0) * graft.plans.DotProduct.dot(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("cell"), col("sv"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m.sv").as("sv"), col("m.cell").as("cell"))
+  }
+
+  private val pqBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  /** Stored PQ index: `codes` (vec_id, codes ARRAY<INT>, n2i) + `codebook`
+    * (sub, cell, cv, ci2) parquet, built once per (dataset, fingerprint) —
+    * the same offline-artifact stand-in as [[int8Index]]/[[ivfIndexDir]].
+    * `n2i` is the fixed-point reconstruction norm Σ_sub ‖codeword‖²·2^20 —
+    * integer, so the build's per-vector sum is accumulation-order-proof.
+    * Location: `graft.pq.dir` conf, else tmpdir.
+    */
+  private def pqIndexDir(s: SparkSession, d: String): String = {
+    val base = s.conf.getOption("graft.pq.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-pq")
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    graft.Artifacts.cachedLocation(pqBuilt, s"$d@$base", fp) { fpv =>
+      import s.implicits._
+      val dir = base + "/pq-" + java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@$fpv"))
+      val ev = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      // training scans the subvector frame PqIters+2 times: persist, release
+      // synchronously once both tables are written
+      val sv = graft.CacheScope.scopedPersist(subVectors(ev))
+      try {
+        // deterministic seeds: min-vec_id subvector per (sub, residue class)
+        val seedRows = sv
+          .withColumn("cls", pmod(col("vec_id"), lit(PqK.toLong)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("sub"), col("cls")).orderBy(col("vec_id"))))
+          .filter(col("rn") === 1)
+          .select(col("sub"), col("cls"), col("sv")).collect()
+        var cents = Array.tabulate(PqSubs, PqK) { (_, i) =>
+          // basis-vector fallback for an empty residue class (n >= PqK keeps
+          // this dead; it only guards degenerate corpora)
+          val a = new Array[Double](PqSubDim); a(i % PqSubDim) = 1.0; a
+        }
+        seedRows.foreach(r =>
+          cents(r.getInt(0))(r.getLong(1).toInt) = r.getSeq[Double](2).toArray)
+        for (_ <- 1 to PqIters) {
+          val sums = assignPqCells(s, sv, cents)
+            .groupBy(col("sub"), col("cell"))
+            .agg(
+              array((0 until PqSubDim).map(i =>
+                sum(round(element_at(col("sv"), i + 1) * IvfScale).cast("long"))): _*).as("sm"),
+              count(lit(1)).as("cnt"))
+            .collect()
+          val next = cents.map(_.map(_.clone()))
+          sums.foreach { r =>
+            val cnt = r.getLong(3)
+            next(r.getInt(0))(r.getInt(1)) =
+              r.getSeq[Long](2).map(x => x.toDouble / (IvfScale * cnt)).toArray
+          }
+          cents = next
+        }
+        // fixed-point codeword squared norms (HALF_UP away-from-zero, the
+        // SQL round semantics — NOT Scala math.round, which rounds negative
+        // halves toward +inf; ci2 is non-negative but the rule is uniform)
+        val ci2 = cents.map(_.map(c => BigDecimal(c.map(x => x * x).sum * PqScale)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+        val ci2Arr = array(ci2.flatten.toIndexedSeq.map(lit): _*)
+        assignPqCells(s, sv, cents)
+          .groupBy(col("vec_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(sub, cell))), " +
+            "x -> x.cell)").as("codes"))
+          .withColumn("n2i", (0 until PqSubs).map(j =>
+            element_at(ci2Arr, lit(j * PqK + 1) + element_at(col("codes"), j + 1)))
+            .reduce(_ + _))
+          .write.mode("overwrite").parquet(s"$dir/codes")
+        (for (j <- 0 until PqSubs; i <- 0 until PqK)
+          yield (j, i, cents(j)(i).toSeq, ci2(j)(i)))
+          .toDF("sub", "cell", "cv", "ci2")
+          .write.mode("overwrite").parquet(s"$dir/codebook")
+        dir
+      } finally sv.unpersist(blocking = true)
+    }
+  }
+
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = pqIndexDir(s, d)
+    val codes = s.read.parquet(s"$dir/codes")
+    val cb = s.read.parquet(s"$dir/codebook")
+    val ev = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    // per-query ADC table: 128 fixed-point entries, ordered by (sub, cell)
+    val qdt = subVectors(ev.filter(col("vec_id") < NumQueries))
+      .join(broadcast(cb), "sub")
+      .withColumn("di",
+        round(graft.plans.DotProduct.dot(col("sv"), col("cv")) * lit(PqScale))
+          .cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cell, di))), " +
+        "x -> x.di)").as("dt"))
+      .join(ev.select(col("vec_id"), col("nrm")), "vec_id")
+      .select(col("vec_id").as("qid"), col("dt"), col("nrm").as("qn"))
+    // ADC: 8 lookups + integer adds per candidate — the whole point of PQ
+    val adci = (0 until PqSubs).map(j =>
+      element_at(col("dt"), lit(j * PqK + 1) + element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
+    val cand = codes.join(broadcast(qdt), col("vec_id") =!= col("qid"))
+      .withColumn("adc", round((adci.cast("double") / lit(PqScale)) /
+        (col("qn") * sqrt(col("n2i").cast("double") / lit(PqScale))), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("crank") <= RerankCand)
+      .select(col("qid"), col("vec_id").as("nid"))
+    // exact rerank of only the ADC survivors (stage 2 of the F7 cascade)
+    val qe = ev.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = cand.join(broadcast(qe), col("qid") === col("q_id"))
+      .join(ev, col("nid") === col("vec_id"))
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("nid"), col("rcos"))
+    rankTopK(pairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_topk" -> pqTopK _,
     "ann_brute_topk" -> bruteTopK _,
     "ann_lsh_topk" -> lshTopK _,
     "ann_ivf_topk" -> ivfTopK _,
@@ -735,7 +918,98 @@ object Ann {
     WHERE rank <= $TopK ORDER BY qid, rank"""
   }
 
+  /** Full SQL twin of [[pqTopK]]: subvector decomposition, residue-class
+    * seeds, [[PqIters]] unrolled fixed-point Lloyd steps per subspace,
+    * assignment, fixed-point ADC tables, the 8-lookup integer score, and the
+    * exact rerank. Bit-exact: centroid components are integer-sum rationals
+    * (the IvfScale argument), argmins compare identical doubles with
+    * cell-index tie-breaks, and every score is a sum of longs scaled by
+    * powers of two.
+    */
+  private def pqOracleSql: String = {
+    def lloyd(cp: String, a: String, m: String, cn: String): String = s"""
+    $a AS (
+      SELECT vec_id, sub, sv, cell FROM (
+        SELECT t.vec_id, t.sub, t.sv, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+            list_dot_product(c.cv, c.cv) - 2 * list_dot_product(t.sv, c.cv),
+            c.cell) AS rn
+        FROM sv t JOIN $cp c ON c.sub = t.sub) x WHERE rn = 1),
+    $m AS (
+      SELECT sub, cell, j,
+        SUM(CAST(ROUND(sv[CAST(j + 1 AS INT)] * 16777216.0) AS BIGINT)) AS sm,
+        COUNT(*) AS cnt
+      FROM $a, (SELECT unnest(range($PqSubDim)) AS j) GROUP BY sub, cell, j),
+    $cn AS (
+      SELECT p.sub, p.cell, COALESCE(n.cv, p.cv) AS cv
+      FROM $cp p LEFT JOIN (
+        SELECT sub, cell,
+          list(CAST(sm AS DOUBLE) / (16777216.0 * cnt) ORDER BY j) AS cv
+        FROM $m GROUP BY sub, cell) n
+        ON n.sub = p.sub AND n.cell = p.cell)"""
+    val adcTerms = (0 until PqSubs)
+      .map(j => s"q.dt[${j * PqK} + n.codes[${j + 1}] + 1]").mkString(" + ")
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    sv AS (
+      SELECT vec_id, CAST(j AS INT) AS sub,
+        v[CAST(j * $PqSubDim + 1 AS INT) : CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
+      FROM e, (SELECT unnest(range($PqSubs)) AS j)),
+    c0 AS (
+      SELECT sub, CAST(vec_id % $PqK AS INT) AS cell, sv AS cv FROM (
+        SELECT sub, vec_id, sv, ROW_NUMBER() OVER (
+          PARTITION BY sub, vec_id % $PqK ORDER BY vec_id) AS rn FROM sv) t
+      WHERE rn = 1),
+    ${lloyd("c0", "a1", "m1", "c1")},
+    ${lloyd("c1", "a2", "m2", "c2")},
+    cb AS (
+      SELECT sub, cell, cv,
+        CAST(round(list_dot_product(cv, cv) * 1048576.0) AS BIGINT) AS ci2
+      FROM c2),
+    af AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT t.vec_id, t.sub, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+            list_dot_product(c.cv, c.cv) - 2 * list_dot_product(t.sv, c.cv),
+            c.cell) AS rn
+        FROM sv t JOIN c2 c ON c.sub = t.sub) x WHERE rn = 1),
+    codes AS (
+      SELECT a.vec_id, list(a.cell ORDER BY a.sub) AS codes, SUM(b.ci2) AS n2i
+      FROM af a JOIN cb b ON b.sub = a.sub AND b.cell = a.cell
+      GROUP BY a.vec_id),
+    dtab AS (
+      SELECT t.vec_id AS qid,
+        list(CAST(round(list_dot_product(t.sv, c.cv) * 1048576.0) AS BIGINT)
+             ORDER BY t.sub, c.cell) AS dt
+      FROM sv t JOIN cb c ON c.sub = t.sub
+      WHERE t.vec_id < $NumQueries GROUP BY t.vec_id),
+    adc AS (
+      SELECT q.qid, n.vec_id AS nid,
+        ROUND((($adcTerms) / 1048576.0)
+          / (qn.nrm * sqrt(n.n2i / 1048576.0)), 6) AS adc
+      FROM dtab q
+      JOIN en qn ON qn.vec_id = q.qid
+      CROSS JOIN codes n
+      WHERE n.vec_id <> q.qid),
+    cand AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY adc DESC, nid) AS crank FROM adc) t
+      WHERE crank <= $RerankCand)
+    SELECT qid, nid, rank, rcos FROM (
+      SELECT cand.qid, cand.nid,
+        ROUND(list_cosine_similarity(qv.v, nv.v), 6) AS rcos,
+        ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+          ROUND(list_cosine_similarity(qv.v, nv.v), 6) DESC, cand.nid) AS rank
+      FROM cand
+      JOIN e qv ON qv.vec_id = cand.qid
+      JOIN e nv ON nv.vec_id = cand.nid) t
+    WHERE rank <= $TopK ORDER BY qid, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_pq_topk" -> pqOracleSql,
     "emb_quantize" -> """
       WITH s AS (
         SELECT vec_id, embedding,
