@@ -51,6 +51,10 @@ object PlanAudit {
     // q6_forecast: Q6's single-row answer — final reduce of per-partition
     // sum partials, the canonical global-aggregate shape
     "q6_forecast",
+    // q11_important_stock: the 1-row TOTAL (sum partials) and 1-row part
+    // COUNT (count partials) scalars, each broadcast back as the Q11
+    // HAVING threshold — both consume tiny partial-agg rows
+    "q11_important_stock",
     // q15_top_supplier: the 1-row MAX over per-supplier revenue partials,
     // broadcast back as the top-revenue filter
     "q15_top_supplier",

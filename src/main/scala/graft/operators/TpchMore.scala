@@ -351,7 +351,64 @@ object TpchMore {
            ELSE 'same' END <> 'same'
     ORDER BY custkey"""
 
+  /** B60 — Q11-style important stock: per-part supplied value from one
+    * nation's suppliers, keeping only parts above a fraction of that
+    * nation's TOTAL supplied value — the HAVING-over-global-scalar shape
+    * (the last of the 22 TPC-H query shapes; no partsupp table, so supplied
+    * value derives from lineitem history like Q2/Q20). Two aggregations of
+    * one filtered join: per-part and global, both int128-exact ([[Exact]]),
+    * the 1-row total broadcast back as a cross-join scalar. The threshold
+    * compares `value · F > total` — multiplying the exact-derived doubles
+    * instead of dividing the total keeps both engines on the identical
+    * arithmetic. One shuffle on l_partkey; the nation's supplier set is a
+    * broadcast semi-join; at 100 TB the filtered stripe is scanned twice
+    * (or once with a persisted intermediate — the plan shape is unchanged).
+    * TPC-H's literal fraction (0.0001/SF) hard-wires the scale factor; the
+    * scale-FREE form keeps parts above [[Q11Multiple]]× the mean part value
+    * — same plan, same semantics, meaningfully selective at every SF
+    * (~10-12% of parts at sf0.001 through sf0.1).
+    */
+  val Q11Nation = "NATION_19"
+  val Q11Multiple = 2.0 // keep parts with value > 2x the mean part value
+
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    val natSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === Q11Nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val base = Tables.lineitem(s, d)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * col("l_quantity")).as("v"))
+    val vals = base.groupBy(col("l_partkey")).agg(dsum(col("v")).as("value"))
+    // both scalars exact: the total re-aggregates the base (int128 — a
+    // double re-sum of per-part values would be accumulation-order-dependent)
+    val tot = base.agg(dsum(col("v")).as("total"))
+    val np = vals.agg(count(lit(1)).as("np"))
+    vals.crossJoin(broadcast(tot)).crossJoin(broadcast(np))
+      .filter(col("value") * col("np") > lit(Q11Multiple) * col("total"))
+      .select(col("l_partkey"), col("value"))
+  }
+
+  val q11Sql: String = s"""
+    WITH ns AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = '$Q11Nation'),
+    base AS (
+      SELECT l_partkey, l_extendedprice * l_quantity AS v
+      FROM lineitem JOIN ns ON l_suppkey = s_suppkey),
+    vals AS (
+      SELECT l_partkey, ${Exact.sqlDsum("v")} AS value
+      FROM base GROUP BY 1),
+    tot AS (SELECT ${Exact.sqlDsum("v")} AS total FROM base),
+    np AS (SELECT COUNT(*) AS np FROM vals)
+    SELECT l_partkey, value FROM vals, tot, np
+    WHERE value * np > $Q11Multiple * total ORDER BY l_partkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_important_stock" -> q11ImportantStock _,
     "snapshot_diff" -> snapshotDiff _,
     "basket_pairs" -> basketPairs _,
     "q6_forecast" -> q6Forecast _,
@@ -366,6 +423,7 @@ object TpchMore {
   )
 
   val oracles: Map[String, String] = Map(
+    "q11_important_stock" -> q11Sql,
     "snapshot_diff" -> snapshotDiffSql,
     "basket_pairs" -> s"""
       WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
