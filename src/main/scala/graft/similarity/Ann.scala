@@ -787,7 +787,51 @@ object Ann {
     rankTopK(pairs)
   }
 
+  /** E9 — SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023): remove
+    * embedding near-duplicates WITHIN k-means clusters instead of globally.
+    * The stored IVF assignment ([[ivfIndexDir]]'s corpus table — reused, not
+    * re-derived) provides the clusters; candidate pairs are a cell-keyed
+    * self-join, so the quadratic work is Σ|cell|² ≈ n²/k instead of E5's n²
+    * — THE device that makes embedding dedup feasible at corpus scale (the
+    * paper prunes 100M→sub-quadratic exactly this way; cross-cell near-dups
+    * are the accepted recall loss, documented there and here). Drop rule is
+    * the E1 keep-first discipline: a vector is dropped iff a smaller-id
+    * vector in ITS cell matches at ≥ [[SemTau]] (6 dp-rounded cosine, so the
+    * threshold compare is engine-exact). Output: the surviving (vec_id,
+    * cell) rows. The oracle replays k-means via [[ivfAssignCtes]] — shared
+    * text with F3's oracle, so the two cannot drift.
+    */
+  val SemTau = 0.4
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfIndexDir(s, d)
+    val corpus = s.read.parquet(s"$dir/corpus")
+    val a = corpus.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    val dups = a.as("a").join(a.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        round(dotCol("a.v", "b.v") / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos") >= SemTau)
+      .select(col("b.vec_id").as("dup"))
+      .distinct()
+    corpus.join(dups, col("vec_id") === col("dup"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  private def semanticDedupSql: String = s"""
+    WITH $ivfAssignCtes,
+    prs AS (
+      SELECT DISTINCT b.vec_id AS dup
+      FROM af a JOIN af b ON b.cell = a.cell AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= $SemTau)
+    SELECT af.vec_id, af.cell
+    FROM af LEFT JOIN prs ON prs.dup = af.vec_id
+    WHERE prs.dup IS NULL ORDER BY af.vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> semanticDedup _,
     "ann_pq_topk" -> pqTopK _,
     "ann_brute_topk" -> bruteTopK _,
     "ann_lsh_topk" -> lshTopK _,
@@ -846,13 +890,13 @@ object Ann {
     WHERE rank <= $TopK ORDER BY qid, rank"""
   }
 
-  /** Full SQL twin of ivfTopK: 3 unrolled Lloyd iterations. Bit-exact
-    * because centroids come from order-independent integer sums (see
-    * IvfScale) — assignment/probe argmaxes compare well-separated scores, so
-    * last-ulp dot-product differences can't flip them (same argument the
-    * green brute oracle rests on for its 6 dp rounding).
+  /** The IVF k-means replay as a reusable CTE prefix (no WITH keyword):
+    * defines `e` (double vectors), `en` (+norms), `c0`…`c3` (seeds + 3
+    * fixed-point Lloyd steps) and `af` (the final full-corpus assignment) —
+    * shared by [[ivfOracleSql]] and the SemDeDup twin so the two oracles
+    * can never drift from each other's training.
     */
-  private def ivfOracleSql: String = {
+  private def ivfAssignCtes: String = {
     val minNormal = "2.2250738585072014e-308"
     val dim = 64
     // one Lloyd step: assignment under centroid CTE `cp` -> new centroids `cn`
@@ -877,7 +921,7 @@ object Ann {
           list(CAST(sm AS DOUBLE) / (16777216.0::DOUBLE * cnt) ORDER BY j) AS cv
         FROM $m GROUP BY cell) n ON n.cell_id = p.cell_id)"""
     s"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     c0 AS (
       SELECT CAST(vec_id % $IvfCells AS INT) AS cell_id, v AS cv FROM (
@@ -894,7 +938,18 @@ object Ann {
             list_dot_product(e.v, c.cv)
               / GREATEST(sqrt(list_dot_product(c.cv, c.cv)), $minNormal) DESC,
             c.cell_id) AS rn
-        FROM e, c3 c) t WHERE rn = 1),
+        FROM e, c3 c) t WHERE rn = 1)"""
+  }
+
+  /** Full SQL twin of ivfTopK: 3 unrolled Lloyd iterations (see
+    * [[ivfAssignCtes]]). Bit-exact because centroids come from
+    * order-independent integer sums (see IvfScale) — assignment/probe
+    * argmaxes compare well-separated scores, so last-ulp dot-product
+    * differences can't flip them.
+    */
+  private def ivfOracleSql: String = {
+    s"""
+    WITH $ivfAssignCtes,
     cw AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c3),
     routed AS (
       SELECT qid, qcell FROM (
@@ -1009,6 +1064,7 @@ object Ann {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_semantic" -> semanticDedupSql,
     "ann_pq_topk" -> pqOracleSql,
     "emb_quantize" -> """
       WITH s AS (

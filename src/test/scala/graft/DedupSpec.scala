@@ -342,6 +342,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: no survivor pair in a cell matches; drops justified") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.operators.Tables.embeddings(spark, sf)
+    val all = corpus.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val kept = Ann.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val keptIds = kept.map(_._1).toSet
+    assert(keptIds.subsetOf(all) && keptIds.size < all.size,
+      "some vectors must be dropped at tau=0.4 on this corpus")
+    def cos(a: (Array[Double], Double), b: (Array[Double], Double)): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a._1.length) { acc += a._1(j) * b._1(j); j += 1 }
+      BigDecimal(acc / (a._2 * b._2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecs = graft.dedup.Dedup.withNorm(corpus)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Double](1).toArray, r.getDouble(2))))
+      .toMap
+    // the drop rule guarantees NO two survivors in the same cell match at
+    // >= SemTau (the smaller-id one would have killed the larger)
+    kept.groupBy(_._2).values.foreach { cellRows =>
+      val ids = cellRows.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        assert(cos(vecs(ids(i)), vecs(ids(j))) < Ann.SemTau,
+          s"survivors ${ids(i)},${ids(j)} still match in one cell")
+    }
+    // necessary condition for every drop: SOME smaller-id vector matches
+    // at >= SemTau (its cell-mate witness is a subset of this global check)
+    val dropped = (all -- keptIds).toSeq.sorted
+    dropped.foreach { b =>
+      assert(all.exists(a => a < b && cos(vecs(a), vecs(b)) >= Ann.SemTau),
+        s"dropped $b has no smaller-id near-duplicate at all")
+    }
+  }
+
   test("pq adc cascade: valid ranks, honest recall, exact scores, stable replay") {
     val brute = Ann.bruteTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
