@@ -255,15 +255,17 @@ object Analytics {
     */
   val AqBinWidth = 5000.0
 
-  def approxQuantileHist(s: SparkSession, d: String): DataFrame = {
+  /** The (priority, bin) → count grid folded to p50/p90 estimates — shared
+    * by B36 and its streaming twin (C18) so the extraction cannot drift.
+    * The grid is histogram-sized (priorities × occupied bins), so the
+    * windows here run over a tiny frame regardless of input scale.
+    */
+  def quantilesFromHist(grid: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_orderpriority")).orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
-    Tables.orders(s, d)
-      .withColumn("bin", floor(col("o_totalprice") / lit(AqBinWidth)).cast("long"))
-      .groupBy(col("o_orderpriority"), col("bin"))
-      .agg(count(lit(1)).as("c"))
+    grid
       .withColumn("cum", sum(col("c")).over(w))
       .withColumn("n", sum(col("c")).over(wAll))
       .groupBy(col("o_orderpriority"))
@@ -271,6 +273,18 @@ object Analytics {
         min(when(col("cum") >= lit(0.5) * col("n"), (col("bin") + 1) * AqBinWidth)).as("p50_est"),
         min(when(col("cum") >= lit(0.9) * col("n"), (col("bin") + 1) * AqBinWidth)).as("p90_est"))
   }
+
+  /** Per-row bin assignment for the quantile histogram — the map side C18
+    * shares with this batch form. */
+  def aqBinned(orders: DataFrame): DataFrame =
+    orders.withColumn("bin",
+      floor(col("o_totalprice") / lit(AqBinWidth)).cast("long"))
+
+  def approxQuantileHist(s: SparkSession, d: String): DataFrame =
+    quantilesFromHist(
+      aqBinned(Tables.orders(s, d))
+        .groupBy(col("o_orderpriority"), col("bin"))
+        .agg(count(lit(1)).as("c")))
 
   /** B37 — referential-integrity audit: orphan counts for each FK edge of
     * the schema in one result. Anti-joins leave Catalyst free to broadcast

@@ -430,8 +430,35 @@ object Streams {
     Relational.hllFromRegs(s.table(name))
   }
 
+  /** C18 — streaming quantile estimates (batch B36's twin): the fixed-width
+    * histogram IS the streaming-native quantile sketch — per (priority, bin)
+    * counts run as a complete-mode aggregate whose state is bounded by
+    * priorities × OCCUPIED bins, never by stream length, and the p50/p90
+    * extraction reads the drained grid exactly as batch does (shared
+    * [[graft.operators.Analytics.quantilesFromHist]] — the two cannot
+    * drift). Counts are exact integers → deterministic → gated against
+    * B36's own oracle.
+    */
+  def streamingQuantileHist(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Analytics
+    val name = "graft_stream_aq_sink_" + sinkId.incrementAndGet()
+    withStateParts(s) {
+      val q = Analytics.aqBinned(
+          s.readStream.schema("o_orderpriority STRING, o_totalprice DOUBLE")
+            .parquet(s"$d/{orders.parquet}"))
+        .groupBy(col("o_orderpriority"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    Analytics.quantilesFromHist(s.table(name))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "streaming_quantile_hist" -> streamingQuantileHist _,
       "streaming_dedup" -> streamingDedup _,
       "streaming_hll_distinct" -> streamingHllDistinct _,
       "streaming_window_agg" -> streamingWindowAgg _,
@@ -443,6 +470,9 @@ object Streams {
       "streaming_join" -> streamingJoin _)
 
   val oracles: Map[String, String] = Map(
+    // the streaming histogram drains to the batch grid: share B36's oracle
+    "streaming_quantile_hist" ->
+      graft.operators.Analytics.oracles("approx_quantile_hist"),
     // the streaming funnel must equal the batch funnel on the bounded source
     "streaming_funnel" -> graft.operators.Analytics.oracles("event_funnel"),
     // streaming twins of the batch alert/sketch share their batch oracles

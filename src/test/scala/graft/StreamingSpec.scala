@@ -199,6 +199,18 @@ class StreamingSpec extends SparkSpec {
     assert(want(1) > 0 && want.size == 3)
   }
 
+  test("C18: streaming quantile histogram equals the batch estimates") {
+    // exact integer (priority, bin) counts are order-independent, so the
+    // drained grid — and therefore every estimate — must equal batch B36
+    val got = Streams.streamingQuantileHist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val want = graft.operators.Analytics.approxQuantileHist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+    // sane quantiles: p50 <= p90, both positive
+    got.foreach { case (_, p50, p90) => assert(p50 > 0 && p50 <= p90) }
+  }
+
   test("C17: streaming HLL estimate equals the batch sketch on the bounded source") {
     // the register table is a max-aggregate: order-independent, so draining
     // the stream must land on exactly the batch registers and estimate
