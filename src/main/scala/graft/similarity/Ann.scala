@@ -703,11 +703,13 @@ object Ann {
             Window.partitionBy(col("sub"), col("cls")).orderBy(col("vec_id"))))
           .filter(col("rn") === 1)
           .select(col("sub"), col("cls"), col("sv")).collect()
-        var cents = Array.tabulate(PqSubs, PqK) { (_, i) =>
-          // basis-vector fallback for an empty residue class (n >= PqK keeps
-          // this dead; it only guards degenerate corpora)
-          val a = new Array[Double](PqSubDim); a(i % PqSubDim) = 1.0; a
-        }
+        // the SQL oracle has no seed fallback for an empty residue class, so
+        // a sub-PqK corpus must fail LOUDLY here rather than as a confusing
+        // cross-engine parity mismatch downstream
+        require(seedRows.length == PqSubs * PqK,
+          s"PQ training needs >= $PqK vectors (every vec_id % $PqK residue " +
+            s"class non-empty); got ${seedRows.length}/${PqSubs * PqK} seeds")
+        var cents = Array.ofDim[Array[Double]](PqSubs, PqK)
         seedRows.foreach(r =>
           cents(r.getInt(0))(r.getLong(1).toInt) = r.getSeq[Double](2).toArray)
         for (_ <- 1 to PqIters) {
@@ -755,7 +757,7 @@ object Ann {
     val cb = s.read.parquet(s"$dir/codebook")
     val ev = withNorm(Tables.embeddings(s, d))
       .select(col("vec_id"), col("v"), col("nrm"))
-    // per-query ADC table: 128 fixed-point entries, ordered by (sub, cell)
+    // per-query ADC table: PqSubs*PqK (= 512) fixed-point entries, (sub, cell)-ordered
     val qdt = subVectors(ev.filter(col("vec_id") < NumQueries))
       .join(broadcast(cb), "sub")
       .withColumn("di",
@@ -766,7 +768,7 @@ object Ann {
         "x -> x.di)").as("dt"))
       .join(ev.select(col("vec_id"), col("nrm")), "vec_id")
       .select(col("vec_id").as("qid"), col("dt"), col("nrm").as("qn"))
-    // ADC: 8 lookups + integer adds per candidate — the whole point of PQ
+    // ADC: PqSubs (= 16) lookups + integer adds per candidate — the point of PQ
     val adci = (0 until PqSubs).map(j =>
       element_at(col("dt"), lit(j * PqK + 1) + element_at(col("codes"), j + 1)))
       .reduce(_ + _)
@@ -975,7 +977,7 @@ object Ann {
 
   /** Full SQL twin of [[pqTopK]]: subvector decomposition, residue-class
     * seeds, [[PqIters]] unrolled fixed-point Lloyd steps per subspace,
-    * assignment, fixed-point ADC tables, the 8-lookup integer score, and the
+    * assignment, fixed-point ADC tables, the PqSubs-lookup integer score, and the
     * exact rerank. Bit-exact: centroid components are integer-sum rationals
     * (the IvfScale argument), argmins compare identical doubles with
     * cell-index tie-breaks, and every score is a sum of longs scaled by
