@@ -332,6 +332,14 @@ object PerfLab {
             "corpus_prepare").foreach { n =>
           timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
         }
+      case "pin10" =>
+        // 5-rep spreads for the r10 continuation-session band suspects
+        // (basket_pairs 1.03->1.51, corpus_token_budget 0.41->0.60 between
+        // two same-code bench runs; corpus_token_budget also read 1.34 min
+        // earlier the same day — the r7/r9 load-band signature)
+        Seq("basket_pairs", "corpus_token_budget").foreach { n =>
+          timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
+        }
       case "clean" =>
         // decompose corpus_clean: which text expression dominates?
         import graft.functions.TextFunctions._
