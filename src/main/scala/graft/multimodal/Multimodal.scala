@@ -258,7 +258,66 @@ object Multimodal {
       .distinct()
   }
 
+  /** G6 — WITHIN-video duplicate-frame detection (the redundancy prune /
+    * static-scene collapse every video-ingest pipeline runs before paying
+    * for per-frame features): sample frames G3-style, pHash each frame
+    * (G5's 64-sample sign-vs-mean signature, computed over the FRAME), and
+    * report same-video sampled-frame pairs within hamming ≤ [[PhashHamT]].
+    *
+    * The corpus carries no video column and no document is long enough for
+    * two sampled frames, so the gate MANUFACTURES a deterministic 16-frame
+    * "video" per document (the D10/D11 plant discipline): two 8-frame
+    * scenes, each frame a 256-char rpad of a doc-specific text slice —
+    * frames within a scene are identical (hamming 0, must be found),
+    * cross-scene pairs vary with the document (row-varying hammings keep
+    * the hash gate honest). Every-4th sampling picks frames {0,4,8,12}:
+    * two same-scene pairs per doc plus data-dependent cross-scene matches.
+    *
+    * Scale shape: the pair join is keyed on doc_id and the per-video
+    * sampled-frame count is a constant of the sampling policy, so the
+    * quadratic is per-key-bounded — corpus cost is LINEAR. A real 2-hour
+    * video at full rate would band frames exactly like G5 ([[
+    * phashCandidates]]'s (band, bv) key gains doc_id); the sampled-stride
+    * regime here never reaches that.
+    */
+  val FrameDedupFrames = 16
+  val FrameDedupScene = 8
+
+  private def frameDedupPhash(s: SparkSession, d: String): DataFrame = {
+    val w = 64
+    val codes = (0 until w).map(i => element_at(col("codes"), i + 1).cast("long"))
+    val tot = codes.reduce(_ + _)
+    val word = (0 until w).map(i =>
+      when(codes(i) * w > col("tot"), lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          s"filter(sequence(0, ${FrameDedupFrames - 1}), j -> j % 4 = 0)"))
+          .as("frame_idx"))
+      .withColumn("frm", rpad(
+        expr(s"substring(text, 1 + (frame_idx DIV $FrameDedupScene) * 37, 180)"),
+        256, "."))
+      .withColumn("codes", graft.plans.StrideSample.sample(col("frm"), w))
+      .withColumn("tot", tot)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        word.as("ph"))
+  }
+
+  def frameDedup(s: SparkSession, d: String): DataFrame = {
+    val ph = frameDedupPhash(s, d)
+    ph.as("a").join(ph.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.frame_idx") < col("b.frame_idx"))
+      .withColumn("hamming",
+        expr("bit_count(a.ph ^ b.ph)").cast("int"))
+      .filter(col("hamming") <= PhashHamT)
+      .select(col("a.doc_id").as("doc_id"),
+        col("a.frame_idx").as("frame_a"), col("b.frame_idx").as("frame_b"),
+        col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_dedup" -> frameDedup _,
     "mm_binary_meta" -> binaryMeta _,
     "mm_feature_stub" -> featureStub _,
     "mm_frame_sample" -> frameSample _,
@@ -270,7 +329,42 @@ object Multimodal {
   private def hexDigitCount(s: String, ch: String): String =
     s"(length($s) - length(replace($s, '$ch', '')))"
 
+  /** G6's twin: replay the manufactured frames, the per-frame signature
+    * (ord == code point on this corpus; HUGEINT bit sum wrapped to Spark's
+    * signed long), and the exact per-video hamming join.
+    */
+  private val frameDedupSql: String = s"""
+    WITH fr AS (
+      SELECT doc_id, j AS frame_idx,
+        rpad(substring(text, 1 + (j // $FrameDedupScene) * 37, 180), 256, '.') AS frm
+      FROM documents,
+        (SELECT unnest(range($FrameDedupFrames)) AS j)
+      WHERE j % 4 = 0),
+    m AS (
+      SELECT doc_id, frame_idx,
+        list_transform(range(64), i ->
+          ord(substring(frm, (i * length(frm)) // 64 + 1, 1))) AS codes
+      FROM fr),
+    h AS (SELECT doc_id, frame_idx, codes, list_sum(codes) AS tot FROM m),
+    hu AS (
+      SELECT doc_id, frame_idx,
+        list_sum(list_transform(range(64), i ->
+          CASE WHEN codes[i+1] * 64 > tot
+            THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
+      FROM h),
+    ph AS (SELECT doc_id, frame_idx,
+        CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+          THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS ph
+      FROM hu)
+    SELECT a.doc_id AS doc_id, a.frame_idx AS frame_a, b.frame_idx AS frame_b,
+      CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+    FROM ph a JOIN ph b
+      ON a.doc_id = b.doc_id AND a.frame_idx < b.frame_idx
+    WHERE bit_count(xor(a.ph, b.ph)) <= $PhashHamT
+    ORDER BY a.doc_id, frame_a, frame_b"""
+
   val oracles: Map[String, String] = Map(
+    "mm_frame_dedup" -> frameDedupSql,
     // DuckDB md5/hex operate on VARCHAR; the payload is exactly the UTF-8
     // bytes of `text`, so md5(text) == md5(encode(text)).
     // md5/hex operate on the same UTF-8 bytes both sides; magic prefix uses

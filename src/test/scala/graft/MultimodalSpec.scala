@@ -151,4 +151,22 @@ class MultimodalSpec extends SparkSpec {
         s"128-bit bands not selective: $cand128 candidates vs $cand64 at 64-bit")
     } finally spark.conf.unset("graft.phash.bits")
   }
+
+  test("G6: same-scene frame pairs always found at hamming 0, bounded hammings") {
+    import org.apache.spark.sql.functions._
+    val nDocs = graft.operators.Tables.documents(spark, sf).count()
+    val rows = Multimodal.frameDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // the two planted same-scene pairs (0,4) and (8,12) are identical
+    // frames: hamming 0, present for EVERY document
+    val zeroPairs = rows.filter(r => r._4 == 0 &&
+      ((r._2, r._3) == (0L, 4L) || (r._2, r._3) == (8L, 12L)))
+    assert(zeroPairs.map(_._1).distinct.length == nDocs &&
+      zeroPairs.length >= 2 * nDocs,
+      s"${zeroPairs.length} zero pairs over ${nDocs} docs")
+    // all reported pairs are same-video, ordered, within the radius
+    rows.foreach { case (_, fa, fb, h) =>
+      assert(fa < fb && h >= 0 && h <= Multimodal.PhashHamT)
+    }
+  }
 }
