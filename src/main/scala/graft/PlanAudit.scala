@@ -93,7 +93,10 @@ object PlanAudit {
     // ann_pq_topk: the per-query ADC distance table — collect_list of
     // exactly PqSubs×PqK = 512 fixed-point entries per query (a constant
     // of the codebook geometry, never corpus-sized)
-    "ann_pq_topk")
+    "ann_pq_topk",
+    // text_keyphrases: phrase assembly — collect_list buffers at most
+    // RakeMaxLen = 4 (pos, word) pairs per (doc, chunk) group
+    "text_keyphrases")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")

@@ -336,7 +336,125 @@ object TextAnalysis {
     ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK"""
   }
 
+  /** D12 — RAKE keyphrase extraction (Rose et al. 2010), per document: the
+    * doc-tagging primitive behind topic routing, index keywords, and
+    * weak-label mining. Candidate phrases are maximal runs of non-stopword
+    * tokens (gaps-and-islands over token positions), long runs CHUNKED into
+    * [[RakeMaxLen]]-word phrases (this corpus is stopword-sparse — runs
+    * average ~13 words, and the classic drop-the-run rule would discard 73%
+    * of the content); each word scores degree/freq over ITS document
+    * (degree = Σ lengths of phrases containing it, freq = occurrences), a
+    * phrase scores the sum of its word scores, and the top [[RakeTopK]]
+    * distinct phrases per doc win (score DESC, phrase tie-break).
+    *
+    * Determinism: degree/freq are exact integers; each word's score snaps
+    * once to a 2^20 fixed-point long (the H22 device), so phrase scores are
+    * integer sums — accumulation-order-proof, hash-gateable. Everything is
+    * per-document: token positions, islands, stats, ranking all partition
+    * by doc_id — embarrassingly parallel, zero corpus-wide shuffle; the
+    * windows run inside each doc's partition (never a global sort).
+    */
+  val RakeMaxLen = 4
+  val RakeTopK = 3
+  val RakeStop: Seq[String] = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for", "on",
+    "as", "with", "was", "are", "be", "by", "at", "an", "this", "or",
+    "from", "not", "but", "over", "")
+
+  def textKeyphrases(s: SparkSession, d: String): DataFrame =
+    textKeyphrasesDf(Tables.documents(s, d))
+
+  def textKeyphrasesDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(col("doc_id"), col("pos"), lower(col("w0")).as("w"))
+      .filter(!col("w").isin(RakeStop: _*))
+    // gaps-and-islands: consecutive non-stop positions share a run id;
+    // long runs chunk into RakeMaxLen-word phrases (grp carries the chunk)
+    val isl = tok
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("run", col("pos") - col("rn"))
+      .withColumn("cix", row_number().over(
+        Window.partitionBy(col("doc_id"), col("run")).orderBy(col("pos"))))
+      .withColumn("grp",
+        concat_ws("#", col("run"), ((col("cix") - 1) / RakeMaxLen).cast("long")))
+      .select(col("doc_id"), col("pos"), col("w"), col("grp"))
+    val phrases = isl.groupBy(col("doc_id"), col("grp"))
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, w))), x -> x.w)")).as("phrase"),
+        count(lit(1)).as("plen"))
+    // per-doc word stats over phrase words: freq + degree -> fixed-point score
+    val pw = isl.join(phrases.select(col("doc_id"), col("grp"), col("plen")),
+      Seq("doc_id", "grp"))
+    val ws = pw.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("iscore",
+        round(col("degree").cast("double") / col("freq") * lit(1048576.0))
+          .cast("long"))
+    val scored = pw.join(ws, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("iscore")).as("iscore"))
+      .join(phrases, Seq("doc_id", "grp"))
+      .select(col("doc_id"), col("phrase"), col("iscore")).distinct()
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("iscore").desc, col("phrase"))))
+      .filter(col("rank") <= RakeTopK)
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        round(col("iscore") / lit(1048576.0), 6).as("score"))
+  }
+
+  val textKeyphrasesSql: String = {
+    val stopList = RakeStop.map(w => s"'$w'").mkString(", ")
+    s"""
+    WITH tok AS (
+      SELECT doc_id, x AS pos, lower(ws[x + 1]) AS w
+      FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        LATERAL (SELECT unnest(range(len(ws))) AS x)),
+    nz AS (SELECT * FROM tok WHERE w NOT IN ($stopList)),
+    runs AS (
+      SELECT doc_id, pos, w,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+      FROM nz),
+    isl AS (
+      SELECT doc_id, pos, w,
+        run || '#' ||
+          ((ROW_NUMBER() OVER (PARTITION BY doc_id, run ORDER BY pos) - 1)
+            // $RakeMaxLen) AS grp
+      FROM runs),
+    phrases AS (
+      SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+        COUNT(*) AS plen
+      FROM isl GROUP BY 1, 2),
+    pw AS (
+      SELECT i.doc_id, i.grp, i.w, p.plen
+      FROM isl i JOIN phrases p ON p.doc_id = i.doc_id AND p.grp = i.grp),
+    ws AS (
+      SELECT doc_id, w,
+        CAST(round(CAST(SUM(plen) AS DOUBLE) / COUNT(*) * 1048576.0) AS BIGINT)
+          AS iscore
+      FROM pw GROUP BY 1, 2),
+    scored AS (
+      SELECT DISTINCT s.doc_id, p.phrase, s.iscore FROM (
+        SELECT pw.doc_id, pw.grp, SUM(ws.iscore) AS iscore
+        FROM pw JOIN ws ON ws.doc_id = pw.doc_id AND ws.w = pw.w
+        GROUP BY 1, 2) s
+      JOIN phrases p ON p.doc_id = s.doc_id AND p.grp = s.grp)
+    SELECT doc_id, rank, phrase, ROUND(iscore / 1048576.0, 6) AS score FROM (
+      SELECT doc_id, phrase, iscore,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY iscore DESC, phrase) AS rank
+      FROM scored) t
+    WHERE rank <= $RakeTopK ORDER BY doc_id, rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyphrases" -> textKeyphrases _,
     "text_bm25_search" -> textBm25 _,
     "text_mask_numbers" -> textMaskNumbers _,
     "text_mask_pii" -> textMaskPii _,
@@ -350,6 +468,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_keyphrases" -> textKeyphrasesSql,
     "text_bm25_search" -> textBm25Sql,
     "text_mask_pii" -> textMaskPiiSql,
     "text_url_domains" -> textUrlDomainsSql,

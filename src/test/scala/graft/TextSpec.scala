@@ -64,4 +64,30 @@ class TextSpec extends SparkSpec {
     val allowed = graft.functions.TextFunctions.langMarkers.map(_._1).toSet + "und"
     assert(langs.subsetOf(allowed))
   }
+
+  test("D12 RAKE: stopword islands, chunking, degree/freq scoring, top-k order") {
+    import SparkSpecBase.spark.implicits._
+    val docs = Seq(
+      // runs: "quick brown fox jumps" (4) and "lazy dog" (2); all words
+      // appear once -> each word scores its phrase length; scores 16 vs 4
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      // a 6-word run chunks into 4 + 2; "data" appears in both chunks
+      // (freq 2), every other word once
+      (2L, "big data systems love data pipelines")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.textKeyphrasesDf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq("quick brown fox jumps", "lazy dog"))
+    assert(d1(0)._4 == 16.0 && d1(1)._4 == 4.0)
+    val d2 = out.filter(_._1 == 2L).sortBy(_._2)
+    // chunk 1 = "big data systems love", chunk 2 = "data pipelines";
+    // degree(data) = 4 + 2 = 6, freq 2 -> word score 3; chunk1 = 4+3+4+4 =
+    // 15, chunk2 = 3+2 = 5
+    assert(d2.map(_._3).toSeq == Seq("big data systems love", "data pipelines"))
+    assert(d2(0)._4 == 15.0 && d2(1)._4 == 5.0)
+    // ranks are dense from 1 within each doc
+    out.groupBy(_._1).values.foreach(rs =>
+      assert(rs.map(_._2).sorted.sameElements(1 to rs.length)))
+  }
 }
