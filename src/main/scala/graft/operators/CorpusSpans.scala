@@ -388,7 +388,125 @@ object CorpusSpans {
     FROM bg JOIN md ON md.w1 = bg.w1 AND md.w2 = bg.w2
     GROUP BY bg.doc_id ORDER BY bg.doc_id"""
 
+  /** H23 — BLOOM-FILTER decontamination: H2/H16 against a blocklist too
+    * large to broadcast as exact grams. The eval set's 5-grams are folded
+    * ONCE into a fixed [[BloomM]]-bit bitmap ([[BloomK]] salted splitmix64
+    * positions per gram — 32 KB total, whatever the blocklist size); every
+    * training gram then tests membership with 4 bit probes INSIDE the
+    * scan's codegen — no join, no shuffle against the blocklist. This is
+    * how decontamination runs when the blocklist is every benchmark +
+    * takedown list a team holds (far past broadcast-of-strings scale):
+    * the sketch is constant-size and the scan cost is unchanged.
+    *
+    * False positives are the bloom trade: at ~9% fill, FP ≈ fill^k ≈ 7e-5
+    * — and they are DETERMINISTIC here (the hash family is the replayable
+    * [[graft.plans.MixHash]] polynomial+splitmix64), so the DuckDB oracle
+    * reproduces every probe bit-exactly: membership in the oracle is "all
+    * [[BloomK]] positions ∈ the eval position set", which is precisely
+    * what the bitmap encodes. Per-doc report mirrors H16: distinct-gram
+    * count, bloom-hit count, clean flag (0 hits).
+    */
+  val BloomM: Int = 1 << 18
+  val BloomK: Int = 4
+  private def bloomSalt(j: Int): Long = graft.plans.MixHash.slotB(j)
+
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MixHash.{polyHashCol, splitmix64Col}
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.plans.ShingleArray.shingles(col("text"),
+          CorpusClean.DecontaminationGram).as("g5"))
+      .filter(size(col("g5")) > 0)
+    def positions(h: Column): Seq[Column] = (0 until BloomK).map(j =>
+      splitmix64Col(h.bitwiseXOR(lit(bloomSalt(j))))
+        .bitwiseAND(lit((BloomM - 1).toLong)))
+    // build: the k positions of every DISTINCT eval gram -> 32 KB bitmap.
+    // The collect is bounded by the eval set (the same boundedness H2's
+    // exact-gram broadcast already relies on); at real blocklist scale
+    // this build is the offline step that ships only the bitmap.
+    val evalPos = sh.filter(col("doc_id") < CorpusClean.EvalDocs)
+      .select(explode(col("g5")).as("g")).distinct()
+      .select(explode(array(positions(polyHashCol(col("g"))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = new Array[Long](BloomM / 64)
+    evalPos.foreach(p => bitmap(p.toInt >> 6) |= (1L << (p & 63).toInt))
+    val bmCol = array(bitmap.toIndexedSeq.map(lit): _*)
+    // probe: 4 codegen bit tests per training gram, zero joins
+    val tr = sh.filter(col("doc_id") >= CorpusClean.EvalDocs)
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .withColumn("h", polyHashCol(col("g")))
+    val withPos = positions(col("h")).zipWithIndex
+      .foldLeft(tr) { case (df, (c, j)) => df.withColumn(s"p$j", c) }
+      .withColumn("bm", bmCol)
+    val hit = (0 until BloomK).map(j => expr(
+      s"(shiftright(element_at(bm, CAST(shiftright(p$j, 6) AS INT) + 1), " +
+        s"CAST(p$j % 64 AS INT)) & 1) = 1")).reduce(_ && _)
+    withPos
+      .withColumn("hit", hit)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("hit").cast("long")).as("n_hits"))
+      .withColumn("clean", (col("n_hits") === 0).cast("int"))
+  }
+
+  val bloomDecontaminateSql: String = {
+    import graft.plans.MixHash._
+    def uSalt(j: Int): String =
+      java.lang.Long.toUnsignedString(bloomSalt(j)) + "::HUGEINT"
+    val saltList = (0 until BloomK).map(j => s"xor(h, ${uSalt(j)})")
+      .mkString("[", ", ", "]")
+    def listStep(src: String, dst: String, step: String => String): String =
+      s"$dst AS (SELECT * REPLACE (list_transform(zs, z -> ${step("z")}) AS zs) FROM $src)"
+    s"""
+    WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+                       for i in range(1, len(ws) - 3)]) AS s
+      FROM w WHERE len(ws) >= 5),
+    evg AS (SELECT DISTINCT unnest(s) AS g
+            FROM sh WHERE doc_id < ${CorpusClean.EvalDocs}),
+    e0 AS (SELECT g, ${sqlRawPoly("g")} AS z FROM evg),
+    e1 AS (SELECT g, ${sqlMixStep1("z")} AS z FROM e0),
+    e2 AS (SELECT g, ${sqlMixStep2("z")} AS z FROM e1),
+    e3 AS (SELECT g, ${sqlMixStep3("z")} AS z FROM e2),
+    e4 AS (SELECT g, ${sqlMixStep4("z")} AS h FROM e3),
+    el0 AS (SELECT g, $saltList AS zs FROM e4),
+    ${listStep("el0", "el1", sqlMixStep1)},
+    ${listStep("el1", "el2", sqlMixStep2)},
+    ${listStep("el2", "el3", sqlMixStep3)},
+    ${listStep("el3", "el4", sqlMixStep4)},
+    ep AS (SELECT DISTINCT CAST(unnest(zs) % ${BloomM}::HUGEINT AS BIGINT) AS p
+           FROM el4),
+    trg AS (SELECT doc_id, unnest(s) AS g
+            FROM sh WHERE doc_id >= ${CorpusClean.EvalDocs}),
+    t0 AS (SELECT doc_id, g, ${sqlRawPoly("g")} AS z FROM trg),
+    t1 AS (SELECT doc_id, g, ${sqlMixStep1("z")} AS z FROM t0),
+    t2 AS (SELECT doc_id, g, ${sqlMixStep2("z")} AS z FROM t1),
+    t3 AS (SELECT doc_id, g, ${sqlMixStep3("z")} AS z FROM t2),
+    t4 AS (SELECT doc_id, g, ${sqlMixStep4("z")} AS h FROM t3),
+    tl0 AS (SELECT doc_id, g, $saltList AS zs FROM t4),
+    ${listStep("tl0", "tl1", sqlMixStep1)},
+    ${listStep("tl1", "tl2", sqlMixStep2)},
+    ${listStep("tl2", "tl3", sqlMixStep3)},
+    ${listStep("tl3", "tl4", sqlMixStep4)},
+    tpu AS (SELECT doc_id, g,
+              CAST(unnest(zs) % ${BloomM}::HUGEINT AS BIGINT) AS p
+            FROM tl4),
+    hitg AS (
+      SELECT doc_id, g FROM tpu JOIN ep USING (p)
+      GROUP BY doc_id, g HAVING COUNT(*) = $BloomK),
+    hd AS (SELECT doc_id, COUNT(*) AS n FROM hitg GROUP BY 1)
+    SELECT b.doc_id, len(b.s) AS n_grams,
+      COALESCE(hd.n, 0) AS n_hits,
+      CAST(COALESCE(hd.n, 0) = 0 AS INTEGER) AS clean
+    FROM sh b LEFT JOIN hd USING (doc_id)
+    WHERE b.doc_id >= ${CorpusClean.EvalDocs}
+    ORDER BY b.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_bloom_decontaminate" -> bloomDecontaminate _,
     "corpus_lm_score" -> lmScore _,
     "corpus_span_dedup" -> spanDedup _,
     "corpus_pii_report" -> piiReport _,
@@ -399,6 +517,7 @@ object CorpusSpans {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_bloom_decontaminate" -> bloomDecontaminateSql,
     "corpus_lm_score" -> lmScoreSql,
     "corpus_span_dedup" -> spanDedupSql,
     "corpus_ngram_counts" -> ngramCountsSql,

@@ -67,6 +67,23 @@ class CorpusSpec extends SparkSpec {
     assert(aligned.count() == rows.length)
   }
 
+  test("bloom decontamination never misses what exact contamination finds") {
+    import graft.operators.CorpusSpans
+    // the bloom guarantee: zero false negatives — every gram the exact
+    // H16 scorer counts as an eval hit also probes positive in the bitmap,
+    // so per doc bloom_hits >= exact_hits and bloom-clean ==> exact-clean
+    val exact = CorpusSpans.contaminationScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> n_hit
+    val bloom = CorpusSpans.bloomDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(bloom.nonEmpty && bloom.map(_._1).toSet == exact.keySet)
+    bloom.foreach { case (doc, nGrams, nHits, clean) =>
+      assert(nHits >= exact(doc),
+        s"doc $doc: bloom $nHits under-counts exact ${exact(doc)}")
+      assert(nHits <= nGrams && (clean == 1) == (nHits == 0L))
+    }
+  }
+
   test("corpus_lm_score: fluent text beats gibberish; exact bigram counts; deterministic") {
     import SparkSpecBase.spark.implicits._
     // 20 copies of a fluent sentence dominate the bigram statistics; one
