@@ -180,23 +180,32 @@ object Multimodal {
     * W×substring form re-walks the string per sample (O(k·n)/row; it was
     * ~half this query's wall time at W=64).
     */
+  /** The W stride-sampled code points as long columns (1-based array). */
+  private def sampleCodes(wBits: Int): IndexedSeq[org.apache.spark.sql.Column] =
+    (0 until wBits).map(i => element_at(col("codes"), i + 1).cast("long"))
+
+  /** Sign-vs-mean bit run: bits [from, from+width) of the signature packed
+    * into one long (bit b set iff codes(from+b)·W > tot). THE signature
+    * definition, shared by G5's words/bands and G6's per-frame hash — a
+    * threshold change landing in one copy would silently desynchronize
+    * their signatures and oracles.
+    */
+  private def signBits(codes: IndexedSeq[org.apache.spark.sql.Column],
+      from: Int, width: Int): org.apache.spark.sql.Column =
+    (0 until width).map(b =>
+      when(codes(from + b) * codes.length > col("tot"), lit(1L << b))
+        .otherwise(0L)).reduce(_ + _)
+
   private def phashFrame(s: SparkSession, d: String, wBits: Int): DataFrame = {
     val nBands = PhashHamT + 1
     val base = wBits / nBands
     val extra = wBits % nBands           // first `extra` bands get base+1
     val widths = (0 until nBands).map(i => base + (if (i < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val codes = (0 until wBits).map(i =>
-      element_at(col("codes"), i + 1).cast("long"))
+    val codes = sampleCodes(wBits)
     val tot = codes.reduce(_ + _)
-    def bit(i: Int, shift: Int): org.apache.spark.sql.Column =
-      when(codes(i) * wBits > col("tot"), lit(1L << shift)).otherwise(0L)
-    val words = (0 until wBits / 64).map { w =>
-      (0 until 64).map(b => bit(w * 64 + b, b)).reduce(_ + _)
-    }
-    val bands = (0 until nBands).map { i =>
-      (0 until widths(i)).map(b => bit(offsets(i) + b, b)).reduce(_ + _)
-    }
+    val words = (0 until wBits / 64).map(w => signBits(codes, w * 64, 64))
+    val bands = (0 until nBands).map(i => signBits(codes, offsets(i), widths(i)))
     Tables.documents(s, d)
       .filter(char_length(col("text")) >= wBits)
       .withColumn("codes", graft.plans.StrideSample.sample(col("text"), wBits))
@@ -285,10 +294,7 @@ object Multimodal {
 
   private def frameDedupPhash(s: SparkSession, d: String): DataFrame = {
     val w = 64
-    val codes = (0 until w).map(i => element_at(col("codes"), i + 1).cast("long"))
-    val tot = codes.reduce(_ + _)
-    val word = (0 until w).map(i =>
-      when(codes(i) * w > col("tot"), lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val codes = sampleCodes(w)
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         explode(expr(
@@ -298,14 +304,17 @@ object Multimodal {
         expr(s"substring(text, 1 + (frame_idx DIV $FrameDedupScene) * 37, 180)"),
         256, "."))
       .withColumn("codes", graft.plans.StrideSample.sample(col("frm"), w))
-      .withColumn("tot", tot)
+      .withColumn("tot", codes.reduce(_ + _))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-        word.as("ph"))
+        signBits(codes, 0, 64).as("ph"))
   }
 
   def frameDedup(s: SparkSession, d: String): DataFrame = {
-    val ph = frameDedupPhash(s, d)
-    ph.as("a").join(ph.as("b"),
+    // the signature pipeline (frame manufacture + stride sample + 64-term
+    // sign fold) is the dominant per-row cost: persist it once rather than
+    // recompute on both sides of the self-join (the G5 discipline)
+    val ph = graft.CacheScope.scopedPersist(frameDedupPhash(s, d))
+    val out = ph.as("a").join(ph.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
           col("a.frame_idx") < col("b.frame_idx"))
       .withColumn("hamming",
@@ -314,6 +323,7 @@ object Multimodal {
       .select(col("a.doc_id").as("doc_id"),
         col("a.frame_idx").as("frame_a"), col("b.frame_idx").as("frame_b"),
         col("hamming"))
+    graft.CacheScope.releaseAfterUse(out, ph)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -353,8 +363,7 @@ object Multimodal {
             THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
       FROM h),
     ph AS (SELECT doc_id, frame_idx,
-        CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
-          THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS ph
+        ${graft.plans.MixHash.sqlToSigned("uh")} AS ph
       FROM hu)
     SELECT a.doc_id AS doc_id, a.frame_idx AS frame_a, b.frame_idx AS frame_b,
       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
@@ -413,8 +422,7 @@ object Multimodal {
               THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
         FROM m),
       ph AS (SELECT doc_id,
-          CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
-            THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS phash
+          ${graft.plans.MixHash.sqlToSigned("uh")} AS phash
         FROM hu)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming

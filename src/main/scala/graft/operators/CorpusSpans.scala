@@ -466,12 +466,8 @@ object CorpusSpans {
       FROM w WHERE len(ws) >= 5),
     evg AS (SELECT DISTINCT unnest(s) AS g
             FROM sh WHERE doc_id < ${CorpusClean.EvalDocs}),
-    e0 AS (SELECT g, ${sqlRawPoly("g")} AS z FROM evg),
-    e1 AS (SELECT g, ${sqlMixStep1("z")} AS z FROM e0),
-    e2 AS (SELECT g, ${sqlMixStep2("z")} AS z FROM e1),
-    e3 AS (SELECT g, ${sqlMixStep3("z")} AS z FROM e2),
-    e4 AS (SELECT g, ${sqlMixStep4("z")} AS h FROM e3),
-    el0 AS (SELECT g, $saltList AS zs FROM e4),
+    ${sqlMixedCtes("evg", "g", Seq("g"), "eh")},
+    el0 AS (SELECT g, $saltList AS zs FROM eh),
     ${listStep("el0", "el1", sqlMixStep1)},
     ${listStep("el1", "el2", sqlMixStep2)},
     ${listStep("el2", "el3", sqlMixStep3)},
@@ -480,12 +476,8 @@ object CorpusSpans {
            FROM el4),
     trg AS (SELECT doc_id, unnest(s) AS g
             FROM sh WHERE doc_id >= ${CorpusClean.EvalDocs}),
-    t0 AS (SELECT doc_id, g, ${sqlRawPoly("g")} AS z FROM trg),
-    t1 AS (SELECT doc_id, g, ${sqlMixStep1("z")} AS z FROM t0),
-    t2 AS (SELECT doc_id, g, ${sqlMixStep2("z")} AS z FROM t1),
-    t3 AS (SELECT doc_id, g, ${sqlMixStep3("z")} AS z FROM t2),
-    t4 AS (SELECT doc_id, g, ${sqlMixStep4("z")} AS h FROM t3),
-    tl0 AS (SELECT doc_id, g, $saltList AS zs FROM t4),
+    ${sqlMixedCtes("trg", "g", Seq("doc_id", "g"), "th")},
+    tl0 AS (SELECT doc_id, g, $saltList AS zs FROM th),
     ${listStep("tl0", "tl1", sqlMixStep1)},
     ${listStep("tl1", "tl2", sqlMixStep2)},
     ${listStep("tl2", "tl3", sqlMixStep3)},

@@ -141,15 +141,19 @@ object MixHash {
       s"(acc, x) -> (acc * 257 + x) % $M64)"
 
   /** CTE chain computing the MIXED hash for rows of (…, `strCol`): emits
-    * `srcCte` -> mh (columns: passthrough `keep` + `h` HUGEINT in [0,2^64)).
+    * `srcCte` -> `$prefix` (columns: passthrough `keep` + `h` HUGEINT in
+    * [0,2^64)). The prefix names the intermediate CTEs, so one statement
+    * can chain the hash over several sources (e.g. the bloom oracle's
+    * eval and training sides).
     */
-  def sqlMixedCtes(srcCte: String, strCol: String, keep: Seq[String]): String = {
+  def sqlMixedCtes(srcCte: String, strCol: String, keep: Seq[String],
+      prefix: String = "mh"): String = {
     val ks = keep.mkString(", ")
-    s"""mh0 AS (SELECT $ks, ${sqlRawPoly(strCol)} AS z FROM $srcCte),
-    mh1 AS (SELECT $ks, ${sqlMixStep1("z")} AS z FROM mh0),
-    mh2 AS (SELECT $ks, ${sqlMixStep2("z")} AS z FROM mh1),
-    mh3 AS (SELECT $ks, ${sqlMixStep3("z")} AS z FROM mh2),
-    mh AS (SELECT $ks, ${sqlMixStep4("z")} AS h FROM mh3)"""
+    s"""${prefix}0 AS (SELECT $ks, ${sqlRawPoly(strCol)} AS z FROM $srcCte),
+    ${prefix}1 AS (SELECT $ks, ${sqlMixStep1("z")} AS z FROM ${prefix}0),
+    ${prefix}2 AS (SELECT $ks, ${sqlMixStep2("z")} AS z FROM ${prefix}1),
+    ${prefix}3 AS (SELECT $ks, ${sqlMixStep3("z")} AS z FROM ${prefix}2),
+    $prefix AS (SELECT $ks, ${sqlMixStep4("z")} AS h FROM ${prefix}3)"""
   }
 
   /** SQL literal arrays of the affine slot constants (1-indexed lists). */
