@@ -605,7 +605,79 @@ object CorpusClean {
     FROM sgn ORDER BY doc_id"""
   }
 
+  /** H24 — the per-source cleaning FUNNEL (loss accounting): for every
+    * source, how many documents — and how many tokens — each stage of the
+    * H13/corpus_clean pipeline removed. This is the table a training-data
+    * team reviews after every pipeline change ("why did source X lose 40%
+    * at the language gate?"); the gates are the SAME shared constants and
+    * expressions `corpus_clean` filters on, so the funnel cannot drift
+    * from the pipeline it audits. Stage attribution is sequential (a doc
+    * counts at its FIRST failing stage): quality → language → exact-dup
+    * (keep-first fingerprint among docs that survived both gates, exactly
+    * the corpus_clean rule).
+    *
+    * Shape: one scored scan; the keep-first winners are a fp-keyed MIN
+    * aggregate over survivors (the H14 min-agg discipline — map-side
+    * combined, skew-proof) joined back broadcast-ably; the report is one
+    * sources-sized conditional-sum aggregate of exact integers.
+    */
+  def funnelReport(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        wsTokens(col("text")).cast("long").as("tok"),
+        (length(col("text")) >= MinChars &&
+          alphaRatio(col("text")) >= MinAlpha &&
+          spaceRatio(col("text")) <= MaxSpace).as("q"),
+        (langId(col("text")) === "en").as("l"),
+        fingerprint(col("text")).as("fp"))
+    val firsts = scored.filter(col("q") && col("l"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    scored.join(firsts, Seq("fp"), "left")
+      .select(col("source"), col("tok"),
+        (!col("q")).as("f_q"),
+        (col("q") && !col("l")).as("f_l"),
+        (col("q") && col("l") && col("doc_id") =!= col("keep_id")).as("f_d"),
+        (col("q") && col("l") && col("doc_id") === col("keep_id")).as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_q").cast("long")).as("n_fail_quality"),
+        sum(col("f_l").cast("long")).as("n_fail_lang"),
+        sum(col("f_d").cast("long")).as("n_dup"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(col("tok")).as("tokens_total"),
+        sum(when(col("keep"), col("tok")).otherwise(0L)).as("tokens_kept"))
+  }
+
+  val funnelReportSql: String = s"""
+    WITH scored AS (
+      SELECT doc_id, source, ${wsTokensSql("text")} AS tok,
+        (length(text) >= $MinChars
+          AND ${alphaRatioSql("text")} >= $MinAlpha
+          AND ${spaceRatioSql("text")} <= $MaxSpace) AS q,
+        (${langIdSql("text")} = 'en') AS l,
+        ${fingerprintSql("text")} AS fp
+      FROM documents),
+    firsts AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM scored
+      WHERE q AND l GROUP BY fp),
+    flags AS (
+      SELECT s.source, s.tok,
+        NOT s.q AS f_q,
+        (s.q AND NOT s.l) AS f_l,
+        (s.q AND s.l AND s.doc_id <> f.keep_id) AS f_d,
+        (s.q AND s.l AND s.doc_id = f.keep_id) AS keep
+      FROM scored s LEFT JOIN firsts f USING (fp))
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN f_q THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_quality,
+      CAST(SUM(CASE WHEN f_l THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_lang,
+      CAST(SUM(CASE WHEN f_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(tok) AS BIGINT) AS tokens_total,
+      CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM flags GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_funnel_report" -> funnelReport _,
     "corpus_clean" -> corpusClean _,
     "corpus_curriculum" -> curriculum _,
     "corpus_sample_quota" -> sampleQuota _,
@@ -624,6 +696,7 @@ object CorpusClean {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_funnel_report" -> funnelReportSql,
     "corpus_clean" -> corpusCleanSql,
     "corpus_curriculum" -> curriculumSql,
     "corpus_row_ids" -> rowIdsSql,

@@ -67,6 +67,29 @@ class CorpusSpec extends SparkSpec {
     assert(aligned.count() == rows.length)
   }
 
+  test("funnel report reconciles exactly with corpus_clean's survivors") {
+    import graft.operators.CorpusSpans // (same package style as below)
+    val funnel = CorpusClean.funnelReport(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // stage attribution is a total partition of each source's docs
+    funnel.values.foreach { case (n, fq, fl, fd, kept, tokTot, tokKept) =>
+      assert(fq + fl + fd + kept == n, "stages must partition the docs")
+      assert(tokKept <= tokTot && kept <= n)
+    }
+    // the kept set IS corpus_clean's survivor set, per source
+    val survivors = CorpusClean.corpusClean(spark, sf)
+      .select(col("doc_id"))
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    funnel.foreach { case (src, f) =>
+      assert(f._5 == survivors.getOrElse(src, 0L),
+        s"source $src: funnel kept ${f._5} != corpus_clean ${survivors.getOrElse(src, 0L)}")
+    }
+  }
+
   test("bloom decontamination never misses what exact contamination finds") {
     import graft.operators.CorpusSpans
     // the bloom guarantee: zero false negatives — every gram the exact
