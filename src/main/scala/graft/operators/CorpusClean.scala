@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -22,6 +22,21 @@ object CorpusClean {
   val MinAlpha = 0.5
   val MaxSpace = 0.4
 
+  /** THE cleaning gates, defined once over the scored columns every stage
+    * computes (text / alpha_ratio / space_ratio / pred_lang): corpus_clean,
+    * corpus_prepare, and the H24 funnel all filter through these single
+    * definitions — adding or changing a gate term lands in every consumer
+    * and its oracle at once, so the funnel audit cannot drift from the
+    * pipeline it describes.
+    */
+  def gateQuality: Column =
+    length(col("text")) >= MinChars &&
+      col("alpha_ratio") >= MinAlpha && col("space_ratio") <= MaxSpace
+  def gateLang: Column = col("pred_lang") === "en"
+  val gateQualitySql: String =
+    s"(length(text) >= $MinChars AND alpha_ratio >= $MinAlpha AND space_ratio <= $MaxSpace)"
+  val gateLangSql: String = "(pred_lang = 'en')"
+
   def corpusClean(s: SparkSession, d: String): DataFrame = {
     val scored = Tables.documents(s, d)
       .withColumn("alpha_ratio", alphaRatio(col("text")))
@@ -29,9 +44,7 @@ object CorpusClean {
       .withColumn("pred_lang", langId(col("text")))
       .withColumn("fp", fingerprint(col("text")))
     val cleaned = scored
-      .filter(length(col("text")) >= MinChars &&
-        col("alpha_ratio") >= MinAlpha && col("space_ratio") <= MaxSpace &&
-        col("pred_lang") === "en")
+      .filter(gateQuality && gateLang)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
@@ -51,8 +64,7 @@ object CorpusClean {
     cleaned AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
       FROM scored
-      WHERE length(text) >= $MinChars AND alpha_ratio >= $MinAlpha
-        AND space_ratio <= $MaxSpace AND pred_lang = 'en')
+      WHERE $gateQualitySql AND $gateLangSql)
     SELECT doc_id, pred_lang, alpha_ratio, space_ratio, n_chars
     FROM cleaned WHERE rn = 1 ORDER BY doc_id"""
 
@@ -420,10 +432,7 @@ object CorpusClean {
       .withColumn("space_ratio", spaceRatio(col("text")))
       .withColumn("pred_lang", langId(col("text")))
       .withColumn("fp", fingerprint(col("mtext")))
-      .filter(col("doc_id") >= EvalDocs &&
-        length(col("text")) >= MinChars &&
-        col("alpha_ratio") >= MinAlpha && col("space_ratio") <= MaxSpace &&
-        col("pred_lang") === "en")
+      .filter(col("doc_id") >= EvalDocs && gateQuality && gateLang)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
@@ -460,9 +469,7 @@ object CorpusClean {
     cleaned0 AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
       FROM scored
-      WHERE doc_id >= $EvalDocs AND length(text) >= $MinChars
-        AND alpha_ratio >= $MinAlpha AND space_ratio <= $MaxSpace
-        AND pred_lang = 'en'),
+      WHERE doc_id >= $EvalDocs AND $gateQualitySql AND $gateLangSql),
     cleaned AS (SELECT doc_id, source, n_chars, text, mtext FROM cleaned0 WHERE rn = 1),
     w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
     sh AS (
@@ -616,23 +623,30 @@ object CorpusClean {
     * (keep-first fingerprint among docs that survived both gates, exactly
     * the corpus_clean rule).
     *
-    * Shape: one scored scan; the keep-first winners are a fp-keyed MIN
-    * aggregate over survivors (the H14 min-agg discipline — map-side
-    * combined, skew-proof) joined back broadcast-ably; the report is one
-    * sources-sized conditional-sum aggregate of exact integers.
+    * Shape: the scored frame (gates + fingerprint + token count per doc)
+    * is persisted across its two consumers (the G6 self-join discipline);
+    * the keep-first winners are a fp-keyed MIN aggregate over survivors
+    * (the H14 min-agg discipline — map-side combined, skew-proof) joined
+    * back on fp — a shuffle join at corpus scale (distinct-fingerprint
+    * cardinality tracks the corpus; AQE broadcasts it at test SF); the
+    * report is one sources-sized conditional-sum aggregate of exact
+    * integers, with token losses attributed per stage alongside doc
+    * counts.
     */
   def funnelReport(s: SparkSession, d: String): DataFrame = {
-    val scored = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"),
-        wsTokens(col("text")).cast("long").as("tok"),
-        (length(col("text")) >= MinChars &&
-          alphaRatio(col("text")) >= MinAlpha &&
-          spaceRatio(col("text")) <= MaxSpace).as("q"),
-        (langId(col("text")) === "en").as("l"),
-        fingerprint(col("text")).as("fp"))
+    val scored = graft.CacheScope.scopedPersist(
+      Tables.documents(s, d)
+        .withColumn("alpha_ratio", alphaRatio(col("text")))
+        .withColumn("space_ratio", spaceRatio(col("text")))
+        .withColumn("pred_lang", langId(col("text")))
+        .select(col("doc_id"), col("source"),
+          wsTokens(col("text")).cast("long").as("tok"),
+          gateQuality.as("q"), gateLang.as("l"),
+          fingerprint(col("text")).as("fp")))
     val firsts = scored.filter(col("q") && col("l"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-    scored.join(firsts, Seq("fp"), "left")
+    def tokIf(c: Column): Column = sum(when(c, col("tok")).otherwise(0L))
+    val out = scored.join(firsts, Seq("fp"), "left")
       .select(col("source"), col("tok"),
         (!col("q")).as("f_q"),
         (col("q") && !col("l")).as("f_l"),
@@ -645,18 +659,25 @@ object CorpusClean {
         sum(col("f_d").cast("long")).as("n_dup"),
         sum(col("keep").cast("long")).as("n_kept"),
         sum(col("tok")).as("tokens_total"),
-        sum(when(col("keep"), col("tok")).otherwise(0L)).as("tokens_kept"))
+        tokIf(col("f_q")).as("tokens_fail_quality"),
+        tokIf(col("f_l")).as("tokens_fail_lang"),
+        tokIf(col("f_d")).as("tokens_dup"),
+        tokIf(col("keep")).as("tokens_kept"))
+    graft.CacheScope.releaseAfterUse(out, scored)
   }
 
   val funnelReportSql: String = s"""
-    WITH scored AS (
-      SELECT doc_id, source, ${wsTokensSql("text")} AS tok,
-        (length(text) >= $MinChars
-          AND ${alphaRatioSql("text")} >= $MinAlpha
-          AND ${spaceRatioSql("text")} <= $MaxSpace) AS q,
-        (${langIdSql("text")} = 'en') AS l,
+    WITH sc0 AS (
+      SELECT doc_id, source, text, ${wsTokensSql("text")} AS tok,
+        ${alphaRatioSql("text")} AS alpha_ratio,
+        ${spaceRatioSql("text")} AS space_ratio,
+        ${langIdSql("text")} AS pred_lang,
         ${fingerprintSql("text")} AS fp
       FROM documents),
+    scored AS (
+      SELECT doc_id, source, tok,
+        $gateQualitySql AS q, $gateLangSql AS l, fp
+      FROM sc0),
     firsts AS (
       SELECT fp, MIN(doc_id) AS keep_id FROM scored
       WHERE q AND l GROUP BY fp),
@@ -673,6 +694,9 @@ object CorpusClean {
       CAST(SUM(CASE WHEN f_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       CAST(SUM(tok) AS BIGINT) AS tokens_total,
+      CAST(SUM(CASE WHEN f_q THEN tok ELSE 0 END) AS BIGINT) AS tokens_fail_quality,
+      CAST(SUM(CASE WHEN f_l THEN tok ELSE 0 END) AS BIGINT) AS tokens_fail_lang,
+      CAST(SUM(CASE WHEN f_d THEN tok ELSE 0 END) AS BIGINT) AS tokens_dup,
       CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept
     FROM flags GROUP BY source ORDER BY source"""
 

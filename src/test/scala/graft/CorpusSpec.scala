@@ -68,15 +68,17 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("funnel report reconciles exactly with corpus_clean's survivors") {
-    import graft.operators.CorpusSpans // (same package style as below)
     val funnel = CorpusClean.funnelReport(spark, sf).collect()
-      .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-          r.getLong(6), r.getLong(7))).toMap
-    // stage attribution is a total partition of each source's docs
-    funnel.values.foreach { case (n, fq, fl, fd, kept, tokTot, tokKept) =>
-      assert(fq + fl + fd + kept == n, "stages must partition the docs")
-      assert(tokKept <= tokTot && kept <= n)
+      .map(r => r.getString(0) -> (1 to 10).map(r.getLong).toVector).toMap
+    // stage attribution is a total partition of each source's docs AND of
+    // its tokens: n = fq + fl + fd + kept, tokTot = tfq + tfl + tdup + tkept
+    funnel.values.foreach {
+      case Vector(n, fq, fl, fd, kept, tokTot, tfq, tfl, tdup, tokKept) =>
+        assert(fq + fl + fd + kept == n, "stages must partition the docs")
+        assert(tfq + tfl + tdup + tokKept == tokTot,
+          "stages must partition the tokens")
+        assert(tokKept <= tokTot && kept <= n)
+      case v => fail(s"unexpected row shape $v")
     }
     // the kept set IS corpus_clean's survivor set, per source
     val survivors = CorpusClean.corpusClean(spark, sf)
@@ -85,8 +87,8 @@ class CorpusSpec extends SparkSpec {
       .groupBy(col("source")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     funnel.foreach { case (src, f) =>
-      assert(f._5 == survivors.getOrElse(src, 0L),
-        s"source $src: funnel kept ${f._5} != corpus_clean ${survivors.getOrElse(src, 0L)}")
+      assert(f(4) == survivors.getOrElse(src, 0L),
+        s"source $src: funnel kept ${f(4)} != corpus_clean ${survivors.getOrElse(src, 0L)}")
     }
   }
 
