@@ -497,7 +497,71 @@ object CorpusSpans {
     ORDER BY b.doc_id"""
   }
 
+  /** H25 — Gopher-style rule-based quality gate report (Rae et al. 2021
+    * §A1.1 adapted to this corpus' signal ranges): per SOURCE, how many
+    * documents pass each structural quality rule and how many pass all of
+    * them — the first screen every web-scale pretraining pipeline runs,
+    * and the per-source report its curators actually read.
+    *
+    * Every rule is an INTEGER comparison (counts cross-multiplied instead
+    * of float ratios), so the gate never sits on a float rounding boundary
+    * and both engines agree bit-for-bit:
+    *   R1 length      — n_words >= 30
+    *   R2 mean length — 4 <= mean word len <= 5   (4n <= chars <= 5n)
+    *   R3 stopwords   — stopword fraction >= 4%   (25*n_stop >= n_words)
+    *   R4 repetition  — duplicate-word fraction <= 60%  (5*(n-d) <= 3n)
+    * Shape: one fused scan computing all signals per row, one 20-row
+    * partial agg keyed on source — corpus-sized map, source-sized shuffle;
+    * the report stays |sources| rows at any corpus size.
+    */
+  val GopherStops = Seq("the", "a", "of", "and", "to")
+
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val stopsArr = array(GopherStops.map(lit): _*)
+    val sig = Tables.documents(s, d)
+      .select(col("source"), words(col("text")).as("w"),
+        length(call_function("replace", col("text"), lit(" "), lit(""))).as("chars"))
+      .select(col("source"), col("chars"),
+        size(col("w")).as("n"),
+        size(array_distinct(col("w"))).as("nd"),
+        size(filter(col("w"), x => array_contains(stopsArr, x))).as("ns"))
+    val r1 = col("n") >= 30
+    val r2 = (lit(4) * col("n") <= col("chars")) && (col("chars") <= lit(5) * col("n"))
+    val r3 = lit(25) * col("ns") >= col("n")
+    val r4 = lit(5) * (col("n") - col("nd")) <= lit(3) * col("n")
+    def cnt(c: Column) = sum(c.cast("long"))
+    sig.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      cnt(r1).as("n_pass_len"),
+      cnt(r2).as("n_pass_meanlen"),
+      cnt(r3).as("n_pass_stop"),
+      cnt(r4).as("n_pass_rep"),
+      cnt(r1 && r2 && r3 && r4).as("n_pass_all"))
+  }
+
+  val gopherRulesSql: String = {
+    val stops = GopherStops.map(x => s"'$x'").mkString(", ")
+    s"""
+    WITH sig AS (
+      SELECT source,
+        length(replace(text, ' ', '')) AS chars,
+        len(list_filter(str_split(text, ' '), w -> w <> '')) AS n,
+        len(list_distinct(list_filter(str_split(text, ' '), w -> w <> ''))) AS nd,
+        len(list_filter(str_split(text, ' '), w -> w IN ($stops))) AS ns
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN n >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+      CAST(SUM(CASE WHEN 4*n <= chars AND chars <= 5*n THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_meanlen,
+      CAST(SUM(CASE WHEN 25*ns >= n THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stop,
+      CAST(SUM(CASE WHEN 5*(n - nd) <= 3*n THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_rep,
+      CAST(SUM(CASE WHEN n >= 30 AND 4*n <= chars AND chars <= 5*n
+               AND 25*ns >= n AND 5*(n - nd) <= 3*n THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM sig GROUP BY source ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_gopher_rules" -> gopherRules _,
     "corpus_bloom_decontaminate" -> bloomDecontaminate _,
     "corpus_lm_score" -> lmScore _,
     "corpus_span_dedup" -> spanDedup _,
@@ -509,6 +573,7 @@ object CorpusSpans {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_gopher_rules" -> gopherRulesSql,
     "corpus_bloom_decontaminate" -> bloomDecontaminateSql,
     "corpus_lm_score" -> lmScoreSql,
     "corpus_span_dedup" -> spanDedupSql,

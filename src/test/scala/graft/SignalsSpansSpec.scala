@@ -37,6 +37,37 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("gopher_rules totals match an exploded recount and every rule discriminates") {
+    val rep = CorpusSpans.gopherRules(spark, sf)
+    val agg = rep.agg(
+      sum(col("n_docs")), sum(col("n_pass_len")), sum(col("n_pass_meanlen")),
+      sum(col("n_pass_stop")), sum(col("n_pass_rep")), sum(col("n_pass_all"))).head
+    val total = agg.getLong(0)
+    // independent recount via explode + groupBy (different plan shape than
+    // the array-function signals the op itself computes)
+    val sig = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("nd"),
+        sum(when(col("w").isin(CorpusSpans.GopherStops: _*), 1L).otherwise(0L)).as("ns"),
+        sum(length(col("w"))).as("chars"))
+    val re = sig.agg(
+      sum(when(col("n") >= 30, 1L).otherwise(0L)),
+      sum(when(lit(4) * col("n") <= col("chars") && col("chars") <= lit(5) * col("n"), 1L).otherwise(0L)),
+      sum(when(lit(25) * col("ns") >= col("n"), 1L).otherwise(0L)),
+      sum(when(lit(5) * (col("n") - col("nd")) <= lit(3) * col("n"), 1L).otherwise(0L))).head
+    assert(agg.getLong(1) == re.getLong(0), "R1 length recount mismatch")
+    assert(agg.getLong(2) == re.getLong(1), "R2 mean-length recount mismatch")
+    assert(agg.getLong(3) == re.getLong(2), "R3 stopword recount mismatch")
+    assert(agg.getLong(4) == re.getLong(3), "R4 repetition recount mismatch")
+    // every rule must actually split this corpus, else the gate is vacuous
+    (1 to 5).foreach { i =>
+      assert(agg.getLong(i) > 0 && agg.getLong(i) < total,
+        s"rule column $i does not discriminate ($total docs, ${agg.getLong(i)} pass)")
+    }
+  }
+
   test("ngram_counts top-1 bigram matches a direct recount") {
     val rows = CorpusSpans.ngramCounts(spark, sf).collect()
     assert(rows.length == CorpusSpans.TopNgrams)
