@@ -257,6 +257,98 @@ object TextAnalysis {
     SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
     FROM u GROUP BY domain ORDER BY domain"""
 
+  /** D13 — HTML boilerplate stripping: the text-extraction step every
+    * web-crawl pipeline runs before any quality scoring (trafilatura /
+    * jusText territory, reduced to the deterministic regex core both
+    * engines share). The corpus carries no markup by construction, so the
+    * gate PLANTS a row-varying HTML wrapper (title/script/style/nav/ad/
+    * footer with doc_id-derived payloads and HTML entities) and strips it:
+    * script+style blocks drop WITH their content (non-greedy spans), other
+    * tags become spaces, entities decode (&amp; last so it can't
+    * manufacture new entities), whitespace collapses. Every stage is a
+    * per-row regexp map fused into one scan — no shuffle, trivially
+    * 100 TB-shaped — and the hash gate covers the full stripped string, so
+    * both engines' regex/replace semantics are exercised end to end.
+    */
+  val ScriptRe = """<script[^>]*>.*?</script>"""
+  val StyleRe = """<style[^>]*>.*?</style>"""
+  val TagRe = """<[^>]+>"""
+
+  def plantHtmlCol: Column = {
+    val did = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), did,
+      lit("</title><script type=\"text/javascript\">var id="), did,
+      lit(";track()</script>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<style>.c"), pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit("{color:red}</style>"))).otherwise(""),
+      lit("</head><body><nav>Home &amp; About&nbsp;Us</nav><h1>Doc "), did,
+      lit("</h1><p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("<div class=\"ad\">Buy now &lt;"),
+          pmod(col("doc_id"), lit(50L)).cast("string"),
+          lit("% off&gt;</div>"))).otherwise(""),
+      lit("<footer>site"), pmod(col("doc_id"), lit(23L)).cast("string"),
+      lit("</footer></body></html>"))
+  }
+
+  val plantHtmlSql: String = """
+        '<html><head><title>Doc ' || doc_id ||
+        '</title><script type="text/javascript">var id=' || doc_id ||
+        ';track()</script>' ||
+        CASE WHEN doc_id % 3 = 0
+          THEN '<style>.c' || (doc_id % 7) || '{color:red}</style>'
+          ELSE '' END ||
+        '</head><body><nav>Home &amp; About&nbsp;Us</nav><h1>Doc ' || doc_id ||
+        '</h1><p>' || text || '</p>' ||
+        CASE WHEN doc_id % 2 = 0
+          THEN '<div class="ad">Buy now &lt;' || (doc_id % 50) || '% off&gt;</div>'
+          ELSE '' END ||
+        '<footer>site' || (doc_id % 23) || '</footer></body></html>'"""
+
+  def stripHtmlCol(c: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(c, ScriptRe, ""), StyleRe, "")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = call_function("replace",
+      call_function("replace",
+        call_function("replace",
+          call_function("replace", noTags, lit("&nbsp;"), lit(" ")),
+          lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, " {2,}", " "))
+  }
+
+  def stripHtmlSql(x: String): String =
+    s"""trim(regexp_replace(
+       replace(replace(replace(replace(
+         regexp_replace(regexp_replace(regexp_replace(
+           $x, '$ScriptRe', '', 'g'), '$StyleRe', '', 'g'), '$TagRe', ' ', 'g'),
+         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+       ' {2,}', ' ', 'g'))"""
+
+  def textStripHtml(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), plantHtmlCol.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(TagRe)).as("n_tags"),
+        regexp_count(col("raw"), lit(ScriptRe)).as("n_scripts"),
+        regexp_extract(col("raw"), "<title>([^<]*)</title>", 1).as("title"),
+        stripHtmlCol(col("raw")).as("stripped"))
+      .withColumn("stripped_chars", length(col("stripped")))
+
+  val textStripHtmlSql: String = s"""
+    WITH raw AS (
+      SELECT doc_id, $plantHtmlSql AS raw FROM documents)
+    SELECT doc_id,
+      CAST(LENGTH(regexp_extract_all(raw, '$TagRe')) AS INTEGER) AS n_tags,
+      CAST(LENGTH(regexp_extract_all(raw, '$ScriptRe')) AS INTEGER) AS n_scripts,
+      regexp_extract(raw, '<title>([^<]*)</title>', 1) AS title,
+      ${stripHtmlSql("raw")} AS stripped,
+      length(${stripHtmlSql("raw")}) AS stripped_chars
+    FROM raw ORDER BY doc_id"""
+
   /** D9 — BM25 keyword search (Robertson/Lucene idf form, k1=1.2, b=0.75):
     * score every document against a fixed query, return the top 20. The
     * term-frequency table is FILTERED to the query terms before any
@@ -455,6 +547,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_keyphrases" -> textKeyphrases _,
+    "text_strip_html" -> textStripHtml _,
     "text_bm25_search" -> textBm25 _,
     "text_mask_numbers" -> textMaskNumbers _,
     "text_mask_pii" -> textMaskPii _,
@@ -469,6 +562,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_keyphrases" -> textKeyphrasesSql,
+    "text_strip_html" -> textStripHtmlSql,
     "text_bm25_search" -> textBm25Sql,
     "text_mask_pii" -> textMaskPiiSql,
     "text_url_domains" -> textUrlDomainsSql,

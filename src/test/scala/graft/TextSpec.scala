@@ -65,6 +65,30 @@ class TextSpec extends SparkSpec {
     assert(langs.subsetOf(allowed))
   }
 
+  test("D13 strip_html: blocks drop with content, tags to spaces, entities decode") {
+    val out = TextAnalysis.textStripHtml(SparkSpecBase.spark, sf)
+      .join(Tables.documents(SparkSpecBase.spark, sf).select(col("doc_id"), col("text")), "doc_id")
+      .limit(200).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val stripped = r.getAs[String]("stripped")
+      // script/style content is GONE (not just the tags)
+      assert(!stripped.contains("track()"), s"doc $id leaked script body")
+      assert(!stripped.contains("color:red"), s"doc $id leaked style body")
+      // the document body survives verbatim
+      assert(stripped.contains(r.getAs[String]("text")), s"doc $id lost body text")
+      // entities decoded exactly once
+      assert(stripped.contains("Home & About Us"), s"doc $id entity decode failed")
+      assert(!stripped.contains("&amp;") && !stripped.contains("&nbsp;"))
+      // no markup left: any residual < comes only from the decoded &lt; ad
+      if (id % 2 == 0) assert(stripped.contains(s"<${id % 50}% off>"))
+      else assert(!stripped.contains("<"), s"doc $id left a tag")
+      assert(r.getAs[String]("title") == s"Doc $id")
+      assert(r.getAs[Int]("n_scripts") == 1)
+    }
+  }
+
   test("D12 RAKE: stopword islands, chunking, degree/freq scoring, top-k order") {
     import SparkSpecBase.spark.implicits._
     val docs = Seq(
