@@ -885,7 +885,83 @@ object Dedup {
     out
   }
 
+  /** E10 — cross-document boilerplate-paragraph removal (the FineWeb/CCNet
+    * line-dedup rule at paragraph granularity): a paragraph occurring in
+    * more than `BoilerPct`% of documents is boilerplate (cookie banners,
+    * subscribe prompts, footers) and is dropped from EVERY document — unlike
+    * H14's keep-first span dedup, which preserves one copy. The corpus has
+    * no paragraph structure by construction, so the gate PLANTS it: a
+    * subscribe banner in 5 row-varying flavors (~20% of docs each → hot), a
+    * cookie notice on every 2nd doc (~50% → hot), 20-word body chunks
+    * (unique → kept), and a per-source footer (5% of docs → exactly AT the
+    * strictly-greater threshold → kept, pinning the boundary in both
+    * engines).
+    *
+    * Scale shape: explode (bounded ×paras-per-doc) → distinct(para,doc) →
+    * map-side-combined count per para; the hot set is ≤ 100·paras-per-doc
+    * rows REGARDLESS of corpus size (pigeonhole: instances/threshold), so
+    * it broadcasts back, and the per-doc re-agg never shuffles paragraph
+    * text — only (doc_id, flag, length). The doc-count scalar is a 1-row
+    * broadcast attach. Never all-pairs, never a corpus-sized collect.
+    */
+  val BoilerPct = 5 // hot iff n_docs * (100/BoilerPct) > total_docs
+
+  val BoilerChunk = 20
+
+  private def boilerParas: Column = concat(
+    array(concat(lit("subscribe to newsletter variant "),
+      pmod(col("doc_id"), lit(5L)).cast("string"), lit(" read more"))),
+    when(col("doc_id") % 2 === 0, array(lit("click here to accept cookies")))
+      .otherwise(array().cast("array<string>")),
+    expr(s"transform(sequence(0, (size(ws) - 1) DIV $BoilerChunk), " +
+      s"k -> concat_ws(' ', slice(ws, k * $BoilerChunk + 1, $BoilerChunk)))"),
+    array(concat(lit("all rights reserved by "), col("source"), lit(" terms apply"))))
+
+  def dedupBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val paras = docs
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .select(col("doc_id"), explode(boilerParas).as("para"))
+    val total = docs.agg(count(lit(1)).as("nt"))
+    val freq = paras.select(col("para"), col("doc_id")).distinct()
+      .groupBy(col("para")).agg(count(lit(1)).as("nd"))
+    val hot = freq.crossJoin(broadcast(total))
+      .filter(col("nd") * (100 / BoilerPct) > col("nt"))
+      .select(col("para"), lit(1).as("hot"))
+    paras.join(broadcast(hot), Seq("para"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(coalesce(col("hot").cast("long"), lit(0L))).as("n_removed"),
+        sum(when(col("hot").isNull, length(col("para"))).otherwise(0L)).as("kept_chars"))
+  }
+
+  val dedupBoilerplateSql: String = s"""
+    WITH d AS (SELECT doc_id, source,
+        list_filter(str_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        'subscribe to newsletter variant ' || (doc_id % 5) || ' read more' AS para
+      FROM d
+      UNION ALL
+      SELECT doc_id, 'click here to accept cookies' FROM d WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, array_to_string(ws[blk * $BoilerChunk + 1 : blk * $BoilerChunk + $BoilerChunk], ' ')
+      FROM (SELECT doc_id, ws,
+              unnest(range(((len(ws) - 1) // $BoilerChunk) + 1)) AS blk
+            FROM d)
+      UNION ALL
+      SELECT doc_id, 'all rights reserved by ' || source || ' terms apply' FROM d),
+    f AS (SELECT para, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nt FROM documents)
+    SELECT doc_id, COUNT(*) AS n_paras,
+      CAST(SUM(CASE WHEN f.nd * ${100 / BoilerPct} > n.nt THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      CAST(SUM(CASE WHEN f.nd * ${100 / BoilerPct} > n.nt THEN 0 ELSE length(p.para) END) AS BIGINT) AS kept_chars
+    FROM p JOIN f USING (para) CROSS JOIN n
+    GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_boilerplate" -> dedupBoilerplate _,
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_incremental" -> incrementalNew _,
@@ -1054,6 +1130,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_boilerplate" -> dedupBoilerplateSql,
     "dedup_winnow" -> winnowOracleSql,
     "dedup_minhash" -> minhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,

@@ -15,6 +15,28 @@ class DedupSpec extends SparkSpec {
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] =
     df.collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
 
+  test("boilerplate dedup removes exactly the hot planted paras, keeps the at-threshold footer") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.dedupBoilerplate(SparkSpecBase.spark, sf)
+    val docs = graft.operators.Tables.documents(SparkSpecBase.spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).as("nw"))
+    val joined = out.join(docs, "doc_id").collect()
+    assert(joined.length == docs.count())
+    joined.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val chunks = (r.getAs[Int]("nw") - 1) / Dedup.BoilerChunk + 1
+      val planted = if (id % 2 == 0) 3 else 2 // banner + footer (+ cookie on evens)
+      assert(r.getAs[Long]("n_paras") == chunks + planted, s"doc $id para count")
+      // banner (20% of docs) and cookie (50%) are hot; the 5%-of-docs footer
+      // sits exactly AT the strictly-greater threshold and must survive
+      val expectRemoved = if (id % 2 == 0) 2L else 1L
+      assert(r.getAs[Long]("n_removed") == expectRemoved,
+        s"doc $id removed ${r.getAs[Long]("n_removed")}, expected $expectRemoved")
+      assert(r.getAs[Long]("kept_chars") > 0)
+    }
+  }
+
   test("jaccard prefix-filter pairs match brute-force at threshold") {
     // brute force over the same shingles, computed locally
     val docs = Dedup.withShingles(graft.operators.Tables.documents(spark, sf))
