@@ -832,7 +832,59 @@ object Ann {
     FROM af LEFT JOIN prs ON prs.dup = af.vec_id
     WHERE prs.dup IS NULL ORDER BY af.vec_id"""
 
+  /** F11 — binary-code retrieval cascade (faiss IndexBinaryFlat shape):
+    * sign-binarize each embedding into 64 bits packed as two 32-bit words,
+    * shortlist by hamming distance over the CODES ONLY, then exact-rerank
+    * the shortlist with float cosine. The stage separation is the 100 TB
+    * point: the hamming sweep touches 8 bytes/vector (32x smaller than the
+    * float vectors, 2 xor+popcnt per candidate — SIMD-trivial) and the pair
+    * stream through the shuffle carries only (qid, nid, hamming); full
+    * vectors are re-fetched by id for the <=shortlist rows per query, never
+    * dragged through the top-k exchange. Both stages' tiebreaks are integer
+    * (hamming asc, nid / rcos 6dp desc, nid), so the cascade replays
+    * bit-exactly in the oracle.
+    *
+    * Packing uses 32-bit words in BIGINT columns so no value ever touches
+    * the sign bit — `1::BIGINT << 63` overflow semantics differ across
+    * engines, `< 2^32` values cannot.
+    */
+  val BinaryShortlist = 50
+
+  private def packSignBits(v: Column, off: Int): Column =
+    (0 until 32).map(i =>
+      when(element_at(v, i + off + 1) > 0.0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+
+  def binaryTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("v"), col("nrm"))
+    val codes = e.select(col("vec_id"),
+      packSignBits(col("v"), 0).as("w0"), packSignBits(col("v"), 32).as("w1"))
+    val qcodes = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("w0").as("q0"), col("w1").as("q1"))
+    val shortlist = codes.join(broadcast(qcodes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+          bit_count(col("w1").bitwiseXOR(col("q1")))).as("hamming"))
+      .withColumn("hrank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("hamming").asc, col("nid").asc)))
+      .filter(col("hrank") <= BinaryShortlist)
+      .select(col("qid"), col("nid"), col("hamming"))
+    // vector fetch-back: broadcast the bounded shortlist against the corpus
+    // scan, attach query vectors from the broadcast query block
+    val qv = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    e.select(col("vec_id").as("nid"), col("v"), col("nrm"))
+      .join(broadcast(shortlist), "nid")
+      .join(broadcast(qv), "qid")
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rcos").desc, col("nid"))))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("nid"), col("rank"), col("hamming"), col("rcos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_binary_topk" -> binaryTopK _,
     "dedup_semantic" -> semanticDedup _,
     "ann_pq_topk" -> pqTopK _,
     "ann_brute_topk" -> bruteTopK _,
@@ -1145,6 +1197,34 @@ object Ann {
         FROM cand
         JOIN v qv ON qv.vec_id = cand.qid
         JOIN v nv ON nv.vec_id = cand.nid) t
+      WHERE rank <= $TopK ORDER BY qid, rank""",
+    "ann_binary_topk" -> s"""
+      WITH p AS (
+        SELECT vec_id,
+          CAST(list_sum(list_transform(embedding[1:32],
+            (x,i) -> CASE WHEN x > 0 THEN 1::BIGINT << (i-1) ELSE 0 END)) AS BIGINT) AS w0,
+          CAST(list_sum(list_transform(embedding[33:64],
+            (x,i) -> CASE WHEN x > 0 THEN 1::BIGINT << (i-1) ELSE 0 END)) AS BIGINT) AS w1
+        FROM embeddings),
+      sl AS (
+        SELECT qid, nid, hamming FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS hamming,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)),
+                c.vec_id) AS hrank
+          FROM p c JOIN p q ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id) t
+        WHERE hrank <= $BinaryShortlist),
+      r AS (
+        SELECT sl.qid, sl.nid, sl.hamming,
+          ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+            CAST(ce.embedding AS DOUBLE[])), 6) AS rcos
+        FROM sl JOIN embeddings ce ON ce.vec_id = sl.nid
+                JOIN embeddings qe ON qe.vec_id = sl.qid)
+      SELECT qid, nid, rank, hamming, rcos FROM (
+        SELECT qid, nid, hamming, rcos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
+        FROM r) t
       WHERE rank <= $TopK ORDER BY qid, rank""",
     "ann_brute_topk" -> s"""
       WITH p AS (

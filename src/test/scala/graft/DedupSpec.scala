@@ -139,6 +139,28 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.embedding.broadcastMaxRows")
   }
 
+  test("binary cascade: recall >= 0.6 vs exact and codes stay below 2^32") {
+    import org.apache.spark.sql.functions._
+    val brute = Ann.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bin = Ann.binaryTopK(spark, sf).collect()
+    val binSet = bin.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = brute.intersect(binSet).size.toDouble / brute.size
+    // deterministic (sign bits + integer hamming): 0.625 measured at this sf
+    assert(recall >= 0.6, s"binary-cascade recall@10 = $recall")
+    // rerank output carries the hamming evidence and a valid rank sequence
+    bin.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+    }
+    // 32-bit packing discipline: no word may reach the BIGINT sign bit
+    val e = graft.dedup.Dedup.withNorm(graft.operators.Tables.embeddings(spark, sf))
+    val words = e.select(col("vec_id"), col("v"))
+      .withColumn("w",
+        expr("aggregate(sequence(0,31), 0L, (a, i) -> a + IF(element_at(v, i+1) > 0D, shiftleft(1L, i), 0L))"))
+    val mx = words.agg(max(col("w"))).head.getLong(0)
+    assert(mx < (1L << 32) && mx > 0)
+  }
+
   test("lsh ann recall beats scanned-fraction by >=2x (the LSH property)") {
     // On near-uniform synthetic vectors no hash family gets high absolute
     // recall; the honest claim is recall per unit of scanned corpus.
