@@ -456,8 +456,44 @@ object Streams {
     Analytics.quantilesFromHist(s.table(name))
   }
 
+  /** C19 — streaming per-window top-k: the trending-items query every event
+    * platform runs ("top pages this hour, live"). The STREAM maintains the
+    * only unbounded work — incremental (window × event_type) counts in the
+    * state store, bounded by the key space, never the stream length — and
+    * the drained complete-mode sink is finished by a batch rank window
+    * (top-[[StreamTopK]] per hour, count-desc with a deterministic name
+    * tiebreak). Ranking inside the stream would force every micro-batch to
+    * re-sort all windows (complete-mode re-emission is the documented cost
+    * of streaming rank); counts-in-stream + rank-at-read is the standard
+    * serving-layer split, and the finisher touches windows × types rows,
+    * not events.
+    */
+  val StreamTopK = 3
+
+  def streamingTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = "graft_stream_topk_sink_" + sinkId.incrementAndGet()
+    val src = eventsStream(s, d, "event_type STRING")
+    withStateParts(s) {
+      val q = src
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("hour_start")).orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rank") <= StreamTopK)
+      .select(col("hour_start"), col("event_type"), col("n"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "streaming_topk" -> streamingTopK _,
       "streaming_quantile_hist" -> streamingQuantileHist _,
       "streaming_dedup" -> streamingDedup _,
       "streaming_hll_distinct" -> streamingHllDistinct _,
@@ -482,6 +518,17 @@ object Streams {
     "streaming_hll_distinct" -> graft.operators.Relational.hllSql("events", "user_id"),
     "streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "streaming_topk" -> s"""
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+          COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT hour_start, event_type, n, rank FROM (
+        SELECT hour_start, event_type, n,
+          ROW_NUMBER() OVER (PARTITION BY hour_start
+            ORDER BY n DESC, event_type) AS rank
+        FROM c) t
+      WHERE rank <= $StreamTopK ORDER BY hour_start, rank""",
     "streaming_window_agg" -> s"""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         COUNT(*) AS n, ${graft.operators.Exact.sqlDsum("value")} AS sum_value

@@ -199,6 +199,28 @@ class StreamingSpec extends SparkSpec {
     assert(want(1) > 0 && want.size == 3)
   }
 
+  test("C19: streaming top-k per window equals a batch recount and ranks correctly") {
+    val got = Streams.streamingTopK(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // batch recount straight off the batch events reader
+    import org.apache.spark.sql.expressions.Window
+    val want = graft.operators.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("hour_start")).orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rank") <= Streams.StreamTopK)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSet == want.toSet && got.nonEmpty)
+    // within each window: dense ranks 1..k, counts non-increasing
+    got.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).sameElements(1 to sorted.length))
+      assert(sorted.map(_._3).zip(sorted.map(_._3).tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("C18: streaming quantile histogram equals the batch estimates") {
     // exact integer (priority, bin) counts are order-independent, so the
     // drained grid — and therefore every estimate — must equal batch B36
