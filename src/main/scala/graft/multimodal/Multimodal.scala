@@ -326,7 +326,65 @@ object Multimodal {
     graft.CacheScope.releaseAfterUse(out, ph)
   }
 
+  /** G7 — audio frame-energy extraction: the per-frame RMS/peak pass every
+    * audio pipeline runs first (silence trimming, clipping detection, VAD
+    * pre-filter all consume exactly this table). The payload is the
+    * manufactured binary column (no codec libs in this container — the
+    * DECODE is the stub, per the G-block contract); the Spark-side shape is
+    * real: a typed per-partition kernel streams each payload once, slicing
+    * [[AudioFrameBytes]]-byte frames and accumulating Σ sample² per frame in
+    * a tight primitive loop — the exact batch shape a vectorized DSP kernel
+    * (or pandas UDF) drops into, no shuffle, no per-frame row explosion.
+    * Integer energies (bounded: 256 · 255² < 2²⁵ per frame) make the gate
+    * order-proof; peak ties resolve to the EARLIEST frame in both engines.
+    * The oracle replays frames positionally over the ASCII text (byte ==
+    * code point on this corpus, asserted by the era gate's charset).
+    */
+  val AudioFrameBytes = 256
+
+  def audioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fb = AudioFrameBytes
+    withPayload(s, d).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, p) =>
+        val nf = (p.length + fb - 1) / fb
+        var peakF = 0L; var peakE = -1L; var tot = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var i = f * fb
+          val end = math.min(i + fb, p.length)
+          while (i < end) { val v = (p(i) & 0xFF).toLong; e += v * v; i += 1 }
+          tot += e
+          if (e > peakE) { peakE = e; peakF = f }
+          f += 1
+        }
+        (id, nf.toLong, tot, peakF, peakE)
+      }
+    }.toDF("doc_id", "n_frames", "total_energy", "peak_frame", "peak_energy")
+  }
+
+  private val audioEnergySql: String = s"""
+    WITH b AS (
+      SELECT doc_id, unnest(range(1, length(text) + 1)) AS pos, text
+      FROM documents),
+    e AS (
+      SELECT doc_id, (pos - 1) // $AudioFrameBytes AS frame,
+        CAST(SUM(ord(substring(text, pos, 1)) * ord(substring(text, pos, 1))) AS BIGINT) AS e
+      FROM b GROUP BY 1, 2),
+    r AS (
+      SELECT doc_id, frame, e,
+        COUNT(*) OVER (PARTITION BY doc_id) AS n_frames,
+        SUM(e) OVER (PARTITION BY doc_id) AS total_energy,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e DESC, frame) AS rn
+      FROM e)
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+      CAST(total_energy AS BIGINT) AS total_energy,
+      CAST(frame AS BIGINT) AS peak_frame, e AS peak_energy
+    FROM r WHERE rn = 1 ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_energy" -> audioEnergy _,
     "mm_frame_dedup" -> frameDedup _,
     "mm_binary_meta" -> binaryMeta _,
     "mm_feature_stub" -> featureStub _,
@@ -373,6 +431,7 @@ object Multimodal {
     ORDER BY a.doc_id, frame_a, frame_b"""
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_energy" -> audioEnergySql,
     "mm_frame_dedup" -> frameDedupSql,
     // DuckDB md5/hex operate on VARCHAR; the payload is exactly the UTF-8
     // bytes of `text`, so md5(text) == md5(encode(text)).

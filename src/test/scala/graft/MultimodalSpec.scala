@@ -5,6 +5,31 @@ import graft.multimodal.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
+  test("audio energy: frame accounting, peak invariants, independent recount") {
+    val out = Multimodal.audioEnergy(spark, sf)
+    val meta = Multimodal.binaryMeta(spark, sf).select(col("doc_id"), col("n_bytes"))
+    // independent total recount: Σ byte² via a SQL aggregate over the chars
+    val recount = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(1, length(text)), 0L, " +
+          "(a, i) -> a + CAST(ascii(substring(text, i, 1)) AS LONG) * ascii(substring(text, i, 1)))")
+        .as("tot2"))
+    val joined = out.join(meta, "doc_id").join(recount, "doc_id").collect()
+    assert(joined.nonEmpty)
+    val fb = Multimodal.AudioFrameBytes
+    joined.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_frames") == (r.getAs[Int]("n_bytes") + fb - 1) / fb,
+        s"doc $id frame count")
+      assert(r.getAs[Long]("total_energy") == r.getAs[Long]("tot2"), s"doc $id energy")
+      assert(r.getAs[Long]("peak_energy") <= r.getAs[Long]("total_energy"))
+      assert(r.getAs[Long]("peak_frame") < r.getAs[Long]("n_frames"))
+      assert(r.getAs[Long]("peak_energy") > 0)
+    }
+    // frames genuinely vary on this corpus (docs span the frame boundary)
+    assert(joined.map(_.getAs[Long]("n_frames")).distinct.length > 1)
+  }
+
   test("feature stub: histogram mass equals payload byte count") {
     val rows = Multimodal.featureStubRaw(spark, sf).collect()
     assert(rows.nonEmpty)
