@@ -960,7 +960,73 @@ object Dedup {
     FROM p JOIN f USING (para) CROSS JOIN n
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** E11 — URL-canonicalization dedup: the crawl-side dedup that runs
+    * BEFORE any content is fetched or compared (CCNet/Common-Crawl
+    * curation: most duplicates are the same page re-crawled under scheme/
+    * case/tracking-param/fragment variations). The gate PLANTS 5 docs per
+    * canonical page, each mutated differently (http vs https, host case,
+    * utm tracking params, #fragment, trailing slash) and canonicalizes:
+    * lowercase → strip fragment → strip query → scheme-normalize → strip
+    * trailing slash. Keep-first by doc_id within each canonical key.
+    *
+    * Shape: the canonicalizer is a fused per-row regexp chain (no shuffle),
+    * then ONE canonical-keyed map-side-combined agg — at crawl scale this
+    * is a hash shuffle on the canonical URL, the cheapest possible dedup
+    * key, and the reason every pipeline runs it first: it removes the bulk
+    * of duplicates at string cost, before any fingerprint/minhash money is
+    * spent.
+    */
+  private def plantRawUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("http")),
+    lit("://"),
+    when(col("doc_id") % 3 === 0, lit("Site")).otherwise(lit("site")),
+    pmod(col("doc_id"), lit(40L)).cast("string"),
+    lit(".Example.org/page/"), pmod(col("doc_id"), lit(100L)).cast("string"),
+    when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 4 < 2, lit("?utm_source=feed&utm_campaign=x")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit("#sec1")).otherwise(lit("")))
+
+  private val plantRawUrlSql: String = """
+        CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://' ||
+        CASE WHEN doc_id % 3 = 0 THEN 'Site' ELSE 'site' END || (doc_id % 40) ||
+        '.Example.org/page/' || (doc_id % 100) ||
+        CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        CASE WHEN doc_id % 4 < 2 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END"""
+
+  def canonicalizeUrl(u: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(u), "#.*$", ""),
+          "\\?.*$", ""),
+        "^https:", "http:"),
+      "/$", "")
+
+  def canonicalizeUrlSql(x: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       lower($x), '#.*$$', '', 'g'), '\\?.*$$', '', 'g'),
+       '^https:', 'http:'), '/$$', '', 'g')"""
+
+  def dedupUrlCanonical(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), plantRawUrl.as("url"))
+      .select(col("doc_id"), col("url"), canonicalizeUrl(col("url")).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("kept_doc"))
+
+  val dedupUrlCanonicalSql: String = s"""
+    WITH u AS (
+      SELECT doc_id, $plantRawUrlSql AS url FROM documents),
+    c AS (SELECT doc_id, url, ${canonicalizeUrlSql("url")} AS canonical FROM u)
+    SELECT canonical, COUNT(*) AS n_docs,
+      COUNT(DISTINCT url) AS n_variants, MIN(doc_id) AS kept_doc
+    FROM c GROUP BY canonical ORDER BY canonical"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url_canonical" -> dedupUrlCanonical _,
     "dedup_boilerplate" -> dedupBoilerplate _,
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
@@ -1130,6 +1196,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_url_canonical" -> dedupUrlCanonicalSql,
     "dedup_boilerplate" -> dedupBoilerplateSql,
     "dedup_winnow" -> winnowOracleSql,
     "dedup_minhash" -> minhashOracleSql,

@@ -15,6 +15,26 @@ class DedupSpec extends SparkSpec {
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] =
     df.collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
 
+  test("url canonicalization folds every planted variation and conserves docs") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.dedupUrlCanonical(SparkSpecBase.spark, sf).collect()
+    val total = graft.operators.Tables.documents(SparkSpecBase.spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total, "dedup must conserve docs")
+    out.foreach { r =>
+      val c = r.getAs[String]("canonical")
+      // canonical grammar: normalized scheme/case, no query/fragment/slash
+      assert(c.startsWith("http://site"), c)
+      assert(!c.contains("#") && !c.contains("?") && !c.endsWith("/"), c)
+      assert(c == c.toLowerCase, c)
+      // keep-first: doc_ids are dense from 0 and the canonical key is a
+      // doc_id%200 residue class, so every kept doc must be its residue
+      assert(r.getAs[Long]("kept_doc") < 200, s"kept ${r.getAs[Long]("kept_doc")} not first")
+    }
+    // the plant actually exercises folding: some canonical has >1 raw variant
+    assert(out.exists(_.getAs[Long]("n_variants") > 1), "no variant folding — vacuous")
+    assert(out.exists(_.getAs[Long]("n_docs") > 1), "no url-level duplicates — vacuous")
+  }
+
   test("boilerplate dedup removes exactly the hot planted paras, keeps the at-threshold footer") {
     import org.apache.spark.sql.functions._
     val out = Dedup.dedupBoilerplate(SparkSpecBase.spark, sf)
