@@ -560,7 +560,51 @@ object CorpusSpans {
     FROM sig GROUP BY source ORDER BY source"""
   }
 
+  /** H26 — per-domain crawl QUOTA: cap each domain at [[DomainQuota]] docs,
+    * keep-first by doc_id — the FineWeb/C4 guard against a single site
+    * flooding the mix (SEO farms, mirrors, auto-generated catalogs). Reuses
+    * the D11 URL plant and extraction regex (first URL = the doc's host, ONE
+    * shared definition — the report and D11's domain table cannot drift).
+    * Shape: per-row regex extract fused into the scan, then a
+    * domain-partitioned rank window (parallel across domains; the heavy-
+    * domain skew a real crawl hits is exactly what the quota itself then
+    * bounds downstream) and a domains-sized agg. `max_kept_doc` (the Q-th
+    * smallest id) proves SELECTION happened, not just counting.
+    */
+  val DomainQuota = 2
+
+  def domainQuota(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis.{plantUrlCol, UrlRe}
+    Tables.documents(s, d)
+      .select(col("doc_id"), regexp_extract(plantUrlCol, UrlRe, 1).as("domain"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= DomainQuota, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > DomainQuota, 1L).otherwise(0L)).as("n_dropped"),
+        max(when(col("rk") <= DomainQuota, col("doc_id"))).as("max_kept_doc"))
+  }
+
+  val domainQuotaSql: String = {
+    import graft.operators.TextAnalysis.{plantUrlSql, UrlRe}
+    s"""
+    WITH u AS (
+      SELECT doc_id, regexp_extract($plantUrlSql, '$UrlRe', 1) AS domain
+      FROM documents),
+    r AS (
+      SELECT doc_id, domain,
+        ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      FROM u)
+    SELECT domain, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN rk <= $DomainQuota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN rk > $DomainQuota THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      MAX(CASE WHEN rk <= $DomainQuota THEN doc_id END) AS max_kept_doc
+    FROM r GROUP BY domain ORDER BY domain"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_domain_quota" -> domainQuota _,
     "corpus_gopher_rules" -> gopherRules _,
     "corpus_bloom_decontaminate" -> bloomDecontaminate _,
     "corpus_lm_score" -> lmScore _,
@@ -573,6 +617,7 @@ object CorpusSpans {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_domain_quota" -> domainQuotaSql,
     "corpus_gopher_rules" -> gopherRulesSql,
     "corpus_bloom_decontaminate" -> bloomDecontaminateSql,
     "corpus_lm_score" -> lmScoreSql,

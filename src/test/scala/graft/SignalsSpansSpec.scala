@@ -37,6 +37,30 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("domain_quota: kept+dropped reconcile, quota binds, selection is keep-first") {
+    val rep = CorpusSpans.domainQuota(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == total, "quota must see every doc")
+    rep.foreach { r =>
+      val (n, k, dr) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))
+      assert(k + dr == n)
+      assert(k == math.min(CorpusSpans.DomainQuota.toLong, n), s"${r.getAs[String]("domain")}")
+      assert(r.getAs[Long]("max_kept_doc") >= 0)
+    }
+    // the quota actually binds on this corpus
+    assert(rep.exists(_.getAs[Long]("n_dropped") > 0), "quota never binds — vacuous")
+    // keep-first: the Q-th kept doc is below every dropped doc — spot-check
+    // via the heaviest domain
+    val heavy = rep.maxBy(_.getAs[Long]("n_docs"))
+    import graft.operators.TextAnalysis.{plantUrlCol, UrlRe}
+    val ids = Tables.documents(spark, sf)
+      .select(col("doc_id"), regexp_extract(plantUrlCol, UrlRe, 1).as("domain"))
+      .filter(col("domain") === heavy.getAs[String]("domain"))
+      .collect().map(_.getLong(0)).sorted
+    assert(heavy.getAs[Long]("max_kept_doc") ==
+      ids(CorpusSpans.DomainQuota - 1), "not keep-first selection")
+  }
+
   test("gopher_rules totals match an exploded recount and every rule discriminates") {
     val rep = CorpusSpans.gopherRules(spark, sf)
     val agg = rep.agg(
