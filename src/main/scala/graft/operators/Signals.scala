@@ -299,7 +299,64 @@ object Signals {
         ELSE NULL END AS pearson_r
     FROM m ORDER BY 1"""
 
+  /** C20 — MAD-based anomaly detection over the hourly rate series: the
+    * robust twin of C12's mean/stddev alert. Median + median-absolute-
+    * deviation ignore the outliers themselves (a traffic spike inflates a
+    * stddev threshold enough to hide itself; it cannot move a median), so
+    * this is what monitoring pipelines actually deploy. Exactness: hourly
+    * counts are integers, so every median/MAD is a multiple of 0.5 —
+    * dyadic, exactly representable in doubles — and the 3×MAD comparison
+    * never sits on a rounding boundary in either engine. Shape: one
+    * events→(type,hour) agg, two |types|-sized percentile aggs broadcast
+    * back, one per-type rank for the worst hour — all windows partition by
+    * event_type; nothing scales beyond the timeline.
+    */
+  val MadK = 3
+
+  def eventsAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val med = hourly.groupBy(col("event_type"))
+      .agg(percentile(col("n"), lit(0.5)).as("med"))
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("dev").desc, col("h"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(MadK) * col("mad"), 1L).otherwise(0L)).as("n_anomalies"),
+        max(when(col("rn") === 1, col("h"))).as("worst_hour"),
+        max(when(col("rn") === 1, col("n"))).as("worst_n"))
+  }
+
+  val eventsAnomalyMadSql: String = s"""
+    WITH c AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, median(n) AS med FROM c GROUP BY 1),
+    dv AS (
+      SELECT c.event_type, h, n, med, abs(n - med) AS dev
+      FROM c JOIN m USING (event_type)),
+    mm AS (SELECT event_type, median(dev) AS mad FROM dv GROUP BY 1),
+    r AS (
+      SELECT dv.event_type, h, n, med, mad, dev,
+        ROW_NUMBER() OVER (PARTITION BY dv.event_type
+          ORDER BY dev DESC, h) AS rn
+      FROM dv JOIN mm ON dv.event_type = mm.event_type)
+    SELECT event_type, COUNT(*) AS n_hours,
+      ANY_VALUE(med) AS med, ANY_VALUE(mad) AS mad,
+      CAST(SUM(CASE WHEN dev > $MadK * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      MAX(CASE WHEN rn = 1 THEN h END) AS worst_hour,
+      MAX(CASE WHEN rn = 1 THEN n END) AS worst_n
+    FROM r GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly_mad" -> eventsAnomalyMad _,
     "stats_correlation" -> statsCorrelation _,
     "events_gap_fill_locf" -> eventsGapFillLocf _,
     "events_rate_alert" -> eventsRateAlert _,
@@ -309,6 +366,7 @@ object Signals {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_anomaly_mad" -> eventsAnomalyMadSql,
     "stats_correlation" -> statsCorrelationSql,
     "events_gap_fill_locf" -> eventsGapFillLocfSql,
     "events_rate_alert" -> eventsRateAlertSql,

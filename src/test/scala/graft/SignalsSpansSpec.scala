@@ -37,6 +37,33 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("anomaly_mad: med/mad match a local exact recompute; anomalies are real outliers") {
+    val rep = Signals.eventsAnomalyMad(spark, sf).collect()
+    assert(rep.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("n").toDouble)).toMap
+    def medOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    rep.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = hourly(t)
+      val med = medOf(xs)
+      val mad = medOf(xs.map(x => math.abs(x - med)))
+      assert(r.getAs[Double]("med") == med, s"$t med")
+      assert(r.getAs[Double]("mad") == mad, s"$t mad")
+      val anomalies = xs.count(x => math.abs(x - med) > Signals.MadK * mad)
+      assert(r.getAs[Long]("n_anomalies") == anomalies, s"$t anomaly count")
+      assert(r.getAs[Long]("n_anomalies") > 0 && r.getAs[Long]("n_anomalies") < xs.length,
+        s"$t threshold vacuous")
+      // the worst hour is itself an anomaly (dev maximal)
+      assert(math.abs(r.getAs[Long]("worst_n") - med) == xs.map(x => math.abs(x - med)).max)
+    }
+  }
+
   test("domain_quota: kept+dropped reconcile, quota binds, selection is keep-first") {
     val rep = CorpusSpans.domainQuota(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
