@@ -69,7 +69,10 @@ object PlanAudit {
     "text_bm25_search",
     // streaming_hll_distinct: the ≤256-row drained register table reduced
     // to the 1-row estimate — hll_distinct's shape over the memory sink
-    "streaming_hll_distinct")
+    "streaming_hll_distinct",
+    // dedup_boilerplate: the 1-row total-doc COUNT broadcast into the
+    // hot-paragraph threshold — the q22 scalar-aggregate shape
+    "dedup_boilerplate")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,
@@ -96,7 +99,11 @@ object PlanAudit {
     "ann_pq_topk",
     // text_keyphrases: phrase assembly — collect_list buffers at most
     // RakeMaxLen = 4 (pos, word) pairs per (doc, chunk) group
-    "text_keyphrases")
+    "text_keyphrases",
+    // events_anomaly_mad: exact percentile buffers hold one value per
+    // hour of the per-type TIMELINE (and its partial-agg reduces) — bounded
+    // by types × hours like agg_percentiles/skew_report, never event count
+    "events_anomaly_mad")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")

@@ -700,7 +700,77 @@ object CorpusClean {
       CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept
     FROM flags GROUP BY source ORDER BY source"""
 
+  /** H27 — token-budget shard MANIFEST: cut the corpus (in doc_id order)
+    * into shards of [[ShardTokens]] whitespace-tokens each and emit the
+    * manifest a training job actually consumes — per shard: doc range,
+    * doc count, token total. Shard assignment needs the GLOBAL token
+    * prefix-sum, the classic scale-killer when written as a global-order
+    * window (one partition sorts the corpus); here it is the distributed
+    * two-pass form: range-partition by doc_id → per-partition token sums
+    * (collected: one long per partition, `shuffle.partitions` rows, never
+    * corpus rows) → per-partition running sums seeded by the broadcast
+    * offsets. Same device family as H21's zipWithIndex rank, generalized
+    * from COUNT to SUM. The sorted scored frame persists across its two
+    * passes and releases after.
+    *
+    * A doc belongs to shard (tokens_before DIV [[ShardTokens]]) — shards
+    * are contiguous doc ranges whose token totals hover around the budget
+    * (a doc never splits; the manifest records the true totals).
+    */
+  val ShardTokens = 2000L
+
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = Tables.documents(s, d)
+      .select(col("doc_id"), wsTokens(col("text")).cast("long").as("t"))
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val cached = graft.CacheScope.scopedPersist(sorted)
+    val rdd = cached.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // pass 1 (eager, fills the cache): one token-sum long per partition
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single((i, it.map(_._2).sum))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // exclusive prefix of the per-partition sums = each partition's seed
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = s.sparkContext.broadcast(offsets)
+    val sh = ShardTokens
+    // pass 2 (lazy, reads the cache): seeded per-partition running sums
+    val stamped = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var cum = bc.value(i)
+      it.map { case (id, t) =>
+        val before = cum
+        cum += t
+        (id, t, before / sh)
+      }
+    }
+    val out = s.createDataFrame(stamped).toDF("doc_id", "t", "shard_id")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+    graft.CacheScope.releaseAfterUse(out, cached)
+  }
+
+  val shardManifestSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, CAST(${wsTokensSql("text")} AS BIGINT) AS t FROM documents),
+    c AS (
+      SELECT doc_id, t,
+        CAST(COALESCE(SUM(t) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $ShardTokens
+          AS BIGINT) AS shard_id
+      FROM t)
+    SELECT shard_id, COUNT(*) AS n_docs,
+      CAST(SUM(t) AS BIGINT) AS total_tokens,
+      MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY shard_id ORDER BY shard_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shard_manifest" -> shardManifest _,
     "corpus_funnel_report" -> funnelReport _,
     "corpus_clean" -> corpusClean _,
     "corpus_curriculum" -> curriculum _,
@@ -720,6 +790,7 @@ object CorpusClean {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_shard_manifest" -> shardManifestSql,
     "corpus_funnel_report" -> funnelReportSql,
     "corpus_clean" -> corpusCleanSql,
     "corpus_curriculum" -> curriculumSql,

@@ -883,7 +883,66 @@ object Ann {
       .select(col("qid"), col("nid"), col("rank"), col("hamming"), col("rcos"))
   }
 
+  /** F12 — maximum-inner-product search (MIPS): the recommendation-model
+    * retrieval ordering (user·item scores), which is NOT cosine — vector
+    * magnitude matters. The stored embeddings are unit-normalized (MIPS
+    * would degenerate to F1 exactly), so the gate PLANTS the norm signal a
+    * real MIPS corpus carries: each vector is scaled by the deterministic
+    * importance weight 1 + (vec_id mod 7)/4 — dyadic, so the scaling is an
+    * exact double product in both engines — the way production systems
+    * encode popularity/quality in embedding magnitude. The spec pins that
+    * IP and cosine top-1 genuinely diverge under the plant.
+    *
+    * Cascade: an INTEGER scaled-int8 shortlist — iscore =
+    * int8dot(a,c)·fix(a)·fix(c) with fix = round(1024·max|x|), the H22/F10
+    * fixed-point device, so the per-pair score is a product of integers
+    * (order-proof, bit-replayable; magnitudes ≤ 2^20·2^12·2^12 = 2^44);
+    * cosine's scale-cancellation does NOT apply to MIPS, so the per-vector
+    * scales must re-enter, and snapping them once per vector keeps the
+    * shortlist integer-exact — then exact float IP rerank over the
+    * [[MipsShortlist]] fetch-back. Same slim-pairs discipline as F11: the
+    * shuffle carries (qid, nid, iscore), never vectors.
+    */
+  val MipsShortlist = 50
+
+  /** The planted importance weight: 1 + (vec_id mod 7)/4 ∈ {1, 1.25, …, 2.5}. */
+  private def mipsWeight: Column =
+    lit(1.0) + pmod(col("vec_id"), lit(7L)).cast("double") / lit(4.0)
+
+  def mipsTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("v"))
+      .withColumn("v", transform(col("v"), x => x * mipsWeight))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q8", packBytes(when(col("scale") > 0,
+        transform(col("v"), x => round(lit(127.0) * x / col("scale")).cast("byte")))
+        .otherwise(transform(col("v"), _ => lit(0).cast("byte")))))
+      .withColumn("fix", round(col("scale") * 1024).cast("long"))
+    val codes = e.select(col("vec_id"), col("q8"), col("fix"))
+    val qcodes = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("q8").as("qq8"), col("fix").as("qfix"))
+    val shortlist = codes.join(broadcast(qcodes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (graft.plans.DotProductInt8.dot(col("q8"), col("qq8")) *
+          col("fix") * col("qfix")).as("iscore"))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("iscore").desc, col("nid"))))
+      .filter(col("srank") <= MipsShortlist)
+      .select(col("qid"), col("nid"))
+    val vecs = e.select(col("vec_id"), col("v"))
+    val qv = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    vecs.select(col("vec_id").as("nid"), col("v"))
+      .join(broadcast(shortlist), "nid")
+      .join(broadcast(qv), "qid")
+      .withColumn("rip", round(dotCol("qv", "v"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rip").desc, col("nid"))))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("nid"), col("rank"), col("rip"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mips_topk" -> mipsTopK _,
     "ann_binary_topk" -> binaryTopK _,
     "dedup_semantic" -> semanticDedup _,
     "ann_pq_topk" -> pqTopK _,
@@ -1197,6 +1256,41 @@ object Ann {
         FROM cand
         JOIN v qv ON qv.vec_id = cand.qid
         JOIN v nv ON nv.vec_id = cand.nid) t
+      WHERE rank <= $TopK ORDER BY qid, rank""",
+    "ann_mips_topk" -> s"""
+      WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * (1 + (vec_id % 7) / 4.0)) AS v
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM v),
+      q AS (
+        SELECT vec_id, v,
+          CASE WHEN scale > 0
+            THEN list_transform(v, x -> round(127.0 * x / scale))
+            ELSE list_transform(v, x -> 0.0) END AS q,
+          CAST(round(scale * 1024) AS BIGINT) AS fix
+        FROM sc),
+      sl AS (
+        SELECT qid, nid FROM (
+          SELECT a.vec_id AS qid, c.vec_id AS nid,
+            CAST(list_dot_product(a.q, c.q) AS BIGINT) * a.fix * c.fix AS iscore,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY CAST(list_dot_product(a.q, c.q) AS BIGINT) * a.fix * c.fix DESC,
+                c.vec_id) AS srank
+          FROM q a JOIN q c ON c.vec_id <> a.vec_id
+          WHERE a.vec_id < $NumQueries) t
+        WHERE srank <= $MipsShortlist),
+      r AS (
+        SELECT sl.qid, sl.nid,
+          ROUND(list_dot_product(a.v, c.v), 6) AS rip
+        FROM sl JOIN v a ON a.vec_id = sl.qid JOIN v c ON c.vec_id = sl.nid)
+      SELECT qid, nid, rank, rip FROM (
+        SELECT qid, nid, rip,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rip DESC, nid) AS rank
+        FROM r) t
       WHERE rank <= $TopK ORDER BY qid, rank""",
     "ann_binary_topk" -> s"""
       WITH p AS (

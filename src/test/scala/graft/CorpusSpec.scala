@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 import graft.operators.{CorpusClean, Relational, Tables}
 
 class CorpusSpec extends SparkSpec {
+
+  test("shard manifest: contiguous doc ranges, token conservation, budget band") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CorpusClean
+    val m = CorpusClean.shardManifest(spark, sf).collect()
+      .sortBy(_.getAs[Long]("shard_id"))
+    assert(m.length > 1, "one shard — budget never binds")
+    // shard ids are dense from 0
+    assert(m.map(_.getAs[Long]("shard_id")).sameElements(m.indices.map(_.toLong)))
+    // contiguity: shards tile the doc_id line in order
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("last_doc") + 1 == b.getAs[Long]("first_doc"),
+        s"gap between shards ${a.getAs[Long]("shard_id")} and ${b.getAs[Long]("shard_id")}")
+    case _ => ()
+    }
+    val docsTok = graft.operators.Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " "))).as("t"), count(lit(1)).as("n")).head
+    assert(m.map(_.getAs[Long]("total_tokens")).sum == docsTok.getLong(0), "token loss")
+    assert(m.map(_.getAs[Long]("n_docs")).sum == docsTok.getLong(1), "doc loss")
+    // a doc never splits, so every non-final shard is within one max-doc of
+    // the budget (docs cap at 99 words on this corpus)
+    m.init.foreach { r =>
+      assert(math.abs(r.getAs[Long]("total_tokens") - CorpusClean.ShardTokens) < 100,
+        s"shard ${r.getAs[Long]("shard_id")} total ${r.getAs[Long]("total_tokens")}")
+    }
+  }
   test("corpus_split is a shuffle-free total partition with ~90/5/5 mass") {
     val df = CorpusClean.trainSplit(spark, sf)
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),

@@ -159,6 +159,36 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.embedding.broadcastMaxRows")
   }
 
+  test("mips cascade: exact-recall, and the IP ordering genuinely diverges from cosine") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // exact weighted-IP brute force, independently of the cascade
+    val v = graft.dedup.Dedup.withNorm(graft.operators.Tables.embeddings(spark, sf))
+      .select(col("vec_id"),
+        transform(col("v"), x =>
+          x * (lit(1.0) + pmod(col("vec_id"), lit(7L)).cast("double") / lit(4.0))).as("v"))
+    val q = v.filter(col("vec_id") < Ann.NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("ip", round(graft.plans.DotProduct.dot(col("qv"), col("v")), 6))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("vec_id"))))
+      .filter(col("r") <= Ann.TopK)
+      .select(col("qid"), col("vec_id").as("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Ann.mipsTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"mips cascade recall = $recall (1.0 measured)")
+    // the planted norms make IP rank differently than cosine for most queries
+    val ipTop1 = Ann.mipsTopK(spark, sf).filter(col("rank") === 1).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toMap
+    val cosTop1 = Ann.bruteTopK(spark, sf).filter(col("rank") === 1).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toMap
+    val diverged = ipTop1.count { case (k, n) => cosTop1.get(k).exists(_ != n) }
+    assert(diverged >= 30, s"only $diverged/100 top-1s diverge — MIPS degenerate")
+  }
+
   test("binary cascade: recall >= 0.6 vs exact and codes stay below 2^32") {
     import org.apache.spark.sql.functions._
     val brute = Ann.bruteTopK(spark, sf).collect()
