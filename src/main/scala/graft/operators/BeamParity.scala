@@ -311,7 +311,41 @@ object BeamParity {
       .orc(dir.toString)
   }
 
+  /** A25 — binary-file DIRECTORY ingestion (`binaryFile` datasource): the
+    * shape every multimodal pipeline starts from — a store full of media
+    * files, not rows in a table. One `.bin` file per document is exported
+    * by a per-partition writer (executor-local java.nio, no driver
+    * funnel), then read back through Spark's binaryFile source, which
+    * yields (path, modificationTime, length, content) with the record id
+    * recovered from the file NAME — the join key convention of image/audio
+    * corpora. The gate verifies losslessness byte-for-byte: per-file
+    * length + md5(content) against the originating table. At 100 TB the
+    * source parallelizes over files (maxPartitionBytes-bounded groups) and
+    * supports pathGlobFilter/recursiveFileLookup pruning; the small-file
+    * pressure it creates is exactly what A24's compaction planner measures.
+    */
+  def sourceBinaryRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir(s, d, "bin_rt")
+    val dirStr = dir.toString
+    dir.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(dir)
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        val base = java.nio.file.Paths.get(new java.net.URI(dirStr).getPath)
+        rows.forEachRemaining { r =>
+          java.nio.file.Files.write(
+            base.resolve(s"doc_${r.getLong(0)}.bin"), r.getAs[Array[Byte]](1))
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dirStr)
+      .select(
+        regexp_extract(col("path"), "doc_([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_binary_roundtrip" -> sourceBinaryRoundtrip _,
     "sink_text_roundtrip" -> sinkTextRoundtrip _,
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "source_schema_evolution" -> sourceSchemaEvolution _,
@@ -344,6 +378,12 @@ object BeamParity {
     "sink_partitioned_prune" -> """
       SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""",
+    // payload is exactly text's UTF-8 bytes, so DuckDB's VARCHAR md5/strlen
+    // see the same bytes the binary file holds (the G1 discipline)
+    "source_binary_roundtrip" -> """
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        md5(text) AS content_md5
+      FROM documents ORDER BY doc_id""",
     "source_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id",
     "source_orc_roundtrip" ->

@@ -13,6 +13,21 @@ class SourceSinkSpec extends SparkSpec {
   private def tmp(name: String): String =
     Files.createTempDirectory(s"graft-$name").toString + "/out"
 
+  test("binary-file source: per-file ingestion is lossless and ids recover from paths") {
+    import graft.operators.BeamParity
+    val got = BeamParity.sourceBinaryRoundtrip(spark, sf)
+    val meta = graft.multimodal.Multimodal.binaryMeta(spark, sf)
+      .select(col("doc_id"), col("content_md5").as("want_md5"), col("n_bytes").as("want_bytes"))
+    val joined = got.join(meta, "doc_id").collect()
+    assert(joined.length == Tables.documents(spark, sf).count(),
+      "file count != doc count (path-id recovery or glob filter broken)")
+    joined.foreach { r =>
+      assert(r.getAs[String]("content_md5") == r.getAs[String]("want_md5"),
+        s"doc ${r.getAs[Long]("doc_id")} bytes corrupted through the file round-trip")
+      assert(r.getAs[Long]("n_bytes") == r.getAs[Int]("want_bytes").toLong)
+    }
+  }
+
   test("csv round-trip preserves rows and schema (header + inferSchema)") {
     val src = Tables.nation(spark, sf)
     val path = tmp("csv")
