@@ -72,7 +72,10 @@ object PlanAudit {
     "streaming_hll_distinct",
     // dedup_boilerplate: the 1-row total-doc COUNT broadcast into the
     // hot-paragraph threshold — the q22 scalar-aggregate shape
-    "dedup_boilerplate")
+    "dedup_boilerplate",
+    // corpus_drift_report: the 1-row corpus token TOTAL broadcast into the
+    // KL log-ratio — reduces (source,word) partials, the q22 shape
+    "corpus_drift_report")
 
   /** Queries whose ObjectHashAggregates carry constant-size or df-bounded
     * buffers (sketches, bounded postings, Beam-parity per-key collections,

@@ -603,7 +603,66 @@ object CorpusSpans {
     FROM r GROUP BY domain ORDER BY domain"""
   }
 
+  /** H28 — per-source distribution DRIFT report: KL(source ‖ corpus) over
+    * the word distribution, in bits/token — the domain-drift monitor a
+    * corpus team watches across crawls ("source X's language moved away
+    * from the mix"). Exactness is the H22 device: the log-ratio
+    * log2(c_sw·T / (C_s·c_w)) snaps ONCE per (source, word) model row to a
+    * 2^20 fixed-point long, so the per-source divergence is an INTEGER sum
+    * (order-proof, hash-gateable; only cross-engine exposure is the
+    * documented rounding-boundary ulp). Shape: one explode → one
+    * (source, word) agg, then the global word/source/total marginals are
+    * RE-AGGREGATED from that table (never a second corpus scan), joined
+    * back (word-keyed join is vocab-sized — AQE broadcasts it at test SF,
+    * hash join at web vocab; source marginals and the 1-row total
+    * broadcast), and reduced to a \|sources\|-row report.
+    */
+  def driftReport(s: SparkSession, d: String): DataFrame = {
+    val sw = graft.CacheScope.scopedPersist(
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("csw")))
+    val g = sw.groupBy(col("w")).agg(sum(col("csw")).as("cw"))
+    val st = sw.groupBy(col("source")).agg(sum(col("csw")).as("cs"))
+    val t = sw.agg(sum(col("csw")).as("t"))
+    val out = sw
+      .join(g, "w")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(t))
+      .withColumn("ilog",
+        round(log2((col("csw") * col("t")).cast("double") /
+          (col("cs") * col("cw")).cast("double")) * lit(1048576.0)).cast("long"))
+      .groupBy(col("source"))
+      .agg(first(col("cs")).as("n_tokens"),
+        countDistinct(col("w")).as("n_terms"),
+        sum(col("csw") * col("ilog")).as("klfix"))
+      .withColumn("kl_bits",
+        round(col("klfix").cast("double") / col("n_tokens") / lit(1048576.0), 6))
+      .select(col("source"), col("n_tokens"), col("n_terms"), col("kl_bits"))
+    graft.CacheScope.releaseAfterUse(out, sw)
+  }
+
+  val driftReportSql: String = """
+    WITH sw AS (
+      SELECT source, w, COUNT(*) AS csw FROM (
+        SELECT source, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+        FROM documents)
+      GROUP BY 1, 2),
+    g AS (SELECT w, CAST(SUM(csw) AS BIGINT) AS cw FROM sw GROUP BY 1),
+    st AS (SELECT source, CAST(SUM(csw) AS BIGINT) AS cs FROM sw GROUP BY 1),
+    t AS (SELECT CAST(SUM(csw) AS BIGINT) AS t FROM sw),
+    k AS (
+      SELECT sw.source, sw.w, sw.csw, st.cs,
+        CAST(round(log2(CAST(sw.csw * t.t AS DOUBLE) /
+          CAST(st.cs * g.cw AS DOUBLE)) * 1048576) AS BIGINT) AS ilog
+      FROM sw JOIN g USING (w) JOIN st ON sw.source = st.source CROSS JOIN t)
+    SELECT source, ANY_VALUE(cs) AS n_tokens, COUNT(DISTINCT w) AS n_terms,
+      ROUND(CAST(SUM(csw * ilog) AS DOUBLE) / ANY_VALUE(cs) / 1048576.0, 6) AS kl_bits
+    FROM k GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_drift_report" -> driftReport _,
     "corpus_domain_quota" -> domainQuota _,
     "corpus_gopher_rules" -> gopherRules _,
     "corpus_bloom_decontaminate" -> bloomDecontaminate _,
@@ -617,6 +676,7 @@ object CorpusSpans {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_drift_report" -> driftReportSql,
     "corpus_domain_quota" -> domainQuotaSql,
     "corpus_gopher_rules" -> gopherRulesSql,
     "corpus_bloom_decontaminate" -> bloomDecontaminateSql,

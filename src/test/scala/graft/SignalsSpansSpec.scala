@@ -37,6 +37,38 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("drift_report: KL matches a driver fixed-point recompute, is ~nonnegative, varies") {
+    val rep = CorpusSpans.driftReport(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"), r.getAs[Double]("kl_bits")))
+    assert(rep.nonEmpty)
+    // driver-side recompute with the same fixed-point snapping
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("source", "w").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val cw = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val cs = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val t = rows.map(_._3).sum
+    val want = rows.groupBy(_._1).map { case (src, rs) =>
+      val klfix = rs.map { case (_, w, c) =>
+        // HALF_UP to mirror Spark's round() exactly (math.round floors
+        // negative halves toward +inf — a silent divergence on .5 ilogs)
+        c * BigDecimal(math.log(c.toDouble * t / (cs(src).toDouble * cw(w))) /
+          math.log(2.0) * 1048576.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      src -> BigDecimal(klfix.toDouble / cs(src) / 1048576.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rep.foreach { case (src, n, kl) =>
+      assert(n == cs(src))
+      assert(kl == want(src), s"$src: $kl vs ${want(src)}")
+      // true KL >= 0; fixed-point snapping can dip at most a few micro-bits
+      assert(kl >= -0.001, s"$src negative divergence $kl")
+    }
+    assert(rep.map(_._3).distinct.length > 1, "all sources identical — vacuous drift")
+  }
+
   test("anomaly_mad: med/mad match a local exact recompute; anomalies are real outliers") {
     val rep = Signals.eventsAnomalyMad(spark, sf).collect()
     assert(rep.nonEmpty)
