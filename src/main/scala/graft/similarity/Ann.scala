@@ -857,8 +857,14 @@ object Ann {
 
   def binaryTopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d)).select(col("vec_id"), col("v"), col("nrm"))
-    val codes = e.select(col("vec_id"),
-      packSignBits(col("v"), 0).as("w0"), packSignBits(col("v"), 32).as("w1"))
+    // persist the 8-byte codes: without the materialization boundary the
+    // 64-branch sign-pack projection collapses INTO the broadcast-loop
+    // join and re-evaluates per PAIR (xN_queries per vector — measured
+    // 4.3 s -> 0.9 s at sf0.1); persisting evaluates it once per vector,
+    // which is also exactly what "store the binary index" means at scale
+    val codes = graft.CacheScope.scopedPersist(
+      e.select(col("vec_id"),
+        packSignBits(col("v"), 0).as("w0"), packSignBits(col("v"), 32).as("w1")))
     val qcodes = codes.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("w0").as("q0"), col("w1").as("q1"))
     val shortlist = codes.join(broadcast(qcodes), col("vec_id") =!= col("qid"))
@@ -873,7 +879,7 @@ object Ann {
     // scan, attach query vectors from the broadcast query block
     val qv = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    e.select(col("vec_id").as("nid"), col("v"), col("nrm"))
+    val out = e.select(col("vec_id").as("nid"), col("v"), col("nrm"))
       .join(broadcast(shortlist), "nid")
       .join(broadcast(qv), "qid")
       .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
@@ -881,6 +887,7 @@ object Ann {
         Window.partitionBy(col("qid")).orderBy(col("rcos").desc, col("nid"))))
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("nid"), col("rank"), col("hamming"), col("rcos"))
+    graft.CacheScope.releaseAfterUse(out, codes)
   }
 
   /** F12 — maximum-inner-product search (MIPS): the recommendation-model

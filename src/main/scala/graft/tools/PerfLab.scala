@@ -340,6 +340,15 @@ object PerfLab {
         Seq("basket_pairs", "corpus_token_budget").foreach { n =>
           timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
         }
+      case "pin10b" =>
+        // 5-rep spreads for the third-session band suspects: the four
+        // common-key moves >1.3x with no code change (combine_aggregator
+        // 0.96->1.33, q21 0.71->1.06, dedup_embedding 0.59->0.91, q20
+        // 0.80->1.09) in a bench whose common-key sum drifted 72.5->80.8
+        Seq("combine_aggregator", "q21_late_supplier", "dedup_embedding",
+            "q20_dominant_supplier").foreach { n =>
+          timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
+        }
       case "clean" =>
         // decompose corpus_clean: which text expression dominates?
         import graft.functions.TextFunctions._
