@@ -920,7 +920,7 @@ object Dedup {
   def dedupBoilerplate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val paras = docs
-      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .withColumn("ws", TextFunctions.words(col("text")))
       .select(col("doc_id"), explode(boilerParas).as("para"))
     val total = docs.agg(count(lit(1)).as("nt"))
     val freq = paras.select(col("para"), col("doc_id")).distinct()

@@ -345,8 +345,11 @@ object Multimodal {
   def audioEnergy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fb = AudioFrameBytes
+    // empty payloads emit NO row (a zero-length clip has no frames) —
+    // matching the oracle, whose positional replay produces zero rows for
+    // an empty text; without this filter the engines diverge on row count
     withPayload(s, d).as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, p) =>
+      it.filter(_._2.length > 0).map { case (id, p) =>
         val nf = (p.length + fb - 1) / fb
         var peakF = 0L; var peakE = -1L; var tot = 0L
         var f = 0

@@ -634,8 +634,10 @@ object CorpusSpans {
         round(log2((col("csw") * col("t")).cast("double") /
           (col("cs") * col("cw")).cast("double")) * lit(1048576.0)).cast("long"))
       .groupBy(col("source"))
+      // rows are already unique per (source, w) — a plain count IS the
+      // distinct term count, without countDistinct's two-phase aggregate
       .agg(first(col("cs")).as("n_tokens"),
-        countDistinct(col("w")).as("n_terms"),
+        count(lit(1)).as("n_terms"),
         sum(col("csw") * col("ilog")).as("klfix"))
       .withColumn("kl_bits",
         round(col("klfix").cast("double") / col("n_tokens") / lit(1048576.0), 6))

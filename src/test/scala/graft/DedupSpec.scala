@@ -40,7 +40,7 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.dedupBoilerplate(SparkSpecBase.spark, sf)
     val docs = graft.operators.Tables.documents(SparkSpecBase.spark, sf)
       .select(col("doc_id"),
-        size(filter(split(col("text"), " "), w => w =!= "")).as("nw"))
+        size(graft.functions.TextFunctions.words(col("text"))).as("nw"))
     val joined = out.join(docs, "doc_id").collect()
     assert(joined.length == docs.count())
     joined.foreach { r =>
