@@ -232,6 +232,16 @@ class DedupSpec extends SparkSpec {
     assert(fast == decl && fast.nonEmpty)
   }
 
+  test("F7 heap-shortlist cascade == declarative windowed cascade, bit for bit") {
+    // the round-10 verdict port: stage 1 through the bounded-heap device
+    // must reproduce the per-qid window winnow exactly (same Long MACs,
+    // same HALF_UP 6 dp, same (score desc, nid) order)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getInt(2))
+    val fast = Ann.rerankTopK(spark, sf).collect().toSeq.sortBy(key)
+    val decl = Ann.rerankTopKDeclarative(spark, sf).collect().toSeq.sortBy(key)
+    assert(fast == decl && fast.nonEmpty)
+  }
+
   test("packed paths are invariant to input partitioning") {
     // the per-partition heap/triangle logic must not depend on row placement.
     // The source table is a single-row-group parquet (always ONE non-empty
