@@ -100,6 +100,81 @@ object TextFunctions {
   def miniBpeTokensSql(x: String): String =
     s"(length($x) - len(regexp_extract_all($x, '$miniBpePattern')))"
 
+  /** MULTI-ROUND BPE merge table (SURVEY §2 H18b; round-10 verdict item 2):
+    * real BPE applies its merge list SEQUENTIALLY — each rule rewrites the
+    * symbol sequence produced by all earlier rules, so later rules merge
+    * MERGED symbols ("t"+"h"→[th], [th]+"e"→[the], " "+[the]→[ the]) and a
+    * frequent word collapses to ONE token, which a single merge round can
+    * never do. The single-round [[miniBpeTokens]] stays as the cheap
+    * calibration count; this is the honest tokenizer-shaped upgrade the
+    * budget/packing operators key on.
+    *
+    * Three generations (32 base bigrams → 16 second-order → 8 third-order;
+    * frequency order is public English letter statistics), each merged pair
+    * mapping to one private-use-area codepoint (U+E000+) so every rule stays
+    * "2 codepoints → 1 codepoint" and both engines replay it as a chain of
+    * literal `replace` passes — left-to-right, non-overlapping, replacement
+    * never rescanned, identical semantics in java.lang.String.replace,
+    * DuckDB replace(), and the [[graft.plans.BpeTokens]] kernel.
+    */
+  val bpeMergeTable: Seq[(String, Char)] = {
+    val g1 = Seq(
+      "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+      "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+      "st", "to", "nt", "ng", "se", "ha", "ou", "io", "le", "ve",
+      "co", "me")
+    val s1 = g1.indices.map(i => (0xE000 + i).toChar)
+    def m1(p: String): Char = s1(g1.indexOf(p))
+    // gen-2 symbols are positional: rule i -> U+E020+i. Reachability note:
+    // gen-1 applies sequentially, so in "ion" the earlier "on" rule always
+    // wins ("io" never forms) — the ion-family compounds therefore build on
+    // i+[on] and [ti]+[on], the sequences gen-1 ACTUALLY leaves behind
+    // (verified by the CorpusSpec reference-state-machine traces).
+    val theSym = 0xE020.toChar; val ingSym = 0xE021.toChar
+    val andSym = 0xE022.toChar; val ionSym = 0xE023.toChar
+    val tionSym = 0xE024.toChar
+    val g2 = Seq(
+      s"${m1("th")}e",    // E020 "the"
+      s"${m1("in")}g",    // E021 "ing"
+      s"${m1("an")}d",    // E022 "and"
+      s"i${m1("on")}",    // E023 "ion"  (i + [on])
+      s"${m1("ti")}${m1("on")}", // E024 "tion" ([ti] + [on])
+      s"${m1("er")} ", s"${m1("es")} ", s"${m1("ed")} ",
+      s" ${m1("th")}", s"${m1("on")} ", s"${m1("at")} ",
+      s"${m1("en")} ", s" ${m1("co")}", s" ${m1("re")}",
+      s" ${m1("st")}", s"${m1("ar")} ")
+    val g3 = Seq(
+      s" $theSym",            // " the"
+      s"$ingSym ",            // "ing "
+      s"$andSym ",            // "and "
+      s"$tionSym ",           // "tion "
+      s"${m1("at")}$ionSym",  // "ation" ([at] + [ion])
+      s"$ionSym ",            // "ion "
+      s"$theSym ")            // "the "
+    val s2 = g2.indices.map(i => (0xE020 + i).toChar)
+    val s3 = g3.indices.map(i => (0xE040 + i).toChar)
+    val rules = g1.zip(s1) ++ g2.zip(s2) ++ g3.zip(s3)
+    require(rules.map(_._2).distinct.length == rules.length &&
+      rules.forall(_._1.length == 2), "malformed BPE merge table")
+    rules
+  }
+
+  /** K-round BPE token count: codepoints of the text after the full
+    * [[bpeMergeTable]] replace chain — the native one-buffer kernel.
+    */
+  def bpeTokensK(c: Column): Column = graft.plans.BpeTokens.count(c)
+
+  /** SQL twin: the literal nested-replace chain (each rule one replace(),
+    * applied in table order), then length(). DuckDB's replace is the same
+    * left-to-right non-overlapping literal rewrite as the kernel's pass.
+    */
+  def bpeTokensKSql(x: String): String = {
+    val chain = bpeMergeTable.foldLeft(x) { case (acc, (p, sym)) =>
+      s"replace($acc, '$p', '$sym')"
+    }
+    s"length($chain)"
+  }
+
   /** Language-marker stopword sets. The heuristic scores each language by
     * total occurrences of its markers (space-padded to approximate word
     * boundaries) and argmaxes with a fixed precedence order.

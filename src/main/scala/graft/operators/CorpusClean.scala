@@ -112,7 +112,10 @@ object CorpusClean {
         sum(wsTokens(col("text")).cast("long")).as("ws_tokens"),
         sum(bpeTokens(col("text")).cast("long")).as("word_tokens"),
         sum(expr("CAST((b * 2 + 6) DIV 7 AS BIGINT)")).as("bpe_est"),
-        sum(miniBpeTokens(col("text")).cast("long")).as("minibpe_tokens"))
+        sum(miniBpeTokens(col("text")).cast("long")).as("minibpe_tokens"),
+        // the K-round merge count (H18b) — the tokenizer-shaped number a
+        // budget should actually key on; kept alongside the cheaper bases
+        sum(bpeTokensK(col("text")).cast("long")).as("bpek_tokens"))
 
   val tokenBudgetSql: String = s"""
     SELECT source, ${langIdSql("text")} AS lang, COUNT(*) AS n_docs,
@@ -121,7 +124,8 @@ object CorpusClean {
       CAST(SUM(${wsTokensSql("text")}) AS BIGINT) AS ws_tokens,
       CAST(SUM(${bpeTokensSql("text")}) AS BIGINT) AS word_tokens,
       CAST(SUM((strlen(text) * 2 + 6) // 7) AS BIGINT) AS bpe_est,
-      CAST(SUM(${miniBpeTokensSql("text")}) AS BIGINT) AS minibpe_tokens
+      CAST(SUM(${miniBpeTokensSql("text")}) AS BIGINT) AS minibpe_tokens,
+      CAST(SUM(${bpeTokensKSql("text")}) AS BIGINT) AS bpek_tokens
     FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Eval-set n-gram decontamination: drop training docs sharing ANY 5-word
@@ -253,6 +257,55 @@ object CorpusClean {
           FROM w),
     c AS (SELECT doc_id, chunk_idx,
             len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens]) AS n_tokens
+          FROM k),
+    g AS (SELECT doc_id, chunk_idx, n_tokens, doc_id % $PackGroups AS grp FROM c),
+    cum AS (SELECT grp, n_tokens,
+              SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+            FROM g)
+    SELECT grp, CAST(cum_before // $PackBudget AS BIGINT) AS pack_seq,
+      COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM cum GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** H5b — packing on K-round BPE token counts (round-10 verdict item 2:
+    * the budget/pack consumers keying on the tokenizer-shaped count).
+    * Identical packing shape to [[pack]] — PackGroups parallel running-sum
+    * streams — but each chunk is measured by
+    * [[graft.functions.TextFunctions.bpeTokensK]] over its text instead of
+    * its word count, so pack boundaries land where a real BPE tokenizer
+    * would put them. A word chunk maps to strictly fewer BPE-K symbols than
+    * codepoints, and the merge chain runs once per chunk in the same scan
+    * that forms it — no extra pass, no shuffle beyond pack()'s own.
+    */
+  def packBpe(s: SparkSession, d: String): DataFrame = {
+    val grpW = Window.partitionBy(col("grp")).orderBy(col("doc_id"), col("chunk_idx"))
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (n_words - 1) DIV $ChunkStride), " +
+            s"k -> slice(ws, k * $ChunkStride + 1, $ChunkTokens))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        bpeTokensK(concat_ws(" ", col("chunk"))).as("n_tokens"))
+      .withColumn("grp", pmod(col("doc_id"), lit(PackGroups.toLong)))
+      .withColumn("cum_before",
+        sum(col("n_tokens").cast("long")).over(grpW) - col("n_tokens"))
+      .withColumn("pack_seq", expr(s"cum_before DIV $PackBudget"))
+      .groupBy(col("grp"), col("pack_seq"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+  }
+
+  val packBpeSql: String = s"""
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    k AS (SELECT doc_id, ws,
+            unnest(range(((len(ws) - 1) // $ChunkStride) + 1)) AS chunk_idx
+          FROM w),
+    c AS (SELECT doc_id, chunk_idx,
+            ${bpeTokensKSql(s"array_to_string(ws[chunk_idx * $ChunkStride + 1 : " +
+              s"chunk_idx * $ChunkStride + $ChunkTokens], ' ')")} AS n_tokens
           FROM k),
     g AS (SELECT doc_id, chunk_idx, n_tokens, doc_id % $PackGroups AS grp FROM c),
     cum AS (SELECT grp, n_tokens,
@@ -786,7 +839,8 @@ object CorpusClean {
     "corpus_decontaminate" -> decontaminate _,
     "corpus_sample_mix" -> sampleMix _,
     "corpus_chunk" -> chunk _,
-    "corpus_pack" -> pack _
+    "corpus_pack" -> pack _,
+    "corpus_pack_bpe" -> packBpe _
   )
 
   val oracles: Map[String, String] = Map(
@@ -806,6 +860,7 @@ object CorpusClean {
     "corpus_decontaminate" -> decontaminateSql,
     "corpus_sample_mix" -> sampleMixSql,
     "corpus_chunk" -> chunkSql,
-    "corpus_pack" -> packSql
+    "corpus_pack" -> packSql,
+    "corpus_pack_bpe" -> packBpeSql
   )
 }

@@ -161,4 +161,51 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(again == out)
   }
+
+  test("H18b multi-round BPE: kernel == replace-chain reference; merges compound " +
+      "across generations; codepoint-exact on emoji") {
+    import SparkSpecBase.spark.implicits._
+    import graft.functions.TextFunctions.{bpeMergeTable, bpeTokensK}
+    // reference state machine: literal java.lang.String.replace per rule in
+    // table order (left-to-right, non-overlapping, replacement not
+    // rescanned within its pass) — the exact semantics the SQL oracle's
+    // nested replace() chain runs
+    def ref(text: String): Int = {
+      val merged = bpeMergeTable.foldLeft(text) {
+        case (acc, (p, sym)) => acc.replace(p, sym.toString)
+      }
+      merged.codePointCount(0, merged.length)
+    }
+    val planted = Seq(
+      "the cat sat on the mat", "nation station ration", "thththth",
+      "", " ", "the", " the theatre and the thing ",
+      "running jumping singing", "a🎉b the 🎉",
+      "zzzz", "information organization")
+    for (t <- planted) {
+      val got = Seq(t).toDF("text")
+        .select(bpeTokensK(col("text")).as("n")).head.getInt(0)
+      assert(got == ref(t), s"'$t': kernel $got != reference ${ref(t)}")
+    }
+    // and over a real corpus sample, row by row
+    val rows = Tables.documents(spark, sf).limit(200)
+      .select(col("text"), bpeTokensK(col("text")).as("n")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == ref(r.getString(0)))
+    }
+    // generations compound: "the" is th+e (gen 2) -> 1 token, where the
+    // single-round count can never go below 2 for 3 chars
+    def one(t: String): Int =
+      Seq(t).toDF("text").select(bpeTokensK(col("text")).as("n")).head.getInt(0)
+    assert(one("the") == 1)
+    assert(one(" the ") == 2) // gen-3 " the" then ["the "] ordering: " the"+" "
+    // "ation" -> a+[tion] (gen 3, via gen-2 t+[ion], via gen-1 io+n) = 1
+    assert(one("ation") == 1)
+    // single-round lower bound: length - merges >= ceil(len/2) = 2 for "the"
+    val single = Seq("the").toDF("text")
+      .select(graft.functions.TextFunctions.miniBpeTokens(col("text")).as("n"))
+      .head.getInt(0)
+    assert(single == 2, s"single-round 'the' = $single")
+    // emoji count as one symbol (codepoint semantics, DuckDB length parity)
+    assert(one("🎉") == 1)
+  }
 }
