@@ -286,6 +286,138 @@ object Analytics {
         .groupBy(col("o_orderpriority"), col("bin"))
         .agg(count(lit(1)).as("c")))
 
+  /** B61 — LOG-BUCKET RANK SKETCH for UNKNOWN ranges (round-10 verdict
+    * item 3): B36's fixed-width histogram needs the value range up front;
+    * this sketch does not. Each positive value lands in an HDR/DDSketch-
+    * style logarithmic bucket — octave `e = floor(log2(cents))` plus the
+    * top [[DdFracBits]] mantissa bits — giving a RELATIVE-error guarantee
+    * (bucket width / lower bound ≤ 2^-[[DdFracBits]]) over ANY range with
+    * no prior min/max: the 100 TB telemetry case where tails shift daily.
+    *
+    * Why this shape instead of literal KLL: KLL's compactor decisions
+    * depend on arrival ORDER, which no declarative engine (or DuckDB twin)
+    * can replay without serializing the stream. The log-bucket sketch
+    * reaches the same goal — mergeable rank queries over unknown ranges in
+    * bounded memory — with ZERO randomness: bucket counts are a pure
+    * function of the value multiset (a groupBy), merge is count addition,
+    * and the bounded-memory "compaction" is the deterministic DDSketch
+    * collapse (when a group exceeds [[DdMaxBuckets]] distinct buckets, the
+    * lowest buckets fold into the [[DdMaxBuckets]]-th highest — again a
+    * pure multiset function). Every step is integer-exact, so the DuckDB
+    * oracle replays the registers bit for bit (the B16b/B55 discipline);
+    * AnalyticsSpec pins the analytic error bound against exact quantiles.
+    *
+    * All arithmetic is integer: cents = round(price·100) (exact for 2-dp
+    * money), floor-log2 as a sum of threshold comparisons, sub-bucket by
+    * integer shift, bucket upper bound recovered by the inverse shift.
+    */
+  val DdFracBits = 4
+  val DdSub = 1 << DdFracBits      // 16 sub-buckets per octave
+  val DdMaxBuckets = 128
+  private val DdMaxLog = 39        // cents < 2^39 covers $5.5B values
+
+  /** floor(log2(v)) for v >= 1, as exact integer arithmetic (sum of
+    * threshold tests — the same text the SQL twin runs). */
+  private def ilog2(v: Column): Column =
+    (1 to DdMaxLog).map(j => when(v >= lit(1L << j), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+  private def ilog2Sql(x: String): String =
+    (1 to DdMaxLog).map(j => s"CASE WHEN $x >= ${1L << j} THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** Map side shared by B61 and its streaming twin: (o_orderpriority,
+    * bucket idx). idx = v for v < 2^F (exact small buckets), else
+    * e·2^F + (v >> (e−F)) − 2^F.
+    */
+  def ddBucketed(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("v", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("e", ilog2(col("v")))
+      .withColumn("idx",
+        when(col("v") < lit(DdSub.toLong), col("v"))
+          .otherwise(col("e") * DdSub +
+            expr(s"shiftright(v, CAST(e - $DdFracBits AS INT))") - DdSub))
+
+  /** Sketch finisher shared by batch and streaming: collapse to
+    * [[DdMaxBuckets]], then fold cumulative counts to p50/p90/p99 bucket
+    * UPPER BOUNDS in cents (integers — hash-exact). The grid is
+    * sketch-sized, so every window here runs over ≤ priorities × buckets
+    * rows regardless of input scale.
+    */
+  def ddSketchReport(grid: DataFrame): DataFrame = {
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    val rankW = byGroup.orderBy(col("idx").desc)
+    val collapsed = grid
+      .withColumn("r", row_number().over(rankW))
+      .withColumn("thr", max(when(col("r") === DdMaxBuckets, col("idx"))).over(byGroup))
+      .withColumn("cidx", when(col("thr").isNotNull && col("idx") < col("thr"),
+        col("thr")).otherwise(col("idx")))
+      .groupBy(col("o_orderpriority"), col("cidx"))
+      .agg(sum(col("c")).as("c"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("cidx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // inverse map: bucket exclusive upper bound in cents
+    val ub = when(col("cidx") < lit(DdSub.toLong), col("cidx") + 1)
+      .otherwise(expr(s"shiftleft(cidx % $DdSub + ${DdSub + 1}, " +
+        s"CAST(cidx DIV $DdSub - $DdFracBits AS INT))"))
+    collapsed
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))))
+      .withColumn("ub", ub)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("n")).as("n"),
+        count(lit(1)).as("n_buckets"),
+        min(when(col("cum") >= lit(0.5) * col("n"), col("ub"))).as("p50_ub"),
+        min(when(col("cum") >= lit(0.9) * col("n"), col("ub"))).as("p90_ub"),
+        min(when(col("cum") >= lit(0.99) * col("n"), col("ub"))).as("p99_ub"))
+  }
+
+  def quantileSketchLog(s: SparkSession, d: String): DataFrame =
+    ddSketchReport(
+      ddBucketed(Tables.orders(s, d))
+        .groupBy(col("o_orderpriority"), col("idx"))
+        .agg(count(lit(1)).as("c")))
+
+  val quantileSketchLogSql: String = s"""
+    WITH b0 AS (SELECT o_orderpriority,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+    b1 AS (SELECT o_orderpriority, v, ${ilog2Sql("v")} AS e FROM b0),
+    h AS (SELECT o_orderpriority,
+        CASE WHEN v < $DdSub THEN v
+             ELSE e * $DdSub + (v >> (e - $DdFracBits)) - $DdSub END AS idx,
+        COUNT(*) AS c
+      FROM b1 GROUP BY 1, 2),
+    rk AS (SELECT o_orderpriority, idx, c,
+        ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY idx DESC) AS r
+      FROM h),
+    th AS (SELECT o_orderpriority, idx, c,
+        MAX(CASE WHEN r = $DdMaxBuckets THEN idx END)
+          OVER (PARTITION BY o_orderpriority) AS thr
+      FROM rk),
+    cl AS (SELECT o_orderpriority,
+        CASE WHEN thr IS NOT NULL AND idx < thr THEN thr ELSE idx END AS cidx,
+        SUM(c) AS c
+      FROM th GROUP BY 1, 2),
+    cw AS (SELECT o_orderpriority, cidx, c,
+        SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY cidx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(c) OVER (PARTITION BY o_orderpriority) AS n,
+        CASE WHEN cidx < $DdSub THEN cidx + 1
+             ELSE (cidx % $DdSub + ${DdSub + 1}) << (cidx // $DdSub - $DdFracBits)
+        END AS ub
+      FROM cl)
+    SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+      COUNT(*) AS n_buckets,
+      CAST(MIN(CASE WHEN cum >= 0.5 * n THEN ub END) AS BIGINT) AS p50_ub,
+      CAST(MIN(CASE WHEN cum >= 0.9 * n THEN ub END) AS BIGINT) AS p90_ub,
+      CAST(MIN(CASE WHEN cum >= 0.99 * n THEN ub END) AS BIGINT) AS p99_ub
+    FROM cw GROUP BY 1 ORDER BY 1"""
+
   /** B37 — referential-integrity audit: orphan counts for each FK edge of
     * the schema in one result. Anti-joins leave Catalyst free to broadcast
     * the key side; each check is a count of survivors. The first query a
@@ -551,6 +683,7 @@ object Analytics {
     "layout_zorder" -> layoutZorder _,
     "layout_zorder_scan" -> layoutZorderScan _,
     "approx_quantile_hist" -> approxQuantileHist _,
+    "quantile_sketch_log" -> quantileSketchLog _,
     "quality_fk_orphans" -> qualityFkOrphans _,
     "quality_profile" -> qualityProfile _,
     "q7_volume" -> q7Volume _,
@@ -566,6 +699,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "quantile_sketch_log" -> quantileSketchLogSql,
     "layout_zorder_scan" -> s"""
       SELECT o_orderkey, o_custkey, o_orderdate
       FROM orders

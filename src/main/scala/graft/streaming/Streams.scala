@@ -456,6 +456,32 @@ object Streams {
     Analytics.quantilesFromHist(s.table(name))
   }
 
+  /** C21 — streaming twin of B61's log-bucket rank sketch: the stream
+    * maintains only the (priority × bucket) count grid — bounded by the
+    * sketch geometry (≤ priorities × octaves × 2^F rows), never the stream
+    * length — and the drained sink goes through the SAME
+    * [[graft.operators.Analytics.ddSketchReport]] finisher as the batch
+    * form, so collapse and extraction cannot drift. Unknown-range quantiles
+    * over an endless stream is exactly the case the fixed-width C18 grid
+    * cannot serve (its bin width bakes in a range guess).
+    */
+  def streamingQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Analytics
+    val name = "graft_stream_dd_sink_" + sinkId.incrementAndGet()
+    withStateParts(s) {
+      val q = Analytics.ddBucketed(
+          s.readStream.schema("o_orderpriority STRING, o_totalprice DOUBLE")
+            .parquet(s"$d/{orders.parquet}"))
+        .groupBy(col("o_orderpriority"), col("idx"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    Analytics.ddSketchReport(s.table(name))
+  }
+
   /** C19 — streaming per-window top-k: the trending-items query every event
     * platform runs ("top pages this hour, live"). The STREAM maintains the
     * only unbounded work — incremental (window × event_type) counts in the
@@ -495,6 +521,7 @@ object Streams {
     Map(
       "streaming_topk" -> streamingTopK _,
       "streaming_quantile_hist" -> streamingQuantileHist _,
+      "streaming_quantile_sketch" -> streamingQuantileSketch _,
       "streaming_dedup" -> streamingDedup _,
       "streaming_hll_distinct" -> streamingHllDistinct _,
       "streaming_window_agg" -> streamingWindowAgg _,
@@ -509,6 +536,9 @@ object Streams {
     // the streaming histogram drains to the batch grid: share B36's oracle
     "streaming_quantile_hist" ->
       graft.operators.Analytics.oracles("approx_quantile_hist"),
+    // the streaming log-bucket sketch drains to the batch grid: share B61's
+    "streaming_quantile_sketch" ->
+      graft.operators.Analytics.quantileSketchLogSql,
     // the streaming funnel must equal the batch funnel on the bounded source
     "streaming_funnel" -> graft.operators.Analytics.oracles("event_funnel"),
     // streaming twins of the batch alert/sketch share their batch oracles

@@ -443,4 +443,58 @@ class AnalyticsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("B61 log-bucket sketch: relative-error bound holds against exact quantiles") {
+    // analytic guarantee: the reported bucket upper bound brackets the
+    // exact order statistic from above within one bucket width, and bucket
+    // width / lower bound <= 2^-F for idx >= 2^F
+    val exact = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val est = Analytics.quantileSketchLog(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    for ((prio, vs) <- exact; (p, colName) <- Seq(
+        0.5 -> "p50_ub", 0.9 -> "p90_ub", 0.99 -> "p99_ub")) {
+      val k = math.ceil(p * vs.length).toLong.toInt
+      val xk = vs(k - 1)
+      val ub = est(prio).getAs[Long](colName)
+      assert(ub > xk, s"$prio $colName: ub $ub must exceed exact $xk")
+      assert(ub <= xk * (1.0 + 1.0 / Analytics.DdSub) + 1,
+        s"$prio $colName: ub $ub breaches relative bound vs exact $xk")
+    }
+  }
+
+  test("B61 collapse: >DdMaxBuckets distinct buckets fold deterministically, mass conserved") {
+    import SparkSpecBase.spark.implicits._
+    // one value per (octave, sub-bucket) across octaves 5..38 — 544 distinct
+    // buckets, far over the 128 cap; cents = (16+s) << (e-4) round-trips
+    // exactly through the /100 price encoding (all < 2^53)
+    val cents = for (e <- 5 to 38; sub <- 0 until Analytics.DdSub)
+      yield (16L + sub) << (e - Analytics.DdFracBits)
+    val planted = cents.map(c => ("X", c.toDouble / 100.0))
+      .toDF("o_orderpriority", "o_totalprice")
+    val grid = Analytics.ddBucketed(planted)
+      .groupBy(col("o_orderpriority"), col("idx"))
+      .agg(count(lit(1)).as("c"))
+    assert(grid.count() == cents.length, "each planted value its own bucket")
+    val rep = Analytics.ddSketchReport(grid).collect()
+    assert(rep.length == 1)
+    val r = rep.head
+    // collapse keeps exactly DdMaxBuckets buckets and loses no mass
+    assert(r.getAs[Long]("n_buckets") == Analytics.DdMaxBuckets, r.toString)
+    assert(r.getAs[Long]("n") == cents.length, r.toString)
+    // upper quantiles live far above the collapsed region and stay exact:
+    // p90 order statistic among 544 geometric values
+    val sorted = cents.sorted
+    val x90 = sorted(math.ceil(0.9 * sorted.length).toInt - 1)
+    val ub90 = r.getAs[Long]("p90_ub")
+    assert(ub90 > x90 && ub90 <= x90 * (1.0 + 1.0 / Analytics.DdSub) + 1,
+      s"p90_ub $ub90 vs exact $x90")
+    // determinism: a rerun is bit-identical
+    val again = Analytics.ddSketchReport(grid).collect().head
+    assert(again == r)
+  }
 }
