@@ -64,6 +64,93 @@ object CorpusSpans {
       string_agg(span, ' ' ORDER BY blk) AS text_dedup
     FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
 
+  /** H14b — CONTENT-ANCHORED span dedup (round-10 verdict item 4): H14's
+    * disjoint [[SpanWords]]-word blocks miss a duplicated passage whose
+    * offset differs between documents by anything not ≡ 0 mod
+    * [[SpanWords]] (the blocks slice the copy differently in each doc, so
+    * no block TEXT ever matches). Fixed-stride overlap only shrinks the
+    * blind spot; the real fix is the minimizer/content-defined-chunking
+    * device: anchor spans at positions the WORDS THEMSELVES select —
+    * position i anchors iff md5(wordᵢ) ends in one of 4 hex nibbles
+    * (expected stride 4, plus a forced doc-start anchor) — so two copies of
+    * a passage choose the SAME anchors wherever each copy sits, and the
+    * anchored 8-word span texts match exactly. md5 is the one hash both
+    * engines already share bit-for-bit (the E1 fingerprint discipline).
+    *
+    * Output is the per-document duplication audit (doc_id, n_words,
+    * n_spans, n_dup_spans, dup_words): dup spans are occurrences after the
+    * global (doc_id, i)-min first occurrence of their text, and dup_words
+    * counts distinct word positions covered by ≥1 dup span — the
+    * ExactSubstr-style "how much of this doc is copied" signal. Shape: one
+    * bounded explode (~n/4 spans), one skew-safe min-struct agg on span
+    * text, one linear hash join back, one ≤8× positional explode for
+    * coverage — linear at any corpus size, no windows over corpus-sized
+    * streams.
+    */
+  private val AnchorNibbles = Seq("0", "4", "8", "c")
+
+  def spanDedupAnchor(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+    val anchors = docs
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0), col("n") - 1)).as("i"))
+      .filter(col("i") === 0 ||
+        substring(md5(element_at(col("ws"), col("i") + 1)), 32, 1)
+          .isin(AnchorNibbles: _*))
+    val spans = anchors.select(col("doc_id"), col("i"), col("n"),
+      concat_ws(" ", slice(col("ws"), col("i") + 1, lit(SpanWords))).as("span"))
+    val firsts = spans
+      .groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("first"))
+    val marked = spans.join(firsts, "span")
+      .withColumn("is_dup",
+        struct(col("doc_id"), col("i")) =!= col("first"))
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"))
+    val cov = marked.filter(col("is_dup"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), least(col("i") + SpanWords, col("n")) - 1)).as("j"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_words"))
+    docs.select(col("doc_id"), col("n").cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+  }
+
+  val spanDedupAnchorSql: String = s"""
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws,
+                 len(str_split(text, ' ')) AS n FROM documents),
+    pos AS (SELECT doc_id, ws, n, unnest(range(n)) AS i FROM w),
+    a AS (SELECT doc_id, ws, n, i FROM pos
+          WHERE i = 0 OR substring(md5(ws[CAST(i + 1 AS INT)]), 32, 1)
+            IN (${AnchorNibbles.map(x => s"'$x'").mkString(", ")})),
+    sp AS (SELECT doc_id, i, n,
+             array_to_string(ws[CAST(i + 1 AS INT) : CAST(i + $SpanWords AS INT)], ' ') AS span
+           FROM a),
+    r AS (SELECT doc_id, i, n, span,
+            ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn
+          FROM sp),
+    perdoc AS (SELECT doc_id, COUNT(*) AS n_spans,
+                 CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+               FROM r GROUP BY 1),
+    covpos AS (SELECT DISTINCT doc_id, j FROM (
+                 SELECT doc_id, unnest(range(i, least(i + $SpanWords, n))) AS j
+                 FROM r WHERE rn > 1)),
+    cov AS (SELECT doc_id, COUNT(*) AS dup_words FROM covpos GROUP BY 1)
+    SELECT w.doc_id, CAST(w.n AS BIGINT) AS n_words,
+      COALESCE(perdoc.n_spans, 0) AS n_spans,
+      COALESCE(perdoc.n_dup_spans, 0) AS n_dup_spans,
+      COALESCE(cov.dup_words, 0) AS dup_words
+    FROM w LEFT JOIN perdoc USING (doc_id) LEFT JOIN cov USING (doc_id)
+    ORDER BY 1"""
+
   /** H15 — corpus n-gram statistics: the top `TopNgrams` bigrams by corpus
     * frequency — the language-model-side summary behind contamination
     * screens, tokenizer audits, and domain drift checks. The explode is a
@@ -670,6 +757,7 @@ object CorpusSpans {
     "corpus_bloom_decontaminate" -> bloomDecontaminate _,
     "corpus_lm_score" -> lmScore _,
     "corpus_span_dedup" -> spanDedup _,
+    "corpus_span_dedup_anchor" -> spanDedupAnchor _,
     "corpus_pii_report" -> piiReport _,
     "corpus_ngram_counts" -> ngramCounts _,
     "corpus_contamination_score" -> contaminationScore _,
@@ -684,6 +772,7 @@ object CorpusSpans {
     "corpus_bloom_decontaminate" -> bloomDecontaminateSql,
     "corpus_lm_score" -> lmScoreSql,
     "corpus_span_dedup" -> spanDedupSql,
+    "corpus_span_dedup_anchor" -> spanDedupAnchorSql,
     "corpus_ngram_counts" -> ngramCountsSql,
     "corpus_contamination_score" -> contaminationScoreSql,
     "corpus_split_leakage" -> splitLeakageSql,

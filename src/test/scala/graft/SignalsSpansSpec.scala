@@ -37,6 +37,44 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("H14b anchored spans catch the offset-by-3 duplicate H14 provably misses") {
+    import SparkSpecBase.spark.implicits._
+    // the 12-word passage copied from doc 1 into doc 2 at a DIFFERENT word
+    // offset (3 vs 2 — not ≡ 0 mod SpanWords): H14's disjoint 8-word blocks
+    // slice the copy differently in each doc so no block text matches, while
+    // the content-defined anchor ("hotel": md5 ends in '0') selects the same
+    // span inside both copies. All other passage words are non-anchors
+    // (md5 last nibble outside {0,4,8,c}) — verified below, so expected
+    // counts are exact, not probabilistic.
+    val passage = "hotel india juliet kilo mike november oscar papa quebec romeo sierra tango"
+    def lastNibble(w: String): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      "%02x".format(d.last & 0xff).last
+    }
+    assert(lastNibble("hotel") == '0')
+    assert(passage.split(" ").tail.forall(w => !"048c".contains(lastNibble(w))))
+    val docA = s"alpha bravo charlie $passage uniform victor"   // passage at 3
+    val docB = s"one two $passage five"                          // passage at 2
+    val dir = java.nio.file.Files.createTempDirectory("graft-anchor").toString
+    Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // H14 misses: every block survives in BOTH docs (no block text repeats)
+    val h14 = CorpusSpans.spanDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_spans_kept")).toMap
+    val blocksA = (docA.split(" ").length - 1) / CorpusSpans.SpanWords + 1
+    val blocksB = (docB.split(" ").length - 1) / CorpusSpans.SpanWords + 1
+    assert(h14(1L) == blocksA && h14(2L) == blocksB,
+      s"H14 unexpectedly caught the offset duplicate: $h14")
+    // H14b catches: doc 2's anchored span at "hotel" duplicates doc 1's
+    val got = CorpusSpans.spanDedupAnchor(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_words")))).toMap
+    assert(got(1L) == ((0L, 0L)), s"doc 1 is the first occurrence: $got")
+    assert(got(2L)._1 >= 1L && got(2L)._2 >= CorpusSpans.SpanWords,
+      s"anchored dedup missed the offset copy: $got")
+  }
+
   test("drift_report: KL matches a driver fixed-point recompute, is ~nonnegative, varies") {
     val rep = CorpusSpans.driftReport(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"), r.getAs[Double]("kl_bits")))
