@@ -220,6 +220,79 @@ object TextFunctions {
     s"CASE WHEN $best <= 0 THEN 'und' ${cases.mkString(" ")} ELSE 'und' END"
   }
 
+  /** CHAR-TRIGRAM language classifier (SURVEY §2 D14; round-10 verdict
+    * item 5): the fastText-style feature shape — per-language weighted
+    * character n-gram counts, argmax over integer scores — where
+    * [[langId]]'s stopword argmax fails: languages sharing function words
+    * (French relative "que" votes Spanish under the marker sets; a marker-
+    * free sentence scores 'und' despite screaming orthography like
+    * "sch"/"ing"). Weights are hand-rounded log-odds of each trigram's
+    * discriminativeness (public orthographic statistics — "sch"/"ich" for
+    * German, "eau"/" je" for French, "ción"→"cio" for Spanish...), kept as
+    * small INTEGERS so every score is an exact integer sum of
+    * (count × weight) — hash-gateable with zero float exposure (the H22
+    * fixed-point discipline, applied at model-definition time instead of
+    * per-row). Counting shares [[occurrences]] (non-overlapping
+    * left-to-right, identical in both engines).
+    */
+  val langTrigrams: Seq[(String, Seq[(String, Int)])] = Seq(
+    "en" -> Seq("the" -> 3, "ing" -> 2, "and" -> 2, " th" -> 2,
+      "ion" -> 1, "of " -> 1),
+    "de" -> Seq("sch" -> 3, "ich" -> 3, "der" -> 2, "ein" -> 2,
+      "und" -> 2, "cht" -> 2),
+    "es" -> Seq("cio" -> 3, "ado" -> 2, "los" -> 2, " el" -> 2,
+      "que" -> 1, "nte" -> 1),
+    "fr" -> Seq("eau" -> 3, " je" -> 3, "ais" -> 2, "les" -> 2,
+      "eur" -> 2, "est" -> 1),
+    "zh" -> Seq("zho" -> 3, " ni" -> 2, " ma" -> 2))
+
+  /** Argmax over the integer trigram scores; ties resolve in declaration
+    * order, all-zero → 'und' (the [[langId]] conventions).
+    */
+  def langIdNgram(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = array(langTrigrams.map { case (_, gs) =>
+      gs.map { case (g, w) => occurrences(padded, g) * w }.reduce(_ + _)
+    }: _*)
+    val langsArr = array(langTrigrams.map(m => lit(m._1)): _*)
+    val best = array_max(scores)
+    coalesce(
+      when(best <= 0, "und")
+        .otherwise(element_at(langsArr, array_position(scores, best).cast("int"))),
+      lit("und"))
+  }
+
+  /** The winning integer score (0 for 'und'/null) — emitted alongside the
+    * label so the gate hashes the score surface, not just the argmax.
+    */
+  def langIdNgramScore(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = langTrigrams.map { case (_, gs) =>
+      gs.map { case (g, w) => occurrences(padded, g) * w }.reduce(_ + _)
+    }
+    coalesce(greatest(lit(0) +: scores: _*), lit(0)).cast("long")
+  }
+
+  def langIdNgramSql(x: String): String = {
+    val padded = s"(' ' || $x || ' ')"
+    val scoreExprs = langTrigrams.map { case (l, gs) =>
+      l -> gs.map { case (g, w) => s"${occurrencesSql(padded, g)} * $w" }
+        .mkString(" + ")
+    }
+    val best = scoreExprs.map(_._2).map(e => s"($e)").mkString("GREATEST(", ", ", ")")
+    val cases = scoreExprs.map { case (l, e) => s"WHEN ($e) = $best THEN '$l'" }
+    s"CASE WHEN $best <= 0 THEN 'und' ${cases.mkString(" ")} ELSE 'und' END"
+  }
+
+  def langIdNgramScoreSql(x: String): String = {
+    val padded = s"(' ' || $x || ' ')"
+    val scoreExprs = langTrigrams.map { case (_, gs) =>
+      gs.map { case (g, w) => s"${occurrencesSql(padded, g)} * $w" }
+        .mkString("(", " + ", ")")
+    }
+    s"CAST(GREATEST(0, ${scoreExprs.mkString(", ")}) AS BIGINT)"
+  }
+
   /** Quality ratios, rounded to 6 dp so engine float quirks can't flip the
     * compare: alpha ratio, space ratio, stopword-per-token ratio, mean token
     * length.

@@ -36,6 +36,19 @@ object TextAnalysis {
       .groupBy(col("pred_lang"))
       .agg(count(lit(1)).as("n"))
 
+  /** D14 — char-trigram language ID ([[graft.functions.TextFunctions
+    * .langIdNgram]]): per-document verdicts from BOTH classifiers plus the
+    * integer trigram score, so the gate hashes the full comparison surface
+    * (including exactly where the two disagree). One scan, all scoring
+    * inside the scan's codegen stage, no shuffle but the presentation one.
+    */
+  def textLangidNgram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        langId(col("text")).as("lang_stop"),
+        langIdNgram(col("text")).as("lang_ngram"),
+        langIdNgramScore(col("text")).as("ngram_score"))
+
   /** D4 — document fingerprint: md5 over normalized content. */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -555,6 +568,7 @@ object TextAnalysis {
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,
+    "text_langid_ngram" -> textLangidNgram _,
     "text_fingerprint" -> textFingerprint _,
     "text_top_terms" -> textTopTerms _,
     "text_repetition" -> textRepetition _
@@ -586,6 +600,11 @@ object TextAnalysis {
     "text_langid" -> s"""
       SELECT ${langIdSql("text")} AS pred_lang, COUNT(*) AS n
       FROM documents GROUP BY 1 ORDER BY 1""",
+    "text_langid_ngram" -> s"""
+      SELECT doc_id, ${langIdSql("text")} AS lang_stop,
+        ${langIdNgramSql("text")} AS lang_ngram,
+        ${langIdNgramScoreSql("text")} AS ngram_score
+      FROM documents ORDER BY doc_id""",
     "text_fingerprint" -> s"""
       SELECT doc_id, ${fingerprintSql("text")} AS fp
       FROM documents ORDER BY doc_id""",

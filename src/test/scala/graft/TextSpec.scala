@@ -114,4 +114,33 @@ class TextSpec extends SparkSpec {
     out.groupBy(_._1).values.foreach(rs =>
       assert(rs.map(_._2).sorted.sameElements(1 to rs.length)))
   }
+
+  test("D14 trigram langid beats stopword argmax where stopwords mislead") {
+    import SparkSpecBase.spark.implicits._
+    import graft.functions.TextFunctions.{langId, langIdNgram, langIdNgramScore}
+    // (text, expected stopword verdict, expected trigram verdict)
+    val cases = Seq(
+      // French relative 'que' is a SPANISH stopword marker — the marker
+      // argmax votes es; the trigram model reads ' je'/'ais'/'est'
+      ("je pense que tu sais que tout est vrai", "es", "fr"),
+      // marker-free German: stopword argmax says 'und' (no der/die/und),
+      // orthography (sch/ich/cht) says German
+      ("ich spreche wirklich nicht schlecht", "und", "de"),
+      // marker-free English gerunds: 'ing' everywhere, zero markers
+      ("running swimming jumping singing", "und", "en"),
+      // sanity: ordinary English agrees in both models
+      ("the cat sat on the mat and the dog sat", "en", "en"))
+    val out = cases.map(_._1).toDF("text")
+      .select(col("text"), langId(col("text")).as("stop"),
+        langIdNgram(col("text")).as("ngram"),
+        langIdNgramScore(col("text")).as("score"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    for ((text, expStop, expNgram) <- cases) {
+      val (stop, ngram, score) = out(text)
+      assert(stop == expStop, s"'$text': stopword gave $stop, expected $expStop")
+      assert(ngram == expNgram, s"'$text': trigram gave $ngram, expected $expNgram")
+      if (expNgram != "und") assert(score > 0)
+    }
+  }
 }
