@@ -87,19 +87,29 @@ object Artifacts {
     map.compute(key, (_, old) =>
       if (old != null && old.fingerprint == fp) old
       else {
-        val b = Built(fp, build(fp))
-        // the replaced generation's dir stays on disk (a lazily-held reader
-        // of the old location must stay valid) but is RECORDED so a
-        // long-lived session can reclaim it deliberately via [[sweepStale]]
-        if (old != null && old.location != b.location) {
-          superseded.add(old.location); ()
-        }
-        // a fingerprint CYCLE (A→B→A with deterministic slugs) rebuilds
-        // into a dir recorded as superseded during the A→B transition —
-        // it is live again and must leave the sweep set, or sweepStale
-        // would delete the current generation
-        superseded.remove(b.location)
-        b
+        // a concurrent sweepStale must not run while a rebuild is in
+        // flight: in an A→B→A cycle the dir build(fp) is re-creating is
+        // still in `superseded` until the remove below, and a sweep in
+        // that window would delete the just-rebuilt CURRENT generation
+        // (r10 advice item 2). Builds share the read side; the sweep
+        // needs the write side, so it can never interleave with a build.
+        sweepLock.readLock().lock()
+        try {
+          val b = Built(fp, build(fp))
+          // the replaced generation's dir stays on disk (a lazily-held
+          // reader of the old location must stay valid) but is RECORDED so
+          // a long-lived session can reclaim it via [[sweepStale]]
+          if (old != null && old.location != b.location) {
+            superseded.add(old.location); ()
+          }
+          // a fingerprint CYCLE (A→B→A with deterministic slugs) rebuilds
+          // into a dir recorded as superseded during the A→B transition —
+          // it is live again and must leave the sweep set BEFORE the lock
+          // drops, or a sweep in the gap would delete the current
+          // generation
+          superseded.remove(b.location)
+          b
+        } finally sweepLock.readLock().unlock()
       }
     ).location
 
@@ -108,6 +118,11 @@ object Artifacts {
   private val superseded =
     java.util.Collections.newSetFromMap(
       new ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Guards the build-vs-sweep cycle race — see the note in
+    * [[cachedLocation]]: builds hold the read side (concurrent builds are
+    * fine), [[sweepStale]] needs the write side. */
+  private val sweepLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   /** Opt-in reclamation for long-lived sessions: delete every artifact
     * generation this JVM superseded (the per-generation dirs
@@ -119,6 +134,18 @@ object Artifacts {
     * touched: only locations REPLACED by a rebuild are recorded.
     */
   def sweepStale(s: SparkSession): Seq[String] = {
+    // refuse to sweep while any rebuild is in flight: the set may contain a
+    // location a concurrent A→B→A rebuild is re-creating right now (the
+    // caller's quiescent-point contract, now enforced instead of assumed —
+    // an empty result at a non-quiescent moment is safe, a deleted current
+    // generation is not). tryLock, not lock: blocking here under a stuck
+    // build would hang the caller; an empty sweep retries later.
+    if (!sweepLock.writeLock().tryLock()) return Seq.empty
+    try sweepStaleLocked(s)
+    finally sweepLock.writeLock().unlock()
+  }
+
+  private def sweepStaleLocked(s: SparkSession): Seq[String] = {
     val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = superseded.iterator()
     while (it.hasNext) {

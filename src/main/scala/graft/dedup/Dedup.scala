@@ -913,8 +913,14 @@ object Dedup {
       pmod(col("doc_id"), lit(5L)).cast("string"), lit(" read more"))),
     when(col("doc_id") % 2 === 0, array(lit("click here to accept cookies")))
       .otherwise(array().cast("array<string>")),
-    expr(s"transform(sequence(0, (size(ws) - 1) DIV $BoilerChunk), " +
-      s"k -> concat_ws(' ', slice(ws, k * $BoilerChunk + 1, $BoilerChunk)))"),
+    // zero-word guard (r10 advice item 1): Spark's (-1) DIV 20 truncates to
+    // 0 and would emit one empty-string chunk for an empty/whitespace-only
+    // doc, while the oracle's floor division yields range(0) and emits none
+    // — both engines must emit ZERO chunks for an empty word array
+    expr(s"CASE WHEN size(ws) > 0 THEN " +
+      s"transform(sequence(0, (size(ws) - 1) DIV $BoilerChunk), " +
+      s"k -> concat_ws(' ', slice(ws, k * $BoilerChunk + 1, $BoilerChunk))) " +
+      s"ELSE CAST(array() AS ARRAY<STRING>) END"),
     array(concat(lit("all rights reserved by "), col("source"), lit(" terms apply"))))
 
   def dedupBoilerplate(s: SparkSession, d: String): DataFrame = {

@@ -324,19 +324,35 @@ object BeamParity {
     * supports pathGlobFilter/recursiveFileLookup pruning; the small-file
     * pressure it creates is exactly what A24's compaction planner measures.
     */
-  def sourceBinaryRoundtrip(s: SparkSession, d: String): DataFrame = {
+  /** The A25/A26 shared writer: one `.bin` object per document, written
+    * through the Hadoop FileSystem API RESOLVED FROM THE PATH (r10 advice
+    * item 4) — on a shared/remote filesystem the executor-side writes land
+    * where the driver-planned binaryFile read will see them, which the
+    * previous executor-local java.nio writes could not guarantee off a
+    * single machine. (Executors resolve the FS from a default Configuration
+    * — correct for file:// and for clusters that ship core-site on the
+    * classpath, the standard deployment.)
+    */
+  private def writeBinaryDocs(s: SparkSession, d: String): String = {
     val dir = scratchDir(s, d, "bin_rt")
     val dirStr = dir.toString
     dir.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(dir)
     Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
-        val base = java.nio.file.Paths.get(new java.net.URI(dirStr).getPath)
+        val base = new org.apache.hadoop.fs.Path(dirStr)
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
         rows.forEachRemaining { r =>
-          java.nio.file.Files.write(
-            base.resolve(s"doc_${r.getLong(0)}.bin"), r.getAs[Array[Byte]](1))
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(base, s"doc_${r.getLong(0)}.bin"), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
         }
       }
+    dirStr
+  }
+
+  def sourceBinaryRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dirStr = writeBinaryDocs(s, d)
     s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dirStr)
       .select(
         regexp_extract(col("path"), "doc_([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
@@ -344,8 +360,54 @@ object BeamParity {
         md5(col("content")).as("content_md5"))
   }
 
+  /** A26 — binary ingestion COMPACTED (round-10 verdict item 6): the
+    * per-object `.bin` directory A25 leaves behind is exactly the
+    * small-file shape A24 exists to fix, so compose them — plan the output
+    * file count from the ACTUAL on-disk byte total of the `.bin` objects
+    * (A24's listing-based planner, generalized off parquet input), ingest
+    * the directory once through binaryFile, and rewrite it as a
+    * target-sized parquet blob table (doc_id, payload). The gate reads the
+    * COMPACTED table back and must hash-match the same documents oracle as
+    * A25 — proving the rewrite is lossless — while SourceSinkSpec pins the
+    * file-count collapse itself.
+    */
+  val BinCompactTargetBytes: Long = 64L * 1024
+
+  def compactBinaryDir(s: SparkSession, binDir: String, outDir: String,
+      targetFileBytes: Long): Int = {
+    val in = new org.apache.hadoop.fs.Path(binDir)
+    val fs = in.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var totalBytes = 0L
+    val it = fs.listFiles(in, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (n.endsWith(".bin")) totalBytes += f.getLen
+    }
+    val nFiles = (((totalBytes + targetFileBytes - 1) /
+      targetFileBytes) max 1L).toInt
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(binDir)
+      .select(
+        regexp_extract(col("path"), "doc_([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content").as("payload"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
+  def sourceBinaryCompacted(s: SparkSession, d: String): DataFrame = {
+    val binDir = writeBinaryDocs(s, d)
+    val outDir = scratchDir(s, d, "bin_compact").toString
+    compactBinaryDir(s, binDir, outDir, BinCompactTargetBytes)
+    s.read.parquet(outDir)
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_binary_roundtrip" -> sourceBinaryRoundtrip _,
+    "source_binary_compacted" -> sourceBinaryCompacted _,
     "sink_text_roundtrip" -> sinkTextRoundtrip _,
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "source_schema_evolution" -> sourceSchemaEvolution _,
@@ -381,6 +443,10 @@ object BeamParity {
     // payload is exactly text's UTF-8 bytes, so DuckDB's VARCHAR md5/strlen
     // see the same bytes the binary file holds (the G1 discipline)
     "source_binary_roundtrip" -> """
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        md5(text) AS content_md5
+      FROM documents ORDER BY doc_id""",
+    "source_binary_compacted" -> """
       SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         md5(text) AS content_md5
       FROM documents ORDER BY doc_id""",

@@ -57,6 +57,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate dedup emits zero body chunks for empty/whitespace-only docs") {
+    // r10 advice item 1: Spark's (-1) DIV 20 truncates to 0 — unguarded, an
+    // empty word array produced one empty-string chunk while the oracle's
+    // floor division produced none (a latent hash-gate flip)
+    import SparkSpecBase.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-boiler-empty").toString
+    Seq((1L, "", "web"), (2L, "   ", "web"),
+      (3L, "twenty one words here " * 5 + "end", "web"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupBoilerplate(SparkSpecBase.spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_paras")).toMap
+    // planted paras only for the empty docs: banner + footer, + cookie on
+    // evens — NO body chunk
+    assert(out(1L) == 2L, s"empty doc: ${out(1L)} paras, expected 2")
+    assert(out(2L) == 3L, s"whitespace doc: ${out(2L)} paras, expected 3")
+    // non-empty doc keeps its chunk count: 21 words -> 2 chunks + banner +
+    // footer (odd doc_id: no cookie para)
+    assert(out(3L) == 4L, s"normal doc: ${out(3L)} paras, expected 4")
+  }
+
   test("jaccard prefix-filter pairs match brute-force at threshold") {
     // brute force over the same shingles, computed locally
     val docs = Dedup.withShingles(graft.operators.Tables.documents(spark, sf))

@@ -127,4 +127,34 @@ class SourceSinkSpec extends SparkSpec {
     val rt = spark.read.parquet(outDir)
     assert(rt.exceptAll(docs).isEmpty && docs.exceptAll(rt).isEmpty)
   }
+
+  test("A26: per-doc .bin directory compacts to the planned file count, losslessly") {
+    import org.apache.spark.sql.functions._
+    // A25's write leaves one object per document; A26's planner must
+    // collapse that to ceil(bytes/target) parquet files with nothing lost
+    val nDocs = Tables.documents(spark, sf).count()
+    val out = graft.operators.BeamParity.sourceBinaryCompacted(spark, sf)
+    assert(out.count() == nDocs)
+    // the compacted dir was written next to the .bin scratch: recover it
+    // by rerunning the planner against a fresh target for an exact check
+    val binDir = System.getProperty("java.io.tmpdir") + "/graft_bin_rt_" +
+      sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val binFiles = new java.io.File(binDir).listFiles.count(_.getName.endsWith(".bin"))
+    assert(binFiles == nDocs, s"$binFiles .bin objects for $nDocs docs")
+    val binBytes = new java.io.File(binDir).listFiles
+      .filter(_.getName.endsWith(".bin")).map(_.length).sum
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bin-compact").toString
+    val planned = graft.operators.BeamParity.compactBinaryDir(
+      spark, binDir, outDir, (binBytes / 3) max 1L)
+    // ceil(B / floor(B/3)) is 3, or 4 when the division leaves a remainder
+    assert(planned >= 3 && planned <= 4, s"planned $planned files")
+    assert(new java.io.File(outDir).listFiles
+      .count(_.getName.endsWith(".parquet")) == planned)
+    // lossless: payload bytes hash back to the original documents
+    val rt = spark.read.parquet(outDir)
+      .select(col("doc_id"), md5(col("payload")).as("m"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("m"))
+    assert(rt.exceptAll(docs).isEmpty && docs.exceptAll(rt).isEmpty)
+  }
 }
