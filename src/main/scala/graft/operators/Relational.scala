@@ -295,6 +295,32 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
   }
 
+  /** B18b — AQE skew-join demonstration (round-10 verdict item 7),
+    * complementing B18's MANUAL salting: a large-large shuffle join with a
+    * PLANTED hot key — half of all events remapped onto customer 1, so one
+    * join partition carries ~50% of the probe side. The operator itself is
+    * the PLAIN declarative join (no salting, no hints): at real scale this
+    * is exactly the query AQE's skew-join handles by splitting the
+    * oversized partition at runtime, and PlanSpec proves that machinery
+    * fires (skew thresholds lowered to match test data volume, plan
+    * inspected post-execution for the skew=true split). WHEN EACH APPLIES:
+    * AQE skew-split needs no code change and composes with any join, but
+    * only balances the PROBE side of a sort-merge join; B18's explicit
+    * salting also spreads a hot BUILD side and works with broadcast-free
+    * hash joins — the belt when AQE's runtime stats can't see the skew.
+    * Results are AQE-invariant by construction, so the gate keys the plain
+    * oracle.
+    */
+  def joinAqeSkew(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("uid",
+        when(pmod(col("event_id"), lit(2L)) === 0, lit(1L))
+          .otherwise(col("user_id")))
+    ev.join(Tables.orders(s, d), col("uid") === col("o_custkey"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+  }
+
   /** B19 — Q12-style conditional aggregation: CASE counts inside one agg
     * pass (no second scan, no join).
     */
@@ -584,6 +610,7 @@ object Relational {
     "q14_promo" -> q14Promo _,
     "q10_returns" -> q10Returns _,
     "salted_join_agg" -> saltedJoinAgg _,
+    "join_aqe_skew" -> joinAqeSkew _,
     "events_window_agg" -> eventsWindowAgg _,
     "events_hopping_agg" -> eventsHoppingAgg _,
     "events_gap_fill" -> eventsGapFill _,
@@ -739,6 +766,13 @@ object Relational {
       SELECT c_mktsegment, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_aqe_skew" -> s"""
+      SELECT event_type, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+      FROM (SELECT event_type,
+              CASE WHEN event_id % 2 = 0 THEN 1 ELSE user_id END AS uid
+            FROM events) e
+      JOIN orders ON uid = o_custkey
+      GROUP BY event_type ORDER BY event_type""",
     "events_window_agg" -> s"""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         COUNT(*) AS n, ${sqlDsum("value")} AS sum_value

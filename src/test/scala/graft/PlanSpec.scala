@@ -88,6 +88,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max") || p.contains("Partial"), p)
   }
 
+  test("B18b: AQE splits the planted hot-key join partition (skew=true)") {
+    // thresholds lowered to match test-data volume — at real scale the
+    // defaults fire on the same plan shape; broadcast disabled so the join
+    // actually shuffles (the skew machinery only exists there)
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // multi-file inputs: AQE splits a skewed reduce partition by MAP
+      // OUTPUT ranges, so a single-file (one-mapper) source is unsplittable
+      // no matter how skewed — exactly the situation of the 1-file sf dirs
+      val root = java.nio.file.Files.createTempDirectory("graft-aqe-skew").toString
+      Tables.events(spark, sf).repartition(8)
+        .write.parquet(s"$root/events.parquet")
+      Tables.orders(spark, sf).repartition(8)
+        .write.parquet(s"$root/orders.parquet")
+      val df = Relational.joinAqeSkew(spark, root)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE skew split did not fire:\n$p")
+      // and the result is AQE-invariant: same rows as the single-file run
+      val plain = Relational.joinAqeSkew(spark, sf).collect().toSeq
+        .sortBy(_.getString(0))
+      assert(df.collect().toSeq.sortBy(_.getString(0)) == plain)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("F7/F10/F11/F12: shortlist via heap partials — no Window ever consumes " +
       "a corpus-sized pair stream") {
     // Round-10 verdict lead item. The old shape joined the full corpus to
