@@ -246,4 +246,41 @@ class PipelineSpec extends SparkSpec {
     val back = Pipe.readText(spark, out).collect()
     assert(back.toSet == Set("(2, [1])", "(4, [2])", "(6, [3])", "(8, [4])", "(20, [10])"))
   }
+
+  test("unified model: the same transform chain over readText and readStreamText " +
+      "produces identical results on a bounded source") {
+    import SparkSpecBase.spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-stream").toFile
+    val in = s"${dir.getAbsolutePath}/in"
+    Pipe.create(spark, Seq(
+      "the quick brown fox", "jumps over the lazy dog",
+      "the dog barks", "a fox runs")).writeText(in)
+    // ONE pipeline definition, applied to both source kinds — Beam's
+    // PCollection contract
+    def wordCount(lines: Pipe[String]): Pipe[(String, Long)] =
+      lines.flatMap(_.split(" ").toSeq)
+        .filter(_.nonEmpty)
+        .map(w => (w, 1L))
+        .combinePerKey(new CombineFn[Long, Long, Long] {
+          def createAccumulator(): Long = 0L
+          def addInput(a: Long, in: Long): Long = a + in
+          def mergeAccumulators(a: Long, b: Long): Long = a + b
+          def extractOutput(a: Long): Long = a
+        })
+    val batch = wordCount(Pipe.readText(spark, in)).collect().sorted
+    val stream = Pipe.drain(wordCount(Pipe.readStreamText(spark, in)), "complete")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(stream == batch && batch.nonEmpty)
+    // elementwise (append-mode) chains drain identically too
+    val batchWords = Pipe.readText(spark, in)
+      .flatMap(_.split(" ").toSeq).map(_.toUpperCase).collect().sorted
+    val streamWords = Pipe.drain(
+        Pipe.readStreamText(spark, in).flatMap(_.split(" ").toSeq).map(_.toUpperCase))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(streamWords == batchWords)
+    // batch-only sinks reject unbounded pipes with the engine's own error
+    intercept[Exception] {
+      Pipe.readStreamText(spark, in).collect()
+    }
+  }
 }
