@@ -310,12 +310,11 @@ object Multimodal {
     val nb = g / bk                    // blocks per side
     val wBits = nb * nb                // 64 signature bits
     val nPix = g * g
-    val bs: IndexedSeq[org.apache.spark.sql.Column] = (0 until wBits).map { b =>
-      val bi = b / nb; val bj = b % nb
-      (for (dr <- 0 until bk; dc <- 0 until bk) yield
-        element_at(col("codes"), (bi * bk + dr) * g + bj * bk + dc + 1)
-          .cast("long")).reduce(_ + _)
-    }
+    // one-pass native pooling: the composable 1024-term projection blows
+    // the 64 KB codegen method limit and drops the stage to interpreted
+    // (see GridBlockSums) — the kernel keeps whole-stage codegen intact
+    val bs: IndexedSeq[org.apache.spark.sql.Column] = (0 until wBits).map(b =>
+      element_at(col("bsums"), b + 1))
     val nBands = PhashHamT + 1
     val base = wBits / nBands
     val extra = wBits % nBands
@@ -340,6 +339,7 @@ object Multimodal {
           "CASE WHEN array_contains(pert, CAST(i AS BIGINT)) THEN 64 ELSE 0 END)")
           .as("codes"))
     v0.unionByName(v1)
+      .withColumn("bsums", graft.plans.GridBlockSums.sums(col("codes"), g, bk))
       .withColumn("tot", bs.reduce(_ + _))
       .select(col("doc_id"), array(words: _*).as("ph"), array(bands: _*).as("bvs"))
   }

@@ -349,6 +349,18 @@ object PerfLab {
             "q20_dominant_supplier").foreach { n =>
           timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
         }
+      case "pin11" =>
+        // 5-rep steady-state spreads for every round-11 key (verdict item
+        // 9: new keys need pins the round they land so later bench deltas
+        // are adjudicable) plus the four heap-ported cascades
+        Seq("quantile_sketch_log", "streaming_quantile_sketch",
+            "corpus_pack_bpe", "corpus_span_dedup_anchor",
+            "text_langid_ngram", "source_binary_compacted",
+            "join_aqe_skew", "mm_phash2d_dedup",
+            "ann_binary_topk", "ann_mips_topk", "ann_rerank_topk",
+            "ann_pq_topk", "corpus_token_budget").foreach { n =>
+          timeN(n, 5)(graft.SparkEntry.queries(n)(spark, sfDir))
+        }
       case "clean" =>
         // decompose corpus_clean: which text expression dominates?
         import graft.functions.TextFunctions._
