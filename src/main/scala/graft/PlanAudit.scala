@@ -106,7 +106,15 @@ object PlanAudit {
     // events_anomaly_mad: exact percentile buffers hold one value per
     // hour of the per-type TIMELINE (and its partial-agg reduces) — bounded
     // by types × hours like agg_percentiles/skew_report, never event count
-    "events_anomaly_mad")
+    "events_anomaly_mad",
+    // events_cusum_shift: collect_list of the per-type HOURLY timeline for
+    // the sequential CUSUM fold — calendar-bounded (8,760 rows per
+    // type-year), the events_anomaly_mad argument
+    "events_cusum_shift",
+    // sketch_theta_overlap: the KMV bottom-k basket — hard-capped at
+    // SetSketch.KmvK = 256 longs per source (the same BoundedBasketAgg
+    // device as basket_pairs)
+    "sketch_theta_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")

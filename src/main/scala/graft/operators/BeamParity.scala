@@ -332,23 +332,42 @@ object BeamParity {
     * single machine. (Executors resolve the FS from a default Configuration
     * — correct for file:// and for clusters that ship core-site on the
     * classpath, the standard deployment.)
+    *
+    * The directory is the operator's INPUT FIXTURE — a binary object store
+    * standing in for the media corpus a user already has — so it is built
+    * ONCE per documents-table fingerprint ([[graft.Artifacts
+    * .cachedLocation]], the B33 zorder discipline) instead of
+    * delete-and-rewritten per call: A25/A26 measure binary INGESTION, and
+    * regenerating 1-file-per-document scaffolding each run was charging
+    * every bench rep ~N metadata round-trips of non-operator work (the
+    * round-11 42 s regression on this key).
     */
+  private val binDocsBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
   private def writeBinaryDocs(s: SparkSession, d: String): String = {
-    val dir = scratchDir(s, d, "bin_rt")
-    val dirStr = dir.toString
-    dir.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(dir)
-    Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
-        val base = new org.apache.hadoop.fs.Path(dirStr)
-        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        rows.forEachRemaining { r =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(base, s"doc_${r.getLong(0)}.bin"), true)
-          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+    val fp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
+    graft.Artifacts.cachedLocation(binDocsBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), s"graft_bin_rt_${slug}_$fpv")
+      val dirStr = dir.toString
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true) // a stale partial build at this fp never survives
+      fs.mkdirs(dir)
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+          val base = new org.apache.hadoop.fs.Path(dirStr)
+          val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          rows.forEachRemaining { r =>
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(base, s"doc_${r.getLong(0)}.bin"), true)
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          }
         }
-      }
-    dirStr
+      dirStr
+    }
   }
 
   def sourceBinaryRoundtrip(s: SparkSession, d: String): DataFrame = {

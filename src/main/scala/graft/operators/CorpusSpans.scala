@@ -750,7 +750,136 @@ object CorpusSpans {
       ROUND(CAST(SUM(csw * ilog) AS DOUBLE) / ANY_VALUE(cs) / 1048576.0, 6) AS kl_bits
     FROM k GROUP BY source ORDER BY source"""
 
+  /** H28 — QUALITY-ENSEMBLE selection: one integer-weighted linear score
+    * combining the pipeline's quality signals (alpha ratio, stopword
+    * density, within-doc repetition, capped length — the public
+    * DataComp/DCLM-style "combine weak heuristics into one ranking"
+    * recipe), then keep the top quarter per source. Every feature is
+    * fixed-point integer (×1000, floor division), so the composite score
+    * and the selection are bit-exact across engines — no float ranking
+    * anywhere. The per-source rank window partitions by source over
+    * score-ranked docs (the H10 sampleQuota shape).
+    *
+    * Scale: features fuse into the scan (one pass); the only data-sized
+    * shuffle is the per-source rank; the per-source size table is a
+    * sources-row broadcast.
+    */
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val stops = Seq(" the ", " a ", " of ", " and ", " to ")
+    val nStop = stops.map(sw => graft.functions.TextFunctions.occurrences(padded, sw))
+      .reduce(_ + _).cast("long")
+    val w = graft.functions.TextFunctions.words(col("text"))
+    val scored = docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("nc"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("na"),
+        nStop.as("ns"), size(w).cast("long").as("nw"),
+        size(array_distinct(w)).cast("long").as("nd"))
+      .withColumn("a_milli", expr("(1000 * na) DIV greatest(nc, 1L)"))
+      .withColumn("stop_milli", expr("(1000 * ns) DIV greatest(nw, 1L)"))
+      .withColumn("rep_milli", expr("(1000 * (nw - nd)) DIV greatest(nw, 1L)"))
+      .withColumn("len_cap", least(col("nc"), lit(2000L)))
+      .withColumn("score", expr(
+        "2 * a_milli + 3 * stop_milli - 4 * rep_milli + len_cap DIV 4"))
+    val quota = docs.groupBy(col("source"))
+      .agg(expr("count(1) DIV 4").as("keep_n"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .join(broadcast(quota), "source")
+      .filter(col("rk") <= col("keep_n"))
+      .select(col("doc_id"), col("source"), col("a_milli"), col("stop_milli"),
+        col("rep_milli"), col("score"), col("rk"))
+  }
+
+  val qualityEnsembleSql: String = {
+    val occ = Seq(" the ", " a ", " of ", " and ", " to ")
+      .map(sw => s"(length(p) - length(replace(p, '$sw', ''))) // ${sw.length}")
+      .mkString(" + ")
+    s"""
+    WITH f0 AS (
+      SELECT doc_id, source, (' ' || text || ' ') AS p,
+        CAST(length(text) AS BIGINT) AS nc,
+        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS na,
+        CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS nw,
+        CAST(len(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS BIGINT) AS nd
+      FROM documents),
+    f AS (
+      SELECT doc_id, source, nc, na, nw, nd, CAST($occ AS BIGINT) AS ns FROM f0),
+    m AS (
+      SELECT doc_id, source,
+        (1000 * na) // greatest(nc, 1) AS a_milli,
+        (1000 * ns) // greatest(nw, 1) AS stop_milli,
+        (1000 * (nw - nd)) // greatest(nw, 1) AS rep_milli,
+        least(nc, 2000) AS len_cap
+      FROM f),
+    sc AS (
+      SELECT doc_id, source, a_milli, stop_milli, rep_milli,
+        2 * a_milli + 3 * stop_milli - 4 * rep_milli + len_cap // 4 AS score
+      FROM m),
+    q AS (SELECT source, COUNT(*) // 4 AS keep_n FROM documents GROUP BY 1),
+    rk AS (
+      SELECT sc.*, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+      FROM sc)
+    SELECT rk.doc_id, rk.source,
+      CAST(a_milli AS BIGINT) AS a_milli, CAST(stop_milli AS BIGINT) AS stop_milli,
+      CAST(rep_milli AS BIGINT) AS rep_milli, CAST(score AS BIGINT) AS score,
+      CAST(rk AS INTEGER) AS rk
+    FROM rk JOIN q USING (source) WHERE rk <= keep_n
+    ORDER BY source, rk"""
+  }
+
+  /** H29 — tokenizer-FERTILITY report: BPE tokens per whitespace word and
+    * chars per BPE token, per (source × predicted language). Fertility is
+    * the standard tokenizer-fit diagnostic (a language the vocab serves
+    * poorly shows fertility ≫ 1), and it keys every multilingual
+    * token-budget decision. Composes the H18b multi-round BPE counter with
+    * the D3 langid in ONE fused scan → |sources×langs| partial agg;
+    * fixed-point integer ratios, so the gate is hash-exact.
+    */
+  def fertilityReport(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, d)
+      .select(col("source"), langId(col("text")).as("pred_lang"),
+        wsTokens(col("text")).cast("long").as("nw"),
+        bpeTokensK(col("text")).cast("long").as("nb"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("words"), sum(col("nb")).as("bpe_tokens"),
+        sum(col("nc")).as("chars"))
+      .withColumn("fertility_milli",
+        expr("(1000 * bpe_tokens) DIV greatest(words, 1L)"))
+      .withColumn("chars_per_tok_milli",
+        expr("(1000 * chars) DIV greatest(bpe_tokens, 1L)"))
+  }
+
+  val fertilityReportSql: String = {
+    import graft.functions.TextFunctions._
+    s"""
+    WITH f AS (
+      SELECT source, ${langIdSql("text")} AS pred_lang,
+        CAST(${wsTokensSql("text")} AS BIGINT) AS nw,
+        CAST(${bpeTokensKSql("text")} AS BIGINT) AS nb,
+        CAST(length(text) AS BIGINT) AS nc
+      FROM documents),
+    g AS (
+      SELECT source, pred_lang, COUNT(*) AS n_docs,
+        CAST(SUM(nw) AS BIGINT) AS words, CAST(SUM(nb) AS BIGINT) AS bpe_tokens,
+        CAST(SUM(nc) AS BIGINT) AS chars
+      FROM f GROUP BY 1, 2)
+    SELECT source, pred_lang, n_docs, words, bpe_tokens, chars,
+      CAST((1000 * bpe_tokens) // greatest(words, 1) AS BIGINT) AS fertility_milli,
+      CAST((1000 * chars) // greatest(bpe_tokens, 1) AS BIGINT) AS chars_per_tok_milli
+    FROM g ORDER BY source, pred_lang"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_ensemble" -> qualityEnsemble _,
+    "corpus_fertility" -> fertilityReport _,
     "corpus_drift_report" -> driftReport _,
     "corpus_domain_quota" -> domainQuota _,
     "corpus_gopher_rules" -> gopherRules _,
@@ -766,6 +895,8 @@ object CorpusSpans {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_quality_ensemble" -> qualityEnsembleSql,
+    "corpus_fertility" -> fertilityReportSql,
     "corpus_drift_report" -> driftReportSql,
     "corpus_domain_quota" -> domainQuotaSql,
     "corpus_gopher_rules" -> gopherRulesSql,

@@ -355,7 +355,92 @@ object Signals {
       MAX(CASE WHEN rn = 1 THEN n END) AS worst_n
     FROM r GROUP BY event_type ORDER BY event_type"""
 
+  /** C22 — CUSUM change-point detection over the hourly event-rate series:
+    * the classic one-sided cumulative-sum statistic
+    * S_i = max(0, S_{i-1} + x_i - mean - slack), which accumulates
+    * sustained upward rate shifts that per-hour thresholds (C12) and MAD
+    * outliers (C20) both miss — a 20%-above-mean drift for two days never
+    * trips a per-hour alert but drives S steadily up (Page's CUSUM, the
+    * public textbook form). All arithmetic is fixed-point integer (counts
+    * ×1000, mean/slack floor-divided), so the DuckDB recursive-CTE replay
+    * is bit-exact.
+    *
+    * Scale shape: the raw stream collapses to |types| × |hours| rows in one
+    * map-side-combined agg; the inherently SEQUENTIAL fold then runs per
+    * type over its own hourly array via `aggregate()` — bounded by the
+    * calendar (8,760 rows per type-year), never by the corpus, the same
+    * bounded-per-key-array device as C11's spine. At 100 TB the fold input
+    * is identical; only the first agg sees more data.
+    *
+    * Outputs per type: hours observed, fixed-point mean/slack, the max
+    * CUSUM value, the FIRST hour attaining it (the detected change point),
+    * and how many hours ran above the 3×mean alarm threshold.
+    */
+  def eventsCusumShift(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("hs"),
+        sum(col("n")).as("tot"), count(lit(1)).as("nh"))
+      .withColumn("m", expr("(1000 * tot) DIV nh"))
+      .withColumn("slack", expr("m DIV 10"))
+      .withColumn("f", expr(
+        """aggregate(hs,
+             named_struct('s', 0L, 'mx', -1L,
+                          'peak', CAST(NULL AS TIMESTAMP), 'al', 0L),
+             (acc, x) -> named_struct(
+               's',  greatest(0L, acc.s + 1000L * x.n - m - slack),
+               'mx', greatest(acc.mx,
+                       greatest(0L, acc.s + 1000L * x.n - m - slack)),
+               'peak', CASE WHEN greatest(0L, acc.s + 1000L * x.n - m - slack)
+                              > acc.mx THEN x.h ELSE acc.peak END,
+               'al', acc.al + CASE WHEN greatest(0L,
+                       acc.s + 1000L * x.n - m - slack) > 3 * m
+                     THEN 1L ELSE 0L END))"""))
+      .select(col("event_type"), col("nh").as("n_hours"),
+        col("m").as("mean_milli"), col("slack").as("slack_milli"),
+        col("f.mx").as("max_cusum"), col("f.peak").as("peak_hour"),
+        col("f.al").as("n_alarm_hours"))
+
+  val eventsCusumShiftSql: String = """
+    WITH RECURSIVE c AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT event_type, COUNT(*) AS nh,
+        CAST((1000 * SUM(n)) // COUNT(*) AS BIGINT) AS m,
+        CAST(((1000 * SUM(n)) // COUNT(*)) // 10 AS BIGINT) AS slack
+      FROM c GROUP BY 1),
+    idx AS (
+      SELECT event_type, h, n,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i
+      FROM c),
+    f AS (
+      SELECT event_type, 0 AS i, CAST(0 AS BIGINT) AS s,
+        CAST(-1 AS BIGINT) AS mx, CAST(NULL AS TIMESTAMP) AS peak,
+        CAST(0 AS BIGINT) AS al
+      FROM p
+      UNION ALL
+      SELECT f.event_type, f.i + 1,
+        greatest(0, f.s + 1000 * x.n - p.m - p.slack),
+        greatest(f.mx, greatest(0, f.s + 1000 * x.n - p.m - p.slack)),
+        CASE WHEN greatest(0, f.s + 1000 * x.n - p.m - p.slack) > f.mx
+             THEN x.h ELSE f.peak END,
+        f.al + CASE WHEN greatest(0, f.s + 1000 * x.n - p.m - p.slack) > 3 * p.m
+               THEN 1 ELSE 0 END
+      FROM f
+      JOIN idx x ON x.event_type = f.event_type AND x.i = f.i + 1
+      JOIN p ON p.event_type = f.event_type)
+    SELECT p.event_type, CAST(p.nh AS BIGINT) AS n_hours,
+      CAST(p.m AS BIGINT) AS mean_milli, CAST(p.slack AS BIGINT) AS slack_milli,
+      CAST(f.mx AS BIGINT) AS max_cusum, f.peak AS peak_hour,
+      CAST(f.al AS BIGINT) AS n_alarm_hours
+    FROM p JOIN f ON f.event_type = p.event_type AND f.i = p.nh
+    ORDER BY p.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cusum_shift" -> eventsCusumShift _,
     "events_anomaly_mad" -> eventsAnomalyMad _,
     "stats_correlation" -> statsCorrelation _,
     "events_gap_fill_locf" -> eventsGapFillLocf _,
@@ -372,6 +457,7 @@ object Signals {
     "events_rate_alert" -> eventsRateAlertSql,
     "events_state_intervals" -> eventsStateIntervalsSql,
     // the native session_window form must equal C2's composition exactly
+    "events_cusum_shift" -> eventsCusumShiftSql,
     "events_session_native" -> Relational.oracles("events_session"),
     "freq_sketch_cms" -> freqSketchCmsSql
   )

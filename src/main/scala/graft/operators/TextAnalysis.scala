@@ -558,7 +558,65 @@ object TextAnalysis {
     WHERE rank <= $RakeTopK ORDER BY doc_id, rank"""
   }
 
+  /** D15 — Unicode NORMALIZATION pass: NFC canonical composition +
+    * zero-width/BOM stripping + space-run collapse + trim:
+    * the standard first stage of any web-crawl text pipeline (mojibake,
+    * decomposed accents from mac filesystems/OCR, invisible joiners that
+    * break tokenizers and dedup fingerprints). The corpus is ASCII by
+    * construction, so the gate PLANTS row-varying decomposed payloads
+    * (4 combining-mark families by doc_id, zero-width trio + BOM, double
+    * spaces) and both engines normalize the identical string — Spark via
+    * the native [[graft.plans.NfcNormalize]] codegen expression, DuckDB
+    * via `nfc_normalize` (utf8proc); both implement UAX #15, so composed
+    * outputs match byte-for-byte.
+    *
+    * Scale: per-row expression chain fused into the scan (one pass, no
+    * shuffle); the NFC fast path skips allocation on already-composed
+    * text, which is ~all of a real corpus.
+    */
+  def plantMojibakeCol: Column = concat(
+    lit("doc z\u200Bw\u200Cj\u200Dbom\uFEFF end  pre"),
+    when(pmod(col("doc_id"), lit(4L)) === 0, lit("e\u0301"))
+      .when(pmod(col("doc_id"), lit(4L)) === 1, lit("a\u0308"))
+      .when(pmod(col("doc_id"), lit(4L)) === 2, lit("o\u0303"))
+      .otherwise(lit("c\u0327")),
+    lit("post  "), col("text"))
+
+  val plantMojibakeSql: String =
+    "'doc z' || chr(8203) || 'w' || chr(8204) || 'j' || chr(8205) || " +
+      "'bom' || chr(65279) || ' end  pre' || " +
+      "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'e' || chr(769) " +
+      "WHEN 1 THEN 'a' || chr(776) WHEN 2 THEN 'o' || chr(771) " +
+      "ELSE 'c' || chr(807) END || 'post  ' || text"
+
+  def normalizeUnicodeCol(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.plans.NfcNorm.nfcCol(c),
+        "[\u200B\u200C\u200D\uFEFF]", ""),
+      " {2,}", " "))
+
+  def normalizeUnicodeSql(x: String): String =
+    "trim(regexp_replace(regexp_replace(nfc_normalize(" + x + "), " +
+      "'[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'), " +
+      "' {2,}', ' ', 'g'))"
+
+  def textNormalizeUnicode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), plantMojibakeCol.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("n_raw"),
+        normalizeUnicodeCol(col("raw")).as("normalized"))
+      .withColumn("n_norm", length(col("normalized")))
+
+  val textNormalizeUnicodeSql: String = s"""
+    WITH raw AS (SELECT doc_id, $plantMojibakeSql AS raw FROM documents)
+    SELECT doc_id, CAST(length(raw) AS INTEGER) AS n_raw,
+      ${normalizeUnicodeSql("raw")} AS normalized,
+      CAST(length(${normalizeUnicodeSql("raw")}) AS INTEGER) AS n_norm
+    FROM raw ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize_unicode" -> textNormalizeUnicode _,
     "text_keyphrases" -> textKeyphrases _,
     "text_strip_html" -> textStripHtml _,
     "text_bm25_search" -> textBm25 _,
@@ -575,6 +633,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_normalize_unicode" -> textNormalizeUnicodeSql,
     "text_keyphrases" -> textKeyphrasesSql,
     "text_strip_html" -> textStripHtmlSql,
     "text_bm25_search" -> textBm25Sql,

@@ -113,11 +113,12 @@ object Ann {
   private def heapShortlist[C, Q: scala.reflect.ClassTag](
       corpus: Dataset[C], queries: Array[Q],
       qidOf: Q => Long, nidOf: C => Long, score: (Q, C) => Double,
-      r: Int, desc: Boolean): DataFrame = {
+      r: Int, desc: Boolean,
+      admit: (Q, C) => Boolean = (_: Q, _: C) => true): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(queries)
-    val (qf, nf, sf, rr, dd) = (qidOf, nidOf, score, r, desc)
+    val (qf, nf, sf, rr, dd, af) = (qidOf, nidOf, score, r, desc, admit)
     corpus.mapPartitions[(Long, Long, Double)] { (it: Iterator[C]) =>
       val qs = bc.value
       // worst element on top of the normalized (desc negates) key order
@@ -129,7 +130,7 @@ object Ann {
         var i = 0
         while (i < qs.length) {
           val q = qs(i)
-          if (nid != qf(q)) {
+          if (nid != qf(q) && af(q, c)) {
             val sc = sf(q, c)
             val cand = (if (dd) -sc else sc, nid)
             if (heaps(i).size < rr) heaps(i).enqueue(cand)
@@ -1086,7 +1087,45 @@ object Ann {
     graft.CacheScope.releaseAfterUse(out, codes)
   }
 
+  /** F13 — HARD-NEGATIVE MINING for contrastive/retrieval training: for
+    * each query vector, the exact top-k most-cosine-similar vectors whose
+    * class label DIFFERS from the query's — the "closest wrong answers"
+    * a contrastive loss needs (the public in-batch/ANCE-style hard-negative
+    * recipe). The inverse of F8's filtered search (same label) — the admit
+    * predicate flips from label-match to label-mismatch.
+    *
+    * Same 100 TB shape as F1: broadcast query block, ONE corpus scan
+    * through per-query bounded heaps ([[heapShortlist]]), P×q×k partials
+    * into the tiny global rank. Scoring is bit-identical to the brute gate
+    * (sequential dot, HALF_UP 6 dp).
+    */
+  def hardNegativesTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"))
+      .as[(Long, Array[Double], Double, Int)]
+    // bounded collect: the NumQueries-row query block (the F1 device)
+    val qs = e.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    val partials = heapShortlist[
+        (Long, Array[Double], Double, Int), (Long, Array[Double], Double, Int)](
+      e, qs, _._1, _._1,
+      score = (q, c) => {
+        var acc = 0.0
+        var j = 0
+        while (j < q._2.length) { acc += q._2(j) * c._2(j); j += 1 }
+        BigDecimal(acc / (q._3 * c._3))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      },
+      r = TopK, desc = true,
+      admit = (q, c) => c._4 != q._4)
+    val qlab = qs.toSeq.map(q => (q._1, q._4)).toDF("qid", "q_label")
+    rankTopK(partials.withColumnRenamed("score", "rcos"))
+      .join(broadcast(qlab), "qid")
+      .select(col("qid"), col("q_label"), col("nid"), col("rank"), col("rcos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hard_negatives" -> hardNegativesTopK _,
     "ann_mips_topk" -> mipsTopK _,
     "ann_binary_topk" -> binaryTopK _,
     "dedup_semantic" -> semanticDedup _,
@@ -1464,6 +1503,17 @@ object Ann {
         SELECT qid, nid, hamming, rcos,
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
         FROM r) t
+      WHERE rank <= $TopK ORDER BY qid, rank""",
+    "ann_hard_negatives" -> s"""
+      WITH p AS (
+        SELECT q.vec_id AS qid, q.label AS q_label, c.vec_id AS nid,
+          ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS rcos
+        FROM embeddings q JOIN embeddings c ON c.label <> q.label
+        WHERE q.vec_id < $NumQueries)
+      SELECT qid, q_label, nid, rank, rcos FROM (
+        SELECT qid, q_label, nid, rcos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
+        FROM p) t
       WHERE rank <= $TopK ORDER BY qid, rank""",
     "ann_brute_topk" -> s"""
       WITH p AS (
