@@ -310,23 +310,21 @@ object Multimodal {
     val nb = g / bk                    // blocks per side
     val wBits = nb * nb                // 64 signature bits
     val nPix = g * g
-    // one-pass native pooling: the composable 1024-term projection blows
-    // the 64 KB codegen method limit and drops the stage to interpreted
-    // (see GridBlockSums) — the kernel keeps whole-stage codegen intact
-    val bs: IndexedSeq[org.apache.spark.sql.Column] = (0 until wBits).map(b =>
-      element_at(col("bsums"), b + 1))
     val nBands = PhashHamT + 1
-    val base = wBits / nBands
-    val extra = wBits % nBands
-    val widths = (0 until nBands).map(i => base + (if (i < extra) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val words = (0 until wBits / 64).map(w => signBits(bs, w * 64, 64))
-    val bands = (0 until nBands).map(i => signBits(bs, offsets(i), widths(i)))
+    // ONE native call per row computes pool + mean + sign-pack
+    // ([[graft.plans.Phash2dSig]]): the previous composable chain — an
+    // interpreted 1024-term transform feeding the pooling kernel feeding
+    // ~190 element_at sign terms — re-evaluated the transform per
+    // REFERENCE once projection collapse fused the stages: 32 s per bench
+    // rep at sf0.1, and invisible to count()-style checks because pruning
+    // the signature columns pruned the cost. Arithmetic is op-for-op
+    // identical (spec + unchanged oracle pin it).
     val raw = Tables.documents(s, d)
       .filter(char_length(col("text")) >= 64)
       .withColumn("raw", graft.plans.StrideSample.sample(col("text"), nPix))
+    val noPert = expr("CAST(array() AS ARRAY<BIGINT>)")
     val v0 = raw.select((col("doc_id") * 2).as("doc_id"),
-      expr("transform(raw, x -> CAST(x AS BIGINT))").as("codes"))
+      graft.plans.Phash2dSig.sig(col("raw"), noPert, 0, 64, g, bk, nBands).as("sig"))
     val v1 = raw
       .withColumn("pert", expr(
         s"CASE WHEN pmod(doc_id, $Phash2dMaxEdits) > 0 THEN " +
@@ -334,14 +332,11 @@ object Multimodal {
           s"j -> pmod(doc_id * 131 + j * 97, $nPix)) " +
           "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
       .select((col("doc_id") * 2 + 1).as("doc_id"),
-        expr(s"transform(sequence(0, ${nPix - 1}), i -> " +
-          "CAST(element_at(raw, i + 1) AS BIGINT) + 1 + " +
-          "CASE WHEN array_contains(pert, CAST(i AS BIGINT)) THEN 64 ELSE 0 END)")
-          .as("codes"))
+        graft.plans.Phash2dSig.sig(col("raw"), col("pert"), 1, 64, g, bk, nBands).as("sig"))
     v0.unionByName(v1)
-      .withColumn("bsums", graft.plans.GridBlockSums.sums(col("codes"), g, bk))
-      .withColumn("tot", bs.reduce(_ + _))
-      .select(col("doc_id"), array(words: _*).as("ph"), array(bands: _*).as("bvs"))
+      .select(col("doc_id"),
+        slice(col("sig"), 1, wBits / 64).as("ph"),
+        slice(col("sig"), wBits / 64 + 1, nBands).as("bvs"))
   }
 
   /** Test access: the 2-D signature frame (doc_id, ph: array<long>). */

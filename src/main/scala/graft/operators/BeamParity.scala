@@ -394,22 +394,22 @@ object BeamParity {
 
   def compactBinaryDir(s: SparkSession, binDir: String, outDir: String,
       targetFileBytes: Long): Int = {
-    val in = new org.apache.hadoop.fs.Path(binDir)
-    val fs = in.getFileSystem(s.sparkContext.hadoopConfiguration)
-    var totalBytes = 0L
-    val it = fs.listFiles(in, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (n.endsWith(".bin")) totalBytes += f.getLen
-    }
+    // byte total comes from the binaryFile SCAN itself (one distributed
+    // read, persisted across the size pass and the rewrite) — NOT a
+    // driver-side fs.listFiles walk: Hadoop's RawLocalFileSystem loads
+    // per-file permissions by FORKING a shell per entry, which made the
+    // old listing ~5 ms × |files| of pure driver time (24 s at sf0.1),
+    // and a driver directory walk is the wrong shape at 100 TB anyway.
+    val bin = graft.CacheScope.scopedPersist(
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(binDir)
+        .select(
+          regexp_extract(col("path"), "doc_([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("content").as("payload"), col("length").as("len")))
+    val totalBytes = bin.agg(sum(col("len"))).head.getLong(0)
     val nFiles = (((totalBytes + targetFileBytes - 1) /
       targetFileBytes) max 1L).toInt
-    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(binDir)
-      .select(
-        regexp_extract(col("path"), "doc_([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
-        col("content").as("payload"))
-      .repartition(nFiles)
+    val out = bin.select(col("doc_id"), col("payload")).repartition(nFiles)
+    graft.CacheScope.releaseAfterUse(out, bin)
       .write.mode("overwrite").parquet(outDir)
     nFiles
   }
