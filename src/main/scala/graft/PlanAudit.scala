@@ -107,10 +107,10 @@ object PlanAudit {
     // hour of the per-type TIMELINE (and its partial-agg reduces) — bounded
     // by types × hours like agg_percentiles/skew_report, never event count
     "events_anomaly_mad",
-    // events_cusum_shift: collect_list of the per-type HOURLY timeline for
-    // the sequential CUSUM fold — calendar-bounded (8,760 rows per
-    // type-year), the events_anomaly_mad argument
-    "events_cusum_shift",
+    // events_cusum_shift (+ streaming twin): collect_list of the per-type
+    // HOURLY timeline for the sequential CUSUM fold — calendar-bounded
+    // (8,760 rows per type-year), the events_anomaly_mad argument
+    "events_cusum_shift", "streaming_cusum_shift",
     // sketch_theta_overlap: the KMV bottom-k basket — hard-capped at
     // SetSketch.KmvK = 256 longs per source (the same BoundedBasketAgg
     // device as basket_pairs)

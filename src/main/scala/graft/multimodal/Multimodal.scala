@@ -377,13 +377,18 @@ object Multimodal {
   val FrameDedupFrames = 16
   val FrameDedupScene = 8
 
-  private def frameDedupPhash(s: SparkSession, d: String): DataFrame = {
+  /** Per-frame pHash of the manufactured 16-frame "video": every frame
+    * when `everyN` = 1 (G9's consecutive-frame scan), every 4th when 4
+    * (G6's sampled dedup). One definition — the G6/G9 signatures cannot
+    * drift.
+    */
+  private def frameDedupPhash(s: SparkSession, d: String, everyN: Int): DataFrame = {
     val w = 64
     val codes = sampleCodes(w)
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         explode(expr(
-          s"filter(sequence(0, ${FrameDedupFrames - 1}), j -> j % 4 = 0)"))
+          s"filter(sequence(0, ${FrameDedupFrames - 1}), j -> j % $everyN = 0)"))
           .as("frame_idx"))
       .withColumn("frm", rpad(
         expr(s"substring(text, 1 + (frame_idx DIV $FrameDedupScene) * 37, 180)"),
@@ -394,11 +399,71 @@ object Multimodal {
         signBits(codes, 0, 64).as("ph"))
   }
 
+  /** G9 — SCENE-CUT detection (shot segmentation): walk the frame sequence
+    * in order and flag a cut wherever the perceptual distance between
+    * CONSECUTIVE frame hashes exceeds [[PhashHamT]] — the standard
+    * shot-boundary primitive every video-ingest pipeline runs before
+    * per-scene sampling/captioning (one keyframe per shot, not per frame).
+    * Reuses G6's frame manufacture and per-frame pHash verbatim (shared
+    * definition) over ALL [[FrameDedupFrames]] frames; the lag window
+    * partitions per doc (a per-video constant of frames, never
+    * corpus-bounded), then reduces to a per-video report: frame count,
+    * cut count, the first cut index, and the largest inter-frame step —
+    * row-varying because cross-scene distances depend on the document.
+    */
+  def sceneCuts(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameDedupPhash(s, d, 1)
+      .withColumn("prev", lag(col("ph"), 1).over(w))
+      .withColumn("step", when(col("prev").isNotNull,
+        bit_count(col("ph").bitwiseXOR(col("prev")))).otherwise(lit(null))
+        .cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("step") > PhashHamT, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("step") > PhashHamT, col("frame_idx"))).as("first_cut_idx"),
+        max(col("step")).as("max_step"))
+  }
+
+  val sceneCutsSql: String = s"""
+    WITH fr AS (
+      SELECT doc_id, j AS frame_idx,
+        rpad(substring(text, 1 + (j // $FrameDedupScene) * 37, 180), 256, '.') AS frm
+      FROM documents,
+        (SELECT unnest(range($FrameDedupFrames)) AS j)),
+    m AS (
+      SELECT doc_id, frame_idx,
+        list_transform(range(64), i ->
+          ord(substring(frm, (i * length(frm)) // 64 + 1, 1))) AS codes
+      FROM fr),
+    h AS (SELECT doc_id, frame_idx, codes, list_sum(codes) AS tot FROM m),
+    hu AS (
+      SELECT doc_id, frame_idx,
+        list_sum(list_transform(range(64), i ->
+          CASE WHEN codes[i+1] * 64 > tot
+            THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
+      FROM h),
+    ph AS (SELECT doc_id, frame_idx,
+        ${graft.plans.MixHash.sqlToSigned("uh")} AS ph
+      FROM hu),
+    st AS (
+      SELECT doc_id, frame_idx,
+        CAST(bit_count(xor(ph,
+          LAG(ph) OVER (PARTITION BY doc_id ORDER BY frame_idx))) AS INTEGER)
+          AS step
+      FROM ph)
+    SELECT doc_id, COUNT(*) AS n_frames,
+      CAST(SUM(CASE WHEN step > $PhashHamT THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      MIN(CASE WHEN step > $PhashHamT THEN frame_idx END) AS first_cut_idx,
+      MAX(step) AS max_step
+    FROM st GROUP BY doc_id ORDER BY doc_id"""
+
   def frameDedup(s: SparkSession, d: String): DataFrame = {
     // the signature pipeline (frame manufacture + stride sample + 64-term
     // sign fold) is the dominant per-row cost: persist it once rather than
     // recompute on both sides of the self-join (the G5 discipline)
-    val ph = graft.CacheScope.scopedPersist(frameDedupPhash(s, d))
+    val ph = graft.CacheScope.scopedPersist(frameDedupPhash(s, d, 4))
     val out = ph.as("a").join(ph.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
           col("a.frame_idx") < col("b.frame_idx"))
@@ -474,6 +539,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_energy" -> audioEnergy _,
     "mm_frame_dedup" -> frameDedup _,
+    "mm_scene_cuts" -> sceneCuts _,
     "mm_binary_meta" -> binaryMeta _,
     "mm_feature_stub" -> featureStub _,
     "mm_frame_sample" -> frameSample _,
@@ -522,6 +588,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_audio_energy" -> audioEnergySql,
     "mm_frame_dedup" -> frameDedupSql,
+    "mm_scene_cuts" -> sceneCutsSql,
     // DuckDB md5/hex operate on VARCHAR; the payload is exactly the UTF-8
     // bytes of `text`, so md5(text) == md5(encode(text)).
     // md5/hex operate on the same UTF-8 bytes both sides; magic prefix uses

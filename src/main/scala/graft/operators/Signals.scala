@@ -377,9 +377,18 @@ object Signals {
     * and how many hours ran above the 3×mean alarm threshold.
     */
   def eventsCusumShift(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"))
+    cusumReport(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n")))
+
+  /** THE CUSUM finisher, shared by C22 (batch) and C23 (streaming drain):
+    * input is the (event_type, h, n) hourly-count table; a definition
+    * drift between the twins is impossible because there is one
+    * definition. (The C18/C21 shared-finisher discipline.)
+    */
+  def cusumReport(hourly: DataFrame): DataFrame =
+    hourly
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("hs"),
         sum(col("n")).as("tot"), count(lit(1)).as("nh"))

@@ -615,7 +615,81 @@ object TextAnalysis {
       CAST(length(${normalizeUnicodeSql("raw")}) AS INTEGER) AS n_norm
     FROM raw ORDER BY doc_id"""
 
+  /** D16 — READABILITY scoring (Flesch reading ease + Flesch-Kincaid
+    * grade): the classic audience-level signal corpus curricula sort on
+    * (simple-first ordering, textbook-vs-forum mix decisions). Both
+    * formulas need sentence boundaries and the corpus carries none, so
+    * the gate PLANTS them deterministically — a period after every
+    * (5 + doc_id mod 7) words, row-varying sentence length by the D10
+    * discipline. Syllables use the standard vowel-group heuristic
+    * (runs of [aeiouy], one group ≈ one syllable). Every score is
+    * fixed-point integer: FRE·1000 = 206835 − (1015·W) DIV S −
+    * (84600·Syl) DIV W, FKGL·1000 = (390·W) DIV S + (11800·Syl) DIV W
+    * − 15590 — floor division, zero-guarded, so the gate is hash-exact
+    * with no float anywhere. One fused scan, no shuffle.
+    */
+  def textReadability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ln", (lit(5L) + pmod(col("doc_id"), lit(7L))).cast("int"))
+      .withColumn("planted", array_join(expr(
+        "transform(filter(split(text, ' '), x -> x <> ''), " +
+          "(w, i) -> CASE WHEN (i + 1) % ln = 0 THEN concat(w, '.') ELSE w END)"),
+        " "))
+      .select(col("doc_id"), col("ln").cast("long").as("sentence_len"),
+        size(words(col("planted"))).cast("long").as("n_words"),
+        greatest(regexp_count(col("planted"), lit("[.!?]+")).cast("long"), lit(1L))
+          .as("n_sentences"),
+        regexp_count(lower(col("planted")), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("fre_milli", expr(
+        "206835 - (1015 * n_words) DIV n_sentences" +
+          " - (84600 * n_syllables) DIV greatest(n_words, 1L)"))
+      .withColumn("fkgl_milli", expr(
+        "(390 * n_words) DIV n_sentences" +
+          " + (11800 * n_syllables) DIV greatest(n_words, 1L) - 15590"))
+      .withColumn("band",
+        when(col("fre_milli") >= 70000, "easy")
+          .when(col("fre_milli") >= 50000, "standard")
+          .when(col("fre_milli") >= 30000, "difficult")
+          .otherwise("very_difficult"))
+
+  val textReadabilitySql: String = """
+    WITH p AS (
+      SELECT doc_id, 5 + doc_id % 7 AS ln,
+        list_filter(str_split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+    pl AS (
+      SELECT doc_id, ln,
+        array_to_string([CASE WHEN i % ln = 0 THEN ws[i] || '.' ELSE ws[i] END
+                         for i in range(1, len(ws) + 1)], ' ') AS planted
+      FROM p),
+    c AS (
+      SELECT doc_id, CAST(ln AS BIGINT) AS sentence_len,
+        CAST(len(list_filter(str_split(planted, ' '), x -> x <> '')) AS BIGINT)
+          AS n_words,
+        greatest(CAST(len(regexp_extract_all(planted, '[.!?]+')) AS BIGINT), 1)
+          AS n_sentences,
+        CAST(len(regexp_extract_all(lower(planted), '[aeiouy]+')) AS BIGINT)
+          AS n_syllables
+      FROM pl),
+    sc AS (
+      SELECT doc_id, sentence_len, n_words, n_sentences, n_syllables,
+        206835 - (1015 * n_words) // n_sentences
+          - (84600 * n_syllables) // greatest(n_words, 1) AS fre_milli,
+        (390 * n_words) // n_sentences
+          + (11800 * n_syllables) // greatest(n_words, 1) - 15590 AS fkgl_milli
+      FROM c)
+    SELECT doc_id, sentence_len, n_words, n_sentences, n_syllables,
+      CAST(fre_milli AS BIGINT) AS fre_milli,
+      CAST(fkgl_milli AS BIGINT) AS fkgl_milli,
+      CASE WHEN fre_milli >= 70000 THEN 'easy'
+           WHEN fre_milli >= 50000 THEN 'standard'
+           WHEN fre_milli >= 30000 THEN 'difficult'
+           ELSE 'very_difficult' END AS band
+    FROM sc ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> textReadability _,
     "text_normalize_unicode" -> textNormalizeUnicode _,
     "text_keyphrases" -> textKeyphrases _,
     "text_strip_html" -> textStripHtml _,
@@ -633,6 +707,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_readability" -> textReadabilitySql,
     "text_normalize_unicode" -> textNormalizeUnicodeSql,
     "text_keyphrases" -> textKeyphrasesSql,
     "text_strip_html" -> textStripHtmlSql,

@@ -517,8 +517,35 @@ object Streams {
       .select(col("hour_start"), col("event_type"), col("n"), col("rank"))
   }
 
+  /** C23 — streaming CUSUM change-point twin (C22's stream form): the
+    * STREAM maintains only the incremental (hour-window × event_type)
+    * count grid — state bounded by the calendar × type space, never the
+    * stream length (the C19 split) — and the drained complete-mode sink
+    * runs through [[graft.operators.Signals.cusumReport]], the SAME fold
+    * finisher as batch, so the twins cannot drift. Sequential CUSUM math
+    * happens once at read time over the types×hours table; putting it IN
+    * the stream would re-fold every micro-batch for no freshness gain.
+    * Gated against C22's recursive-CTE oracle.
+    */
+  def streamingCusumShift(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_cusum_sink_" + sinkId.incrementAndGet()
+    val src = eventsStream(s, d, "event_type STRING")
+    withStateParts(s) {
+      val q = src
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("h"), col("event_type"), col("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    graft.operators.Signals.cusumReport(s.table(name))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "streaming_cusum_shift" -> streamingCusumShift _,
       "streaming_topk" -> streamingTopK _,
       "streaming_quantile_hist" -> streamingQuantileHist _,
       "streaming_quantile_sketch" -> streamingQuantileSketch _,
@@ -533,6 +560,9 @@ object Streams {
       "streaming_join" -> streamingJoin _)
 
   val oracles: Map[String, String] = Map(
+    // the streaming CUSUM drains to the batch hourly grid: share C22's
+    "streaming_cusum_shift" ->
+      graft.operators.Signals.oracles("events_cusum_shift"),
     // the streaming histogram drains to the batch grid: share B36's oracle
     "streaming_quantile_hist" ->
       graft.operators.Analytics.oracles("approx_quantile_hist"),

@@ -240,4 +240,22 @@ class MultimodalSpec extends SparkSpec {
       assert(x < y && h <= Multimodal.PhashHamT)
     }
   }
+  test("G9 scene cuts fire only at the scene boundary and somewhere in the corpus") {
+    val res = Multimodal.sceneCuts(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_frames") == Multimodal.FrameDedupFrames.toLong)
+      // frames within a scene are identical (hamming 0): the ONLY possible
+      // cut is the single scene change at frame index FrameDedupScene
+      assert(r.getAs[Long]("n_cuts") <= 1L)
+      if (r.getAs[Long]("n_cuts") == 1L)
+        assert(r.getAs[Long]("first_cut_idx") == Multimodal.FrameDedupScene.toLong,
+          s"cut off the scene boundary for doc ${r.getAs[Long]("doc_id")}")
+    }
+    // non-vacuous: some documents' scenes differ by more than the threshold
+    assert(res.exists(_.getAs[Long]("n_cuts") == 1L), "no cuts anywhere")
+    assert(res.exists(_.getAs[Long]("n_cuts") == 0L),
+      "every doc cut - threshold not discriminating")
+  }
+
 }

@@ -248,4 +248,12 @@ class StreamingSpec extends SparkSpec {
     val est = got.getDouble(0)
     assert(est >= exact.toDouble, s"estimate $est below exact $exact")
   }
+  test("C23 streaming CUSUM drains to exactly the batch change-point report") {
+    val stream = Streams.streamingCusumShift(spark, sf)
+    val batch = graft.operators.Signals.eventsCusumShift(spark, sf)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "stream drain diverged from the batch CUSUM fold")
+    assert(batch.count() > 0)
+  }
+
 }

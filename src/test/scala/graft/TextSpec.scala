@@ -143,4 +143,21 @@ class TextSpec extends SparkSpec {
       if (expNgram != "und") assert(score > 0)
     }
   }
+  test("D16 readability replays the fixed-point Flesch formulas exactly") {
+    val rows = TextAnalysis.textReadability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("n_words"); val s = r.getAs[Long]("n_sentences")
+      val syl = r.getAs[Long]("n_syllables")
+      val fre = 206835L - (1015L * w) / s - (84600L * syl) / math.max(w, 1L)
+      val fkgl = (390L * w) / s + (11800L * syl) / math.max(w, 1L) - 15590L
+      assert(r.getAs[Long]("fre_milli") == fre)
+      assert(r.getAs[Long]("fkgl_milli") == fkgl)
+      // planted sentence structure: ~sentence_len words per sentence
+      assert(s >= w / r.getAs[Long]("sentence_len") - 1)
+    }
+    // row-varying bands (the formula discriminates on this corpus)
+    assert(rows.map(_.getAs[String]("band")).distinct.length > 1)
+  }
+
 }
