@@ -621,6 +621,100 @@ object Dedup {
     graft.CacheScope.releaseAfterUse(out, shingled, bandRows)
   }
 
+  /** E12 — MinHash Jaccard ESTIMATION: the property the whole E3 pipeline
+    * rests on, surfaced as data — for every banded candidate pair, the
+    * 64-slot signature agreement fraction IS an unbiased Jaccard estimate
+    * (Broder's theorem: P[min-slot agreement] = J), reported next to the
+    * exact value so estimator quality is measurable in-engine (an ablation
+    * a corpus team runs before trusting banding thresholds at 100 TB,
+    * where exact verification of every candidate is unaffordable). All
+    * integer: agreement count via one zip_with fold, both Jaccards in
+    * basis points by floor division — hash-exact across engines. Same
+    * banded candidate generation as E3 (never all-pairs); the exact side
+    * joins the stored shingle arrays only for candidate rows.
+    */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val shingled = graft.CacheScope.scopedPersist(withShingles(docs)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")))
+    val postings = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", graft.plans.MixHash.polyHashCol(col("sh")))
+    val sigs = graft.CacheScope.scopedPersist(postings.groupBy(col("doc_id"))
+      .agg(graft.plans.SketchAggs.minhash(col("h"), MinhashBands * MinhashRows).as("m")))
+    val bandCols = (0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"),
+        slice(col("m"), b * MinhashRows + 1, MinhashRows).as("bh"))
+    }
+    val bandRows = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val buckets = withBucketStats(bandRows, Seq("band", "bh"),
+      col("doc_id"), maxBandBucket(s))
+    val small = buckets.filter(col("bn").isNull)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val star = buckets.filter(col("bn").isNotNull && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val cand = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .union(star)
+      .distinct()
+    val out = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("m").as("ma")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("m").as("mb")), "doc_b")
+      .join(shingled.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+      .join(shingled.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sh_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("agree", expr(
+        "aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), " +
+          "0L, (acc, v) -> acc + v)"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("agree"),
+        expr(s"(10000 * agree) DIV ${MinhashBands * MinhashRows}")
+          .as("est_jaccard_bps"),
+        expr("(10000 * inter) DIV (sz_a + sz_b - inter)").as("exact_jaccard_bps"))
+    graft.CacheScope.releaseAfterUse(out, shingled, sigs)
+  }
+
+  /** E12's oracle: the E3 oracle's signature replay, finished with the
+    * slot-agreement count and integer basis-point Jaccards.
+    */
+  private def minhashEstimateSql: String = {
+    import graft.plans.MixHash._
+    val n = MinhashBands * MinhashRows
+    val slotVal = s"(${sqlMulMod("h", "sa[i+1]")} + sb[i+1]) % $M64"
+    s"""
+    WITH $shingleHashCtes,
+    ab AS (SELECT ${sqlSlotA(n)} AS sa, ${sqlSlotB(n)} AS sb),
+    slots AS (
+      SELECT doc_id, i, MIN(${sqlToSigned(slotVal)}) AS sv
+      FROM mh, (SELECT unnest(range($n)) AS i), ab
+      GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id, i // $MinhashRows AS band, list(sv ORDER BY i) AS bkey
+      FROM slots GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    agr AS (
+      SELECT c.doc_a, c.doc_b,
+        CAST(SUM(CASE WHEN x.sv = y.sv THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      FROM cand c
+      JOIN slots x ON x.doc_id = c.doc_a
+      JOIN slots y ON y.doc_id = c.doc_b AND y.i = x.i
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT g.doc_a, g.doc_b, g.agree,
+      CAST((10000 * g.agree) // $n AS BIGINT) AS est_jaccard_bps,
+      CAST((10000 * len(list_intersect(x.s, y.s)))
+        // (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS BIGINT)
+        AS exact_jaccard_bps
+    FROM agr g JOIN shl x ON x.doc_id = g.doc_a JOIN shl y ON y.doc_id = g.doc_b
+    ORDER BY doc_a, doc_b"""
+  }
+
   // ---- SimHash ----
 
   /** E4 — 64-bit SimHash with 4x16-bit band blocking, hamming radius 3.
@@ -1039,6 +1133,7 @@ object Dedup {
     "dedup_incremental" -> incrementalNew _,
     "dedup_clusters" -> clusterPairs _,
     "dedup_minhash" -> minhashPairs _,
+    "dedup_minhash_estimate" -> minhashEstimate _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_winnow" -> winnowPairs _,
     "dedup_embedding" -> embeddingPairs _
@@ -1206,6 +1301,7 @@ object Dedup {
     "dedup_boilerplate" -> dedupBoilerplateSql,
     "dedup_winnow" -> winnowOracleSql,
     "dedup_minhash" -> minhashOracleSql,
+    "dedup_minhash_estimate" -> minhashEstimateSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_exact" -> s"""
       SELECT ${TextFunctions.fingerprintSql("text")} AS fp,

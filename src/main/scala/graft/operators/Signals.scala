@@ -448,7 +448,108 @@ object Signals {
     FROM p JOIN f ON f.event_type = p.event_type AND f.i = p.nh
     ORDER BY p.event_type"""
 
+  /** B63 — two-sample A/B TEST report (Welch's t): the experiment-analysis
+    * primitive every product-analytics stack ships — per event_type, split
+    * users into control/treatment by user_id parity (a deterministic stand-
+    * in for the assignment column a real experiment carries), compare mean
+    * `value`, and emit Welch's t statistic with a |t| > 1.96 significance
+    * flag. Exactness follows B59's (stats_correlation) proven discipline:
+    * all sums are decimal-exact [[graft.operators.Exact.dsum]] (order-
+    * independent), both engines then run the IDENTICAL parenthesized
+    * double formula on bit-identical inputs, and the published floats are
+    * rounded to 6 dp. One fused scan → |types|-row conditional agg —
+    * report-sized at any scale, no second pass for the variances.
+    */
+  def statsAbTest(s: SparkSession, d: String): DataFrame = {
+    val a = pmod(col("user_id"), lit(2L)) === 0
+    val v = col("value")
+    def cnt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(c, 1L).otherwise(0L))
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(cnt(a).cast("double").as("na"), cnt(!a).cast("double").as("nb"),
+        dsum(when(a, v).otherwise(0.0)).as("sa"),
+        dsum(when(!a, v).otherwise(0.0)).as("sb"),
+        dsum(when(a, v * v).otherwise(0.0)).as("sxa"),
+        dsum(when(!a, v * v).otherwise(0.0)).as("sxb"))
+      .withColumn("va", (col("sxa") - col("sa") * col("sa") / col("na")) / (col("na") - 1))
+      .withColumn("vb", (col("sxb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1))
+      .withColumn("t", (col("sa") / col("na") - col("sb") / col("nb")) /
+        sqrt(col("va") / col("na") + col("vb") / col("nb")))
+      .select(col("event_type"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("sa") / col("na"), 6).as("mean_a"),
+        round(col("sb") / col("nb"), 6).as("mean_b"),
+        when(col("na") > 1 && col("nb") > 1, round(col("t"), 6)).as("welch_t"),
+        when(col("na") > 1 && col("nb") > 1, abs(col("t")) > 1.96)
+          .as("significant"))
+  }
+
+  val statsAbTestSql: String = s"""
+    WITH m AS (
+      SELECT event_type,
+        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+        ${sqlDsum("CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END")} AS sa,
+        ${sqlDsum("CASE WHEN user_id % 2 <> 0 THEN value ELSE 0.0 END")} AS sb,
+        ${sqlDsum("CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0.0 END")} AS sxa,
+        ${sqlDsum("CASE WHEN user_id % 2 <> 0 THEN value * value ELSE 0.0 END")} AS sxb
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT event_type, na, nb, sa, sb,
+        (sxa - sa * sa / na) / (na - 1) AS va,
+        (sxb - sb * sb / nb) / (nb - 1) AS vb
+      FROM m),
+    tt AS (
+      SELECT event_type, na, nb, sa, sb,
+        (sa / na - sb / nb) / SQRT(va / na + vb / nb) AS t
+      FROM w)
+    SELECT event_type,
+      CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      ROUND(sa / na, 6) AS mean_a, ROUND(sb / nb, 6) AS mean_b,
+      CASE WHEN na > 1 AND nb > 1 THEN ROUND(t, 6) END AS welch_t,
+      CASE WHEN na > 1 AND nb > 1 THEN abs(t) > 1.96 END AS significant
+    FROM tt ORDER BY event_type"""
+
+  /** C24 — LAST-TOUCH ATTRIBUTION: credit every `purchase` conversion to
+    * the same user's most recent PRECEDING non-conversion event — the
+    * marketing-analytics primitive behind "which touchpoint drives
+    * revenue" tables. One ignore-nulls running `last` over the per-user
+    * timeline (the C11 window family: partitions by user, scales with
+    * users), a deterministic (ts, event_id) order tiebreak, then a
+    * touch-type-sized report: conversion counts + decimal-exact revenue.
+    * Conversions with no preceding touch surface as the NULL row (honest
+    * accounting, not silently dropped).
+    */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(dsum(col("value")), 4).as("conv_value"))
+  }
+
+  val eventsAttributionSql: String = s"""
+    WITH t AS (
+      SELECT event_type, value,
+        LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+      FROM events)
+    SELECT touch_type, COUNT(*) AS n_conversions,
+      ROUND(${sqlDsum("value")}, 4) AS conv_value
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY touch_type ORDER BY touch_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> eventsAttribution _,
+    "stats_ab_test" -> statsAbTest _,
     "events_cusum_shift" -> eventsCusumShift _,
     "events_anomaly_mad" -> eventsAnomalyMad _,
     "stats_correlation" -> statsCorrelation _,
@@ -466,6 +567,8 @@ object Signals {
     "events_rate_alert" -> eventsRateAlertSql,
     "events_state_intervals" -> eventsStateIntervalsSql,
     // the native session_window form must equal C2's composition exactly
+    "events_attribution" -> eventsAttributionSql,
+    "stats_ab_test" -> statsAbTestSql,
     "events_cusum_shift" -> eventsCusumShiftSql,
     "events_session_native" -> Relational.oracles("events_session"),
     "freq_sketch_cms" -> freqSketchCmsSql

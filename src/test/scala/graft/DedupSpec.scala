@@ -635,4 +635,21 @@ class DedupSpec extends SparkSpec {
       spark.conf.unset("graft.ivf.dir")
     }
   }
+  test("E12 minhash agreement estimates Jaccard within the 64-slot envelope") {
+    val rows = graft.dedup.Dedup.minhashEstimate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_jaccard_bps")
+      val exact = r.getAs[Long]("exact_jaccard_bps")
+      // Broder: agreement/64 is a mean of 64 Bernoulli(J) draws (affine
+      // slots are not independent, but the 4-sigma binomial envelope holds
+      // empirically and catches sign/indexing regressions)
+      val sigma = 10000.0 * math.sqrt(0.25 / 64)
+      assert(math.abs(est - exact) <= 4 * sigma,
+        s"pair (${r.getAs[Long]("doc_a")},${r.getAs[Long]("doc_b")}): est $est vs exact $exact")
+    }
+    // candidates surfaced by banding skew high-J: most agreement is high
+    assert(rows.count(_.getAs[Long]("agree") >= 32) == rows.length)
+  }
+
 }

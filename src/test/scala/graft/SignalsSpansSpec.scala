@@ -386,4 +386,42 @@ class SignalsSpansSpec extends SparkSpec {
     assert(rows("A").isEmpty, s"degenerate group must be NULL, got ${rows("A")}")
     assert(rows("B").contains(1.0), s"perfect correlation must be 1.0, got ${rows("B")}")
   }
+  test("B63 Welch t replays the textbook two-sample formula per type") {
+    val rows = Signals.statsAbTest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val (a, b) = raw(et).partition(_.getAs[Long]("user_id") % 2 == 0)
+      val (va, vb) = (a.map(_.getAs[Double]("value")), b.map(_.getAs[Double]("value")))
+      assert(r.getAs[Long]("n_a") == va.length.toLong)
+      assert(r.getAs[Long]("n_b") == vb.length.toLong)
+      def meanVar(xs: Array[Double]) = {
+        val m = xs.sum / xs.length
+        (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      }
+      val (ma, s2a) = meanVar(va); val (mb, s2b) = meanVar(vb)
+      val t = (ma - mb) / math.sqrt(s2a / va.length + s2b / vb.length)
+      // the op computes variance from exact decimal sums; the naive
+      // two-pass replay here agrees to ~1e-5 relative, not bit-for-bit
+      assert(math.abs(r.getAs[Double]("welch_t") - t) < 1e-3,
+        s"$et: ${r.getAs[Double]("welch_t")} vs $t")
+      assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96) ||
+        math.abs(math.abs(t) - 1.96) < 1e-3)
+    }
+  }
+
+  test("C24 attribution conserves conversions and never credits a purchase") {
+    val rep = Signals.eventsAttribution(spark, sf)
+    val totalConv = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rep.agg(sum(col("n_conversions"))).head.getLong(0) == totalConv,
+      "attribution dropped or double-counted conversions")
+    assert(rep.filter(col("touch_type") === "purchase").count() == 0,
+      "a conversion credited itself")
+    assert(rep.filter(col("touch_type").isNotNull).count() > 0)
+  }
+
 }
