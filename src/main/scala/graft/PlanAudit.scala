@@ -83,7 +83,7 @@ object PlanAudit {
     * unbounded-buffer spill hazard until reviewed and added here.
     */
   private val ObjectAggOk = Set(
-    "dedup_minhash", "dedup_minhash_estimate",
+    "dedup_minhash", "dedup_minhash_estimate", "corpus_dedup_sweep",
     "dedup_simhash", "dedup_winnow", "dedup_embedding",
     "agg_percentiles", "combine_aggregator", "group_by_key",
     // skew_report: exact percentile over per-key counts — the buffer holds

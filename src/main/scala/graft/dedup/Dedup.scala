@@ -678,15 +678,15 @@ object Dedup {
     graft.CacheScope.releaseAfterUse(out, shingled, sigs)
   }
 
-  /** E12's oracle: the E3 oracle's signature replay, finished with the
-    * slot-agreement count and integer basis-point Jaccards.
+  /** E12/H31 shared CTE chain: the E3 oracle's signature replay finished
+    * with slot-agreement counts and integer basis-point Jaccards in CTE
+    * `est` (doc_a, doc_b, agree, est_jaccard_bps, exact_jaccard_bps).
     */
-  private def minhashEstimateSql: String = {
+  private def minhashEstimateCtes: String = {
     import graft.plans.MixHash._
     val n = MinhashBands * MinhashRows
     val slotVal = s"(${sqlMulMod("h", "sa[i+1]")} + sb[i+1]) % $M64"
-    s"""
-    WITH $shingleHashCtes,
+    s"""$shingleHashCtes,
     ab AS (SELECT ${sqlSlotA(n)} AS sa, ${sqlSlotB(n)} AS sb),
     slots AS (
       SELECT doc_id, i, MIN(${sqlToSigned(slotVal)}) AS sv
@@ -705,15 +705,69 @@ object Dedup {
       FROM cand c
       JOIN slots x ON x.doc_id = c.doc_a
       JOIN slots y ON y.doc_id = c.doc_b AND y.i = x.i
-      GROUP BY c.doc_a, c.doc_b)
-    SELECT g.doc_a, g.doc_b, g.agree,
-      CAST((10000 * g.agree) // $n AS BIGINT) AS est_jaccard_bps,
-      CAST((10000 * len(list_intersect(x.s, y.s)))
-        // (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS BIGINT)
-        AS exact_jaccard_bps
-    FROM agr g JOIN shl x ON x.doc_id = g.doc_a JOIN shl y ON y.doc_id = g.doc_b
-    ORDER BY doc_a, doc_b"""
+      GROUP BY c.doc_a, c.doc_b),
+    est AS (
+      SELECT g.doc_a, g.doc_b, g.agree,
+        CAST((10000 * g.agree) // $n AS BIGINT) AS est_jaccard_bps,
+        CAST((10000 * len(list_intersect(x.s, y.s)))
+          // (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS BIGINT)
+          AS exact_jaccard_bps
+      FROM agr g JOIN shl x ON x.doc_id = g.doc_a
+        JOIN shl y ON y.doc_id = g.doc_b)"""
   }
+
+  private def minhashEstimateSql: String = s"""
+    WITH $minhashEstimateCtes
+    SELECT doc_a, doc_b, agree, est_jaccard_bps, exact_jaccard_bps
+    FROM est ORDER BY doc_a, doc_b"""
+
+  /** H31 — DEDUP THRESHOLD SWEEP: the ablation table a corpus team reads
+    * before committing to a near-dup cutoff at 100 TB — per candidate
+    * threshold (bps), how many banded pairs the EXACT Jaccard admits, how
+    * many the cheap signature ESTIMATE admits, and the confusion split
+    * (estimator false-positives/negatives vs exact at that cutoff). At
+    * production scale the estimate is what you can afford per pair; this
+    * table is the evidence for whether it is safe. Built by exploding the
+    * E12 frame against the literal threshold list — pair work is done
+    * once, the sweep is |thresholds| × |candidates| tiny rows.
+    */
+  val SweepThresholds: Seq[Int] = Seq(5000, 6000, 7000, 8000, 9000)
+
+  def dedupSweep(s: SparkSession, d: String): DataFrame =
+    minhashEstimate(s, d)
+      .crossJoin(explodeThresholds(s))
+      .groupBy(col("t_bps"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("exact_jaccard_bps") >= col("t_bps"), 1L).otherwise(0L))
+          .as("n_exact"),
+        sum(when(col("est_jaccard_bps") >= col("t_bps"), 1L).otherwise(0L))
+          .as("n_est"),
+        sum(when(col("est_jaccard_bps") >= col("t_bps") &&
+          col("exact_jaccard_bps") < col("t_bps"), 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(col("est_jaccard_bps") < col("t_bps") &&
+          col("exact_jaccard_bps") >= col("t_bps"), 1L).otherwise(0L))
+          .as("n_false_neg"))
+
+  private def explodeThresholds(s: SparkSession): DataFrame = {
+    import s.implicits._
+    SweepThresholds.map(_.toLong).toDF("t_bps")
+  }
+
+  private def dedupSweepSql: String = s"""
+    WITH $minhashEstimateCtes,
+    th AS (SELECT unnest([${SweepThresholds.mkString(", ")}])::BIGINT AS t_bps)
+    SELECT t_bps, COUNT(*) AS n_candidates,
+      CAST(SUM(CASE WHEN exact_jaccard_bps >= t_bps THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_exact,
+      CAST(SUM(CASE WHEN est_jaccard_bps >= t_bps THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_est,
+      CAST(SUM(CASE WHEN est_jaccard_bps >= t_bps AND exact_jaccard_bps < t_bps
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+      CAST(SUM(CASE WHEN est_jaccard_bps < t_bps AND exact_jaccard_bps >= t_bps
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM est CROSS JOIN th
+    GROUP BY t_bps ORDER BY t_bps"""
 
   // ---- SimHash ----
 
@@ -1134,6 +1188,7 @@ object Dedup {
     "dedup_clusters" -> clusterPairs _,
     "dedup_minhash" -> minhashPairs _,
     "dedup_minhash_estimate" -> minhashEstimate _,
+    "corpus_dedup_sweep" -> dedupSweep _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_winnow" -> winnowPairs _,
     "dedup_embedding" -> embeddingPairs _
@@ -1302,6 +1357,7 @@ object Dedup {
     "dedup_winnow" -> winnowOracleSql,
     "dedup_minhash" -> minhashOracleSql,
     "dedup_minhash_estimate" -> minhashEstimateSql,
+    "corpus_dedup_sweep" -> dedupSweepSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_exact" -> s"""
       SELECT ${TextFunctions.fingerprintSql("text")} AS fp,

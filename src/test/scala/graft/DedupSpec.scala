@@ -652,4 +652,22 @@ class DedupSpec extends SparkSpec {
     assert(rows.count(_.getAs[Long]("agree") >= 32) == rows.length)
   }
 
+  test("H31 sweep rows reconcile with the E12 pair frame at every threshold") {
+    val pairs = graft.dedup.Dedup.minhashEstimate(spark, sf).collect()
+    val sweep = graft.dedup.Dedup.dedupSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("t_bps") -> r).toMap
+    assert(sweep.keySet == graft.dedup.Dedup.SweepThresholds.map(_.toLong).toSet)
+    sweep.foreach { case (t, r) =>
+      assert(r.getAs[Long]("n_candidates") == pairs.length.toLong)
+      val exact = pairs.count(_.getAs[Long]("exact_jaccard_bps") >= t).toLong
+      val est = pairs.count(_.getAs[Long]("est_jaccard_bps") >= t).toLong
+      assert(r.getAs[Long]("n_exact") == exact)
+      assert(r.getAs[Long]("n_est") == est)
+      // the confusion split reconciles: est = exact - fn + fp
+      assert(est == exact - r.getAs[Long]("n_false_neg") + r.getAs[Long]("n_false_pos"))
+    }
+    // the sweep must actually discriminate across thresholds on this corpus
+    assert(sweep.values.map(_.getAs[Long]("n_exact")).toSet.size > 1)
+  }
+
 }
