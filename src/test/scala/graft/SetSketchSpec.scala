@@ -205,4 +205,26 @@ class SetSketchSpec extends SparkSpec {
       assert(r.getAs[Long]("fertility_milli") == f)
     }
   }
+  // ---- F14 recall report ----
+
+  test("F14 recall report reconciles with the two retrieval ops it measures") {
+    import graft.similarity.Ann
+    val rep = Ann.annRecallReport(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    val brute = Ann.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val ivf = Ann.ivfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    assert(rep.size == brute.map(_._1).size)
+    rep.foreach { case (qid, r) =>
+      val hits = brute.filter(_._1 == qid).count(ivf.contains).toLong
+      assert(r.getAs[Long]("n_hits") == hits, s"qid $qid hit-count mismatch")
+      assert(r.getAs[Long]("recall_bps") == 10000L * hits / Ann.TopK)
+    }
+    // near-uniform synthetic embeddings: nprobe/cells bounds the recall
+    // regime from above-zero (sanity) without pretending cluster structure
+    val mean = rep.values.map(_.getAs[Long]("recall_bps")).sum / rep.size
+    assert(mean > 500, s"mean recall $mean bps - index broken, not just lossy")
+  }
+
 }
