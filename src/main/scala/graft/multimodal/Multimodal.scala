@@ -384,7 +384,13 @@ object Multimodal {
     */
   private def frameDedupPhash(s: SparkSession, d: String, everyN: Int): DataFrame = {
     val w = 64
-    val codes = sampleCodes(w)
+    // sign-pack via the [[graft.plans.Phash2dSig]] kernel at grid=8/block=1
+    // — 1×1 block sums ARE the codes and the ×wBits sign-vs-mean compare is
+    // exactly signBits(sampleCodes(64), 0, 64), so signatures are
+    // bit-identical to the composable 64-branch fold (G6 gate unchanged)
+    // at one static call per frame instead of 64 CASE branches; G9 walks
+    // 4× the frames of G6, which made the fold its dominant cost.
+    val noPert = expr("CAST(array() AS ARRAY<BIGINT>)")
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         explode(expr(
@@ -394,9 +400,9 @@ object Multimodal {
         expr(s"substring(text, 1 + (frame_idx DIV $FrameDedupScene) * 37, 180)"),
         256, "."))
       .withColumn("codes", graft.plans.StrideSample.sample(col("frm"), w))
-      .withColumn("tot", codes.reduce(_ + _))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-        signBits(codes, 0, 64).as("ph"))
+        element_at(graft.plans.Phash2dSig.sig(
+          col("codes"), noPert, 0, 0, 8, 1, 0), 1).as("ph"))
   }
 
   /** G9 — SCENE-CUT detection (shot segmentation): walk the frame sequence

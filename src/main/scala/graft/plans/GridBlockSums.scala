@@ -130,9 +130,10 @@ object Phash2dSig {
     var b = 0
     while (b < wBits) { tot += sums(b); b += 1 }
     // same band layout derivation as the composable form: first
-    // (wBits mod nBands) bands carry one extra bit
-    val base = wBits / nBands
-    val extra = wBits % nBands
+    // (wBits mod nBands) bands carry one extra bit (nBands = 0 → words
+    // only, the G5/G6 1-D signature case)
+    val base = if (nBands > 0) wBits / nBands else 0
+    val extra = if (nBands > 0) wBits % nBands else 0
     val out = new Array[Long](wBits / 64 + nBands)
     b = 0
     while (b < wBits) {

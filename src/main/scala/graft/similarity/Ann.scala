@@ -1131,16 +1131,15 @@ object Ann {
     * easy. Both pipelines are the gated F1/F3 operators unchanged; the
     * report is a tiny (queries × k) left join + count.
     *
-    * What it honestly measures here: the synthetic embeddings are
-    * near-UNIFORM (no cluster structure for k-means to find), so IVF with
-    * nprobe=2 of [[IvfCells]]=16 probes ~1/8 of the corpus and recalls a
-    * mean ~0.41 at sf0.01 — close to the probed fraction, exactly the
-    * theory for unclusterable data, and exactly the deployment-decision
-    * evidence this operator exists to surface (on real clustered
-    * embeddings the same index recalls far above its probed fraction;
-    * SemDeDup's cells, E9, rely on that). All integer (hit counts,
-    * basis-point floor division) — hash-exact; the oracle composes the
-    * SAME shared ivf_ranked CTE chain the F3 gate replays.
+    * What it honestly measures here: IVF at nprobe=2 of [[IvfCells]]=16
+    * scans ~12.5% of the corpus and recalls a mean ~0.41 at sf0.01 —
+    * ~3.3× its scanned fraction (the trained cells capture real locality
+    * even in these weakly-clustered synthetic embeddings; PlanSpec pins
+    * the ≥2× advantage), yet far from 1.0 — which is precisely the
+    * deployment-decision evidence this report exists to put in front of
+    * the person choosing nprobe. All integer (hit counts, basis-point
+    * floor division) — hash-exact; the oracle composes the SAME shared
+    * ivf_ranked CTE chain the F3 gate replays.
     */
   def annRecallReport(s: SparkSession, d: String): DataFrame = {
     val brute = bruteTopK(s, d).select(col("qid"), col("nid"))
