@@ -764,14 +764,18 @@ object CorpusSpans {
     * shuffle is the per-source rank; the per-source size table is a
     * sources-row broadcast.
     */
-  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** THE ensemble score, shared by H29's selection and H32's
+    * quality-aware cluster dedup (one definition — the keep-best rule
+    * cannot drift from the selection rule). Emits doc_id, source,
+    * a_milli, stop_milli, rep_milli, score.
+    */
+  def qualityScored(docs: DataFrame): DataFrame = {
     val padded = concat(lit(" "), col("text"), lit(" "))
     val stops = Seq(" the ", " a ", " of ", " and ", " to ")
     val nStop = stops.map(sw => graft.functions.TextFunctions.occurrences(padded, sw))
       .reduce(_ + _).cast("long")
     val w = graft.functions.TextFunctions.words(col("text"))
-    val scored = docs.select(col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col("source"),
         length(col("text")).cast("long").as("nc"),
         length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("na"),
         nStop.as("ns"), size(w).cast("long").as("nw"),
@@ -782,6 +786,11 @@ object CorpusSpans {
       .withColumn("len_cap", least(col("nc"), lit(2000L)))
       .withColumn("score", expr(
         "2 * a_milli + 3 * stop_milli - 4 * rep_milli + len_cap DIV 4"))
+  }
+
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = qualityScored(docs)
     val quota = docs.groupBy(col("source"))
       .agg(expr("count(1) DIV 4").as("keep_n"))
     scored
@@ -794,12 +803,16 @@ object CorpusSpans {
         col("rep_milli"), col("score"), col("rk"))
   }
 
-  val qualityEnsembleSql: String = {
+  /** SQL CTE chain computing the shared ensemble score: emits `sc`
+    * (doc_id, source, a_milli, stop_milli, rep_milli, score). Shared by
+    * the H29 and H32 oracles exactly as [[qualityScored]] is shared by
+    * the ops.
+    */
+  val qualityScoreCtes: String = {
     val occ = Seq(" the ", " a ", " of ", " and ", " to ")
       .map(sw => s"(length(p) - length(replace(p, '$sw', ''))) // ${sw.length}")
       .mkString(" + ")
-    s"""
-    WITH f0 AS (
+    s"""f0 AS (
       SELECT doc_id, source, (' ' || text || ' ') AS p,
         CAST(length(text) AS BIGINT) AS nc,
         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS na,
@@ -818,7 +831,11 @@ object CorpusSpans {
     sc AS (
       SELECT doc_id, source, a_milli, stop_milli, rep_milli,
         2 * a_milli + 3 * stop_milli - 4 * rep_milli + len_cap // 4 AS score
-      FROM m),
+      FROM m)"""
+  }
+
+  val qualityEnsembleSql: String = s"""
+    WITH $qualityScoreCtes,
     q AS (SELECT source, COUNT(*) // 4 AS keep_n FROM documents GROUP BY 1),
     rk AS (
       SELECT sc.*, ROW_NUMBER() OVER (
@@ -830,7 +847,6 @@ object CorpusSpans {
       CAST(rk AS INTEGER) AS rk
     FROM rk JOIN q USING (source) WHERE rk <= keep_n
     ORDER BY source, rk"""
-  }
 
   /** H29 — tokenizer-FERTILITY report: BPE tokens per whitespace word and
     * chars per BPE token, per (source × predicted language). Fertility is
@@ -877,7 +893,67 @@ object CorpusSpans {
     FROM g ORDER BY source, pred_lang"""
   }
 
+  /** H32 — QUALITY-AWARE near-dup dedup (keep-BEST, not keep-first): when
+    * a near-dup cluster holds several variants of a document, naive
+    * keep-smallest-id dedup (E1/E8) keeps an arbitrary one; a training
+    * pipeline wants the HIGHEST-QUALITY variant (the FineWeb/RefinedWeb
+    * refinement). Composes the E8 connected-component labels with the H29
+    * ensemble score — both as their single shared definitions, so this
+    * cannot drift from either — and keeps the per-cluster argmax by
+    * (score desc, doc_id). The rank window partitions per cluster
+    * (near-dup clusters are small by construction — the star cap bounds
+    * them); output is one row per kept representative with its cluster
+    * size, so the gate hashes the full keep decision.
+    */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.dedup.Dedup.clusterPairs(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val scored = qualityScored(Tables.documents(s, d))
+      .select(col("doc_id"), col("score"))
+    val w = Window.partitionBy(col("cluster_id"))
+    labels.join(scored, "doc_id")
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        col("cluster_size"))
+  }
+
+  val dedupKeepBestSql: String = s"""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in range(1, len(ws) - 1)]) AS s
+      FROM w WHERE len(ws) >= 3),
+    e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+    lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    $qualityScoreCtes,
+    j AS (
+      SELECT l.doc_id, l.cluster_id, sc.score
+      FROM lab l JOIN sc ON sc.doc_id = l.doc_id),
+    r AS (
+      SELECT doc_id, cluster_id, score,
+        ROW_NUMBER() OVER (PARTITION BY cluster_id
+          ORDER BY score DESC, doc_id) AS rk,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS cs
+      FROM j)
+    SELECT doc_id, cluster_id, CAST(score AS BIGINT) AS score,
+      CAST(cs AS BIGINT) AS cluster_size
+    FROM r WHERE rk = 1 ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dedup_keep_best" -> dedupKeepBest _,
     "corpus_quality_ensemble" -> qualityEnsemble _,
     "corpus_fertility" -> fertilityReport _,
     "corpus_drift_report" -> driftReport _,
@@ -896,6 +972,7 @@ object CorpusSpans {
 
   val oracles: Map[String, String] = Map(
     "corpus_quality_ensemble" -> qualityEnsembleSql,
+    "corpus_dedup_keep_best" -> dedupKeepBestSql,
     "corpus_fertility" -> fertilityReportSql,
     "corpus_drift_report" -> driftReportSql,
     "corpus_domain_quota" -> domainQuotaSql,

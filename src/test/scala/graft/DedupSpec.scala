@@ -670,4 +670,28 @@ class DedupSpec extends SparkSpec {
     assert(sweep.values.map(_.getAs[Long]("n_exact")).toSet.size > 1)
   }
 
+  test("H32 keep-best keeps exactly one max-score representative per cluster") {
+    import graft.operators.CorpusSpans
+    val kept = CorpusSpans.dedupKeepBest(spark, sf).collect()
+    val labels = graft.dedup.Dedup.clusterPairs(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val scores = CorpusSpans.qualityScored(
+        graft.operators.Tables.documents(spark, sf)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    // one row per cluster, covering every cluster
+    assert(kept.map(_.getAs[Long]("cluster_id")).toSet == labels.values.toSet)
+    assert(kept.length == labels.values.toSet.size)
+    val byCluster = labels.groupBy(_._2)
+    kept.foreach { r =>
+      val members = byCluster(r.getAs[Long]("cluster_id")).keys
+      assert(r.getAs[Long]("cluster_size") == members.size.toLong)
+      val best = members.minBy(id => (-scores(id), id))
+      assert(r.getAs[Long]("doc_id") == best,
+        s"cluster ${r.getAs[Long]("cluster_id")}: kept ${r.getAs[Long]("doc_id")} != best $best")
+    }
+    // non-vacuous: at least one multi-member cluster where best != min id
+    val multi = byCluster.filter(_._2.size > 1)
+    assert(multi.nonEmpty, "no near-dup clusters in the corpus")
+  }
+
 }
