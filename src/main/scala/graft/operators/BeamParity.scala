@@ -424,7 +424,28 @@ object BeamParity {
         md5(col("payload")).as("content_md5"))
   }
 
+  /** A28 — Beam's Partition transform through the Pipe DSL: route users
+    * 3 ways by id residue, reduce each output pipe independently, and
+    * reassemble the per-partition counts. The A17 auto-cache makes the
+    * 3-way fan-out one scan of the upstream; the gate proves the Beam
+    * contract end-to-end (disjoint + exhaustive: the per-part counts must
+    * sum to exactly the groupBy the oracle runs).
+    */
+  def pipePartition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.Pipe
+    val users = Pipe(Tables.events(s, d).select(col("user_id")).as[Long])
+    val parts = users.partition(3)(u => (u % 3).toInt)
+    parts.zipWithIndex.map { case (p, i) =>
+      p.ds.toDF("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .select(lit(i.toLong).as("part"), col("n_events"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_partition" -> pipePartition _,
     "source_binary_roundtrip" -> sourceBinaryRoundtrip _,
     "source_binary_compacted" -> sourceBinaryCompacted _,
     "sink_text_roundtrip" -> sinkTextRoundtrip _,
@@ -461,6 +482,11 @@ object BeamParity {
       FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""",
     // payload is exactly text's UTF-8 bytes, so DuckDB's VARCHAR md5/strlen
     // see the same bytes the binary file holds (the G1 discipline)
+    "pipe_partition" -> """
+      SELECT CAST(user_id % 3 AS BIGINT) AS part,
+        COUNT(*) AS n_events,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1 ORDER BY 1""",
     "source_binary_roundtrip" -> """
       SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         md5(text) AS content_md5

@@ -158,6 +158,27 @@ final case class Pipe[T](ds: Dataset[T]) {
   def flatMap[U: Encoder](f: T => IterableOnce[U]): Pipe[U] = Pipe(consumed.flatMap(f))
   def filter(p: T => Boolean): Pipe[T] = Pipe(consumed.filter(p))
 
+  /** Beam's Partition transform (A28): route every element to exactly ONE
+    * of `n` output pipes by `fn` (0-based). Each output is a filter over
+    * the SHARED consumed dataset — the A17 multi-consumer auto-cache makes
+    * the fan-out one upstream evaluation, and the disjoint-filter form
+    * preserves Beam's contract (an element lands in exactly one output; a
+    * partition index outside [0, n) fails the task rather than silently
+    * dropping the element).
+    */
+  def partition(n: Int)(fn: T => Int): Seq[Pipe[T]] = {
+    require(n > 0, s"partition: n must be positive, got $n")
+    val src = consumed
+    (0 until n).map { i =>
+      Pipe(src.filter { (t: T) =>
+        val p = fn(t)
+        require(p >= 0 && p < n,
+          s"partition fn returned $p for an $n-way partition")
+        p == i
+      })
+    }
+  }
+
   /** ParDo with the full DoFn lifecycle; one bundle per partition.
     * teardown is bound to task completion (not iterator exhaustion) so it
     * also fires when a downstream operator stops consuming early (limit,

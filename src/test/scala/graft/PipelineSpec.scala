@@ -283,4 +283,22 @@ class PipelineSpec extends SparkSpec {
       Pipe.readStreamText(spark, in).collect()
     }
   }
+  test("A28 partition is disjoint, exhaustive, and fails fast on a bad index") {
+    val s = spark
+    import s.implicits._
+    val p = graft.pipeline.Pipe(s.range(0, 100).as[Long])
+    val parts = p.partition(4)(v => (v % 4).toInt)
+    assert(parts.length == 4)
+    val sets = parts.map(_.ds.collect().toSet)
+    // exhaustive: the union recovers every element; disjoint: sizes add up
+    assert(sets.reduce(_ ++ _) == (0L until 100L).toSet)
+    assert(sets.map(_.size).sum == 100)
+    sets.zipWithIndex.foreach { case (set, i) =>
+      assert(set.forall(_ % 4 == i), s"element leaked across partition $i")
+    }
+    // an out-of-range partition index fails the job, never drops silently
+    val bad = p.partition(2)(_ => 7)
+    intercept[org.apache.spark.SparkException] { bad.head.ds.count() }
+  }
+
 }
