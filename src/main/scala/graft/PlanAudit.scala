@@ -39,6 +39,10 @@ object PlanAudit {
     // event_funnel: one global COUNT per funnel stage (3 total), each the
     // final reduce of per-partition count partials into a 1-row stage count
     "event_funnel",
+    // pipe_partition: one global (count, count_distinct) reduce PER output
+    // pipe (3 total) — each the 1-row final reduce of tiny partials, the
+    // combine_global shape fanned out by the partition transform
+    "pipe_partition",
     // q17_small_qty: Q17's single-row answer — final reduce of tiny
     // partial-sum rows, same shape as q14_promo
     "q17_small_qty",
