@@ -250,4 +250,47 @@ class EdgeCaseSpec extends SparkSpec {
       .write.parquet(s"$dir/documents.parquet")
     assert(graft.multimodal.Multimodal.phashDedup(spark, dir).count() == 0)
   }
+  test("round-11 ops survive a degenerate corpus (empty/one-word/whitespace docs)") {
+    // the partition-boundary shapes a 100 TB run hits constantly: empty
+    // text, single words, whitespace runs — every new per-doc operator
+    // must stay defined (guarded floor divisions, no crashes)
+    val tmp = java.nio.file.Files.createTempDirectory("edge-r11").toString
+    Seq(
+      (0L, "", "en", "s0", 0L),
+      (1L, "just four small words", "en", "s0", 21L),
+      (2L, "   ", "en", "s1", 3L),
+      (3L, "the a of and to", "en", "s1", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val read = graft.operators.TextAnalysis.textReadability(spark, tmp).collect()
+    assert(read.length == 4)
+    read.foreach { r =>
+      assert(r.getAs[Long]("n_sentences") >= 1) // zero-guard held
+      assert(!r.isNullAt(r.fieldIndex("fre_milli")))
+    }
+
+    val norm = graft.operators.TextAnalysis.textNormalizeUnicode(spark, tmp).collect()
+    assert(norm.length == 4 && norm.forall(!_.isNullAt(2)))
+
+    val ens = graft.operators.CorpusSpans.qualityScored(
+      graft.operators.Tables.documents(spark, tmp)).collect()
+    assert(ens.length == 4, "score must be defined for every degenerate doc")
+
+    val fert = graft.operators.CorpusSpans.fertilityReport(spark, tmp).collect()
+    assert(fert.nonEmpty && fert.forall(_.getAs[Long]("fertility_milli") >= 0))
+
+    // theta sketch: empty/whitespace docs contribute no shingles; a source
+    // whose every doc is shingle-free would simply have no sketch row. Here
+    // both sources retain one shingleable doc, so exactly one pair emits,
+    // exact below the cap, with zero overlap between the planted texts
+    val theta = graft.operators.SetSketch.sketchThetaOverlap(spark, tmp).collect()
+    assert(theta.length == 1)
+    assert(theta.head.getAs[Long]("n_common") == 0L)
+    // 2 + 3 word-shingles plus ONE degenerate shingle from the whitespace
+    // doc (space-split of "   " yields empty tokens; both engines shingle
+    // them identically — the oracle parity holds even here)
+    assert(theta.head.getAs[Long]("est_union") == 6L)
+  }
+
 }
