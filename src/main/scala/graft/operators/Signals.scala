@@ -547,7 +547,46 @@ object Signals {
     FROM t WHERE event_type = 'purchase'
     GROUP BY touch_type ORDER BY touch_type"""
 
+  /** B64 — INCREMENTAL AGGREGATE MAINTENANCE (materialized-view merge):
+    * the pattern that makes a 100 TB daily pipeline affordable — yesterday's
+    * per-(type, day) aggregate table is never recomputed; today's batch
+    * produces the same-shaped partial state and the two MERGE additively.
+    * Exactness is the whole game: the mergeable state is the decimal-exact
+    * integer UNIT sum ([[graft.plans.ExactSum]] — integer-valued doubles,
+    * exact under addition below 2^53), so stored ⊕ batch then ONE final
+    * /10⁴ division is bit-identical to the full recompute the oracle runs
+    * — a float mean or a rounded partial would drift at the merge
+    * boundary. The gate proves merged == recomputed by hashing against
+    * the full-recompute oracle; the E7 incremental-dedup discipline
+    * applied to the aggregate side.
+    */
+  def aggIncrementalMerge(s: SparkSession, d: String): DataFrame = {
+    def partial(f: org.apache.spark.sql.Column): DataFrame =
+      Tables.events(s, d).filter(f)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          graft.plans.ExactSum.sumUnits(col("value")).as("units"))
+    // "stored" state = the history (event_id mod 10 < 8, ~80%); "batch" =
+    // the increment. In production the first is a parquet table; the merge
+    // below is the only work the daily job runs.
+    val stored = partial(pmod(col("event_id"), lit(10L)) < 8)
+    val batch = partial(pmod(col("event_id"), lit(10L)) >= 8)
+    stored.unionByName(batch)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n_events"),
+        (sum(col("units")) / lit(10000.0)).as("sum_value"))
+      .withColumn("mean_value",
+        round(col("sum_value") / col("n_events"), 6))
+  }
+
+  val aggIncrementalMergeSql: String = s"""
+    SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+      COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value,
+      ROUND(${sqlDsum("value")} / COUNT(*), 6) AS mean_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_incremental_merge" -> aggIncrementalMerge _,
     "events_attribution" -> eventsAttribution _,
     "stats_ab_test" -> statsAbTest _,
     "events_cusum_shift" -> eventsCusumShift _,
@@ -567,6 +606,7 @@ object Signals {
     "events_rate_alert" -> eventsRateAlertSql,
     "events_state_intervals" -> eventsStateIntervalsSql,
     // the native session_window form must equal C2's composition exactly
+    "agg_incremental_merge" -> aggIncrementalMergeSql,
     "events_attribution" -> eventsAttributionSql,
     "stats_ab_test" -> statsAbTestSql,
     "events_cusum_shift" -> eventsCusumShiftSql,

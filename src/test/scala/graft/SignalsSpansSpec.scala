@@ -424,4 +424,21 @@ class SignalsSpansSpec extends SparkSpec {
     assert(rep.filter(col("touch_type").isNotNull).count() > 0)
   }
 
+  test("B64 incremental merge is bit-identical to the full recompute") {
+    import graft.operators.Exact._
+    val merged = Signals.aggIncrementalMerge(spark, sf)
+    val full = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .withColumn("mean_value", round(col("sum_value") / col("n_events"), 6))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "merged state diverged from the full recompute")
+    // the split is non-trivial: both the stored and batch sides carry rows
+    val nStored = Tables.events(spark, sf)
+      .filter(pmod(col("event_id"), lit(10L)) < 8).count()
+    val nBatch = Tables.events(spark, sf)
+      .filter(pmod(col("event_id"), lit(10L)) >= 8).count()
+    assert(nStored > 0 && nBatch > 0)
+  }
+
 }
