@@ -523,6 +523,89 @@ object Multimodal {
     }.toDF("doc_id", "n_frames", "total_energy", "peak_frame", "peak_energy")
   }
 
+  /** G10 — SILENCE TRIMMING (VAD-style lead/tail cut): the first audio-prep
+    * stage of any speech pipeline — find the leading and trailing runs of
+    * quiet frames and report the kept loud span. A frame is quiet iff its
+    * energy is under a quarter of the clip's mean frame energy, as the
+    * integer cross-multiplication e·nf·4 < total (no division, no float).
+    * The corpus payloads have no silence, so the gate PLANTS it: doc_id mod
+    * 5 whole quiet frames (0x01 bytes) prepended and doc_id mod 3 appended
+    * — row-varying lead/tail by construction, and the partial last text
+    * frame mixing into the pad is fine because both engines replay the
+    * identical byte positions. Canonical trim: lead = first loud frame
+    * index, tail = frames after the last loud one, kept = the loud span
+    * (all-quiet clips, impossible here, would report kept = 0). Same
+    * one-pass per-row kernel shape as G7.
+    */
+  def audioSilenceTrim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fb = AudioFrameBytes
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(concat(
+        expr(s"repeat(chr(1), CAST(pmod(doc_id, 5) * $fb AS INT))"),
+        col("text"),
+        expr(s"repeat(chr(1), CAST(pmod(doc_id, 3) * $fb AS INT))")), "UTF-8")
+        .as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val nf = (p.length + fb - 1) / fb
+          val es = new Array[Long](nf)
+          var tot = 0L
+          var f = 0
+          while (f < nf) {
+            var e = 0L
+            var i = f * fb
+            val end = math.min(i + fb, p.length)
+            while (i < end) { val v = (p(i) & 0xFF).toLong; e += v * v; i += 1 }
+            es(f) = e; tot += e; f += 1
+          }
+          var firstLoud = -1; var lastLoud = -1
+          f = 0
+          while (f < nf) {
+            if (es(f) * nf * 4 >= tot) { if (firstLoud < 0) firstLoud = f; lastLoud = f }
+            f += 1
+          }
+          val (lead, tail, kept) =
+            if (firstLoud < 0) (nf.toLong, 0L, 0L)
+            else (firstLoud.toLong, (nf - 1 - lastLoud).toLong,
+              (lastLoud - firstLoud + 1).toLong)
+          (id, nf.toLong, lead, tail, kept)
+        }
+      }.toDF("doc_id", "n_frames", "lead_silence", "tail_silence", "kept_frames")
+  }
+
+  private val audioSilenceTrimSql: String = s"""
+    WITH pl AS (
+      SELECT doc_id,
+        repeat(chr(1), CAST((doc_id % 5) * $AudioFrameBytes AS INT)) || text ||
+        repeat(chr(1), CAST((doc_id % 3) * $AudioFrameBytes AS INT)) AS p
+      FROM documents WHERE length(text) > 0),
+    b AS (
+      SELECT doc_id, unnest(range(1, length(p) + 1)) AS pos, p FROM pl),
+    e AS (
+      SELECT doc_id, (pos - 1) // $AudioFrameBytes AS frame,
+        CAST(SUM(ord(substring(p, pos, 1)) * ord(substring(p, pos, 1))) AS BIGINT) AS e
+      FROM b GROUP BY 1, 2),
+    st AS (
+      SELECT doc_id, frame, e,
+        COUNT(*) OVER (PARTITION BY doc_id) AS nf,
+        SUM(e) OVER (PARTITION BY doc_id) AS tot
+      FROM e),
+    loud AS (
+      SELECT doc_id, ANY_VALUE(nf) AS nf,
+        MIN(CASE WHEN e * nf * 4 >= tot THEN frame END) AS first_loud,
+        MAX(CASE WHEN e * nf * 4 >= tot THEN frame END) AS last_loud
+      FROM st GROUP BY doc_id)
+    SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      CAST(COALESCE(first_loud, nf) AS BIGINT) AS lead_silence,
+      CAST(CASE WHEN first_loud IS NULL THEN 0
+                ELSE nf - 1 - last_loud END AS BIGINT) AS tail_silence,
+      CAST(CASE WHEN first_loud IS NULL THEN 0
+                ELSE last_loud - first_loud + 1 END AS BIGINT) AS kept_frames
+    FROM loud ORDER BY doc_id"""
+
   private val audioEnergySql: String = s"""
     WITH b AS (
       SELECT doc_id, unnest(range(1, length(text) + 1)) AS pos, text
@@ -546,6 +629,7 @@ object Multimodal {
     "mm_audio_energy" -> audioEnergy _,
     "mm_frame_dedup" -> frameDedup _,
     "mm_scene_cuts" -> sceneCuts _,
+    "mm_audio_silence_trim" -> audioSilenceTrim _,
     "mm_binary_meta" -> binaryMeta _,
     "mm_feature_stub" -> featureStub _,
     "mm_frame_sample" -> frameSample _,
@@ -595,6 +679,7 @@ object Multimodal {
     "mm_audio_energy" -> audioEnergySql,
     "mm_frame_dedup" -> frameDedupSql,
     "mm_scene_cuts" -> sceneCutsSql,
+    "mm_audio_silence_trim" -> audioSilenceTrimSql,
     // DuckDB md5/hex operate on VARCHAR; the payload is exactly the UTF-8
     // bytes of `text`, so md5(text) == md5(encode(text)).
     // md5/hex operate on the same UTF-8 bytes both sides; magic prefix uses

@@ -258,4 +258,26 @@ class MultimodalSpec extends SparkSpec {
       "every doc cut - threshold not discriminating")
   }
 
+  test("G10 silence trim finds exactly the planted quiet lead and tail") {
+    val rows = Multimodal.audioSilenceTrim(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // planted: doc_id%5 whole quiet frames prepended -> lead is EXACT
+      assert(r.getAs[Long]("lead_silence") == id % 5,
+        s"doc $id lead ${r.getAs[Long]("lead_silence")} != ${id % 5}")
+      // the boundary frame mixes text and padding: a nearly-full mix frame
+      // reads loud (tail = planted - 1), a nearly-empty final text frame
+      // reads quiet (tail = planted + 1) - both are CORRECT trims of the
+      // actual byte stream, so the envelope is planted +/- 1
+      val tail = r.getAs[Long]("tail_silence")
+      assert(tail >= math.max(0L, id % 3 - 1) && tail <= id % 3 + 1,
+        s"doc $id tail $tail outside planted envelope ${id % 3} +/- 1")
+      assert(r.getAs[Long]("kept_frames") ==
+        r.getAs[Long]("n_frames") - r.getAs[Long]("lead_silence") - tail)
+    }
+    // the plant actually varies: every lead residue appears
+    assert(rows.map(_.getAs[Long]("lead_silence")).distinct.length == 5)
+  }
+
 }
