@@ -602,7 +602,14 @@ object Dedup {
     val small = buckets.filter(col("bn").isNull)
       .select(col("doc_id"), col("band"), col("bh"))
     val star = buckets.filter(col("bn").isNotNull && col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      // canonicalize: rep is the bucket MIN so rep < doc_id normally holds,
+      // but least/greatest pins the doc_a < doc_b contract the oracle's
+      // all-pairs CTE assumes, for any future rep choice. The hash gate
+      // itself only holds while no bucket exceeds maxBandBucket (the gate
+      // corpus is far below it); past the cap the star path trades
+      // member-member pairs for recall-preserving rep stars by design.
+      .select(least(col("rep"), col("doc_id")).as("doc_a"),
+        greatest(col("rep"), col("doc_id")).as("doc_b"))
     val cand = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
@@ -653,7 +660,14 @@ object Dedup {
     val small = buckets.filter(col("bn").isNull)
       .select(col("doc_id"), col("band"), col("bh"))
     val star = buckets.filter(col("bn").isNotNull && col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      // canonicalize: rep is the bucket MIN so rep < doc_id normally holds,
+      // but least/greatest pins the doc_a < doc_b contract the oracle's
+      // all-pairs CTE assumes, for any future rep choice. The hash gate
+      // itself only holds while no bucket exceeds maxBandBucket (the gate
+      // corpus is far below it); past the cap the star path trades
+      // member-member pairs for recall-preserving rep stars by design.
+      .select(least(col("rep"), col("doc_id")).as("doc_a"),
+        greatest(col("rep"), col("doc_id")).as("doc_b"))
     val cand = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))

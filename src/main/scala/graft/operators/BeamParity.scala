@@ -329,9 +329,10 @@ object BeamParity {
     * item 4) — on a shared/remote filesystem the executor-side writes land
     * where the driver-planned binaryFile read will see them, which the
     * previous executor-local java.nio writes could not guarantee off a
-    * single machine. (Executors resolve the FS from a default Configuration
-    * — correct for file:// and for clusters that ship core-site on the
-    * classpath, the standard deployment.)
+    * single machine. (Executors resolve the FS from the DRIVER's Hadoop
+    * configuration, broadcast as a SerializableConfiguration — so driver-
+    * only settings like object-store credentials and custom FS impls
+    * travel with the write.)
     *
     * The directory is the operator's INPUT FIXTURE — a binary object store
     * standing in for the media corpus a user already has — so it is built
@@ -355,11 +356,19 @@ object BeamParity {
       val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(dir, true) // a stale partial build at this fp never survives
       fs.mkdirs(dir)
+      // executors resolve the FS from the DRIVER's Hadoop configuration
+      // (broadcast via SerializableConfiguration) — a fresh Configuration()
+      // would drop driver-only settings (object-store credentials, s3a
+      // endpoints, custom FS impls) and could land writes on the wrong
+      // filesystem off the local/core-site deployments
+      val confB = s.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration))
       Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
           val base = new org.apache.hadoop.fs.Path(dirStr)
-          val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = base.getFileSystem(confB.value.value)
           rows.forEachRemaining { r =>
             val out = fs.create(
               new org.apache.hadoop.fs.Path(base, s"doc_${r.getLong(0)}.bin"), true)

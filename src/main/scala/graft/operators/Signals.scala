@@ -478,8 +478,10 @@ object Signals {
         sqrt(col("va") / col("na") + col("vb") / col("nb")))
       .select(col("event_type"),
         col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
-        round(col("sa") / col("na"), 6).as("mean_a"),
-        round(col("sb") / col("nb"), 6).as("mean_b"),
+        // a one-sided corpus (every user of a type in one parity) gives
+        // na=0; Spark's 0.0/0.0 is NaN where DuckDB differs — guard to NULL
+        when(col("na") > 0, round(col("sa") / col("na"), 6)).as("mean_a"),
+        when(col("nb") > 0, round(col("sb") / col("nb"), 6)).as("mean_b"),
         when(col("na") > 1 && col("nb") > 1, round(col("t"), 6)).as("welch_t"),
         when(col("na") > 1 && col("nb") > 1, abs(col("t")) > 1.96)
           .as("significant"))
@@ -506,7 +508,8 @@ object Signals {
       FROM w)
     SELECT event_type,
       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-      ROUND(sa / na, 6) AS mean_a, ROUND(sb / nb, 6) AS mean_b,
+      CASE WHEN na > 0 THEN ROUND(sa / na, 6) END AS mean_a,
+      CASE WHEN nb > 0 THEN ROUND(sb / nb, 6) END AS mean_b,
       CASE WHEN na > 1 AND nb > 1 THEN ROUND(t, 6) END AS welch_t,
       CASE WHEN na > 1 AND nb > 1 THEN abs(t) > 1.96 END AS significant
     FROM tt ORDER BY event_type"""

@@ -143,11 +143,21 @@ final case class Pipe[T](ds: Dataset[T]) {
     */
   private val ownerScope = Pipe.activeScope
 
-  private[pipeline] def consumed: Dataset[T] = {
+  private[pipeline] def consumed: Dataset[T] = consumedBy(1)
+
+  /** Register `n` downstream consumers at once. A single transform that fans
+    * out to n outputs (Partition) is n consumers of this node even though it
+    * calls in here once — counting it as one would leave the auto-persist
+    * trigger unfired and every output branch re-evaluating the upstream
+    * (which, for a nondeterministic upstream, can place an element in zero
+    * or two outputs, breaking Beam's exactly-one-output contract).
+    */
+  private[pipeline] def consumedBy(n: Int): Dataset[T] = {
     // streaming datasets cannot persist — multi-consumer reuse there is the
     // engine's job (each sink re-reads the source; Beam's unified model has
     // the same property for unbounded PCollections)
-    if (consumers.incrementAndGet() == 2 && !ds.isStreaming) {
+    val before = consumers.getAndAdd(n)
+    if (before < 2 && before + n >= 2 && !ds.isStreaming) {
       ds.persist(StorageLevel.MEMORY_AND_DISK)
       Pipe.registerAutoPersist(ownerScope, ds)
     }
@@ -168,7 +178,7 @@ final case class Pipe[T](ds: Dataset[T]) {
     */
   def partition(n: Int)(fn: T => Int): Seq[Pipe[T]] = {
     require(n > 0, s"partition: n must be positive, got $n")
-    val src = consumed
+    val src = consumedBy(n) // n outputs = n consumers: fires the shared cache
     (0 until n).map { i =>
       Pipe(src.filter { (t: T) =>
         val p = fn(t)

@@ -131,7 +131,11 @@ object Ann {
         while (i < qs.length) {
           val q = qs(i)
           if (nid != qf(q) && af(q, c)) {
-            val sc = sf(q, c)
+            // + 0.0 collapses -0.0 to 0.0 so TotalOrdering agrees with the
+            // spec-pinned Spark window form (which treats them equal, ties
+            // on nid); NaN scores have no defined rank in either form
+            val sc = sf(q, c) + 0.0
+            assert(!sc.isNaN, s"heapShortlist: NaN score for qid=${qf(q)} nid=$nid")
             val cand = (if (dd) -sc else sc, nid)
             if (heaps(i).size < rr) heaps(i).enqueue(cand)
             else if (ord.lt(cand, heaps(i).head)) { heaps(i).dequeue(); heaps(i).enqueue(cand) }
