@@ -1,0 +1,322 @@
+package graft.multimodal
+
+/** Pure-JVM codec-free media parsers (SURVEY §2 G2/G4, round-11 verdict
+  * lead item): the G-block's decode step, REAL, with zero library
+  * dependencies — possible because all three formats are public
+  * UNCOMPRESSED containers whose specs are a header grammar plus raw
+  * payload bytes:
+  *
+  *  - PPM/PGM rasters (Netpbm P6/P5): `P6\n<w> <h>\n<maxval>\n` + w·h·ch
+  *    raw bytes (Poskanzer's netpbm format, the lingua franca of
+  *    uncompressed image interchange).
+  *  - WAV (RIFF) PCM: `RIFF<size>WAVE` + a chunk list containing `fmt `
+  *    (PCM format record) and `data` (raw samples) — parsed by WALKING
+  *    the chunk list, not by assuming the canonical 44-byte layout, so
+  *    files with LIST/INFO metadata chunks decode correctly.
+  *  - YUV4MPEG2 (y4m): `YUV4MPEG2 W<w> H<h> F<n>:<d> ...\n` then per
+  *    frame `FRAME\n` + w·h·1.5 (C420) or w·h (Cmono) raw bytes — the
+  *    standard uncompressed video interchange of the ffmpeg toolchain.
+  *
+  * Every parser is strict: wrong magic, malformed header tokens, or a
+  * truncated payload throw (a real ingest pipeline quarantines those
+  * rows; the G-block fixtures are well-formed by construction, so a
+  * throw is a bug surfacing, not data handling). Encoders exist so the
+  * payload FIXTURES are genuine on-format bytes and so CodecsSpec can pin
+  * decode(encode(x)) == x round-trips without any external sample file.
+  */
+object Codecs extends Serializable {
+
+  // ------------------------------------------------------------------
+  // Netpbm rasters (PPM P6 = RGB, PGM P5 = grayscale), binary variants.
+  // Spec: magic, then whitespace-separated width/height/maxval tokens
+  // (with `#` comments legal between tokens), ONE whitespace byte, then
+  // exactly w·h·channels raw bytes (maxval <= 255).
+  // ------------------------------------------------------------------
+
+  final case class Raster(width: Int, height: Int, channels: Int,
+      maxval: Int, pixels: Array[Int]) {
+    override def equals(o: Any): Boolean = o match {
+      case r: Raster => r.width == width && r.height == height &&
+        r.channels == channels && r.maxval == maxval &&
+        java.util.Arrays.equals(r.pixels, pixels)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      (width, height, channels, maxval, java.util.Arrays.hashCode(pixels)).hashCode()
+  }
+
+  /** Encode a raster as binary PPM (channels=3, magic P6) or PGM
+    * (channels=1, magic P5). Pixel values must already be in [0, maxval].
+    */
+  def encodePpm(r: Raster): Array[Byte] = {
+    require(r.channels == 1 || r.channels == 3,
+      s"netpbm binary rasters are P5 (1 channel) or P6 (3), got ${r.channels}")
+    require(r.maxval > 0 && r.maxval <= 255,
+      s"1-byte-per-sample rasters need maxval in [1,255], got ${r.maxval}")
+    require(r.pixels.length == r.width * r.height * r.channels,
+      s"pixel count ${r.pixels.length} != ${r.width}x${r.height}x${r.channels}")
+    val magic = if (r.channels == 3) "P6" else "P5"
+    val header = s"$magic\n${r.width} ${r.height}\n${r.maxval}\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + r.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < r.pixels.length) {
+      val v = r.pixels(i)
+      require(v >= 0 && v <= r.maxval, s"pixel $i value $v out of [0,${r.maxval}]")
+      out(header.length + i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Full P5/P6 header parse + payload extraction. Handles the grammar the
+    * spec allows and real writers emit: any whitespace run between tokens,
+    * `#`-to-end-of-line comments anywhere whitespace is legal, exactly one
+    * whitespace byte after maxval before the raster bytes.
+    */
+  def decodePpm(b: Array[Byte]): Raster = {
+    require(b.length >= 2, "netpbm: payload shorter than a magic number")
+    val channels = (b(0).toChar, b(1).toChar) match {
+      case ('P', '6') => 3
+      case ('P', '5') => 1
+      case (a, c) => throw new IllegalArgumentException(
+        s"netpbm: bad magic '$a$c' (binary rasters are P5/P6)")
+    }
+    var pos = 2
+    def isWs(x: Byte): Boolean =
+      x == ' ' || x == '\n' || x == '\r' || x == '\t' || x == '\f' || x == 0x0b
+    def nextInt(): Int = {
+      // skip whitespace and comments
+      var in = true
+      while (in) {
+        while (pos < b.length && isWs(b(pos))) pos += 1
+        if (pos < b.length && b(pos) == '#') {
+          while (pos < b.length && b(pos) != '\n') pos += 1
+        } else in = false
+      }
+      require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
+        s"netpbm: expected integer token at byte $pos")
+      var v = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0')
+        require(v <= (1 << 26), "netpbm: header integer out of range")
+        pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(w > 0 && h > 0, s"netpbm: degenerate dimensions ${w}x$h")
+    require(maxval > 0 && maxval <= 255,
+      s"netpbm: 1-byte decoder requires maxval in [1,255], got $maxval")
+    require(pos < b.length && isWs(b(pos)),
+      "netpbm: missing single whitespace after maxval")
+    pos += 1
+    val n = w * h * channels
+    require(b.length - pos >= n,
+      s"netpbm: truncated raster (${b.length - pos} of $n payload bytes)")
+    val px = new Array[Int](n)
+    var i = 0
+    while (i < n) { px(i) = b(pos + i) & 0xFF; i += 1 }
+    Raster(w, h, channels, maxval, px)
+  }
+
+  // ------------------------------------------------------------------
+  // WAV (RIFF) PCM. Chunk grammar: 'RIFF' u32le 'WAVE' then a sequence of
+  // (fourcc, u32le size, payload, pad-to-even). 'fmt ' carries the PCM
+  // format record; 'data' the raw samples. 8-bit PCM is UNSIGNED bytes,
+  // 16-bit is signed little-endian — the 1991 Microsoft/IBM spec.
+  // ------------------------------------------------------------------
+
+  final case class Wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      data: Array[Byte]) {
+    def nSamples: Int = data.length / (bitsPerSample / 8) / channels
+    /** Sample i of channel 0 as an unsigned (8-bit) / signed (16-bit) int. */
+    def sample(i: Int): Int =
+      if (bitsPerSample == 8) data(i * channels) & 0xFF
+      else {
+        val off = i * channels * 2
+        ((data(off) & 0xFF) | (data(off + 1) << 8)).toShort.toInt
+      }
+    override def equals(o: Any): Boolean = o match {
+      case w: Wav => w.sampleRate == sampleRate && w.channels == channels &&
+        w.bitsPerSample == bitsPerSample && java.util.Arrays.equals(w.data, data)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      (sampleRate, channels, bitsPerSample, java.util.Arrays.hashCode(data)).hashCode()
+  }
+
+  private def u32le(v: Int, out: Array[Byte], off: Int): Unit = {
+    out(off) = (v & 0xFF).toByte
+    out(off + 1) = ((v >>> 8) & 0xFF).toByte
+    out(off + 2) = ((v >>> 16) & 0xFF).toByte
+    out(off + 3) = ((v >>> 24) & 0xFF).toByte
+  }
+  private def u16le(v: Int, out: Array[Byte], off: Int): Unit = {
+    out(off) = (v & 0xFF).toByte
+    out(off + 1) = ((v >>> 8) & 0xFF).toByte
+  }
+  private def readU32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+  private def readU16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Encode mono PCM as a canonical 44-byte-header WAV. */
+  def encodeWav(w: Wav): Array[Byte] = {
+    require(w.bitsPerSample == 8 || w.bitsPerSample == 16,
+      s"PCM encoder handles 8/16-bit, got ${w.bitsPerSample}")
+    require(w.channels >= 1, "channels must be >= 1")
+    val blockAlign = w.channels * w.bitsPerSample / 8
+    require(w.data.length % blockAlign == 0,
+      s"data length ${w.data.length} not a multiple of block align $blockAlign")
+    val out = new Array[Byte](44 + w.data.length)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    u32le(36 + w.data.length, out, 4)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    u32le(16, out, 16)            // PCM fmt chunk is 16 bytes
+    u16le(1, out, 20)             // wFormatTag = 1 (PCM)
+    u16le(w.channels, out, 22)
+    u32le(w.sampleRate, out, 24)
+    u32le(w.sampleRate * blockAlign, out, 28) // byte rate
+    u16le(blockAlign, out, 32)
+    u16le(w.bitsPerSample, out, 34)
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    u32le(w.data.length, out, 40)
+    System.arraycopy(w.data, 0, out, 44, w.data.length)
+    out
+  }
+
+  /** Chunk-walking WAV parse: finds `fmt ` and `data` wherever they sit in
+    * the chunk list (metadata chunks like LIST/INFO are skipped, with the
+    * spec's pad-to-even rule), validates the PCM format record, and slices
+    * the raw sample bytes.
+    */
+  def decodeWav(b: Array[Byte]): Wav = {
+    require(b.length >= 12, "wav: shorter than a RIFF header")
+    require(fourcc(b, 0) == "RIFF", s"wav: bad magic '${fourcc(b, 0)}'")
+    require(fourcc(b, 8) == "WAVE", s"wav: RIFF form is '${fourcc(b, 8)}', not WAVE")
+    val riffEnd = math.min(b.length.toLong, 8L + readU32le(b, 4)).toInt
+    var pos = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var data: Array[Byte] = null
+    while (pos + 8 <= riffEnd) {
+      val id = fourcc(b, pos)
+      val size = readU32le(b, pos + 4)
+      require(size <= riffEnd - pos - 8,
+        s"wav: chunk '$id' size $size overruns the file")
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"wav: fmt chunk too small ($size)")
+          val tag = readU16le(b, body)
+          require(tag == 1, s"wav: non-PCM format tag $tag (this decoder is PCM-only)")
+          channels = readU16le(b, body + 2)
+          rate = readU32le(b, body + 4).toInt
+          bits = readU16le(b, body + 14)
+          require(bits == 8 || bits == 16, s"wav: unsupported bit depth $bits")
+          require(channels >= 1, "wav: zero channels")
+        case "data" =>
+          data = java.util.Arrays.copyOfRange(b, body, body + size.toInt)
+        case _ => () // LIST, fact, cue … — skip per spec
+      }
+      pos = body + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    require(rate > 0, "wav: no fmt chunk")
+    require(data != null, "wav: no data chunk")
+    Wav(rate, channels, bits, data)
+  }
+
+  // ------------------------------------------------------------------
+  // YUV4MPEG2. Header line 'YUV4MPEG2 <params>\n' with space-separated
+  // W/H/F/I/A/C parameters; each frame is 'FRAME<params>\n' + raster
+  // bytes (Cmono → w·h luma bytes; the only colorspace this mono video
+  // fixture needs, but the parser honors the C tag it finds).
+  // ------------------------------------------------------------------
+
+  final case class Y4m(width: Int, height: Int, frames: Array[Array[Int]]) {
+    override def equals(o: Any): Boolean = o match {
+      case y: Y4m => y.width == width && y.height == height &&
+        y.frames.length == frames.length &&
+        y.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      case _ => false
+    }
+    override def hashCode(): Int =
+      (width, height, frames.map(java.util.Arrays.hashCode).toSeq).hashCode()
+  }
+
+  def encodeY4m(y: Y4m): Array[Byte] = {
+    val header = s"YUV4MPEG2 W${y.width} H${y.height} F25:1 Ip A1:1 Cmono\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val fb = y.width * y.height
+    val out = new Array[Byte](header.length + y.frames.length * (marker.length + fb))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    y.frames.foreach { f =>
+      require(f.length == fb, s"frame has ${f.length} pixels, expected $fb")
+      System.arraycopy(marker, 0, out, pos, marker.length)
+      pos += marker.length
+      var i = 0
+      while (i < fb) {
+        require(f(i) >= 0 && f(i) <= 255, s"luma ${f(i)} out of [0,255]")
+        out(pos + i) = f(i).toByte; i += 1
+      }
+      pos += fb
+    }
+    out
+  }
+
+  def decodeY4m(b: Array[Byte]): Y4m = {
+    val sig = "YUV4MPEG2"
+    require(b.length > sig.length &&
+      new String(b, 0, sig.length, java.nio.charset.StandardCharsets.US_ASCII) == sig,
+      "y4m: bad magic")
+    var pos = sig.length
+    var eol = pos
+    while (eol < b.length && b(eol) != '\n') eol += 1
+    require(eol < b.length, "y4m: unterminated stream header")
+    val params = new String(b, pos, eol - pos,
+      java.nio.charset.StandardCharsets.US_ASCII).trim.split("\\s+").filter(_.nonEmpty)
+    var w = -1; var h = -1; var cs = "420"
+    params.foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = p.substring(1).toInt
+        case 'H' => h = p.substring(1).toInt
+        case 'C' => cs = p.substring(1)
+        case _ => () // F/I/A/X — legal, irrelevant to raster slicing
+      }
+    }
+    require(w > 0 && h > 0, s"y4m: missing or degenerate W/H (w=$w h=$h)")
+    val frameBytes = cs match {
+      case "mono" => w * h
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" => w * h * 3 / 2
+      case "422" => w * h * 2
+      case "444" => w * h * 3
+      case other => throw new IllegalArgumentException(s"y4m: unknown colorspace C$other")
+    }
+    pos = eol + 1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    while (pos < b.length) {
+      require(pos + 5 <= b.length &&
+        new String(b, pos, 5, java.nio.charset.StandardCharsets.US_ASCII) == "FRAME",
+        s"y4m: expected FRAME marker at byte $pos")
+      pos += 5
+      while (pos < b.length && b(pos) != '\n') pos += 1 // frame params
+      require(pos < b.length, "y4m: unterminated frame header")
+      pos += 1
+      require(b.length - pos >= frameBytes,
+        s"y4m: truncated frame (${b.length - pos} of $frameBytes bytes)")
+      val f = new Array[Int](frameBytes)
+      var i = 0
+      while (i < frameBytes) { f(i) = b(pos + i) & 0xFF; i += 1 }
+      frames += f
+      pos += frameBytes
+    }
+    Y4m(w, h, frames.toArray)
+  }
+}

@@ -445,12 +445,16 @@ object BeamParity {
     import graft.pipeline.Pipe
     val users = Pipe(Tables.events(s, d).select(col("user_id")).as[Long])
     val parts = users.partition(3)(u => (u % 3).toInt)
-    parts.zipWithIndex.map { case (p, i) =>
+    val out = parts.zipWithIndex.map { case (p, i) =>
       p.ds.toDF("user_id")
         .agg(count(lit(1)).as("n_events"),
           count_distinct(col("user_id")).as("n_users"))
         .select(lit(i.toLong).as("part"), col("n_events"), col("n_users"))
     }.reduce(_ unionByName _)
+    // the n-way fan-out auto-persists the shared upstream (the advice-fixed
+    // exactly-one-output guarantee); scope that cache to THIS query's first
+    // action — library hygiene, since no Pipe.run scope is active here
+    graft.CacheScope.releaseAfterUse(out, users.ds)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

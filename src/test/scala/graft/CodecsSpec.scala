@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Codecs
+import graft.multimodal.Codecs.{Raster, Wav, Y4m}
+
+/** Pins the G-block's pure-JVM media parsers (round-11 verdict lead item):
+  * decode∘encode identity, tolerance for the grammar each spec actually
+  * allows (netpbm comments/whitespace, RIFF metadata chunks + pad bytes,
+  * y4m frame parameters), and STRICTNESS on malformed payloads — a parser
+  * that silently mis-slices bytes would poison every downstream gate.
+  */
+class CodecsSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(13)
+
+  // ---------------- netpbm ----------------
+
+  test("PPM P6 round-trip: decode(encode(r)) == r, all byte values") {
+    val px = Array.tabulate(5 * 4 * 3)(i => (i * 37 + 11) % 256)
+    val r = Raster(5, 4, 3, 255, px)
+    assert(Codecs.decodePpm(Codecs.encodePpm(r)) == r)
+  }
+
+  test("PGM P5 round-trip including 0 and 255 extremes") {
+    val px = Array.tabulate(7 * 3)(i => if (i % 2 == 0) 0 else 255)
+    val r = Raster(7, 3, 1, 255, px)
+    assert(Codecs.decodePpm(Codecs.encodePpm(r)) == r)
+  }
+
+  test("netpbm parser honors comments and arbitrary whitespace in the header") {
+    // hand-built header with the grammar the spec allows: comments between
+    // any tokens, \r\n and tab runs as whitespace
+    val px = Array(10, 20, 30, 40, 50, 60)
+    val header = "P5 # magic comment\n# full-line comment\n\t3\r\n # w/h split\n 2 #d\n255\n"
+    val bytes = header.getBytes("US-ASCII") ++ px.map(_.toByte)
+    val r = Codecs.decodePpm(bytes)
+    assert(r.width == 3 && r.height == 2 && r.channels == 1)
+    assert(r.pixels.toSeq == px.toSeq)
+  }
+
+  test("netpbm parser rejects bad magic, truncated payloads, and maxval > 255") {
+    val ok = Codecs.encodePpm(Raster(2, 2, 1, 255, Array(1, 2, 3, 4)))
+    intercept[IllegalArgumentException](Codecs.decodePpm("P3\n2 2\n255\n".getBytes))
+    intercept[IllegalArgumentException](Codecs.decodePpm(ok.dropRight(1)))
+    intercept[IllegalArgumentException](
+      Codecs.decodePpm("P5\n2 2\n65535\n".getBytes ++ Array.fill(8)(0.toByte)))
+    intercept[IllegalArgumentException](Codecs.decodePpm(Array[Byte]('P'.toByte)))
+  }
+
+  // ---------------- WAV ----------------
+
+  test("WAV 8-bit mono round-trip: header fields + every sample byte") {
+    val data = Array.tabulate(300)(i => ((i * 7) % 256).toByte)
+    val w = Wav(8000, 1, 8, data)
+    val back = Codecs.decodeWav(Codecs.encodeWav(w))
+    assert(back == w)
+    assert(back.nSamples == 300 && back.sample(0) == 0 && back.sample(37) == (37 * 7) % 256)
+  }
+
+  test("WAV 16-bit round-trip preserves signed samples") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xFF).toByte; data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val back = Codecs.decodeWav(Codecs.encodeWav(Wav(44100, 1, 16, data)))
+    assert(back.bitsPerSample == 16 && back.sampleRate == 44100)
+    assert((0 until samples.length).map(back.sample).toSeq == samples.map(_.toInt).toSeq)
+  }
+
+  test("WAV chunk walk skips metadata chunks (odd-size pad rule) before data") {
+    // canonical encode, then splice a 5-byte LIST chunk (odd → 1 pad byte)
+    // between fmt and data — the 44-byte-offset assumption would mis-slice
+    val base = Codecs.encodeWav(Wav(8000, 1, 8, Array[Byte](9, 8, 7, 6)))
+    val (head, tail) = base.splitAt(36) // RIFF..fmt | data..
+    val list = "LIST".getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      "INFOx".getBytes ++ Array[Byte](0) // payload 5 + pad 1
+    val spliced = head ++ list ++ tail
+    // fix the RIFF size field (chunk list grew by 14)
+    spliced(4) = (spliced(4) + 14).toByte
+    val w = Codecs.decodeWav(spliced)
+    assert(w.data.toSeq == Seq[Byte](9, 8, 7, 6))
+  }
+
+  test("WAV parser rejects non-RIFF, non-PCM, and overrunning chunk sizes") {
+    intercept[IllegalArgumentException](Codecs.decodeWav("RIFX....WAVE".getBytes))
+    val ok = Codecs.encodeWav(Wav(8000, 1, 8, Array[Byte](1, 2)))
+    val nonPcm = ok.clone(); nonPcm(20) = 3 // wFormatTag = IEEE float
+    intercept[IllegalArgumentException](Codecs.decodeWav(nonPcm))
+    val overrun = ok.clone(); overrun(40) = 99 // data size past the file end
+    intercept[IllegalArgumentException](Codecs.decodeWav(overrun))
+  }
+
+  // ---------------- YUV4MPEG2 ----------------
+
+  test("y4m mono round-trip: dims, frame count, every luma byte") {
+    val frames = Array.tabulate(5)(f => Array.tabulate(6 * 4)(i => (f * 50 + i) % 256))
+    val y = Y4m(6, 4, frames)
+    assert(Codecs.decodeY4m(Codecs.encodeY4m(y)) == y)
+  }
+
+  test("y4m parser honors frame parameters and unknown header tags") {
+    val body = Array.tabulate(4)(i => (i + 1) * 10)
+    val bytes = "YUV4MPEG2 W2 H2 F30000:1001 Ip A1:1 Cmono XYSCSS=mono\n".getBytes ++
+      "FRAME Ixyz\n".getBytes ++ body.map(_.toByte)
+    val y = Codecs.decodeY4m(bytes)
+    assert(y.width == 2 && y.height == 2 && y.frames.length == 1)
+    assert(y.frames.head.toSeq == body.toSeq)
+  }
+
+  test("y4m 4:2:0 frame size math: w*h*3/2 bytes per frame") {
+    val fb = 4 * 2 * 3 / 2
+    val bytes = "YUV4MPEG2 W4 H2 F25:1\n".getBytes ++ // default C420
+      "FRAME\n".getBytes ++ Array.tabulate(fb)(_.toByte) ++
+      "FRAME\n".getBytes ++ Array.tabulate(fb)(i => (i + 100).toByte)
+    val y = Codecs.decodeY4m(bytes)
+    assert(y.frames.length == 2 && y.frames.forall(_.length == fb))
+  }
+
+  test("y4m parser rejects bad magic, missing dims, truncated frames") {
+    intercept[IllegalArgumentException](Codecs.decodeY4m("YUV4MPEG1 W2 H2\n".getBytes))
+    intercept[IllegalArgumentException](
+      Codecs.decodeY4m("YUV4MPEG2 W2 Cmono\nFRAME\n....".getBytes))
+    intercept[IllegalArgumentException](
+      Codecs.decodeY4m("YUV4MPEG2 W2 H2 Cmono\nFRAME\nab".getBytes)) // 2 of 4 bytes
+  }
+
+  test("random fuzz: every format round-trips 50 random payloads") {
+    (0 until 50).foreach { k =>
+      val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(20)
+      val ch = if (rnd.nextBoolean()) 1 else 3
+      val r = Raster(w, h, ch, 255, Array.fill(w * h * ch)(rnd.nextInt(256)))
+      assert(Codecs.decodePpm(Codecs.encodePpm(r)) == r, s"ppm fuzz $k")
+      val wav = Wav(1 + rnd.nextInt(48000), 1, 8,
+        Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte))
+      assert(Codecs.decodeWav(Codecs.encodeWav(wav)) == wav, s"wav fuzz $k")
+      val y = Y4m(w, h, Array.fill(rnd.nextInt(6))(Array.fill(w * h)(rnd.nextInt(256))))
+      assert(Codecs.decodeY4m(Codecs.encodeY4m(y)) == y, s"y4m fuzz $k")
+    }
+  }
+}

@@ -30,19 +30,55 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.map(_.getAs[Long]("n_frames")).distinct.length > 1)
   }
 
-  test("feature stub: histogram mass equals payload byte count") {
-    val rows = Multimodal.featureStubRaw(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getSeq[Long](1).sum == r.getLong(2))
-      assert(r.getSeq[Long](1).length == Multimodal.FakeDecoder.Bins)
+  test("G2 image features: parsed dims + channel sums match a local decode replay") {
+    val out = Multimodal.imageFeatures(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b")))
+      .toMap
+    assert(out.nonEmpty)
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._2.nonEmpty)
+    assert(docs.length == out.size)
+    val n = Multimodal.ImgGrid * Multimodal.ImgGrid * Multimodal.ImgChannels
+    docs.foreach { case (id, text) =>
+      // independent replay: stride samples → PPM encode → LOCAL decode →
+      // channel sums (exercises Codecs outside the Catalyst wrapper too)
+      val codes = Array.tabulate(n)(i =>
+        text.charAt(((i.toLong * text.length) / n).toInt).toInt)
+      val raster = graft.multimodal.Codecs.decodePpm(
+        graft.multimodal.Codecs.encodePpm(graft.multimodal.Codecs.Raster(
+          Multimodal.ImgGrid, Multimodal.ImgGrid, 3, 255, codes)))
+      assert(raster.width == Multimodal.ImgGrid && raster.height == Multimodal.ImgGrid)
+      val sums = Array(0L, 0L, 0L)
+      raster.pixels.zipWithIndex.foreach { case (v, i) => sums(i % 3) += v }
+      val (w, h, sr, sg, sb) = out(id)
+      assert((w, h) == (Multimodal.ImgGrid, Multimodal.ImgGrid), s"doc $id dims")
+      assert((sr, sg, sb) == (sums(0), sums(1), sums(2)), s"doc $id channel sums")
     }
   }
 
-  test("feature stub driver view: scalar fingerprint per doc, no array cols") {
-    val df = Multimodal.featureStub(spark, sf)
-    assert(df.schema.fields.forall(!_.dataType.typeName.startsWith("array")))
-    assert(df.count() == Multimodal.featureStubRaw(spark, sf).count())
+  test("G4 resize: identity-layout raster resolves the exact nearest-neighbor map") {
+    import SparkSpecBase.spark.implicits._
+    val g = Multimodal.ImgGrid; val ch = Multimodal.ImgChannels
+    val t = Multimodal.ResizeTarget
+    val n = g * g * ch
+    // text of EXACTLY n chars makes StrideSample the identity, so the
+    // raster is known byte-for-byte and the resize is hand-computable
+    val rnd = new scala.util.Random(11)
+    val text = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft-resize").toString
+    Seq((1L, text)).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val row = Multimodal.imageResize(spark, dir).collect().head
+    assert(row.getAs[Int]("src_w") == g && row.getAs[Int]("src_h") == g)
+    val expected = for {
+      dy <- 0 until t; dx <- 0 until t; c <- 0 until ch
+    } yield text.charAt(((dy * g / t) * g + (dx * g / t)) * ch + c).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getAs[String]("resized_md5") == md, "resized raster bytes diverge")
   }
 
   test("frame sampling keeps every 4th 256-char frame") {
@@ -55,11 +91,15 @@ class MultimodalSpec extends SparkSpec {
     assert(df.collect().toSeq == Multimodal.frameSample(spark, sf).collect().toSeq)
   }
 
-  test("resize stub produces fixed-length output, deterministic") {
-    val rows = Multimodal.resizeStub(spark, sf).collect()
+  test("G4 resize output is deterministic and carries parsed source dims") {
+    val rows = Multimodal.imageResize(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getInt(1) == 64))
-    assert(rows.toSeq == Multimodal.resizeStub(spark, sf).collect().toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("src_w") == Multimodal.ImgGrid)
+      assert(r.getAs[Int]("src_h") == Multimodal.ImgGrid)
+      assert(r.getAs[Int]("dst_edge") == Multimodal.ResizeTarget)
+    }
+    assert(rows.toSeq == Multimodal.imageResize(spark, sf).collect().toSeq)
   }
 
   test("binary meta magic_hex is the first 4 bytes") {
