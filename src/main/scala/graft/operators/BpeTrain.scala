@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.BpeDynamic
+
+/** H33-H35 (SURVEY §2, round-11 verdict item 2): in-engine BPE merge-table
+  * TRAINING — the distributed shape of sentencepiece/BPE vocabulary
+  * learning (Sennrich et al. 2016), which H18b only APPLIED from a fixed
+  * demo table.
+  *
+  * Training is K rounds of corpus-wide max-frequency bigram selection, the
+  * [[Graph.pagerank]] loop discipline: each round is ONE distributed
+  * aggregation (per-doc adjacent-pair keys under the rules learned so far
+  * — a native kernel, [[graft.plans.BpeDynamic]] — exploded into Spark's
+  * map-side-combining count agg) plus ONE broadcast of the winning rule
+  * (driver state = the K-row rule table; the 1-row argmax `head()` is a
+  * bounded collect by construction). Tie-breaks are deterministic: count
+  * DESC, then pair key (a·2^21+b) ASC — `max(struct(cnt, -pk))` on the
+  * Spark side, `ORDER BY cnt DESC, pk ASC LIMIT 1` in the oracle. Merge
+  * symbols are allocated in the Unicode PRIVATE USE AREA (U+E100+r), so
+  * the DuckDB oracle can replay every round as a literal string rewrite —
+  * the pinned H18b equivalence (a merge pass == a left-to-right
+  * non-overlapping `replace`).
+  *
+  * The learned table is a STORED ARTIFACT (parquet, versioned by corpus
+  * fingerprint via [[graft.Artifacts.cachedLocation]] — the F3/F5 index
+  * discipline): training runs once per corpus generation, and every
+  * consumer (the gated readback, the learned token counts, the learned
+  * packing) reads the stored table instead of retraining.
+  *
+  * Scale shape: a round's shuffle carries only DISTINCT pair keys after
+  * map-side combine (vocabulary-sized, not corpus-sized); the argmax is a
+  * single-row global agg; the corpus is scanned K times — at 100 TB one
+  * would sample the pair statistics (sentencepiece does), which is one
+  * `TABLESAMPLE` away from this exact plan. Oracle: the full K-round
+  * replay as MATERIALIZED CTEs (inlined CTEs re-derive the whole replace
+  * chain per round — O(K²·corpus); materialization keeps the replay
+  * linear, measured 115 s → 1.1 s at sf0.01).
+  */
+object BpeTrain {
+
+  /** Rounds to learn. 12 is enough to show real compounding on this corpus
+    * (rounds 7-8 merge PREVIOUSLY-LEARNED symbols with ' ') while keeping
+    * the unrolled oracle readable. */
+  val Rounds = 12
+  /** First merge-symbol codepoint (PUA, clear of the fixed H18b table's
+    * U+E000-U+E04F block so the two vocabularies can coexist). */
+  val MergeBase = 0xE100
+
+  // ------------------------------------------------------------------
+  // training
+  // ------------------------------------------------------------------
+
+  /** One training run: K rounds over the persisted corpus. Returns
+    * (sym_a, sym_b, merged, n_pairs) per round in learned order. */
+  private def trainRules(s: SparkSession, d: String): Seq[(Int, Int, Int, Long)] = {
+    val docs = Tables.documents(s, d).select(col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+      var ra = Seq.empty[Int]; var rb = Seq.empty[Int]; var rm = Seq.empty[Int]
+      var r = 0
+      while (r < Rounds) {
+        val best = docs
+          .select(explode(BpeDynamic.pairKeysCol(col("text"), ra, rb, rm)).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+          .agg(max(struct(col("cnt"), (-col("pk")).as("npk"))).as("m"))
+          .select(col("m.cnt").as("cnt"), (-col("m.npk")).as("pk"))
+          .head()
+        val cnt = best.getLong(0)
+        val pk = best.getLong(1)
+        val a = (pk / BpeDynamic.PairBase).toInt
+        val b = (pk % BpeDynamic.PairBase).toInt
+        val m = MergeBase + r
+        out += ((a, b, m, cnt))
+        ra :+= a; rb :+= b; rm :+= m
+        r += 1
+      }
+      out.toSeq
+    } finally { docs.unpersist(blocking = false); () }
+  }
+
+  private val rulesBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  /** Stored-artifact location of the learned table for corpus `d` (train
+    * once per corpus fingerprint, parquet out, consumers read back). */
+  private def rulesLocation(s: SparkSession, d: String): String = {
+    val fp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
+    graft.Artifacts.cachedLocation(rulesBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), s"graft_bpe_rules_${slug}_$fpv").toString
+      val rows = trainRules(s, d).zipWithIndex.map { case ((a, b, m, cnt), i) =>
+        (i + 1, a.toLong, b.toLong, m.toLong, cnt)
+      }
+      import s.implicits._
+      rows.toDF("round", "sym_a", "sym_b", "merged", "n_pairs")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
+  }
+
+  /** The learned rule table, read back from the stored artifact (K rows —
+    * bounded driver state by construction). */
+  private[graft] def learnedRules(s: SparkSession, d: String): (Seq[Int], Seq[Int], Seq[Int]) = {
+    val rows = s.read.parquet(rulesLocation(s, d))
+      .orderBy(col("round")).collect()
+    (rows.map(_.getAs[Long]("sym_a").toInt).toSeq,
+      rows.map(_.getAs[Long]("sym_b").toInt).toSeq,
+      rows.map(_.getAs[Long]("merged").toInt).toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // gated operators
+  // ------------------------------------------------------------------
+
+  /** H33 — the learned merge table itself: per round, the winning pair
+    * (as symbol ids), its allocated merge symbol, and the pair count that
+    * won. Reads the STORED artifact — the gate proves the parquet
+    * round-trip as well as the training. */
+  def trainMerges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(rulesLocation(s, d))
+      .select(col("round"), col("sym_a"), col("sym_b"), col("merged"), col("n_pairs"))
+
+  /** H34 — per-document token counts under the LEARNED table (H18b's
+    * count re-derived under learned merges instead of the fixed demo
+    * table): one scan, one native kernel call per row. */
+  def learnedTokens(s: SparkSession, d: String): DataFrame = {
+    val (ra, rb, rm) = learnedRules(s, d)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        BpeDynamic.countWithCol(col("text"), ra, rb, rm).cast("long").as("n_tokens"))
+  }
+
+  /** H35 — sequence packing (H5's operator) consuming the LEARNED token
+    * counts: the verdict-prescribed consumer proving the trained table
+    * feeds the downstream pipeline, not just a report. Same chunking and
+    * packing shape as `corpus_pack_bpe`, with the chunk cost function
+    * swapped to the learned table. */
+  def packBpeLearned(s: SparkSession, d: String): DataFrame = {
+    import CorpusClean.{ChunkStride, ChunkTokens, PackBudget, PackGroups}
+    val (ra, rb, rm) = learnedRules(s, d)
+    val grpW = Window.partitionBy(col("grp")).orderBy(col("doc_id"), col("chunk_idx"))
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (n_words - 1) DIV $ChunkStride), " +
+            s"k -> slice(ws, k * $ChunkStride + 1, $ChunkTokens))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        BpeDynamic.countWithCol(concat_ws(" ", col("chunk")), ra, rb, rm).as("n_tokens"))
+      .withColumn("grp", pmod(col("doc_id"), lit(PackGroups.toLong)))
+      .withColumn("cum_before",
+        sum(col("n_tokens").cast("long")).over(grpW) - col("n_tokens"))
+      .withColumn("pack_seq", expr(s"cum_before DIV $PackBudget"))
+      .groupBy(col("grp"), col("pack_seq"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+  }
+
+  // ------------------------------------------------------------------
+  // oracles: the K-round training replay as MATERIALIZED CTEs
+  // ------------------------------------------------------------------
+
+  /** CTE chain `s0 … s{K}` + `p1 … p{K}`: round r counts every adjacent
+    * codepoint pair of state s_{r-1} positionally, picks the (cnt DESC,
+    * pk ASC) argmax, and rewrites the corpus with the PUA merge symbol.
+    * MATERIALIZED is load-bearing — see the object scaladoc.
+    */
+  private def trainingCtes: String = {
+    val pb = BpeDynamic.PairBase
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "s0 AS MATERIALIZED (SELECT doc_id, text AS s FROM documents)")
+    (1 to Rounds).foreach { r =>
+      parts += s"""b$r AS (
+        SELECT pk, count(*) AS cnt FROM (
+          SELECT CAST(ord(substring(s, CAST(pos AS INT), 1)) AS BIGINT) * $pb
+               + ord(substring(s, CAST(pos AS INT) + 1, 1)) AS pk
+          FROM (SELECT s, unnest(range(1, length(s))) AS pos FROM s${r - 1}))
+        GROUP BY 1)"""
+      parts += s"p$r AS MATERIALIZED (SELECT pk, cnt FROM b$r ORDER BY cnt DESC, pk ASC LIMIT 1)"
+      parts += s"""s$r AS MATERIALIZED (
+        SELECT doc_id, replace(s,
+          chr(CAST(pk // $pb AS INT)) || chr(CAST(pk % $pb AS INT)),
+          chr(${MergeBase + r - 1})) AS s
+        FROM s${r - 1}, p$r)"""
+    }
+    parts.mkString(",\n")
+  }
+
+  private def trainMergesSql: String = {
+    val pb = BpeDynamic.PairBase
+    val rows = (1 to Rounds).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS round,
+        CAST(pk // $pb AS BIGINT) AS sym_a, CAST(pk % $pb AS BIGINT) AS sym_b,
+        CAST(${MergeBase + r - 1} AS BIGINT) AS merged,
+        CAST(cnt AS BIGINT) AS n_pairs FROM p$r"""
+    }.mkString(" UNION ALL ")
+    s"WITH $trainingCtes\nSELECT * FROM ($rows) ORDER BY round"
+  }
+
+  private def learnedTokensSql: String =
+    s"""WITH $trainingCtes
+    SELECT doc_id, CAST(length(s) AS BIGINT) AS n_tokens
+    FROM s$Rounds ORDER BY doc_id"""
+
+  /** The learned replace chain applied to an arbitrary string expression
+    * (each round's pattern is a scalar subquery over its p CTE). */
+  private def learnedChain(x: String): String = {
+    val pb = BpeDynamic.PairBase
+    (1 to Rounds).foldLeft(x) { (acc, r) =>
+      s"""replace($acc, (SELECT chr(CAST(pk // $pb AS INT)) || chr(CAST(pk % $pb AS INT)) FROM p$r), chr(${MergeBase + r - 1}))"""
+    }
+  }
+
+  private def packBpeLearnedSql: String = {
+    import CorpusClean.{ChunkStride, ChunkTokens, PackBudget, PackGroups}
+    s"""WITH $trainingCtes,
+    w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    k AS (SELECT doc_id, ws,
+            unnest(range(((len(ws) - 1) // $ChunkStride) + 1)) AS chunk_idx
+          FROM w),
+    c AS (SELECT doc_id, chunk_idx,
+            length(${learnedChain(s"array_to_string(ws[chunk_idx * $ChunkStride + 1 : " +
+              s"chunk_idx * $ChunkStride + $ChunkTokens], ' ')")}) AS n_tokens
+          FROM k),
+    g AS (SELECT doc_id, chunk_idx, n_tokens, doc_id % $PackGroups AS grp FROM c),
+    cum AS (SELECT grp, n_tokens,
+              SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+            FROM g)
+    SELECT grp, CAST(cum_before // $PackBudget AS BIGINT) AS pack_seq,
+      COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM cum GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train_merges" -> trainMerges _,
+    "bpe_learned_tokens" -> learnedTokens _,
+    "corpus_pack_bpe_learned" -> packBpeLearned _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bpe_train_merges" -> trainMergesSql,
+    "bpe_learned_tokens" -> learnedTokensSql,
+    "corpus_pack_bpe_learned" -> packBpeLearnedSql
+  )
+}
