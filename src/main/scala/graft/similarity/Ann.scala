@@ -340,25 +340,35 @@ object Ann {
     }
   }
 
-  def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val dir = ivfIndexDir(s, d)
-    val corpus = s.read.parquet(s"$dir/corpus")
-    val cWithNorm = s.read.parquet(s"$dir/centroids")
-    val q = corpus.filter(col("vec_id") < NumQueries)
+  /** Query-to-cell routing against the stored centroid table: each query's
+    * `nprobe` highest-cosine cells. Factored so F3 (nprobe=2), the F15
+    * IVFPQ cascade, and the F16 recall-curve sweep share ONE routing
+    * definition — a probe-policy change lands everywhere at once.
+    */
+  private def ivfRouted(corpus: DataFrame, cWithNorm: DataFrame, nprobe: Int): DataFrame =
+    corpus.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    // route each query to its 2 nearest centroids
-    val routed = q.join(broadcast(cWithNorm))
+      .join(broadcast(cWithNorm))
       .withColumn("ccos", dotCol("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell_id"))))
-      .filter(col("crank") <= 2)
+      .filter(col("crank") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("cell_id").as("qcell"))
-    val pairs = corpus.join(broadcast(routed),
+
+  /** IVF probe at a given nprobe: exact-cosine scored candidates from the
+    * routed cells, unranked (callers rank-cut or aggregate). */
+  private def ivfCandsAt(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val dir = ivfIndexDir(s, d)
+    val corpus = s.read.parquet(s"$dir/corpus")
+    val routed = ivfRouted(corpus, s.read.parquet(s"$dir/centroids"), nprobe)
+    corpus.join(broadcast(routed),
         col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
       .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
       .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
-    rankTopK(pairs)
   }
+
+  def ivfTopK(s: SparkSession, d: String): DataFrame =
+    rankTopK(ivfCandsAt(s, d, 2))
 
   /** F4 — symmetric int8 quantization, the storage/transport format every
     * large ANN deployment ships vectors in (4x smaller than float32, SIMD
@@ -856,15 +866,14 @@ object Ann {
     }
   }
 
-  def pqTopK(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val dir = pqIndexDir(s, d)
-    val codes = s.read.parquet(s"$dir/codes")
-    val cb = s.read.parquet(s"$dir/codebook")
+  /** Per-query fixed-point ADC tables against the stored codebook:
+    * (qid, dt[PqSubs*PqK], qn) — shared by F10 and the F15 IVFPQ cascade
+    * so the ADC arithmetic exists once. */
+  private def pqQueryTables(s: SparkSession, d: String, pqDir: String): DataFrame = {
+    val cb = s.read.parquet(s"$pqDir/codebook")
     val ev = withNorm(Tables.embeddings(s, d))
       .select(col("vec_id"), col("v"), col("nrm"))
-    // per-query ADC table: PqSubs*PqK (= 512) fixed-point entries, (sub, cell)-ordered
-    val qdt = subVectors(ev.filter(col("vec_id") < NumQueries))
+    subVectors(ev.filter(col("vec_id") < NumQueries))
       .join(broadcast(cb), "sub")
       .withColumn("di",
         round(graft.plans.DotProduct.dot(col("sv"), col("cv")) * lit(PqScale))
@@ -874,6 +883,25 @@ object Ann {
         "x -> x.di)").as("dt"))
       .join(ev.select(col("vec_id"), col("nrm")), "vec_id")
       .select(col("vec_id").as("qid"), col("dt"), col("nrm").as("qn"))
+  }
+
+  /** The F10/F15 shared ADC scorer: PqSubs table lookups + integer adds,
+    * fixed-point norms, HALF_UP 6 dp — op-for-op the SQL replay. */
+  private def adcScore(dt: Array[Long], qn: Double, codes: Array[Int], n2i: Long): Double = {
+    var acc = 0L
+    var j = 0
+    while (j < PqSubs) { acc += dt(j * PqK + codes(j)); j += 1 }
+    BigDecimal((acc.toDouble / PqScale) /
+        (qn * math.sqrt(n2i.toDouble / PqScale)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = pqIndexDir(s, d)
+    val codes = s.read.parquet(s"$dir/codes")
+    // per-query ADC table: PqSubs*PqK (= 512) fixed-point entries, (sub, cell)-ordered
+    val qdt = pqQueryTables(s, d, dir)
     // ADC: PqSubs (= 16) lookups + integer adds per candidate — the point
     // of PQ — run through the bounded-heap device: the 100 ADC tables
     // (512 longs each) broadcast as plain arrays, each partition of the
@@ -883,19 +911,11 @@ object Ann {
     // identical double divides, HALF_UP 6 dp.
     val qarr = qdt.select(col("qid"), col("dt"), col("qn"))
       .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
-    val (subs, pqk, scale) = (PqSubs, PqK, PqScale)
     val partials = heapShortlist[(Long, Array[Int], Long), (Long, Array[Long], Double)](
       codes.select(col("vec_id"), col("codes"), col("n2i"))
         .as[(Long, Array[Int], Long)],
       qarr, _._1, _._1,
-      (q, c) => {
-        var acc = 0L
-        var j = 0
-        while (j < subs) { acc += q._2(j * pqk + c._2(j)); j += 1 }
-        BigDecimal((acc.toDouble / scale) /
-            (q._3 * math.sqrt(c._3.toDouble / scale)))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      },
+      (q, c) => adcScore(q._2, q._3, c._2, c._3),
       RerankCand, desc = true)
     val cand = partials
       .withColumn("crank", row_number().over(
@@ -904,6 +924,122 @@ object Ann {
       .select(col("qid"), col("nid"))
     // exact rerank of only the ADC survivors — stage 2 of the shared cascade
     int8Rerank(s, d, cand, Nil, TopK)
+  }
+
+  /** F15 — composed IVF+PQ index (the production faiss-IVFPQ shape, round-11
+    * verdict item 3): route each query to its [[IvfPqNprobe]] nearest
+    * trained cells (F3's routing, shared definition), ADC-scan ONLY those
+    * cells' stored PQ code postings (F10's tables + scorer, shared
+    * definitions) through the bounded-heap device, then exact-rerank the
+    * bounded shortlist (the shared stage 2). The index artifact is the
+    * verdict-prescribed per-cell postings table: stored PQ codes joined to
+    * the stored IVF assignment and laid out `partitionBy(cell)`, so at
+    * scale a query batch touches only its routed cells' DIRECTORIES
+    * (~nprobe/k of the corpus) and moves ~10-byte codes, not vectors —
+    * multiplicative with PQ's ~50× scan-bandwidth cut. Locally the probe
+    * set is an `isin` partition filter (plan-time pruning) plus a
+    * per-query admit predicate in the heap scan. Deterministic end to end
+    * (integer ADC, 6 dp rounds, nid tie-breaks); the oracle composes the
+    * SAME IVF-assignment and PQ-chain CTEs the F3/F10 gates replay.
+    */
+  val IvfPqNprobe = 2
+
+  private val ivfpqBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  /** Stored per-cell PQ postings: (vec_id, codes, n2i) partitioned by the
+    * IVF cell — built once per corpus fingerprint from the two existing
+    * artifacts (cheap join, no retraining). */
+  private def ivfpqIndexDir(s: SparkSession, d: String): String = {
+    val base = s.conf.getOption("graft.ivfpq.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivfpq")
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    graft.Artifacts.cachedLocation(ivfpqBuilt, s"$d@$base", fp) { fpv =>
+      val dir = base + "/ivfpq-" + java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@$fpv"))
+      val cells = s.read.parquet(s"${ivfIndexDir(s, d)}/corpus")
+        .select(col("vec_id"), col("cell"))
+      s.read.parquet(s"${pqIndexDir(s, d)}/codes")
+        .join(cells, "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    }
+  }
+
+  def ivfpqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ivfDir = ivfIndexDir(s, d)
+    val pqDir = pqIndexDir(s, d)
+    // routing: nprobe cells per query off the stored centroids (shared
+    // definition with F3); the routed set is queries×nprobe rows — a
+    // bounded collect by construction (the query-block discipline)
+    val routedRows = ivfRouted(
+      s.read.parquet(s"$ivfDir/corpus"), s.read.parquet(s"$ivfDir/centroids"),
+      IvfPqNprobe)
+      .select(col("qid"), col("qcell")).collect()
+    val cellsOf = routedRows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getInt(1)).toSet }
+    val probeCells = routedRows.map(_.getInt(1)).distinct.toSeq
+    // ADC tables (shared definition with F10), carrying each query's cells
+    val qarr = pqQueryTables(s, d, pqDir)
+      .select(col("qid"), col("dt"), col("qn"))
+      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+      .map(q => (q._1, q._2, q._3, cellsOf(q._1)))
+    // postings scan: the isin filter prunes non-probed cell partitions at
+    // plan time (directory pruning on the partitionBy layout); the admit
+    // predicate scopes each query to ITS cells within the probed union
+    val postings = s.read.parquet(ivfpqIndexDir(s, d))
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("codes"), col("n2i"), col("cell").cast("int"))
+      .as[(Long, Array[Int], Long, Int)]
+    val partials = heapShortlist[(Long, Array[Int], Long, Int),
+        (Long, Array[Long], Double, Set[Int])](
+      postings, qarr, _._1, _._1,
+      (q, c) => adcScore(q._2, q._3, c._2, c._3),
+      RerankCand, desc = true,
+      admit = (q, c) => q._4.contains(c._4))
+    val cand = partials
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))))
+      .filter(col("crank") <= RerankCand)
+      .select(col("qid"), col("nid"))
+    int8Rerank(s, d, cand, Nil, TopK)
+  }
+
+  /** F16 — the recall CURVE (round-11 verdict item 3: F14 reports one
+    * operating point; the deployment decision needs recall vs scanned
+    * fraction across nprobe). One row per nprobe in [[RecallCurveNprobes]]:
+    * total exact-top-k hits, recall in basis points, candidate rows
+    * scanned, and the scanned fraction of the full pair space — all
+    * integer. Monotonicity is a THEOREM here (a global top-k member ranks
+    * in the top-k of ANY candidate set containing it, so hits can only
+    * grow with nprobe) and the spec asserts it; the gate makes the curve
+    * itself reproducible. The brute-force reference is computed once and
+    * reused across the sweep.
+    */
+  val RecallCurveNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  def annRecallCurve(s: SparkSession, d: String): DataFrame = {
+    val brute = graft.CacheScope.scopedPersist(
+      bruteTopK(s, d).select(col("qid"), col("nid")))
+    val nQ = lit(NumQueries.toLong)
+    val sweeps = RecallCurveNprobes.map { np =>
+      val cands = ivfCandsAt(s, d, np)
+      val ranked = rankTopK(cands).select(col("qid"), col("nid"))
+        .withColumn("hit", lit(1L))
+      val hits = brute.join(ranked, Seq("qid", "nid"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      val scanned = cands.agg(count(lit(1)).as("n_scanned"))
+      hits.crossJoin(scanned)
+        .select(lit(np).as("nprobe"), col("n_hits"),
+          expr(s"(10000 * n_hits) DIV (${NumQueries}L * $TopK)").as("recall_bps"),
+          col("n_scanned"))
+    }
+    val total = withNorm(Tables.embeddings(s, d)).count() - 1  // pair space per query
+    val out = sweeps.reduce(_ unionByName _)
+      .withColumn("scanned_bps",
+        expr(s"(10000 * n_scanned) DIV (${NumQueries}L * ${total}L)"))
+    graft.CacheScope.releaseAfterUse(out, brute)
   }
 
   /** E9 — SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023): remove
@@ -1177,6 +1313,8 @@ object Ann {
     FROM h ORDER BY qid"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivfpq_topk" -> ivfpqTopK _,
+    "ann_recall_curve" -> annRecallCurve _,
     "ann_recall_report" -> annRecallReport _,
     "ann_hard_negatives" -> hardNegativesTopK _,
     "ann_mips_topk" -> mipsTopK _,
@@ -1297,33 +1435,45 @@ object Ann {
     * argmaxes compare well-separated scores, so last-ulp dot-product
     * differences can't flip them.
     */
-  /** IVF replay as a reusable CTE chain ending in `ivf_ranked`
-    * (qid, nid, rcos, rank) — shared by the F3 gate and F14's recall
-    * report so the two replays cannot drift.
-    */
-  private def ivfRankedCtes: String = {
-    s"""$ivfAssignCtes,
-    cw AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c3),
-    routed AS (
+  /** Centroid norms + the nprobe-parameterized probe chain (routed$sfx,
+    * cand$sfx) — shared text across the F3 gate, F14's report, the F16
+    * curve sweep, and the F15 IVFPQ cascade so no replay can drift. */
+  private def ivfCwCte: String =
+    "cw AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c3)"
+
+  private def ivfProbeCtes(nprobe: Int, sfx: String): String = s"""
+    routed$sfx AS (
       SELECT qid, qcell FROM (
         SELECT q.vec_id AS qid, c.cell_id AS qcell,
           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
             list_dot_product(q.v, c.cv) / (q.nrm * c.cn) DESC, c.cell_id) AS crank
         FROM en q, cw c WHERE q.vec_id < $NumQueries) t
-      WHERE crank <= 2),
-    cand AS (
+      WHERE crank <= $nprobe),
+    cand$sfx AS (
       SELECT r.qid, a.vec_id AS nid
-      FROM routed r
-      JOIN af a ON a.cell = r.qcell AND a.vec_id <> r.qid),
-    ivf_ranked AS (
-      SELECT cand.qid, cand.nid,
+      FROM routed$sfx r
+      JOIN af a ON a.cell = r.qcell AND a.vec_id <> r.qid)"""
+
+  /** Exact-cosine ranking of a cand$sfx chain, emitted as CTE `name`. */
+  private def ivfRankedFrom(sfx: String, name: String): String = s"""
+    $name AS (
+      SELECT cand$sfx.qid, cand$sfx.nid,
         ROUND(list_cosine_similarity(q.v, n.v), 6) AS rcos,
-        ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
-          ROUND(list_cosine_similarity(q.v, n.v), 6) DESC, cand.nid) AS rank
-      FROM cand
-      JOIN e q ON q.vec_id = cand.qid
-      JOIN e n ON n.vec_id = cand.nid)"""
-  }
+        ROW_NUMBER() OVER (PARTITION BY cand$sfx.qid ORDER BY
+          ROUND(list_cosine_similarity(q.v, n.v), 6) DESC, cand$sfx.nid) AS rank
+      FROM cand$sfx
+      JOIN e q ON q.vec_id = cand$sfx.qid
+      JOIN e n ON n.vec_id = cand$sfx.nid)"""
+
+  /** IVF replay as a reusable CTE chain ending in `ivf_ranked`
+    * (qid, nid, rcos, rank) — shared by the F3 gate and F14's recall
+    * report so the two replays cannot drift.
+    */
+  private def ivfRankedCtes: String =
+    s"""$ivfAssignCtes,
+    $ivfCwCte,
+    ${ivfProbeCtes(2, "")},
+    ${ivfRankedFrom("", "ivf_ranked")}"""
 
   private def ivfOracleSql: String = s"""
     WITH $ivfRankedCtes
@@ -1338,7 +1488,13 @@ object Ann {
     * cell-index tie-breaks, and every score is a sum of longs scaled by
     * powers of two.
     */
-  private def pqOracleSql: String = {
+  /** The PQ training/coding replay with every internal CTE name prefixed —
+    * so the chain can compose with the IVF-assignment chain (whose c0…c3,
+    * a1/a2, m1/m2, af names would otherwise collide) in the F15 IVFPQ oracle.
+    * References only `e`/`en`, which the caller defines. Ends in
+    * `${p}codes` (vec_id, codes, n2i) and `${p}dtab` (qid, dt).
+    */
+  private def pqChainCtes(p: String): String = {
     def lloyd(cp: String, a: String, m: String, cn: String): String = s"""
     $a AS (
       SELECT vec_id, sub, sv, cell FROM (
@@ -1346,7 +1502,7 @@ object Ann {
           ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
             list_dot_product(c.cv, c.cv) - 2 * list_dot_product(t.sv, c.cv),
             c.cell) AS rn
-        FROM sv t JOIN $cp c ON c.sub = t.sub) x WHERE rn = 1),
+        FROM ${p}sv t JOIN $cp c ON c.sub = t.sub) x WHERE rn = 1),
     $m AS (
       SELECT sub, cell, j,
         SUM(CAST(ROUND(sv[CAST(j + 1 AS INT)] * 16777216.0) AS BIGINT)) AS sm,
@@ -1359,46 +1515,64 @@ object Ann {
           list(CAST(sm AS DOUBLE) / (16777216.0 * cnt) ORDER BY j) AS cv
         FROM $m GROUP BY sub, cell) n
         ON n.sub = p.sub AND n.cell = p.cell)"""
-    val adcTerms = (0 until PqSubs)
-      .map(j => s"q.dt[${j * PqK} + n.codes[${j + 1}] + 1]").mkString(" + ")
-    s"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-    sv AS (
+    s"""${p}sv AS (
       SELECT vec_id, CAST(j AS INT) AS sub,
         v[CAST(j * $PqSubDim + 1 AS INT) : CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
       FROM e, (SELECT unnest(range($PqSubs)) AS j)),
-    c0 AS (
+    ${p}c0 AS (
       SELECT sub, CAST(vec_id % $PqK AS INT) AS cell, sv AS cv FROM (
         SELECT sub, vec_id, sv, ROW_NUMBER() OVER (
-          PARTITION BY sub, vec_id % $PqK ORDER BY vec_id) AS rn FROM sv) t
+          PARTITION BY sub, vec_id % $PqK ORDER BY vec_id) AS rn FROM ${p}sv) t
       WHERE rn = 1),
-    ${lloyd("c0", "a1", "m1", "c1")},
-    ${lloyd("c1", "a2", "m2", "c2")},
-    cb AS (
+    ${lloyd(s"${p}c0", s"${p}a1", s"${p}m1", s"${p}c1")},
+    ${lloyd(s"${p}c1", s"${p}a2", s"${p}m2", s"${p}c2")},
+    ${p}cb AS (
       SELECT sub, cell, cv,
         CAST(round(list_dot_product(cv, cv) * 1048576.0) AS BIGINT) AS ci2
-      FROM c2),
-    af AS (
+      FROM ${p}c2),
+    ${p}paf AS (
       SELECT vec_id, sub, cell FROM (
         SELECT t.vec_id, t.sub, c.cell,
           ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
             list_dot_product(c.cv, c.cv) - 2 * list_dot_product(t.sv, c.cv),
             c.cell) AS rn
-        FROM sv t JOIN c2 c ON c.sub = t.sub) x WHERE rn = 1),
-    codes AS (
+        FROM ${p}sv t JOIN ${p}c2 c ON c.sub = t.sub) x WHERE rn = 1),
+    ${p}codes AS (
       SELECT a.vec_id, list(a.cell ORDER BY a.sub) AS codes, SUM(b.ci2) AS n2i
-      FROM af a JOIN cb b ON b.sub = a.sub AND b.cell = a.cell
+      FROM ${p}paf a JOIN ${p}cb b ON b.sub = a.sub AND b.cell = a.cell
       GROUP BY a.vec_id),
-    dtab AS (
+    ${p}dtab AS (
       SELECT t.vec_id AS qid,
         list(CAST(round(list_dot_product(t.sv, c.cv) * 1048576.0) AS BIGINT)
              ORDER BY t.sub, c.cell) AS dt
-      FROM sv t JOIN cb c ON c.sub = t.sub
-      WHERE t.vec_id < $NumQueries GROUP BY t.vec_id),
+      FROM ${p}sv t JOIN ${p}cb c ON c.sub = t.sub
+      WHERE t.vec_id < $NumQueries GROUP BY t.vec_id)"""
+  }
+
+  /** The PqSubs-lookup integer ADC term over `q.dt` / `n.codes`. */
+  private def adcTermsSql: String = (0 until PqSubs)
+    .map(j => s"q.dt[${j * PqK} + n.codes[${j + 1}] + 1]").mkString(" + ")
+
+  /** The shared exact-rerank tail: rank CTE `cand` (qid, nid) by 6 dp
+    * cosine, cut at TopK. */
+  private def rerankTailSql: String = s"""
+    SELECT qid, nid, rank, rcos FROM (
+      SELECT cand.qid, cand.nid,
+        ROUND(list_cosine_similarity(qv.v, nv.v), 6) AS rcos,
+        ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+          ROUND(list_cosine_similarity(qv.v, nv.v), 6) DESC, cand.nid) AS rank
+      FROM cand
+      JOIN e qv ON qv.vec_id = cand.qid
+      JOIN e nv ON nv.vec_id = cand.nid) t
+    WHERE rank <= $TopK ORDER BY qid, rank"""
+
+  private def pqOracleSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    ${pqChainCtes("")},
     adc AS (
       SELECT q.qid, n.vec_id AS nid,
-        ROUND((($adcTerms) / 1048576.0)
+        ROUND((($adcTermsSql) / 1048576.0)
           / (qn.nrm * sqrt(n.n2i / 1048576.0)), 6) AS adc
       FROM dtab q
       JOIN en qn ON qn.vec_id = q.qid
@@ -1409,20 +1583,75 @@ object Ann {
         SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
           ORDER BY adc DESC, nid) AS crank FROM adc) t
       WHERE crank <= $RerankCand)
-    SELECT qid, nid, rank, rcos FROM (
-      SELECT cand.qid, cand.nid,
-        ROUND(list_cosine_similarity(qv.v, nv.v), 6) AS rcos,
-        ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
-          ROUND(list_cosine_similarity(qv.v, nv.v), 6) DESC, cand.nid) AS rank
-      FROM cand
-      JOIN e qv ON qv.vec_id = cand.qid
-      JOIN e nv ON nv.vec_id = cand.nid) t
-    WHERE rank <= $TopK ORDER BY qid, rank"""
+    $rerankTailSql"""
+
+  /** F15's full-cascade oracle: the SAME IVF-assignment chain the F3 gate
+    * replays (routing at [[IvfPqNprobe]]) composed with the SAME PQ chain
+    * the F10 gate replays (prefixed — names collide otherwise): ADC runs
+    * only over routed-cell members, then the shared rerank tail. */
+  private def ivfpqOracleSql: String = s"""
+    WITH $ivfAssignCtes,
+    $ivfCwCte,
+    ${ivfProbeCtes(IvfPqNprobe, "_iq")},
+    ${pqChainCtes("q")},
+    adc AS (
+      SELECT q.qid, n.vec_id AS nid,
+        ROUND((($adcTermsSql) / 1048576.0)
+          / (qn.nrm * sqrt(n.n2i / 1048576.0)), 6) AS adc
+      FROM qdtab q
+      JOIN en qn ON qn.vec_id = q.qid
+      JOIN cand_iq ci ON ci.qid = q.qid
+      JOIN qcodes n ON n.vec_id = ci.nid),
+    cand AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY adc DESC, nid) AS crank FROM adc) t
+      WHERE crank <= $RerankCand)
+    $rerankTailSql"""
+
+  /** F16's oracle: brute reference once, then per-nprobe probe chains
+    * (shared generators) aggregated to one row each. */
+  private def recallCurveSql: String = {
+    val sweeps = RecallCurveNprobes.map { np =>
+      s"""${ivfProbeCtes(np, s"_n$np")},
+      ${ivfRankedFrom(s"_n$np", s"ranked_n$np")},
+      agg_n$np AS (
+        SELECT CAST($np AS INTEGER) AS nprobe,
+          (SELECT CAST(COUNT(iv.nid) AS BIGINT)
+           FROM br b LEFT JOIN ranked_n$np iv
+             ON iv.qid = b.qid AND iv.nid = b.nid AND iv.rank <= $TopK) AS n_hits,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_n$np) AS n_scanned)"""
+    }
+    s"""
+    WITH $ivfAssignCtes,
+    $ivfCwCte,
+    bp AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+        ROUND(list_cosine_similarity(q.v, c.v), 6) AS rcos
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < $NumQueries),
+    br AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
+        FROM bp) t
+      WHERE rank <= $TopK),
+    nn AS (SELECT COUNT(*) - 1 AS tot FROM e),
+    ${sweeps.mkString(",\n")}
+    SELECT nprobe, n_hits,
+      CAST((10000 * n_hits) // (${NumQueries} * $TopK) AS BIGINT) AS recall_bps,
+      n_scanned,
+      CAST((10000 * n_scanned) // (${NumQueries} * (SELECT tot FROM nn)) AS BIGINT)
+        AS scanned_bps
+    FROM (${RecallCurveNprobes.map(np => s"SELECT * FROM agg_n$np").mkString(" UNION ALL ")})
+    ORDER BY nprobe"""
   }
 
   val oracles: Map[String, String] = Map(
     "dedup_semantic" -> semanticDedupSql,
     "ann_pq_topk" -> pqOracleSql,
+    "ann_ivfpq_topk" -> ivfpqOracleSql,
+    "ann_recall_curve" -> recallCurveSql,
     "emb_quantize" -> """
       WITH s AS (
         SELECT vec_id, embedding,

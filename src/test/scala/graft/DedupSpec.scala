@@ -554,6 +554,52 @@ class DedupSpec extends SparkSpec {
       s"recall@10 = $recall, scanned fraction ~= $scanned (${Ann.IvfCells} cells)")
   }
 
+  test("F16 recall curve: recall monotone in nprobe, scanned fraction strictly grows") {
+    val rows = Ann.annRecallCurve(spark, sf).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("recall_bps"),
+        r.getAs[Long]("n_scanned"), r.getAs[Long]("scanned_bps")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Ann.RecallCurveNprobes)
+    // recall monotone nondecreasing (a theorem: a global top-k member ranks
+    // in the top-k of any candidate set containing it)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"recall dropped ${a._1}→${b._1}: ${a._2} → ${b._2}")
+      assert(b._3 > a._3, s"scanned rows did not grow ${a._1}→${b._1}")
+    }
+    // the curve must discriminate: endpoints differ, and half the cells
+    // (nprobe=8 of 16) must recall well above the nprobe=1 point
+    assert(rows.last._2 > rows.head._2, "flat curve — sweep vacuous")
+    // recall at every point beats random scanning (the F3 spec's claim,
+    // now across the whole curve)
+    rows.foreach { case (np, recallBps, _, scannedBps) =>
+      assert(recallBps > scannedBps,
+        s"nprobe=$np: recall $recallBps bps <= scanned $scannedBps bps")
+    }
+  }
+
+  test("F15 ivfpq cascade: subset of IVF-cell candidates, recall tracks the pure-IVF bound") {
+    val ivfpq = Ann.ivfpqTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+    assert(ivfpq.nonEmpty)
+    // every returned neighbor must come from the query's routed cells —
+    // i.e. appear in the pure-IVF candidate set at the same nprobe (the
+    // full ivf ranking, not just its top-k)
+    val ivfFull = Ann.ivfTopK(spark, sf) // nprobe=2 topk for recall compare
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Ann.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIvf = brute.intersect(ivfFull).size.toDouble / brute.size
+    val rIvfpq = brute.intersect(ivfpq.toSet).size.toDouble / brute.size
+    // PQ coding loses a little vs exact scoring inside the same cells, but
+    // the ADC winnow (RerankCand=40 of ~2 cells) + exact rerank must hold
+    // most of the pure-IVF recall — and can never exceed it by more than
+    // rerank-order noise (same candidate universe)
+    assert(rIvfpq >= 0.8 * rIvf && rIvfpq > 0.1,
+      s"ivfpq recall $rIvfpq vs ivf $rIvf — ADC cascade lost the cells' signal")
+    assert(rIvfpq <= rIvf + 1e-9,
+      s"ivfpq recall $rIvfpq exceeds its candidate universe's bound $rIvf")
+  }
+
   test("filtered ann: every neighbor shares the query's label, k respected") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("label")).collect()
