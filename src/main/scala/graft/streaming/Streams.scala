@@ -543,8 +543,103 @@ object Streams {
     graft.operators.Signals.cusumReport(s.table(name))
   }
 
+  /** C25 — the LATE-DATA gate (round-11 verdict item 5): watermarks are
+    * used throughout C3-C7, but nothing PROVED rows behind the watermark
+    * are dropped — this does. The fixture splits the events table into two
+    * single-file micro-batches with controlled modification times
+    * (FileStreamSource processes files in modTime order;
+    * maxFilesPerTrigger=1 pins one file per batch): batch 0 carries every
+    * ON-TIME row, an empty bridge batch advances the LATE-EVENT FILTER
+    * watermark (which lags the eviction watermark by one batch — see the
+    * fixture builder), and the final batch carries the PLANTED LATE set —
+    * every row with `event_id % 10 = 0 AND ts <= max(ts) - 3h`. By then
+    * the filter watermark stands at max(ts) - 1h, so every late row's
+    * window end (<= max - 2h) is behind it: Spark must drop ALL of them
+    * (the spec pins numRowsDroppedByWatermark to the planted count), and
+    * the eviction passes emit exactly the windows with
+    * `end ≤ max − 1h` aggregated from on-time rows only. The oracle
+    * computes that set from the batch table by filtering the late rows
+    * EXPLICITLY — a hash match proves allowed-lateness semantics end to
+    * end (append mode, unlike C3's complete-mode gate, so emission timing
+    * itself is under test). StreamingSpec pins the dropped-row count.
+    */
+  private val lateFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  /** Planted-late predicate, shared by the fixture build, the oracle text,
+    * and the spec's recount. */
+  private def isLate(maxTs: java.sql.Timestamp) =
+    pmod(col("event_id"), lit(10L)) === 0 &&
+      col("ts") <= lit(new java.sql.Timestamp(maxTs.getTime - 3L * 3600 * 1000))
+
+  private def lateFixtureDir(s: SparkSession, d: String): String = {
+    import graft.operators.Tables
+    val fp = graft.Artifacts.fingerprint(s, s"$d/events.parquet")
+    graft.Artifacts.cachedLocation(lateFixtureBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), s"graft_late_fix_${slug}_$fpv")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true); fs.mkdirs(dir)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0) // scalar, bounded
+      val late = isLate(maxTs)
+      def writeOne(df: DataFrame, name: String, modTime: Long): Unit = {
+        val staging = new org.apache.hadoop.fs.Path(dir, s"_stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging)
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+        val target = new org.apache.hadoop.fs.Path(dir, s"$name.parquet")
+        fs.rename(part, target)
+        fs.delete(staging, true)
+        fs.setTimes(target, modTime, -1)
+      }
+      // modTimes 60 s apart pin the batch order: on-time, an EMPTY bridge,
+      // then the late set. The bridge batch is load-bearing: Spark's
+      // late-event filter deliberately uses the PREVIOUS batch's watermark
+      // (SPARK-24634 — a batch must not drop rows a retried predecessor
+      // would have accepted), so the batch right after the on-time data
+      // still filters at the initial watermark and would ADMIT the late
+      // rows (observed: numRowsDroppedByWatermark=0, late windows emitted
+      // same-batch by the already-advanced eviction watermark). One empty
+      // batch in between advances the filter watermark to max(ts) - 1h
+      // before any late row arrives.
+      val t0 = System.currentTimeMillis()
+      writeOne(ev.filter(!late), "batch0_ontime", t0 - 180000)
+      writeOne(ev.filter(lit(false)), "batch1_bridge", t0 - 120000)
+      writeOne(ev.filter(late), "batch2_late", t0 - 60000)
+      dir.toString
+    }
+  }
+
+  /** Probe access: per-batch progress of the last late-data run. */
+  @volatile private[graft] var lastProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+
+  def streamingLateData(s: SparkSession, d: String): DataFrame = {
+    val dir = lateFixtureDir(s, d)
+    val name = "graft_stream_late_sink_" + sinkId.incrementAndGet()
+    withStateParts(s) {
+      val src = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*.parquet")
+      val q = windowedAgg(src.drop("event_id", "user_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      lastProgress = q.recentProgress.toSeq
+      q.stop()
+    }
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "streaming_late_data" -> streamingLateData _,
       "streaming_cusum_shift" -> streamingCusumShift _,
       "streaming_topk" -> streamingTopK _,
       "streaming_quantile_hist" -> streamingQuantileHist _,
@@ -560,6 +655,21 @@ object Streams {
       "streaming_join" -> streamingJoin _)
 
   val oracles: Map[String, String] = Map(
+    // explicit late-row filter + final-watermark window cut: what the
+    // stream must have emitted iff allowed-lateness semantics hold
+    "streaming_late_data" -> s"""
+      WITH mx AS (SELECT max(ts) AS m FROM events),
+      kept AS (
+        SELECT e.* FROM events e, mx
+        WHERE NOT (e.event_id % 10 = 0 AND e.ts <= mx.m - INTERVAL 3 HOUR)),
+      agg AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+          COUNT(*) AS n, ${graft.operators.Exact.sqlDsum("value")} AS sum_value
+        FROM kept GROUP BY 1, 2)
+      SELECT a.hour_start, a.event_type, a.n, a.sum_value
+      FROM agg a, mx
+      WHERE a.hour_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+      ORDER BY 1, 2""",
     // the streaming CUSUM drains to the batch hourly grid: share C22's
     "streaming_cusum_shift" ->
       graft.operators.Signals.oracles("events_cusum_shift"),

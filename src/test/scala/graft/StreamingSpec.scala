@@ -70,6 +70,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("C25: late rows beyond the watermark are provably dropped, count pinned") {
+    import graft.operators.Tables
+    val out = Streams.streamingLateData(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val lateCut = new java.sql.Timestamp(maxTs.getTime - 3L * 3600 * 1000)
+    val wmCut = new java.sql.Timestamp(maxTs.getTime - 1L * 3600 * 1000)
+    val isLate = pmod(col("event_id"), lit(10L)) === 0 && col("ts") <= lit(lateCut)
+    val nLate = ev.filter(isLate).count()
+    assert(nLate > 0, "no planted late rows at this SF — gate vacuous")
+    // the emitted windows must aggregate ON-TIME rows only, cut at the
+    // final watermark — exactly the oracle's definition, recomputed here
+    // from the batch table with independent DataFrame code
+    val expected = ev.filter(!isLate)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Exact.dsum(col("value")).as("sum_value"))
+      .filter(col("w.end") <= lit(wmCut))
+      .select(col("w.start"), col("event_type"), col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val got = out.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected && expected.nonEmpty,
+      s"emitted ${got.size} windows, expected ${expected.size}")
+    // dropped-row accounting: emitted event mass = total - late - unflushed
+    val unflushed = ev.filter(!isLate)
+      .filter(window(col("ts"), "1 hour").getField("end") > lit(wmCut)).count()
+    val emitted = out.agg(sum(col("n"))).head.getLong(0)
+    assert(emitted == ev.count() - nLate - unflushed,
+      s"event mass: emitted $emitted + late $nLate + unflushed $unflushed != total ${ev.count()}")
+    // the engine's own accounting agrees: the state operator reports the
+    // EXACT planted count dropped by the watermark, in the late batch only
+    val droppedPerBatch = Streams.lastProgress
+      .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+    assert(droppedPerBatch.sum == nLate,
+      s"numRowsDroppedByWatermark ${droppedPerBatch.mkString(",")} != planted $nLate")
+  }
+
   test("C5: streaming dedup (dropDuplicates + watermark) == batch distinct count") {
     val staged = stageDir()
     // dedup on (user_id, event_type) pairs, which arrive many times each
