@@ -457,7 +457,74 @@ object BeamParity {
     graft.CacheScope.releaseAfterUse(out, users.ds)
   }
 
+  /** A29 — Beam's WindowInto composing with CombinePerKey in the Pipe DSL
+    * (round-11 verdict item 6): SLIDING (hopping) 1h/30min windows over the
+    * event stream, per-type count + exact sum — the windowing attaches to
+    * the GROUPING (Beam's model), the multi-window assignment is
+    * elementwise, and the combine keeps Catalyst's map-side partial
+    * aggregation because (key, window) is just more key. Gate: the SAME
+    * DuckDB oracle as the DataFrame-native C1b — the DSL and the native
+    * operator must agree row for row. Sum exactness is the dsum
+    * discipline: units accumulate as longs ([[graft.plans.ScaledLong
+    * .scale]]), one final division.
+    */
+  def pipeWindowAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline._
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      .as[(String, Double, Long)]
+    val out = Pipe(ev)
+      .windowInto(SlidingWindows(3600L * 1000000, 1800L * 1000000))(_._3)
+      .combinePerKey(_._1)(
+        new CombineFn[(String, Double, Long), (Long, Long), (Long, Long)] {
+          def createAccumulator(): (Long, Long) = (0L, 0L)
+          def addInput(a: (Long, Long), t: (String, Double, Long)): (Long, Long) =
+            (a._1 + 1, a._2 + graft.plans.ScaledLong.scale(t._2, 10000.0))
+          def mergeAccumulators(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+            (a._1 + b._1, a._2 + b._2)
+          def extractOutput(a: (Long, Long)): (Long, Long) = a
+        })
+      .map { case (k, ws, _, (n, units)) => (k, ws, n, units) }
+    out.ds.toDF("event_type", "ws", "n", "units")
+      .select(timestamp_micros(col("ws")).as("window_start"), col("event_type"),
+        col("n"), (col("units").cast("double") / 10000.0).as("sum_value"))
+  }
+
+  /** A30 — Beam's MERGING session windows through the same DSL surface:
+    * per-user 30-minute-gap sessions via windowInto(Sessions) +
+    * combinePerKey (the merge happens at grouping time, like Beam's
+    * merging WindowFns — fixed/sliding assignment is elementwise, sessions
+    * are a per-key sorted gap-split). Gate: the SAME oracle as the
+    * DataFrame-native C2 sessionization.
+    */
+  def pipeWindowSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+    val out = Pipe(ev)
+      .windowInto(Sessions(1800L * 1000000))(_._2)
+      .combinePerKey(_._1)(new CombineFn[(Long, Long), (Long, Long), (Long, Long)] {
+        def createAccumulator(): (Long, Long) = (Long.MinValue, 0L)
+        def addInput(a: (Long, Long), t: (Long, Long)): (Long, Long) =
+          (math.max(a._1, t._2), a._2 + 1)
+        def mergeAccumulators(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+          (math.max(a._1, b._1), a._2 + b._2)
+        def extractOutput(a: (Long, Long)): (Long, Long) = a
+      })
+      .map { case (u, ws, _, (lastTs, n)) => (u, ws, lastTs, n) }
+    out.ds.toDF("user_id", "ws", "last_ts", "n_events")
+      .select(col("user_id"),
+        timestamp_micros(col("ws")).as("session_start"),
+        timestamp_micros(col("last_ts")).as("session_end"),
+        col("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_window_agg" -> pipeWindowAgg _,
+    "pipe_window_session" -> pipeWindowSession _,
     "pipe_partition" -> pipePartition _,
     "source_binary_roundtrip" -> sourceBinaryRoundtrip _,
     "source_binary_compacted" -> sourceBinaryCompacted _,
@@ -483,6 +550,11 @@ object BeamParity {
   )
 
   val oracles: Map[String, String] = Map(
+    // the DSL's windowed forms gate against the SAME oracles as the
+    // DataFrame-native C1b/C2 operators: two independent implementations,
+    // one replay — the strongest parity statement available
+    "pipe_window_agg" -> Relational.oracles("events_hopping_agg"),
+    "pipe_window_session" -> Relational.oracles("events_session"),
     "sink_text_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "source_schema_evolution" -> """

@@ -314,6 +314,138 @@ final case class Pipe[T](ds: Dataset[T]) {
   }
 
   def collect(): Seq[T] = consumed.collect().toSeq
+
+  /** Beam's `WindowInto` (round-11 verdict item 6 — beyond the batch-only
+    * reference): attach a windowing strategy and an event-time extractor
+    * (epoch MICROseconds, the DSL's time unit); the returned
+    * [[WindowedPipe]]'s groupByKey/combinePerKey then operate per
+    * (key, window) — Beam's model, where windowing changes the GBK
+    * grouping, not the elements. Fixed/sliding assignment is elementwise
+    * (composes with batch AND streaming datasets unchanged — the A27
+    * unified-model property); session windows MERGE at grouping time,
+    * exactly like Beam's merging WindowFns.
+    */
+  def windowInto(fn: WindowFn)(tsOf: T => Long): WindowedPipe[T] =
+    new WindowedPipe[T](this, fn, tsOf)
+}
+
+/** Beam WindowFn trio. All times are epoch microseconds. */
+sealed trait WindowFn extends Serializable
+final case class FixedWindows(sizeUs: Long) extends WindowFn {
+  require(sizeUs > 0, "window size must be positive")
+}
+final case class SlidingWindows(sizeUs: Long, periodUs: Long) extends WindowFn {
+  require(sizeUs > 0 && periodUs > 0 && periodUs <= sizeUs,
+    "sliding windows need 0 < period <= size")
+}
+final case class Sessions(gapUs: Long) extends WindowFn {
+  require(gapUs > 0, "session gap must be positive")
+}
+
+/** A pipe with a windowing strategy attached (Beam's windowed PCollection).
+  * Outputs carry the window bounds as flat (start_us, end_us) columns —
+  * encoder-friendly, and the downstream query decides the rendering.
+  */
+final class WindowedPipe[T](p: Pipe[T], fn: WindowFn, tsOf: T => Long)
+    extends Serializable {
+
+  /** (key, start, end) encoder for the window-expanded keying. */
+  private def kwEnc[K](implicit ek: Encoder[K]): Encoder[(K, Long, Long)] =
+    org.apache.spark.sql.Encoders.tuple(ek,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+
+  /** The (≥1) windows an element's timestamp lands in — Beam's
+    * WindowFn.assignWindows for the non-merging strategies. */
+  private def windowsOf(ts: Long): Seq[(Long, Long)] = fn match {
+    case FixedWindows(size) =>
+      val start = Math.floorDiv(ts, size) * size
+      Seq((start, start + size))
+    case SlidingWindows(size, period) =>
+      // every period-aligned start s with s <= ts < s + size, newest first
+      val lastStart = Math.floorDiv(ts, period) * period
+      Iterator.iterate(lastStart)(_ - period)
+        .takeWhile(s => s + size > ts)
+        .map(s => (s, s + size)).toSeq
+    case Sessions(_) => throw new IllegalStateException(
+      "session windows merge at grouping time; they have no per-element assignment")
+  }
+
+  /** Per-(key, window) GBK. Sessions merge per key (sorted-by-ts gap split,
+    * window = [first, last + gap) — Beam's merged session extent); a
+    * per-key sort is the same bounded-by-key cost Beam's merging GBK pays.
+    */
+  def groupByKey[K](keyOf: T => K)(implicit ek: Encoder[K],
+      eo: Encoder[(K, Long, Long, Seq[T])]): Pipe[(K, Long, Long, Seq[T])] =
+    fn match {
+      case Sessions(gap) =>
+        Pipe(p.consumed.groupByKey(keyOf).flatMapGroups { (k: K, it: Iterator[T]) =>
+          val sorted = it.toVector.sortBy(tsOf)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Long, Seq[T])]
+          var buf = scala.collection.mutable.ArrayBuffer.empty[T]
+          var last = Long.MinValue
+          def flush(): Unit = if (buf.nonEmpty) {
+            out += ((k, tsOf(buf.head), last + gap, buf.toSeq)); buf.clear()
+          }
+          sorted.foreach { t =>
+            val ts = tsOf(t)
+            if (buf.nonEmpty && ts - last > gap) flush()
+            buf += t; last = ts
+          }
+          flush()
+          out.iterator
+        })
+      case _ =>
+        val to = tsOf
+        Pipe(p.consumed
+          .flatMap(t => windowsOf(to(t)).map(w => ((keyOf(t), w._1, w._2), t)))(
+            org.apache.spark.sql.Encoders.tuple(kwEnc, p.ds.encoder))
+          .groupByKey(_._1)(kwEnc)
+          .mapGroups((kw, it) => (kw._1, kw._2, kw._3, it.map(_._2).toSeq)))
+    }
+
+  /** Per-(key, window) CombinePerKey: non-merging windows keep Catalyst's
+    * map-side partial aggregation (the window is just more key); sessions
+    * fold inside the merge pass (Beam's merging combine is likewise
+    * per-key-sequential).
+    */
+  def combinePerKey[K, A, O](keyOf: T => K)(cfn: CombineFn[T, A, O])(implicit
+      ek: Encoder[K], ea: Encoder[A], eo: Encoder[O],
+      eko: Encoder[(K, Long, Long, O)]): Pipe[(K, Long, Long, O)] =
+    fn match {
+      case Sessions(gap) =>
+        // merge + fold in one per-key pass (no Seq[T] materialization)
+        Pipe(p.consumed.groupByKey(keyOf).flatMapGroups { (k: K, it: Iterator[T]) =>
+          val sorted = it.toVector.sortBy(tsOf)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Long, O)]
+          var acc = cfn.createAccumulator()
+          var first = Long.MinValue
+          var last = Long.MinValue
+          var any = false
+          def flush(): Unit = if (any) {
+            out += ((k, first, last + gap, cfn.extractOutput(acc)))
+            acc = cfn.createAccumulator(); any = false
+          }
+          sorted.foreach { t =>
+            val ts = tsOf(t)
+            if (any && ts - last > gap) flush()
+            if (!any) first = ts
+            acc = cfn.addInput(acc, t); last = ts; any = true
+          }
+          flush()
+          out.iterator
+        })
+      case _ =>
+        val to = tsOf
+        val agg = new CombineAggregator[T, A, O](cfn)(ea, eo)
+        Pipe(p.consumed
+          .flatMap(t => windowsOf(to(t)).map(w => ((keyOf(t), w._1, w._2), t)))(
+            org.apache.spark.sql.Encoders.tuple(kwEnc, p.ds.encoder))
+          .groupByKey(_._1)(kwEnc)
+          .mapValues(_._2)(p.ds.encoder)
+          .agg(agg.toColumn)
+          .map { case (kw, o) => (kw._1, kw._2, kw._3, o) })
+    }
 }
 
 object Pipe {

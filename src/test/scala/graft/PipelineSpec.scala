@@ -283,6 +283,68 @@ class PipelineSpec extends SparkSpec {
       Pipe.readStreamText(spark, in).collect()
     }
   }
+  test("A29 windowInto: fixed/sliding assignment and session merging, batch == stream") {
+    import SparkSpecBase.spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-win").toFile
+    val in = s"${dir.getAbsolutePath}/in"
+    // lines "key,tsMinutes,value" — a deterministic mini event log whose
+    // timestamps exercise window boundaries (0, 59, 60) and session gaps
+    val us = 60L * 1000000 // one minute
+    Pipe.create(spark, Seq(
+      "a,0,1", "a,59,2", "a,60,3", "a,125,4",
+      "b,10,5", "b,200,6", "b,205,7")).writeText(in)
+    def parse(lines: Pipe[String]): Pipe[(String, Long, Long)] =
+      lines.map { ln =>
+        val p = ln.split(","); (p(0), p(1).toLong * us, p(2).toLong)
+      }
+    val sumFn = new CombineFn[(String, Long, Long), Long, Long] {
+      def createAccumulator(): Long = 0L
+      def addInput(a: Long, t: (String, Long, Long)): Long = a + t._3
+      def mergeAccumulators(a: Long, b: Long): Long = a + b
+      def extractOutput(a: Long): Long = a
+    }
+    // FIXED 1h: a → windows at 0h (1+2), 1h (3), 2h (4); b → 0h (5), 3h (6+7)
+    def fixed(lines: Pipe[String]) = parse(lines)
+      .windowInto(FixedWindows(60 * us))(_._2).combinePerKey(_._1)(sumFn)
+    val gotFixed = fixed(Pipe.readText(spark, in)).collect().toSet
+    assert(gotFixed == Set(
+      ("a", 0L, 60 * us, 3L), ("a", 60 * us, 120 * us, 3L),
+      ("a", 120 * us, 180 * us, 4L),
+      ("b", 0L, 60 * us, 5L), ("b", 180 * us, 240 * us, 13L)))
+    // SLIDING 2h/1h: every element lands in exactly two windows, sums double
+    val gotSliding = parse(Pipe.readText(spark, in))
+      .windowInto(SlidingWindows(120 * us, 60 * us))(_._2)
+      .combinePerKey(_._1)(sumFn).collect()
+    val perKeyFixed = gotFixed.groupBy(_._1).view.mapValues(_.toSeq.map(_._4).sum)
+    gotSliding.groupBy(_._1).foreach { case (k, rows) =>
+      assert(rows.map(_._4).sum == 2 * perKeyFixed(k),
+        s"key $k: sliding mass != 2x element mass")
+      rows.foreach { case (_, st, en, _) =>
+        assert(en - st == 120 * us && st % (60 * us) == 0)
+      }
+    }
+    // SESSIONS gap 30min: a's gaps are 59, 1, 65 minutes → splits at the
+    // 59 and 65 gaps: [0], [59,60], [125]; b = [10], [200,205]. Session
+    // window = [first, last + gap), Beam's merged extent.
+    val gotSess = parse(Pipe.readText(spark, in))
+      .windowInto(Sessions(30 * us))(_._2).combinePerKey(_._1)(sumFn).collect().toSet
+    assert(gotSess == Set(
+      ("a", 0L, 30 * us, 1L), ("a", 59 * us, 90 * us, 5L),
+      ("a", 125 * us, 155 * us, 4L),
+      ("b", 10 * us, 40 * us, 5L), ("b", 200 * us, 235 * us, 13L)))
+    // UNIFIED MODEL: the same fixed-window pipeline over the text STREAM
+    // drains to the identical result (the A27 property, now windowed)
+    val streamed = Pipe.drain(fixed(Pipe.readStreamText(spark, in)), "complete")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == gotFixed)
+    // windowed groupByKey carries the same per-window element sets
+    val grouped = parse(Pipe.readText(spark, in))
+      .windowInto(FixedWindows(60 * us))(_._2)
+      .groupByKey(_._1).collect()
+    assert(grouped.map(g => (g._1, g._2, g._3, g._4.map(_._3).sum)).toSet == gotFixed)
+  }
+
   test("A28 partition is disjoint, exhaustive, and fails fast on a bad index") {
     val s = spark
     import s.implicits._
