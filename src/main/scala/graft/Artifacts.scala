@@ -17,6 +17,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Artifacts {
 
+  /** Base directory for on-the-fly artifact/fixture storage (BPE rule
+    * tables, binary/late-data fixtures, A24 scratch outputs). Defaults to
+    * the driver's java.io.tmpdir — correct on local[*] and on any cluster
+    * whose configured scratch path is shared — and is overridden with
+    * `graft.scratch.dir` for multi-node deployments, where it MUST point
+    * at a filesystem every executor and the driver can reach (HDFS/object
+    * store): artifacts are written by executors and re-read by
+    * driver-planned scans, so a node-local path would scatter them.
+    * (The stored ANN/graph indexes have their own per-site confs —
+    * graft.ivf.dir, graft.int8.dir, graft.pq.dir, graft.ivfpq.dir,
+    * graft.graph.dir — with the same shared-FS contract; bucketed tables
+    * follow spark.sql.warehouse.dir. SURVEY §5 carries the inventory.)
+    */
+  def scratchBase(s: SparkSession): String =
+    s.conf.getOption("graft.scratch.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
   /** Metadata fingerprint of one or more dataset paths. Per-file hashes are
     * XOR-combined so the (filesystem-dependent) listing order cannot change
     * the result; a missing path contributes a distinct constant rather than

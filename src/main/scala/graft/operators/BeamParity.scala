@@ -186,7 +186,7 @@ object BeamParity {
     import s.implicits._
     import graft.pipeline.Pipe
     val dir = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
+      graft.Artifacts.scratchBase(s),
       "graft_sink_rt_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase)
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(dir, true)
@@ -211,7 +211,7 @@ object BeamParity {
     */
   def sourceSchemaEvolution(s: SparkSession, d: String): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
+      graft.Artifacts.scratchBase(s),
       "graft_schema_ev_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase)
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(dir, true)
@@ -237,7 +237,7 @@ object BeamParity {
     */
   private def scratchDir(s: SparkSession, d: String, label: String): org.apache.hadoop.fs.Path = {
     val dir = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
+      graft.Artifacts.scratchBase(s),
       s"graft_${label}_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase)
     dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
     dir
@@ -351,7 +351,7 @@ object BeamParity {
     graft.Artifacts.cachedLocation(binDocsBuilt, d, fp) { fpv =>
       val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
       val dir = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), s"graft_bin_rt_${slug}_$fpv")
+        graft.Artifacts.scratchBase(s), s"graft_bin_rt_${slug}_$fpv")
       val dirStr = dir.toString
       val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(dir, true) // a stale partial build at this fp never survives

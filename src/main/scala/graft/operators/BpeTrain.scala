@@ -93,7 +93,7 @@ object BpeTrain {
     graft.Artifacts.cachedLocation(rulesBuilt, d, fp) { fpv =>
       val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
       val dir = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), s"graft_bpe_rules_${slug}_$fpv").toString
+        graft.Artifacts.scratchBase(s), s"graft_bpe_rules_${slug}_$fpv").toString
       val rows = trainRules(s, d).zipWithIndex.map { case ((a, b, m, cnt), i) =>
         (i + 1, a.toLong, b.toLong, m.toLong, cnt)
       }

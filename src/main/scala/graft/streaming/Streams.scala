@@ -578,7 +578,7 @@ object Streams {
     graft.Artifacts.cachedLocation(lateFixtureBuilt, d, fp) { fpv =>
       val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
       val dir = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), s"graft_late_fix_${slug}_$fpv")
+        graft.Artifacts.scratchBase(s), s"graft_late_fix_${slug}_$fpv")
       val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(dir, true); fs.mkdirs(dir)
       val ev = Tables.events(s, d)
