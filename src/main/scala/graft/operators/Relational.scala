@@ -550,13 +550,9 @@ object Relational {
   def hllSql(table: String, key: String): String = {
     import graft.plans.MixHash._
     s"""
-    WITH h0 AS (SELECT CAST($key AS HUGEINT) AS z FROM $table),
-    h1 AS (SELECT ${sqlMixStep1("z")} AS z FROM h0),
-    h2 AS (SELECT ${sqlMixStep2("z")} AS z FROM h1),
-    h3 AS (SELECT ${sqlMixStep3("z")} AS z FROM h2),
-    h4 AS (SELECT ${sqlMixStep4("z")} AS z FROM h3),
-    parts AS (SELECT z // 72057594037927936::HUGEINT AS bucket,
-                     z % 72057594037927936::HUGEINT AS lower FROM h4),
+    WITH ${sqlSplitmixCtes(table, s"CAST($key AS HUGEINT)", Nil, "hx")},
+    parts AS (SELECT h // 72057594037927936::HUGEINT AS bucket,
+                     h % 72057594037927936::HUGEINT AS lower FROM hx),
     rhos AS (SELECT bucket,
         CASE WHEN lower = 0 THEN 57
              ELSE 57 - length(bin(CAST(lower AS BIGINT))) END AS rho FROM parts),

@@ -175,21 +175,18 @@ object Signals {
     val seeds = (0 until CmsRows)
       .map(r => s"($r, ${java.lang.Long.toUnsignedString(slotB(r))}::HUGEINT)")
       .mkString(", ")
-    def chain(src: String, keep: String, out: String): String = s"""
-      ${out}0 AS (SELECT $keep, xor(CAST(user_id AS HUGEINT), sd) AS z FROM $src, seeds),
-      ${out}1 AS (SELECT $keep, ${sqlMixStep1("z")} AS z FROM ${out}0),
-      ${out}2 AS (SELECT $keep, ${sqlMixStep2("z")} AS z FROM ${out}1),
-      ${out}3 AS (SELECT $keep, ${sqlMixStep3("z")} AS z FROM ${out}2),
-      ${out}4 AS (SELECT $keep, ${sqlMixStep4("z")} AS z FROM ${out}3)"""
+    def chain(src: String, out: String): String = sqlSplitmixCtes(
+      s"$src, seeds", "xor(CAST(user_id AS HUGEINT), sd)",
+      Seq("user_id", "r"), out)
     s"""
     WITH seeds(r, sd) AS (SELECT * FROM (VALUES $seeds) t(r, sd)),
     ev AS (SELECT user_id FROM events),
-    ${chain("ev", "user_id, r", "c")},
-    counters AS (SELECT r, z % $CmsCols AS bucket, COUNT(*) AS c
-                 FROM c4 GROUP BY 1, 2),
+    ${chain("ev", "cx")},
+    counters AS (SELECT r, h % $CmsCols AS bucket, COUNT(*) AS c
+                 FROM cx GROUP BY 1, 2),
     probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
-    ${chain("probes", "user_id, r", "p")},
-    pb AS (SELECT user_id, r, z % $CmsCols AS bucket FROM p4)
+    ${chain("probes", "px")},
+    pb AS (SELECT user_id, r, h % $CmsCols AS bucket FROM px)
     SELECT user_id, MIN(c) AS n_est
     FROM pb JOIN counters USING (r, bucket)
     GROUP BY 1 ORDER BY 1"""

@@ -156,6 +156,23 @@ object MixHash {
     $prefix AS (SELECT $ks, ${sqlMixStep4("z")} AS h FROM ${prefix}3)"""
   }
 
+  /** CTE chain computing splitmix64 of an INTEGER-VALUED expression: emits
+    * `srcCte` -> `$prefix` (columns: passthrough `keep` + `h` HUGEINT in
+    * [0,2^64)) — the value-keyed twin of [[sqlMixedCtes]], and the ONE
+    * register-sketch seeding chain (round-11 verdict item 8): B16b/C17's
+    * HLL buckets and B55/C16's CMS grid rows all replay through it, so the
+    * next register sketch is a finisher over `h`, not a re-rolled chain.
+    */
+  def sqlSplitmixCtes(srcCte: String, zExpr: String, keep: Seq[String],
+      prefix: String): String = {
+    val ks = if (keep.isEmpty) "" else keep.mkString("", ", ", ", ")
+    s"""${prefix}0 AS (SELECT $ks$zExpr AS z FROM $srcCte),
+    ${prefix}1 AS (SELECT $ks${sqlMixStep1("z")} AS z FROM ${prefix}0),
+    ${prefix}2 AS (SELECT $ks${sqlMixStep2("z")} AS z FROM ${prefix}1),
+    ${prefix}3 AS (SELECT $ks${sqlMixStep3("z")} AS z FROM ${prefix}2),
+    $prefix AS (SELECT $ks${sqlMixStep4("z")} AS h FROM ${prefix}3)"""
+  }
+
   /** SQL literal arrays of the affine slot constants (1-indexed lists). */
   def sqlSlotA(n: Int): String =
     (0 until n).map(i => u(slotA(i))).mkString("[", ",", "]")
