@@ -28,6 +28,10 @@ object PlanAudit {
     */
   private val SinglePartitionOk = Set(
     "combine_global", "q14_promo", "side_singleton", "dedup_embedding",
+    // ann_recall_curve: per-nprobe (hits, scanned) pairs — 2 one-row global
+    // reduces of tiny partials per operating point (4 points = 8), the
+    // combine_global shape swept across the curve
+    "ann_recall_curve",
     // hll_distinct: 256 fixed-size register rows reduced to the one-row
     // estimate — the same tiny-global-aggregate shape as combine_global
     "hll_distinct",
@@ -87,6 +91,9 @@ object PlanAudit {
     * unbounded-buffer spill hazard until reviewed and added here.
     */
   private val ObjectAggOk = Set(
+    // pipe_window_agg: the DSL's typed CombineAggregator — a constant-size
+    // (Long, Long) buffer per (key, window), partial-agg before the shuffle
+    "pipe_window_agg",
     "dedup_minhash", "dedup_minhash_estimate", "corpus_dedup_sweep",
     "dedup_simhash", "dedup_winnow", "dedup_embedding",
     "agg_percentiles", "combine_aggregator", "group_by_key",
