@@ -32,6 +32,11 @@ object PlanAudit {
     // reduces of tiny partials per operating point (4 points = 8), the
     // combine_global shape swept across the curve
     "ann_recall_curve",
+    // corpus_budget_waterfill: a |sources|-row report frame — the
+    // unpartitioned rank/prefix window plus the two 1-row reduces
+    // (budget, water line) all consume source-level rows, never the
+    // corpus (the skew_report discipline)
+    "corpus_budget_waterfill",
     // hll_distinct: 256 fixed-size register rows reduced to the one-row
     // estimate — the same tiny-global-aggregate shape as combine_global
     "hll_distinct",

@@ -66,6 +66,14 @@ object Multimodal {
   private def imagePayload(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(char_length(col("text")) > 0)
+      // the sf corpus ships documents as ONE parquet row group → one scan
+      // partition, which serializes the heavy per-row media work (decode +
+      // transforms ran single-threaded: mm_image_augment 3.4 s at sf0.1,
+      // of which the scan itself was 0.4). Round-robin the cheap text rows
+      // across the session's shuffle width BEFORE the expensive projection
+      // — the same plan a real deployment wants when media payloads sit in
+      // few huge objects and per-row decode dominates the scan.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), MediaCodecs.ppmEncode(
         graft.plans.StrideSample.sample(col("text"), ImgGrid * ImgGrid * ImgChannels),
         ImgGrid, ImgGrid, ImgChannels).as("payload"))
@@ -90,8 +98,7 @@ object Multimodal {
         element_at(col("st"), 1).as("sum_r"),
         element_at(col("st"), 2).as("sum_g"),
         element_at(col("st"), 3).as("sum_b"),
-        md5(concat_ws(",", slice(col("st"), 4, 16).cast("array<string>")))
-          .as("hist_md5"))
+        MediaCodecs.md5CsvCol(slice(col("st"), 4, 16)).as("hist_md5"))
   }
 
   /** G4 — resize over the DECODED image: parse the P6 payload, then a real
@@ -108,9 +115,35 @@ object Multimodal {
         element_at(col("dec"), 1).as("src_w"),
         element_at(col("dec"), 2).as("src_h"),
         lit(ResizeTarget).as("dst_edge"),
-        md5(concat_ws(",",
-          MediaCodecs.resize(col("dec"), ResizeTarget, ResizeTarget)
-            .cast("array<string>"))).as("resized_md5"))
+        MediaCodecs.md5CsvCol(
+          MediaCodecs.resize(col("dec"), ResizeTarget, ResizeTarget))
+          .as("resized_md5"))
+  }
+
+  /** G11 — deterministic AUGMENTATION over the DECODED image (round-12):
+    * the geometric transforms a training-augmentation pass applies —
+    * horizontal flip, 90° clockwise rotation, center crop to
+    * [[AugCrop]]² — each computed over the parsed P6 raster by one native
+    * kernel call ([[graft.plans.MediaCodecs.RasterTransform]]) and
+    * rendered as md5 of the transformed interleaved samples. Integer
+    * index arithmetic only, so the DuckDB oracle replays each variant's
+    * index map positionally; MultimodalSpec pins the group structure
+    * (flip² = id, rot90⁴ = id) and a hand-computed crop.
+    */
+  val AugCrop = 16
+
+  def imageAugment(s: SparkSession, d: String): DataFrame = {
+    // ONE reference to the decoded raster: the three digests come out of a
+    // single fused call ([[graft.plans.MediaCodecs.AugmentMd5s]]) — the
+    // three-projection form re-evaluated the stride+encode+decode chain
+    // per variant under projection collapse (3.7 s/rep -> 1.3 s at sf0.1)
+    imagePayload(s, d)
+      .withColumn("mds", MediaCodecs.augmentMd5sCol(
+        MediaCodecs.ppmDecodeCol(col("payload")), AugCrop))
+      .select(col("doc_id"),
+        element_at(col("mds"), 1).as("flip_md5"),
+        element_at(col("mds"), 2).as("rot90_md5"),
+        element_at(col("mds"), 3).as("crop_md5"))
   }
 
   /** G3 — frame sampling: chunk the text payload into 256-CHARACTER frames,
@@ -665,6 +698,7 @@ object Multimodal {
     "mm_audio_silence_trim" -> audioSilenceTrim _,
     "mm_binary_meta" -> binaryMeta _,
     "mm_image_features" -> imageFeatures _,
+    "mm_image_augment" -> imageAugment _,
     "mm_frame_sample" -> frameSample _,
     "mm_image_resize" -> imageResize _,
     "mm_phash_dedup" -> phashDedup _,
@@ -822,6 +856,33 @@ object Multimodal {
       FROM ph a JOIN ph b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamT
       ORDER BY doc_a, doc_b""",
+    // each augmentation variant is a pure index map over the replayed
+    // raster: flip mirrors x, rot90 reads (h-1-x, y), crop offsets by
+    // (dim-crop)/2 — the same integer arithmetic the kernel runs
+    "mm_image_augment" -> {
+      val g = ImgGrid; val ch = ImgChannels
+      val n = g * g * ch
+      val rowB = g * ch
+      val cr = AugCrop
+      val crRowB = cr * ch
+      val off = (g - cr) / 2
+      s"""
+      WITH s AS (
+        SELECT doc_id, list_transform(range($n), i ->
+          ord(substring(text, (i * length(text)) // $n + 1, 1))) AS raw
+        FROM documents WHERE length(text) > 0)
+      SELECT doc_id,
+        md5(array_to_string(list_transform(range($n), k ->
+          raw[((k // $rowB) * $g + ($g - 1 - ((k % $rowB) // $ch))) * $ch
+              + (k % $ch) + 1]), ',')) AS flip_md5,
+        md5(array_to_string(list_transform(range($n), k ->
+          raw[(($g - 1 - ((k % $rowB) // $ch)) * $g + (k // $rowB)) * $ch
+              + (k % $ch) + 1]), ',')) AS rot90_md5,
+        md5(array_to_string(list_transform(range(${cr * cr * ch}), k ->
+          raw[(($off + (k // $crRowB)) * $g + $off + ((k % $crRowB) // $ch)) * $ch
+              + (k % $ch) + 1]), ',')) AS crop_md5
+      FROM s ORDER BY doc_id"""
+    },
     // replay the decoded raster, then the exact nearest-neighbor index map
     // ⌊d·32/12⌋ per axis (channel-interleaved, row-major) — Spark must
     // parse the P6 header to produce the same src dims and pixel walk

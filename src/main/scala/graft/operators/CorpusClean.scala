@@ -822,7 +822,98 @@ object CorpusClean {
       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM c GROUP BY shard_id ORDER BY shard_id"""
 
+  /** H36 — token-budget WATER-FILLING across sources (round-12; the
+    * data-constrained mixing primitive of Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": when the training budget
+    * exceeds what sources can contribute without over-repeating, allocate
+    * fairly under per-source REPETITION CAPS). Each source's capacity is
+    * max_epochs · tokens (max_epochs ∈ [1,4], a deterministic per-source
+    * hash standing in for the quality-based epoch policy a real run
+    * carries); the budget is 1.5× the corpus's unique tokens (repetition
+    * territory by construction). Exact integer water-filling: sort
+    * sources by capacity, saturate every source whose capacity sits below
+    * the running fair share (a prefix, by the standard argument for
+    * ascending capacities: cap_i·(n−i+1) ≤ B−P_{i−1}), give every
+    * remaining source the common level ⌊(B−P_k)/(n−k)⌋. All comparisons
+    * and divisions are integer, so the DuckDB twin replays the allocation
+    * bit for bit. Shape: one scan → |sources|-row frame; the rank/prefix
+    * window and the two 1-row reduces run over that tiny frame (the
+    * skew_report discipline), never the corpus.
+    */
+  def budgetWaterfill(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(wsTokens(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("max_epochs",
+        lit(1L) + pmod(graft.plans.MixHash.polyHashCol(col("source")), lit(4L)))
+      .withColumn("capacity", col("max_epochs") * col("n_tokens"))
+    val w = Window.orderBy(col("capacity"), col("source"))
+    val ranked = tok
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pfx", sum(col("capacity")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = tok.agg(count(lit(1)).as("n_src"), sum(col("n_tokens")).as("tot"))
+      .select(col("n_src"), expr("(tot * 3) DIV 2").as("budget"))
+    val sat = ranked.crossJoin(broadcast(tot))
+      .withColumn("saturated",
+        col("capacity") * (col("n_src") - col("rn") + 1) <=
+          col("budget") - (col("pfx") - col("capacity")))
+    val kpk = sat.agg(
+        max(when(col("saturated"), col("rn"))).as("k0"),
+        max(when(col("saturated"), col("pfx"))).as("pk0"))
+      .select(coalesce(col("k0"), lit(0L)).as("k"),
+        coalesce(col("pk0"), lit(0L)).as("pk"))
+    sat.crossJoin(broadcast(kpk))
+      .withColumn("allocation", when(col("saturated"), col("capacity"))
+        .otherwise(expr("(budget - pk) DIV (n_src - k)")))
+      .select(col("source"), col("n_tokens"), col("max_epochs"),
+        col("capacity"), col("allocation"), col("saturated"),
+        expr("(10000 * allocation) DIV n_tokens").as("epochs_bps"))
+  }
+
+  val budgetWaterfillSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH srcs AS (
+      SELECT source, CAST(SUM(${wsTokensSql("text")}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    ${sqlMixedCtes("srcs", "source", Seq("source", "n_tokens"), "sh")},
+    caps AS (
+      SELECT source, n_tokens, CAST(1 + h % 4 AS BIGINT) AS max_epochs,
+        CAST((1 + h % 4) * n_tokens AS BIGINT) AS capacity
+      FROM sh),
+    tot AS (
+      SELECT COUNT(*) AS n_src,
+        (SUM(n_tokens) * 3) // 2 AS budget
+      FROM caps),
+    ranked AS (
+      SELECT source, n_tokens, max_epochs, capacity,
+        ROW_NUMBER() OVER (ORDER BY capacity, source) AS rn,
+        SUM(capacity) OVER (ORDER BY capacity, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+      FROM caps),
+    sat AS (
+      SELECT r.*, t.n_src, t.budget,
+        r.capacity * (t.n_src - r.rn + 1) <= t.budget - (r.pfx - r.capacity)
+          AS saturated
+      FROM ranked r, tot t),
+    kpk AS (
+      SELECT COALESCE(MAX(CASE WHEN saturated THEN rn END), 0) AS k,
+        COALESCE(MAX(CASE WHEN saturated THEN pfx END), 0) AS pk
+      FROM sat)
+    SELECT s.source, s.n_tokens, s.max_epochs, s.capacity,
+      CAST(CASE WHEN s.saturated THEN s.capacity
+        ELSE (s.budget - kpk.pk) // (s.n_src - kpk.k) END AS BIGINT)
+        AS allocation,
+      s.saturated,
+      CAST((10000 * CASE WHEN s.saturated THEN s.capacity
+        ELSE (s.budget - kpk.pk) // (s.n_src - kpk.k) END) // s.n_tokens
+        AS BIGINT) AS epochs_bps
+    FROM sat s, kpk ORDER BY s.source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_budget_waterfill" -> budgetWaterfill _,
     "corpus_shard_manifest" -> shardManifest _,
     "corpus_funnel_report" -> funnelReport _,
     "corpus_clean" -> corpusClean _,
@@ -844,6 +935,7 @@ object CorpusClean {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_budget_waterfill" -> budgetWaterfillSql,
     "corpus_shard_manifest" -> shardManifestSql,
     "corpus_funnel_report" -> funnelReportSql,
     "corpus_clean" -> corpusCleanSql,

@@ -274,6 +274,167 @@ object MediaCodecs {
     new GenericArrayData(out)
   }
 
+  /** G11's augmentation kernel over a DECODED raster (PpmDecode layout,
+    * any channel count): `op` 0 = horizontal flip, 1 = 90° clockwise
+    * rotation (output is h×w — dims swap), 2 = center crop to
+    * `arg`×`arg`. Integer index math only, channel-interleaved row-major
+    * — the deterministic geometric transforms a training-augmentation
+    * pass applies before the model ever sees a pixel.
+    */
+  case class RasterTransform(child: Expression, op: Int, arg: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(op >= 0 && op <= 2, s"raster_transform: unknown op $op")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] =
+      Seq(ArrayType(IntegerType))
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.rasterTransform(a.asInstanceOf[ArrayData], op, arg)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.MediaCodecs.rasterTransform($c, $op, $arg)")
+    override protected def withNewChildInternal(c: Expression): RasterTransform =
+      copy(child = c)
+  }
+
+  def rasterTransform(dec: ArrayData, op: Int, arg: Int): GenericArrayData = {
+    val w = dec.getInt(0); val h = dec.getInt(1)
+    val nPix = w * h
+    val nSamples = dec.numElements() - 3
+    require(nPix > 0 && nSamples % nPix == 0,
+      s"raster_transform: $nSamples samples over a ${w}x$h raster")
+    val ch = nSamples / nPix
+    def px(x: Int, y: Int, c: Int): Int = dec.getInt(3 + (y * w + x) * ch + c)
+    op match {
+      case 0 => // horizontal flip: (x, y) <- (w-1-x, y)
+        val out = new Array[Any](nSamples)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) {
+              out((y * w + x) * ch + c) = px(w - 1 - x, y, c); c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        new GenericArrayData(out)
+      case 1 => // 90° clockwise: out is h wide × w tall; out(x,y) = in(y, h-1-x)
+        val out = new Array[Any](nSamples)
+        var y = 0
+        while (y < w) {          // out rows
+          var x = 0
+          while (x < h) {        // out cols
+            var c = 0
+            while (c < ch) {
+              out((y * h + x) * ch + c) = px(y, h - 1 - x, c); c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        new GenericArrayData(out)
+      case 2 => // center crop arg×arg: offset = (dim - arg) / 2 per axis
+        require(arg > 0 && arg <= w && arg <= h,
+          s"raster_transform: crop $arg exceeds ${w}x$h")
+        val ox = (w - arg) / 2; val oy = (h - arg) / 2
+        val out = new Array[Any](arg * arg * ch)
+        var y = 0
+        while (y < arg) {
+          var x = 0
+          while (x < arg) {
+            var c = 0
+            while (c < ch) {
+              out((y * arg + x) * ch + c) = px(ox + x, oy + y, c); c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        new GenericArrayData(out)
+    }
+  }
+
+  /** md5 of the comma-joined decimal rendering of an int/long array — the
+    * G-block's array-fingerprint rendering, fused: the composable form
+    * (`md5(concat_ws(",", arr.cast("array<string>")))`) allocates a boxed
+    * UTF8String per ELEMENT plus the join buffer (3 × 3072 elements/row on
+    * G11: ~0.7 ms/row, the round-11 count()-blind trap shape); this writes
+    * digits straight into one reusable byte buffer and digests it —
+    * byte-identical output, one allocation.
+    */
+  case class Md5Csv(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] =
+      Seq(ColumnBridge.typeCollection(
+        ArrayType(IntegerType), ArrayType(LongType)))
+    private def isLong: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.md5Csv(a.asInstanceOf[ArrayData], isLong)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.MediaCodecs.md5Csv($c, $isLong)")
+    override protected def withNewChildInternal(c: Expression): Md5Csv =
+      copy(child = c)
+  }
+
+  private val md5CsvBuf = new ThreadLocal[java.io.ByteArrayOutputStream] {
+    override def initialValue() = new java.io.ByteArrayOutputStream(16384)
+  }
+
+  def md5Csv(arr: ArrayData, isLong: Boolean): org.apache.spark.unsafe.types.UTF8String = {
+    val buf = md5CsvBuf.get()
+    buf.reset()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (i > 0) buf.write(',')
+      val v = if (isLong) arr.getLong(i) else arr.getInt(i).toLong
+      buf.write(java.lang.Long.toString(v).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      i += 1
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(buf.toByteArray)
+    val hex = new Array[Byte](32)
+    val hexChars = "0123456789abcdef".getBytes
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = hexChars((digest(i) >> 4) & 0xF)
+      hex(2 * i + 1) = hexChars(digest(i) & 0xF)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+  }
+
+  /** All three G11 augmentation digests in ONE call: flip, rot90, and
+    * center-crop md5s off a single decoded raster reference. The
+    * three-projection form referenced `dec` three times and projection
+    * collapse re-evaluated the whole stride+encode+decode chain per
+    * reference (3.7 s/rep at sf0.1 — the round-11 Phash2dSig trap, again);
+    * one expression = one chain evaluation per row.
+    */
+  case class AugmentMd5s(child: Expression, crop: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] =
+      Seq(ArrayType(IntegerType))
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.augmentMd5s(a.asInstanceOf[ArrayData], crop)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.MediaCodecs.augmentMd5s($c, $crop)")
+    override protected def withNewChildInternal(c: Expression): AugmentMd5s =
+      copy(child = c)
+  }
+
+  def augmentMd5s(dec: ArrayData, crop: Int): GenericArrayData =
+    new GenericArrayData(Array[Any](
+      md5Csv(rasterTransform(dec, 0, 0), isLong = false),
+      md5Csv(rasterTransform(dec, 1, 0), isLong = false),
+      md5Csv(rasterTransform(dec, 2, crop), isLong = false)))
+
   // ---------------- column builders ----------------
 
   def ppmEncode(codes: Column, w: Int, h: Int, ch: Int): Column =
@@ -290,4 +451,10 @@ object MediaCodecs {
     column(RgbStats(expression(dec)))
   def resize(dec: Column, tw: Int, th: Int): Column =
     column(NearestResize(expression(dec), tw, th))
+  def transformRaster(dec: Column, op: Int, arg: Int = 0): Column =
+    column(RasterTransform(expression(dec), op, arg))
+  def md5CsvCol(arr: Column): Column =
+    column(Md5Csv(expression(arr)))
+  def augmentMd5sCol(dec: Column, crop: Int): Column =
+    column(AugmentMd5s(expression(dec), crop))
 }

@@ -281,6 +281,45 @@ object Streams {
     s.table(name)
   }
 
+  /** C26 — stream-stream LEFT OUTER time-bounded join (round-12; completes
+    * the C7 join family): every purchase joins the same user's clicks in
+    * the preceding 30 minutes, and a purchase with NO qualifying click
+    * still emits — with a null click — once the watermark proves no future
+    * click can match (c_ts ≤ p_ts, so a purchase is unmatchable the moment
+    * the click-side watermark passes p_ts). Inner matches emit as they
+    * arrive; the null rows emit from state EXPIRY, which is exactly the
+    * semantics this gate pins: the oracle computes the batch left join and
+    * keeps a null row only where the purchase sits strictly below the
+    * final watermark — min over both streams of (max event ms) − 1h (the
+    * engine's multi-watermark min policy, with EventTimeStats' ms
+    * truncation replayed via epoch_us // 1000). Purchases at or above the
+    * watermark are still held in state at stream end and must NOT emit a
+    * null row — asserted by the spec's accounting.
+    */
+  def streamingOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_ojoin_sink_" + sinkId.incrementAndGet()
+    def src = eventsStream(s, d, "event_id BIGINT, user_id BIGINT, event_type STRING")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    withStateParts(s) {
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+        .select(col("p_id"), col("c_id"), col("user_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+  }
+
   case class FunnelEv(user_id: Long, event_type: String, ts_us: Long)
   case class FunnelState(s: Option[Long], v: Option[Long], p: Option[Long]) {
     def stage: Int = if (p.nonEmpty) 3 else if (v.nonEmpty) 2 else if (s.nonEmpty) 1 else 0
@@ -640,6 +679,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "streaming_late_data" -> streamingLateData _,
+      "streaming_outer_join" -> streamingOuterJoin _,
       "streaming_cusum_shift" -> streamingCusumShift _,
       "streaming_topk" -> streamingTopK _,
       "streaming_quantile_hist" -> streamingQuantileHist _,
@@ -670,6 +710,26 @@ object Streams {
       FROM agg a, mx
       WHERE a.hour_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
       ORDER BY 1, 2""",
+    // left join + the state-expiry cut: a null row survives only where the
+    // purchase is STRICTLY below the final min-watermark (ms-truncated max
+    // per stream, the engine's EventTimeStats precision)
+    "streaming_outer_join" -> """
+      WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+            FROM events WHERE event_type = 'click'),
+      wm AS (SELECT LEAST(
+          (SELECT (epoch_us(max(p_ts)) // 1000) * 1000 FROM p),
+          (SELECT (epoch_us(max(c_ts)) // 1000) * 1000 FROM c))
+          - 3600000000 AS w_us),
+      m AS (SELECT p.p_id, c.c_id, p.user_id,
+              epoch_us(p.p_ts) AS p_us
+            FROM p LEFT JOIN c
+              ON c.c_user = p.user_id
+             AND c.c_ts >= p.p_ts - INTERVAL '30 minutes' AND c.c_ts <= p.p_ts)
+      SELECT p_id, c_id, user_id FROM m, wm
+      WHERE c_id IS NOT NULL OR p_us < wm.w_us
+      ORDER BY p_id, c_id""",
     // the streaming CUSUM drains to the batch hourly grid: share C22's
     "streaming_cusum_shift" ->
       graft.operators.Signals.oracles("events_cusum_shift"),

@@ -7,6 +7,88 @@ import graft.operators.{CorpusClean, Relational, Tables}
 
 class CorpusSpec extends SparkSpec {
 
+  test("H36 water-filling: budget exhausted up to remainder, fairness structure holds") {
+    val rows = CorpusClean.budgetWaterfill(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("capacity"), r.getAs[Long]("allocation"),
+        r.getAs[Boolean]("saturated")))
+    assert(rows.nonEmpty)
+    val budget = rows.map(_._2).sum * 3 / 2
+    // every allocation within its capacity; saturated == allocation hits cap
+    rows.foreach { case (src, _, cap, a, sat) =>
+      assert(a >= 0 && a <= cap, s"$src: allocation $a outside [0, $cap]")
+      assert(sat == (a == cap) || !sat && a == cap,
+        s"$src: saturation flag inconsistent")
+    }
+    val unsat = rows.filter(!_._5)
+    if (unsat.nonEmpty) {
+      // all unsaturated sources share ONE level (the water line), and the
+      // level is >= every saturated capacity (else that source should have
+      // been unsaturated too)
+      val levels = unsat.map(_._4).distinct
+      assert(levels.length == 1, s"multiple water lines: ${levels.toSeq}")
+      val satCaps = rows.filter(_._5).map(_._3)
+      if (satCaps.nonEmpty)
+        assert(levels.head >= satCaps.max,
+          s"water line ${levels.head} below a saturated cap ${satCaps.max}")
+      // budget exhausted up to the integer-division remainder
+      val leftover = budget - rows.map(_._4).sum
+      assert(leftover >= 0 && leftover < unsat.length,
+        s"leftover $leftover not in [0, ${unsat.length})")
+    } else {
+      // all saturated: total capacity fit inside the budget
+      assert(rows.map(_._4).sum == rows.map(_._3).sum)
+      assert(rows.map(_._3).sum <= budget)
+    }
+    // non-vacuous: the deterministic epoch caps must split the corpus into
+    // BOTH saturated and unsaturated sources at this SF
+    assert(rows.exists(_._5) && rows.exists(!_._5),
+      s"degenerate split (${rows.count(_._5)} saturated of ${rows.length})")
+  }
+
+  test("H36 water-filling: hand-built skewed corpus resolves the exact allocation") {
+    import SparkSpecBase.spark.implicits._
+    // capacities engineered around the budget: tokens per source via
+    // documents of known word counts, epochs from the pinned source hash
+    val dir = java.nio.file.Files.createTempDirectory("graft-wf").toString
+    def doc(i: Long, src: String, words: Int) =
+      (i, (1 to words).map(_ => "w").mkString(" "), "en", src, 0L)
+    // three sources with very different volumes
+    val docs = (0 until 2).map(i => doc(i, "tiny", 10)) ++
+      (2 until 6).map(i => doc(i, "mid", 100)) ++
+      (6 until 16).map(i => doc(i, "big", 1000))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = CorpusClean.budgetWaterfill(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("max_epochs"),
+          r.getAs[Long]("capacity"), r.getAs[Long]("allocation"),
+          r.getAs[Boolean]("saturated"))).toMap
+    // replay the algorithm by hand from first principles
+    val toks = rows.view.mapValues(_._1).toMap
+    val budget = toks.values.sum * 3 / 2
+    val caps = rows.map { case (s, v) => s -> v._3 }
+    val order = caps.toSeq.sortBy { case (s, c) => (c, s) }
+    // reference: saturate in ascending-cap order while cap <= the running
+    // fair share; the first unsaturated source FREEZES the water line for
+    // every remaining source (they all see the same frontier)
+    var remaining = budget; var nLeft = order.length
+    var level = -1L
+    var expected = Map.empty[String, Long]
+    order.foreach { case (src, cap) =>
+      if (level < 0 && cap <= remaining / nLeft) {
+        expected += src -> cap; remaining -= cap; nLeft -= 1
+      } else {
+        if (level < 0) level = remaining / nLeft
+        expected += src -> level
+      }
+    }
+    rows.foreach { case (src, (_, _, cap, alloc, sat)) =>
+      assert(alloc == expected(src),
+        s"$src: engine $alloc vs reference ${expected(src)} (cap $cap, sat $sat)")
+    }
+  }
+
   test("shard manifest: contiguous doc ranges, token conservation, budget band") {
     import org.apache.spark.sql.functions._
     import graft.operators.CorpusClean

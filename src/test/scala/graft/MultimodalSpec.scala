@@ -81,6 +81,45 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[String]("resized_md5") == md, "resized raster bytes diverge")
   }
 
+  test("G11 augmentation: group structure (flip²=id, rot⁴=id) and hand-computed crop") {
+    import SparkSpecBase.spark.implicits._
+    val g = Multimodal.ImgGrid; val ch = Multimodal.ImgChannels
+    val n = g * g * ch
+    val rnd = new scala.util.Random(23)
+    val text = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft-aug").toString
+    Seq((1L, text)).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val row = Multimodal.imageAugment(spark, dir).collect().head
+    // identity-layout raster: replay all three transforms by hand
+    def pix(x: Int, y: Int, c: Int): Int = text.charAt((y * g + x) * ch + c).toInt
+    def md5Of(vals: Seq[Int]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(vals.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val flip = for (y <- 0 until g; x <- 0 until g; c <- 0 until ch)
+      yield pix(g - 1 - x, y, c)
+    assert(row.getAs[String]("flip_md5") == md5Of(flip), "flip index map diverges")
+    val rot = for (y <- 0 until g; x <- 0 until g; c <- 0 until ch)
+      yield pix(y, g - 1 - x, c)
+    assert(row.getAs[String]("rot90_md5") == md5Of(rot), "rot90 index map diverges")
+    val cr = Multimodal.AugCrop; val off = (g - cr) / 2
+    val crop = for (y <- 0 until cr; x <- 0 until cr; c <- 0 until ch)
+      yield pix(off + x, off + y, c)
+    assert(row.getAs[String]("crop_md5") == md5Of(crop), "crop index map diverges")
+    // group structure directly on the kernel: flip²=id, rot90⁴=id
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dec = new GenericArrayData(
+      (Array(g, g, 255) ++ (0 until n).map(i => text.charAt(i).toInt)).map(Int.box(_): Any))
+    def t(a: org.apache.spark.sql.catalyst.util.ArrayData, op: Int) = {
+      val r = graft.plans.MediaCodecs.rasterTransform(a, op, 0)
+      new GenericArrayData(
+        (Array(g, g, 255) ++ (0 until n).map(r.getInt)).map(Int.box(_): Any))
+    }
+    def pixels(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+      (0 until n).map(i => a.getInt(3 + i))
+    assert(pixels(t(t(dec, 0), 0)) == pixels(dec), "flip is not an involution")
+    assert(pixels(t(t(t(t(dec, 1), 1), 1), 1)) == pixels(dec), "rot90^4 != id")
+  }
+
   test("frame sampling keeps every 4th 256-char frame") {
     val df = Multimodal.frameSample(spark, sf)
     val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n"),

@@ -111,6 +111,38 @@ class StreamingSpec extends SparkSpec {
       s"numRowsDroppedByWatermark ${droppedPerBatch.mkString(",")} != planted $nLate")
   }
 
+  test("C26: left-outer stream join emits nulls only for watermark-expired purchases") {
+    import graft.operators.Tables
+    val out = Streams.streamingOuterJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+      .toSet
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    // final watermark: min over streams of ms-truncated max, minus 1h
+    val maxP = p.agg(max(unix_micros(col("p_ts")))).head.getLong(0)
+    val maxC = c.agg(max(unix_micros(col("c_ts")))).head.getLong(0)
+    val wmUs = math.min(maxP / 1000 * 1000, maxC / 1000 * 1000) - 3600L * 1000000
+    val joined = p.join(c,
+        col("c_user") === col("user_id") &&
+          col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+          col("c_ts") <= col("p_ts"), "left_outer")
+      .select(col("p_id"), col("c_id"), col("user_id"), unix_micros(col("p_ts")).as("p_us"))
+      .collect()
+    val expected = joined.flatMap { r =>
+      val cId = if (r.isNullAt(1)) -1L else r.getLong(1)
+      if (cId >= 0 || r.getLong(3) < wmUs) Some((r.getLong(0), cId, r.getLong(2)))
+      else None
+    }.toSet
+    assert(out == expected && expected.nonEmpty)
+    // non-vacuous both ways: some null rows emitted, some purchases HELD
+    assert(out.exists(_._2 == -1L), "no expired unmatched purchases — gate vacuous")
+    val held = joined.count(r => r.isNullAt(1) && r.getLong(3) >= wmUs)
+    assert(held > 0, "every unmatched purchase expired — the held-state branch untested")
+  }
+
   test("C5: streaming dedup (dropDuplicates + watermark) == batch distinct count") {
     val staged = stageDir()
     // dedup on (user_id, event_type) pairs, which arrive many times each
