@@ -32,6 +32,9 @@ object PlanAudit {
     // reduces of tiny partials per operating point (4 points = 8), the
     // combine_global shape swept across the curve
     "ann_recall_curve",
+    // ann_matryoshka_recall: one 1-row hit reduce per truncation width
+    // (4 total) — the same swept combine_global shape as the nprobe curve
+    "ann_matryoshka_recall",
     // corpus_budget_waterfill: a |sources|-row report frame — the
     // unpartitioned rank/prefix window plus the two 1-row reduces
     // (budget, water line) all consume source-level rows, never the

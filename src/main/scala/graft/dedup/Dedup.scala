@@ -1193,7 +1193,40 @@ object Dedup {
       COUNT(DISTINCT url) AS n_variants, MIN(doc_id) AS kept_doc
     FROM c GROUP BY canonical ORDER BY canonical"""
 
+  /** H37 — CROSS-SOURCE duplication matrix (round-12): which sources copy
+    * from which — the crawl-curation table behind "drop mirror domains"
+    * decisions (a pair of sources sharing many near-dup documents is a
+    * mirror or a syndication feed; FineWeb/CCNet prune those at the source
+    * list, before any per-document work). Aggregates the E2 exact-Jaccard
+    * pair frame (the same gated operator, reused) through the doc→source
+    * mapping into an unordered source-pair matrix — pairs-sized input,
+    * |sources|²-bounded output. Same-source rows (the diagonal) are
+    * INTERNAL duplication; off-diagonal rows are the mirrors.
+    */
+  def dupMatrix(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    jaccardPairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def dupMatrixSql: String = s"""
+    WITH $jaccardPairsCtes,
+    m AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM jp
+      JOIN documents da ON da.doc_id = jp.doc_a
+      JOIN documents db ON db.doc_id = jp.doc_b)
+    SELECT source_a, source_b, COUNT(*) AS n_pairs
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dup_matrix" -> dupMatrix _,
     "dedup_url_canonical" -> dedupUrlCanonical _,
     "dedup_boilerplate" -> dedupBoilerplate _,
     "dedup_exact" -> dedupExact _,
@@ -1379,6 +1412,7 @@ object Dedup {
       FROM documents GROUP BY 1 ORDER BY keep_id""",
     "dedup_jaccard_pairs" ->
       s"WITH $jaccardPairsCtes SELECT doc_a, doc_b, jac FROM jp ORDER BY doc_a, doc_b",
+    "corpus_dup_matrix" -> dupMatrixSql,
     // connected components via a recursive transitive-closure CTE: tractable
     // because near-dup components are tiny at oracle SF
     "dedup_clusters" -> """

@@ -1042,6 +1042,92 @@ object Ann {
     graft.CacheScope.releaseAfterUse(out, brute)
   }
 
+  /** F17 — MATRYOSHKA truncation-recall report (round-12; Kusupati et al.
+    * 2022, "Matryoshka Representation Learning"): the deployment question
+    * MRL embeddings pose — how much recall does serving the first d
+    * dimensions keep? For each d in [[MatryoshkaDims]], exact top-k by
+    * cosine over the TRUNCATED prefix (norms recomputed over the prefix,
+    * 6 dp HALF_UP + nid tie-break — the F1 scoring discipline on sliced
+    * vectors) through the bounded-heap device, scored against the
+    * full-dimension brute top-k. d = 64 is the identity (same ranking as
+    * F1 — recall 10000 bps, a built-in self-check the spec asserts); the
+    * smaller prefixes give the honest quality-vs-bandwidth curve. Unlike
+    * F16's nprobe curve, monotonicity is NOT a theorem here (truncated
+    * rankings are not nested) — the report is the evidence, not an
+    * assumption.
+    */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    val qarr = e.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    val bq = s.sparkContext.broadcast(qarr)
+    val brute = graft.CacheScope.scopedPersist(
+      bruteTopK(s, d).select(col("qid"), col("nid")))
+    val sweeps = MatryoshkaDims.map { dims =>
+      def pdot(a: Array[Double], b: Array[Double], n: Int): Double = {
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val partials = heapShortlist[(Long, Array[Double]), (Long, Array[Double])](
+        e, bq.value, _._1, _._1,
+        (q, c) => BigDecimal(pdot(q._2, c._2, dims) /
+            (math.sqrt(pdot(q._2, q._2, dims)) * math.sqrt(pdot(c._2, c._2, dims))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        TopK, desc = true)
+      val topd = partials
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("nid")).withColumn("hit", lit(1L))
+      brute.join(topd, Seq("qid", "nid"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(dims).as("n_dims"), col("n_hits"),
+          expr(s"(10000 * n_hits) DIV (${NumQueries}L * $TopK)").as("recall_bps"))
+    }
+    graft.CacheScope.releaseAfterUse(sweeps.reduce(_ unionByName _), brute)
+  }
+
+  private def matryoshkaRecallSql: String = {
+    val sweeps = MatryoshkaDims.map { dims =>
+      s"""tp_$dims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+          ROUND(list_cosine_similarity(q.v[1:$dims], c.v[1:$dims]), 6) AS rc
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < $NumQueries),
+      tk_$dims AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rc DESC, nid) AS rank
+          FROM tp_$dims) t WHERE rank <= $TopK),
+      agg_$dims AS (
+        SELECT CAST($dims AS INTEGER) AS n_dims,
+          (SELECT CAST(COUNT(t.nid) AS BIGINT)
+           FROM br b LEFT JOIN tk_$dims t
+             ON t.qid = b.qid AND t.nid = b.nid) AS n_hits)"""
+    }
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bp AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+        ROUND(list_cosine_similarity(q.v, c.v), 6) AS rcos
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < $NumQueries),
+    br AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
+        FROM bp) t WHERE rank <= $TopK),
+    ${sweeps.mkString(",\n")}
+    SELECT n_dims, n_hits,
+      CAST((10000 * n_hits) // (${NumQueries} * $TopK) AS BIGINT) AS recall_bps
+    FROM (${MatryoshkaDims.map(dm => s"SELECT * FROM agg_$dm").mkString(" UNION ALL ")})
+    ORDER BY n_dims"""
+  }
+
   /** E9 — SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023): remove
     * embedding near-duplicates WITHIN k-means clusters instead of globally.
     * The stored IVF assignment ([[ivfIndexDir]]'s corpus table — reused, not
@@ -1314,6 +1400,7 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_topk" -> ivfpqTopK _,
+    "ann_matryoshka_recall" -> matryoshkaRecall _,
     "ann_recall_curve" -> annRecallCurve _,
     "ann_recall_report" -> annRecallReport _,
     "ann_hard_negatives" -> hardNegativesTopK _,
@@ -1651,6 +1738,7 @@ object Ann {
     "dedup_semantic" -> semanticDedupSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_ivfpq_topk" -> ivfpqOracleSql,
+    "ann_matryoshka_recall" -> matryoshkaRecallSql,
     "ann_recall_curve" -> recallCurveSql,
     "emb_quantize" -> """
       WITH s AS (

@@ -600,6 +600,30 @@ class DedupSpec extends SparkSpec {
       s"ivfpq recall $rIvfpq exceeds its candidate universe's bound $rIvf")
   }
 
+  test("F17 matryoshka recall: full-dim identity, truncation pays, accounting exact") {
+    val rows = Ann.matryoshkaRecall(spark, sf).collect()
+      .map(r => (r.getAs[Int]("n_dims"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_bps"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Ann.MatryoshkaDims)
+    // d = 64 is the SAME scoring as brute: recall must be exactly 1.0
+    assert(rows.last._3 == 10000L, s"full-dim recall ${rows.last._3} != 10000")
+    // truncation on non-MRL synthetic embeddings must cost recall
+    assert(rows.head._3 < rows.last._3, "8-dim prefix recalled everything — vacuous")
+    rows.foreach { case (dm, hits, bps) =>
+      assert(bps == 10000 * hits / (Ann.NumQueries.toLong * Ann.TopK),
+        s"d=$dm: bps $bps inconsistent with hits $hits")
+    }
+  }
+
+  test("H37 dup matrix: pair conservation, canonical source order, cross-source rows") {
+    val pairs = graft.dedup.Dedup.queries("dedup_jaccard_pairs")(spark, sf).count()
+    val m = graft.dedup.Dedup.dupMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_pairs")))
+    assert(m.nonEmpty && m.map(_._3).sum == pairs, "pair mass not conserved")
+    m.foreach { case (a, b, n) => assert(a <= b && n > 0) }
+    assert(m.map(t => (t._1, t._2)).distinct.length == m.length)
+  }
+
   test("filtered ann: every neighbor shares the query's label, k respected") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("label")).collect()
