@@ -35,6 +35,9 @@ object PlanAudit {
     // ann_matryoshka_recall: one 1-row hit reduce per truncation width
     // (4 total) — the same swept combine_global shape as the nprobe curve
     "ann_matryoshka_recall",
+    // emb_gram_matrix: ONE dim^2-long constant buffer reduced to a single
+    // row — combine_global with a matrix-shaped accumulator
+    "emb_gram_matrix",
     // corpus_budget_waterfill: a |sources|-row report frame — the
     // unpartitioned rank/prefix window plus the two 1-row reduces
     // (budget, water line) all consume source-level rows, never the
@@ -134,7 +137,10 @@ object PlanAudit {
     // sketch_theta_overlap: the KMV bottom-k basket — hard-capped at
     // SetSketch.KmvK = 256 longs per source (the same BoundedBasketAgg
     // device as basket_pairs)
-    "sketch_theta_overlap")
+    "sketch_theta_overlap",
+    // emb_gram_matrix: the GramAgg buffer is exactly dim^2 = 4096 longs —
+    // a constant of the embedding geometry, never corpus-sized
+    "emb_gram_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")

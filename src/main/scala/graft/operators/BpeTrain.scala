@@ -240,13 +240,46 @@ object BpeTrain {
     FROM cum GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
+  /** H38 — vocabulary COVERAGE under the learned table, per source: how
+    * much of each source the learned merges actually compress (merged
+    * fraction in basis points = 10000·(codepoints − tokens)/codepoints) —
+    * the per-source tokenizer-fit diagnostic that tells a multilingual/
+    * multi-domain corpus team WHICH sources the vocabulary serves poorly
+    * (the H30 fertility question, re-keyed to the LEARNED table). One
+    * scan, one kernel call per row, |sources|-row output.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val (ra, rb, rm) = learnedRules(s, d)
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_codepoints"),
+        sum(BpeDynamic.countWithCol(col("text"), ra, rb, rm).cast("long"))
+          .as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_codepoints"), col("n_tokens"),
+        expr("(10000 * (n_codepoints - n_tokens)) DIV n_codepoints")
+          .as("merged_bps"))
+  }
+
+  private def vocabCoverageSql: String =
+    s"""WITH $trainingCtes
+    SELECT d.source, COUNT(*) AS n_docs,
+      CAST(SUM(length(d.text)) AS BIGINT) AS n_codepoints,
+      CAST(SUM(length(f.s)) AS BIGINT) AS n_tokens,
+      CAST((10000 * (SUM(length(d.text)) - SUM(length(f.s))))
+        // SUM(length(d.text)) AS BIGINT) AS merged_bps
+    FROM documents d JOIN s$Rounds f ON f.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_vocab_coverage" -> vocabCoverage _,
     "bpe_train_merges" -> trainMerges _,
     "bpe_learned_tokens" -> learnedTokens _,
     "corpus_pack_bpe_learned" -> packBpeLearned _
   )
 
   val oracles: Map[String, String] = Map(
+    "bpe_vocab_coverage" -> vocabCoverageSql,
     "bpe_train_merges" -> trainMergesSql,
     "bpe_learned_tokens" -> learnedTokensSql,
     "corpus_pack_bpe_learned" -> packBpeLearnedSql

@@ -339,7 +339,82 @@ case class BoundedBasketAgg(
     copy(itemExpr = newChild)
 }
 
+/** Exact scaled-integer GRAM MATRIX accumulator (SURVEY §2 F18): buffer =
+  * the dim² upper-triangle-complete outer-product sums of per-component
+  * fixed-point units (round-HALF_UP to 2^20, the IvfScale discipline at a
+  * coarser grid sized so unit products stay long-safe: |unit| ≤ 2^20 ⇒
+  * product ≤ 2^40, headroom for 2^23 rows per partial). One constant-size
+  * mergeable buffer per group — the distributed shape of covariance/PCA
+  * input computation; integer sums are accumulation-order-proof, so the
+  * matrix is hash-gateable like any exact query.
+  */
+case class GramAgg(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](dim * dim)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(dim, arr.numElements())
+      val u = new Array[Long](n)
+      var i = 0
+      while (i < n) { u(i) = ScaledLong.scale(arr.getDouble(i), GramAgg.Scale); i += 1 }
+      i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) { buf(i * dim + j) += u(i) * u(j); j += 1 }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(dim * dim)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(offset: Int): GramAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): GramAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): GramAgg =
+    copy(child = newChild)
+}
+
+object GramAgg {
+  /** Fixed-point grid for components (2^20). */
+  val Scale: Double = (1L << 20).toDouble
+}
+
 object SketchAggs {
+  /** Exact scaled-integer Gram matrix (array<long> of dim² sums). */
+  def gram(v: Column, dim: Int): Column =
+    column(GramAgg(expression(v), dim).toAggregateExpression())
+
   /** MinHash signature column (array<long> of numPerms slots). */
   def minhash(h: Column, numPerms: Int = 64): Column =
     column(MinHashAgg(expression(h), numPerms).toAggregateExpression())

@@ -1128,6 +1128,46 @@ object Ann {
     ORDER BY n_dims"""
   }
 
+  /** F18 — exact GRAM MATRIX of the embedding corpus (round-12): the input
+    * every whitening / PCA / covariance-conditioning step consumes —
+    * X^T X over fixed-point component units, computed as ONE constant-size
+    * mergeable aggregate buffer (dim² longs — [[graft.plans.GramAgg]], the
+    * MinHashAgg discipline) so the corpus streams through in a single
+    * partial-agg pass regardless of scale; integer sums are
+    * accumulation-order-proof, so the full matrix hash-gates like an exact
+    * query (a float Gram would be partial-order-dependent and unverifiable).
+    * Output: the dim(dim+1)/2 upper-triangle entries. The
+    * eigendecomposition itself is driver-side dim×dim work any LAPACK does
+    * in microseconds — the DISTRIBUTED step, and the one worth gating, is
+    * this reduction.
+    */
+  val GramDim = 64
+
+  def embGramMatrix(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    e.agg(graft.plans.SketchAggs.gram(col("v"), GramDim).as("g"))
+      .select(posexplode(col("g")).as(Seq("idx", "gram_units")))
+      .select((col("idx") / GramDim).cast("int").as("i"),
+        (col("idx") % GramDim).cast("int").as("j"), col("gram_units"))
+      .filter(col("i") <= col("j"))
+  }
+
+  private def embGramMatrixSql: String = {
+    val unit = graft.plans.ScaledLong.sql("x", "1048576.0")
+    s"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (SELECT list_transform(v, x -> $unit) AS uv FROM e)
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+      CAST(SUM(uv[CAST(i + 1 AS INT)] * uv[CAST(j + 1 AS INT)]) AS BIGINT)
+        AS gram_units
+    FROM u,
+      (SELECT unnest(range($GramDim)) AS i),
+      (SELECT unnest(range($GramDim)) AS j)
+    WHERE i <= j
+    GROUP BY i, j ORDER BY i, j"""
+  }
+
   /** E9 — SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023): remove
     * embedding near-duplicates WITHIN k-means clusters instead of globally.
     * The stored IVF assignment ([[ivfIndexDir]]'s corpus table — reused, not
@@ -1401,6 +1441,7 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_topk" -> ivfpqTopK _,
     "ann_matryoshka_recall" -> matryoshkaRecall _,
+    "emb_gram_matrix" -> embGramMatrix _,
     "ann_recall_curve" -> annRecallCurve _,
     "ann_recall_report" -> annRecallReport _,
     "ann_hard_negatives" -> hardNegativesTopK _,
@@ -1739,6 +1780,7 @@ object Ann {
     "ann_pq_topk" -> pqOracleSql,
     "ann_ivfpq_topk" -> ivfpqOracleSql,
     "ann_matryoshka_recall" -> matryoshkaRecallSql,
+    "emb_gram_matrix" -> embGramMatrixSql,
     "ann_recall_curve" -> recallCurveSql,
     "emb_quantize" -> """
       WITH s AS (

@@ -99,6 +99,28 @@ class BpeTrainSpec extends SparkSpec {
     assert(first == second && first.nonEmpty)
   }
 
+  test("H38 coverage reconciles with per-doc learned counts; compression non-vacuous") {
+    val cov = BpeTrain.vocabCoverage(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_codepoints"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("merged_bps"))).toMap
+    assert(cov.nonEmpty)
+    // totals must equal the gated per-doc counts aggregated by source
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perDoc = BpeTrain.learnedTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val (cp, tok, bps) = cov(src)
+      assert(cp == ds.map(d => d._3.codePointCount(0, d._3.length).toLong).sum,
+        s"$src codepoints")
+      assert(tok == ds.map(d => perDoc(d._1)).sum, s"$src tokens")
+      assert(bps == 10000 * (cp - tok) / cp, s"$src bps")
+      assert(bps > 0, s"$src: learned merges compressed nothing")
+    }
+  }
+
   test("packing under the learned table: chunk conservation vs the fixed-table packer") {
     val packs = BpeTrain.packBpeLearned(spark, sf).collect()
     assert(packs.nonEmpty)

@@ -615,6 +615,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("F18 gram matrix: local replay exact, diagonal positive, triangle complete") {
+    val g = Ann.embGramMatrix(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("gram_units")).toMap
+    val dim = Ann.GramDim
+    assert(g.size == dim * (dim + 1) / 2, s"${g.size} entries")
+    // independent replay: collect the vectors and accumulate units locally
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val ref = Array.ofDim[Long](dim, dim)
+    vecs.foreach { v =>
+      val u = v.map(x => graft.plans.ScaledLong.scale(x, graft.plans.GramAgg.Scale))
+      for (i <- 0 until dim; j <- i until dim) ref(i)(j) += u(i) * u(j)
+    }
+    for (i <- 0 until dim; j <- i until dim)
+      assert(g((i, j)) == ref(i)(j), s"gram($i,$j): ${g((i, j))} vs ${ref(i)(j)}")
+    (0 until dim).foreach(i => assert(g((i, i)) > 0, s"zero diagonal at $i"))
+  }
+
   test("H37 dup matrix: pair conservation, canonical source order, cross-source rows") {
     val pairs = graft.dedup.Dedup.queries("dedup_jaccard_pairs")(spark, sf).count()
     val m = graft.dedup.Dedup.dupMatrix(spark, sf).collect()
