@@ -580,7 +580,67 @@ object Relational {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** B66 — FUZZY (edit-distance) self-join over the part-name catalog
+    * (round-12): the entity-resolution primitive behind "merge these two
+    * catalog entries / these two author spellings" — all unordered
+    * distinct-name pairs within Levenshtein distance [[FuzzyK]], WITHOUT
+    * an all-pairs plan. Candidate generation is the standard q-gram COUNT
+    * FILTER (Gravano et al. 2001): ed(a,b) ≤ K forces the q-gram
+    * multisets to share ≥ max(|a|,|b|) − q + 1 − K·q grams, so candidates
+    * come from an inverted q-gram index (grams tagged by occurrence index
+    * — multiset semantics, the theorem's requirement) with a per-pair
+    * count cut, then exact `levenshtein` verifies only those. The filter
+    * cannot prune pairs whose max length ≤ K·q + q − 1; those SHORT names
+    * take a tiny length-banded cross join among themselves (bounded by
+    * the short-name count — empty on this catalog, exercised by the
+    * spec's planted fixture). Scale: postings explode → hash-partition on
+    * gram → pair counts, the E2 inverted-index discipline on names.
+    */
+  val FuzzyK = 2
+  val FuzzyQ = 2
+
+  def joinFuzzyNames(s: SparkSession, d: String): DataFrame = {
+    val maxUnprunable = FuzzyK * FuzzyQ + FuzzyQ - 1 // filter powerless below this
+    val nm = Tables.part(s, d).select(col("p_name").as("n")).distinct()
+      .withColumn("len", length(col("n")))
+    val long = nm.filter(col("len") > maxUnprunable)
+    // tagged q-grams: k-th occurrence of a gram becomes (gram, k) — the
+    // multiset intersection the count-filter theorem needs
+    val grams = long
+      .select(col("n"), col("len"), posexplode(expr(
+        s"transform(sequence(1, len - ${FuzzyQ - 1}), i -> substring(n, i, $FuzzyQ))"))
+        .as(Seq("pos", "g")))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("n"), col("g")).orderBy(col("pos"))))
+      .select(col("n"), col("len"), col("g"), col("k"))
+    val candLong = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.k") === col("b.k") &&
+          col("a.n") < col("b.n"))
+      .groupBy(col("a.n").as("name_a"), col("b.n").as("name_b"),
+        col("a.len").as("la"), col("b.len").as("lb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >=
+        greatest(col("la"), col("lb")) - (FuzzyQ - 1) - FuzzyK * FuzzyQ)
+      .select(col("name_a"), col("name_b"))
+    val short = nm.filter(col("len") <= maxUnprunable)
+    val candShort = short.as("a").join(short.as("b"), col("a.n") < col("b.n"))
+      .select(col("a.n").as("name_a"), col("b.n").as("name_b"))
+    candLong.unionByName(candShort)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyK)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+
+  val joinFuzzyNamesSql: String = s"""
+    WITH nm AS (SELECT DISTINCT p_name AS n FROM part)
+    SELECT a.n AS name_a, b.n AS name_b,
+      CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist
+    FROM nm a JOIN nm b ON a.n < b.n
+    WHERE levenshtein(a.n, b.n) <= $FuzzyK
+    ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_names" -> joinFuzzyNames _,
     "q1_pricing" -> q1Pricing _,
     "q3_shipping" -> q3Shipping _,
     "q5_local_supplier" -> q5LocalSupplier _,
@@ -619,6 +679,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_fuzzy_names" -> joinFuzzyNamesSql,
     "q1_pricing" -> q1PricingSql,
     "hll_distinct" -> hllDistinctSql,
     "q3_shipping" -> s"""

@@ -74,4 +74,47 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(binned == naive && naive.nonEmpty)
   }
+
+  test("B66 fuzzy join: q-gram filter equals brute force; short names take the band path") {
+    import SparkSpecBase.spark.implicits._
+    import org.apache.spark.sql.functions._
+    // brute force over the real catalog's distinct names
+    val names = graft.operators.Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val brute = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= Relational.FuzzyK
+    } yield (a, b, d)).toSet
+    val got = Relational.joinFuzzyNames(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == brute && brute.nonEmpty,
+      s"got ${got.size} pairs vs brute ${brute.size}")
+    // planted fixture with SHORT names (filter-powerless) and near-typos:
+    // the length-banded branch must catch "cat"~"cap" while the gram
+    // branch catches the long pair
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
+    Seq((1L, "cat"), (2L, "cap"), (3L, "dog"), (4L, "evergreen widget"),
+      (5L, "evergreen widgets"), (6L, "completely different"))
+      .toDF("p_partkey", "p_name")
+      .write.parquet(s"$dir/part.parquet")
+    val planted = Relational.joinFuzzyNames(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // lev(cat,dog)=3 — outside K; the two true pairs split across branches
+    assert(planted == Set(("cap", "cat", 1),
+      ("evergreen widget", "evergreen widgets", 1)),
+      s"planted result: $planted")
+  }
 }
