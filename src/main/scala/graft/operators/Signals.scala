@@ -511,6 +511,104 @@ object Signals {
       CASE WHEN na > 1 AND nb > 1 THEN abs(t) > 1.96 END AS significant
     FROM tt ORDER BY event_type"""
 
+  /** B67 — deterministic POISSON-BOOTSTRAP confidence intervals for the
+    * per-type mean (round-12): the uncertainty quantification B63's point
+    * test lacks — a 95% percentile CI from B=100 resamples, computed the
+    * way web-scale systems actually bootstrap (Poisson weights per
+    * (row, resample), Chamandy et al.'s streaming bootstrap — no
+    * materialized resampled datasets, one pass per row per replicate).
+    * DETERMINISM is total: the Poisson(1) weight is an inverse-CDF lookup
+    * on the low 20 bits of splitmix64(event_id·131071 + b) — a POWER-OF-TWO
+    * grid, so the signed (Spark) and unsigned (DuckDB HUGEINT) views of the
+    * hash agree on the residue (2⁶⁴ ≡ 0 mod 2²⁰; a 10⁶ grid does NOT have
+    * that property and diverged cross-engine) — against fixed integer
+    * thresholds (385750/771499/964374/1028665 = e⁻¹ cumulative probs on
+    * the 2²⁰ grid, tail lumped at 4), replicate means are exact-integer
+    * numerators over integer weight sums with ONE rounded division (the
+    * B63 discipline), and the percentile picks are rank statistics over
+    * (rounded mean, b) — every step replays bit-exactly in the oracle.
+    * Shape: events × B exploded rows reduce by map-side combine into
+    * |types|·B partials; the rank window runs over that tiny frame.
+    */
+  val BootstrapB = 100
+
+  def statsBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val units = column(graft.plans.ScaledLong(
+      expression(col("value").cast("double")), 10000.0))
+    val means = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), units.as("un"))
+      .withColumn("b", explode(expr(s"sequence(0, ${BootstrapB - 1})")))
+      .withColumn("u", graft.plans.MixHash.splitmix64Col(
+        col("event_id") * lit(131071L) + col("b"))
+        .bitwiseAND(lit((1L << 20) - 1)))
+      .withColumn("w",
+        when(col("u") < 385750L, 0L).when(col("u") < 771499L, 1L)
+          .when(col("u") < 964374L, 2L).when(col("u") < 1028665L, 3L)
+          .otherwise(4L))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("un")).as("num"), sum(col("w")).as("den"))
+      .filter(col("den") > 0)
+      .withColumn("mean_b",
+        round(col("num").cast("double") / 10000.0 / col("den"), 6))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("mean_b"), col("b"))
+    val ranked = means
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val ci = ranked.groupBy(col("event_type"))
+      .agg(
+        min(when(col("rn") === greatest(lit(1L), expr("(25 * nb) DIV 1000")),
+          col("mean_b"))).as("ci_lo"),
+        min(when(col("rn") === expr("(975 * nb + 999) DIV 1000"),
+          col("mean_b"))).as("ci_hi"))
+    val base = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), davg(col("value")).as("mean_value"))
+    base.join(ci, "event_type")
+      .select(col("event_type"), col("n_events"), col("mean_value"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  val statsBootstrapCiSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH ev AS (
+      SELECT event_type, event_id,
+        ${graft.plans.ScaledLong.sql("value", "10000.0")} AS un
+      FROM events),
+    bx AS (SELECT event_type, event_id, un, unnest(range($BootstrapB)) AS b FROM ev),
+    ${sqlSplitmixCtes("bx", "CAST(event_id * 131071 + b AS HUGEINT)",
+      Seq("event_type", "b", "un"), "bs")},
+    wt AS (
+      SELECT event_type, b, un,
+        CASE WHEN h % 1048576 < 385750 THEN 0
+             WHEN h % 1048576 < 771499 THEN 1
+             WHEN h % 1048576 < 964374 THEN 2
+             WHEN h % 1048576 < 1028665 THEN 3 ELSE 4 END AS w
+      FROM bs),
+    m AS (
+      SELECT event_type, b,
+        ROUND(CAST(SUM(w * un) AS DOUBLE) / 10000.0 / SUM(w), 6) AS mean_b
+      FROM wt GROUP BY 1, 2 HAVING SUM(w) > 0),
+    rk AS (
+      SELECT event_type, b, mean_b,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mean_b, b) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS nb
+      FROM m),
+    ci AS (
+      SELECT event_type,
+        MIN(CASE WHEN rn = GREATEST(1, (25 * nb) // 1000) THEN mean_b END) AS ci_lo,
+        MIN(CASE WHEN rn = (975 * nb + 999) // 1000 THEN mean_b END) AS ci_hi
+      FROM rk GROUP BY 1),
+    base AS (
+      SELECT event_type, COUNT(*) AS n_events,
+        ${graft.operators.Exact.sqlDavg("value")} AS mean_value
+      FROM events GROUP BY 1)
+    SELECT base.event_type, base.n_events, base.mean_value, ci.ci_lo, ci.ci_hi
+    FROM base JOIN ci USING (event_type)
+    ORDER BY event_type"""
+  }
+
   /** C24 — LAST-TOUCH ATTRIBUTION: credit every `purchase` conversion to
     * the same user's most recent PRECEDING non-conversion event — the
     * marketing-analytics primitive behind "which touchpoint drives
@@ -586,6 +684,7 @@ object Signals {
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_bootstrap_ci" -> statsBootstrapCi _,
     "agg_incremental_merge" -> aggIncrementalMerge _,
     "events_attribution" -> eventsAttribution _,
     "stats_ab_test" -> statsAbTest _,
@@ -600,6 +699,7 @@ object Signals {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_bootstrap_ci" -> statsBootstrapCiSql,
     "events_anomaly_mad" -> eventsAnomalyMadSql,
     "stats_correlation" -> statsCorrelationSql,
     "events_gap_fill_locf" -> eventsGapFillLocfSql,

@@ -5,6 +5,51 @@ import graft.operators.{CorpusSpans, Signals, Tables}
 
 class SignalsSpansSpec extends SparkSpec {
 
+  test("B67 bootstrap CI: replicate replay exact, CI brackets the mean, width sane") {
+    import graft.operators.{Signals, Tables}
+    import org.apache.spark.sql.functions._
+    val out = Signals.statsBootstrapCi(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.nonEmpty)
+    // reference replay: recompute every replicate mean locally from first
+    // principles (hash, Poisson inverse-CDF, exact units, rank picks)
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def weight(id: Long, b: Int): Long = {
+      val u = mix(id * 131071L + b) & ((1L << 20) - 1)
+      if (u < 385750L) 0 else if (u < 771499L) 1
+      else if (u < 964374L) 2 else if (u < 1028665L) 3 else 4
+    }
+    ev.groupBy(_._1).foreach { case (tpe, rows) =>
+      val means = (0 until Signals.BootstrapB).flatMap { b =>
+        var num = 0L; var den = 0L
+        rows.foreach { case (_, id, v) =>
+          val w = weight(id, b)
+          num += w * graft.plans.ScaledLong.scale(v, 10000.0); den += w
+        }
+        if (den > 0)
+          Some((BigDecimal(num.toDouble / 10000.0 / den)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, b))
+        else None
+      }.sorted
+      val nb = means.length
+      val lo = means(math.max(1, 25 * nb / 1000) - 1)._1
+      val hi = means((975 * nb + 999) / 1000 - 1)._1
+      val (_, mean, gotLo, gotHi) = out(tpe)
+      assert(gotLo == lo && gotHi == hi, s"$tpe: ($gotLo,$gotHi) vs ref ($lo,$hi)")
+      assert(gotLo < mean && mean < gotHi, s"$tpe: CI ($gotLo,$gotHi) misses mean $mean")
+      assert(gotHi - gotLo > 0, s"$tpe: degenerate CI")
+    }
+  }
+
   test("span_dedup keeps exactly one occurrence of every distinct span") {
     val docs = Tables.documents(spark, sf)
     val spans = docs
