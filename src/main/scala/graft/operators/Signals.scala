@@ -645,6 +645,85 @@ object Signals {
     FROM t WHERE event_type = 'purchase'
     GROUP BY touch_type ORDER BY touch_type"""
 
+  /** C27 — POSITION-BASED (U-shaped) multi-touch attribution (round-12;
+    * C24's single-touch upgrade): the user timeline splits into conversion
+    * PATHS at purchases — every non-purchase touch belongs to exactly ONE
+    * path (the one its NEXT purchase closes), so the computation is
+    * window-only and corpus-LINEAR (no conversion×touch join, no
+    * quadratic). Within a path of n touches the credit is the standard
+    * U-shape in exact basis points: n=1 → 10000; n=2 → 5000/5000; n≥3 →
+    * first/last 4000 each, the m=n−2 middles split 2000 by floor division
+    * with the remainder going to the EARLIEST middles — Σ weights ≡ 10000
+    * per converting path, so attribution mass is conserved exactly and
+    * the gate hashes it. Touch value credit = Σ(value_units · w_bps) as a
+    * long, one final /10⁸ division + round (the B63 discipline). Paths
+    * without a closing purchase earn nothing (honest accounting, like
+    * C24's NULL row).
+    */
+  def eventsAttributionPosition(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .withColumn("is_conv", (col("event_type") === "purchase").cast("long"))
+      // path id = purchases strictly before this row: touches and their
+      // closing purchase share it
+      .withColumn("path", coalesce(sum(col("is_conv")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val touches = ev.filter(col("is_conv") === 0)
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("user_id"), col("path"))
+          .orderBy(col("ts"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("path"))))
+    val convs = ev.filter(col("is_conv") === 1)
+      .select(col("user_id"), col("path"),
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.ScaledLong(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col("value").cast("double")), 10000.0)).as("conv_units"))
+    touches
+      .join(convs, Seq("user_id", "path")) // paths without a purchase drop
+      .withColumn("w", when(col("n") === 1, 10000L)
+        .when(col("n") === 2, 5000L)
+        .when(col("i") === 1 || col("i") === col("n"), 4000L)
+        .otherwise(expr("2000 DIV (n - 2) + " +
+          "CASE WHEN i - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END")))
+      .groupBy(col("event_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("w")).as("attributed_bps"),
+        round(sum(col("w") * col("conv_units")).cast("double") / 1e8, 4)
+          .as("attr_value"))
+  }
+
+  val eventsAttributionPositionSql: String = s"""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type, value,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+        COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS path
+      FROM events),
+    touches AS (
+      SELECT user_id, path, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id, path ORDER BY ts, event_id) AS i,
+        COUNT(*) OVER (PARTITION BY user_id, path) AS n
+      FROM ev WHERE is_conv = 0),
+    convs AS (
+      SELECT user_id, path,
+        ${graft.plans.ScaledLong.sql("value", "10000.0")} AS conv_units
+      FROM ev WHERE is_conv = 1),
+    wt AS (
+      SELECT t.event_type AS touch_type, c.conv_units,
+        CASE WHEN t.n = 1 THEN 10000
+             WHEN t.n = 2 THEN 5000
+             WHEN t.i = 1 OR t.i = t.n THEN 4000
+             ELSE 2000 // (t.n - 2) +
+               CASE WHEN t.i - 1 <= 2000 % (t.n - 2) THEN 1 ELSE 0 END
+        END AS w
+      FROM touches t JOIN convs c ON c.user_id = t.user_id AND c.path = t.path)
+    SELECT touch_type, COUNT(*) AS n_touches,
+      CAST(SUM(w) AS BIGINT) AS attributed_bps,
+      ROUND(CAST(SUM(w * conv_units) AS DOUBLE) / 100000000.0, 4) AS attr_value
+    FROM wt GROUP BY 1 ORDER BY 1"""
+
   /** B64 — INCREMENTAL AGGREGATE MAINTENANCE (materialized-view merge):
     * the pattern that makes a 100 TB daily pipeline affordable — yesterday's
     * per-(type, day) aggregate table is never recomputed; today's batch
@@ -685,6 +764,7 @@ object Signals {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_bootstrap_ci" -> statsBootstrapCi _,
+    "events_attribution_position" -> eventsAttributionPosition _,
     "agg_incremental_merge" -> aggIncrementalMerge _,
     "events_attribution" -> eventsAttribution _,
     "stats_ab_test" -> statsAbTest _,
@@ -700,6 +780,7 @@ object Signals {
 
   val oracles: Map[String, String] = Map(
     "stats_bootstrap_ci" -> statsBootstrapCiSql,
+    "events_attribution_position" -> eventsAttributionPositionSql,
     "events_anomaly_mad" -> eventsAnomalyMadSql,
     "stats_correlation" -> statsCorrelationSql,
     "events_gap_fill_locf" -> eventsGapFillLocfSql,

@@ -50,6 +50,50 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("C27 U-shaped attribution: per-path mass conserved, weights match hand replay") {
+    import graft.operators.{Signals, Tables}
+    import org.apache.spark.sql.functions._
+    val out = Signals.eventsAttributionPosition(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // hand replay from the raw timeline
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    var convertingPaths = 0L
+    val mass = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3.getTime * 1000 + r._3.getNanos / 1000 % 1000, r._2))
+      var path = scala.collection.mutable.ArrayBuffer.empty[String]
+      ordered.foreach { case (_, _, _, tpe) =>
+        if (tpe == "purchase") {
+          val n = path.length
+          if (n > 0) {
+            convertingPaths += 1
+            path.zipWithIndex.foreach { case (t, idx) =>
+              val i = idx + 1
+              val w =
+                if (n == 1) 10000L
+                else if (n == 2) 5000L
+                else if (i == 1 || i == n) 4000L
+                else 2000L / (n - 2) + (if (i - 1 <= 2000 % (n - 2)) 1L else 0L)
+              mass(t) += w; cnt(t) += 1
+            }
+          }
+          path = scala.collection.mutable.ArrayBuffer.empty[String]
+        } else path += tpe
+      }
+    }
+    assert(out.keySet == mass.keySet)
+    out.foreach { case (t, (n, bps)) =>
+      assert(n == cnt(t) && bps == mass(t), s"$t: ($n,$bps) vs (${cnt(t)},${mass(t)})")
+    }
+    // conservation: total distributed mass = 10000 per converting path
+    assert(out.values.map(_._2).sum == 10000L * convertingPaths)
+    assert(convertingPaths > 0)
+  }
+
   test("span_dedup keeps exactly one occurrence of every distinct span") {
     val docs = Tables.documents(spark, sf)
     val spans = docs
