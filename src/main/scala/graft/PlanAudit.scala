@@ -38,6 +38,10 @@ object PlanAudit {
     // emb_gram_matrix: ONE dim^2-long constant buffer reduced to a single
     // row — combine_global with a matrix-shaped accumulator
     "emb_gram_matrix",
+    // source_jsonl_quarantine: the 1-row ingestion summary — a global
+    // reduce of per-partition (counts, id-sum, corrupt-line list) partials;
+    // the corrupt list is bounded by the planted corruption rate
+    "source_jsonl_quarantine",
     // corpus_budget_waterfill: a |sources|-row report frame — the
     // unpartitioned rank/prefix window plus the two 1-row reduces
     // (budget, water line) all consume source-level rows, never the
@@ -140,7 +144,14 @@ object PlanAudit {
     "sketch_theta_overlap",
     // emb_gram_matrix: the GramAgg buffer is exactly dim^2 = 4096 longs —
     // a constant of the embedding geometry, never corpus-sized
-    "emb_gram_matrix")
+    "emb_gram_matrix",
+    // text_winnow_fingerprint: collect_list of ONE document's fingerprints
+    // — bounded by doc length / WinnowW, the corpus_span_dedup argument
+    "text_winnow_fingerprint",
+    // source_jsonl_quarantine: collect_list of quarantined lines — bounded
+    // by the corruption rate (1/17 of the fixture), a report input; a real
+    // deployment writes the quarantine to a sink instead of digesting it
+    "source_jsonl_quarantine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")

@@ -1227,6 +1227,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_dup_matrix" -> dupMatrix _,
+    "text_winnow_fingerprint" -> winnowFingerprints _,
     "dedup_url_canonical" -> dedupUrlCanonical _,
     "dedup_boilerplate" -> dedupBoilerplate _,
     "dedup_exact" -> dedupExact _,
@@ -1250,12 +1251,14 @@ object Dedup {
     * sides iterate code points (Winnow.codePoints / DuckDB ord+substring),
     * so the replay is exact for any Unicode corpus.
     */
-  private def winnowOracleSql: String = {
+  /** The winnowing SELECTION replay (c/hpos/win/sel CTEs; `sel` = the
+    * per-doc DISTINCT fingerprint set) — shared by the E6 pair gate and
+    * the D5 fingerprint gate so the two replays cannot drift. */
+  private def winnowSelCtes: String = {
     val m64 = BigInt(1) << 64
     val pows = (0 until WinnowK).map(j => BigInt(257).modPow(BigInt(WinnowK - 1 - j), m64))
     val powsSql = pows.map(p => s"$p::HUGEINT").mkString("[", ",", "]")
-    s"""
-    WITH c AS (SELECT $powsSql AS pows),
+    s"""c AS (SELECT $powsSql AS pows),
     hpos AS (
       SELECT doc_id, i,
         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
@@ -1276,7 +1279,11 @@ object Dedup {
     sel AS (
       SELECT DISTINCT doc_id, wm AS fp FROM win WHERE m > $WinnowW AND i <= m - $WinnowW
       UNION
-      SELECT doc_id, MIN(fp) AS fp FROM win WHERE m <= $WinnowW GROUP BY doc_id),
+      SELECT doc_id, MIN(fp) AS fp FROM win WHERE m <= $WinnowW GROUP BY doc_id)"""
+  }
+
+  private def winnowOracleSql: String = s"""
+    WITH $winnowSelCtes,
     sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM sel GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS sh
@@ -1288,7 +1295,29 @@ object Dedup {
     JOIN sizes nb ON nb.doc_id = db
     WHERE sh >= LEAST(na.nfp, nb.nfp) * $MinSharedFrac
     ORDER BY doc_a, doc_b"""
-  }
+
+  /** D5 as a CORRECTNESS-GATED query (round-12; previously spec-only): the
+    * per-document winnowing fingerprint set itself — count, extremes, and
+    * md5 of the sorted fingerprint list — replayed by the SAME selection
+    * CTEs as the E6 pair gate. This is the document-fingerprint artifact a
+    * MOSS-style overlap system stores per document.
+    */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= WinnowK)
+      .select(col("doc_id"),
+        explode(graft.plans.Winnow.winnow(col("text"), WinnowK, WinnowW)).as("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"),
+        expr("md5(array_join(transform(array_sort(collect_list(fp)), " +
+          "x -> cast(x as string)), ','))").as("fp_md5"))
+
+  private def winnowFingerprintsSql: String = s"""
+    WITH $winnowSelCtes
+    SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+      md5(array_to_string(list(CAST(fp AS VARCHAR) ORDER BY fp), ',')) AS fp_md5
+    FROM sel GROUP BY doc_id ORDER BY doc_id"""
 
   /** Shared CTE prefix: distinct 3-word shingles per doc (same split the
     * green jaccard oracle uses), exploded, then the mixed polynomial hash
@@ -1413,6 +1442,7 @@ object Dedup {
     "dedup_jaccard_pairs" ->
       s"WITH $jaccardPairsCtes SELECT doc_a, doc_b, jac FROM jp ORDER BY doc_a, doc_b",
     "corpus_dup_matrix" -> dupMatrixSql,
+    "text_winnow_fingerprint" -> winnowFingerprintsSql,
     // connected components via a recursive transitive-closure CTE: tractable
     // because near-dup components are tiny at oracle SF
     "dedup_clusters" -> """

@@ -522,7 +522,74 @@ object BeamParity {
         col("n_events"))
   }
 
+  /** A31 — PERMISSIVE JSONL ingestion with corrupt-record QUARANTINE
+    * (round-12): the error handling every real ingest pipeline needs and
+    * the reference's runner simply crashes on — malformed lines land in
+    * Spark's `_corrupt_record` column instead of failing the job, and the
+    * gate proves BOTH sides of the split: parsed-row accounting AND a
+    * digest of exactly the quarantined raw lines. The fixture is a genuine
+    * JSONL file (one canonical integer-rendered object per event; every
+    * event_id ≡ 0 mod 17 written WITHOUT its closing brace — deterministic
+    * from the data, so the oracle reconstructs the corrupt lines from the
+    * events table without touching the file). Built once per corpus
+    * fingerprint (the A25 fixture discipline).
+    */
+  private val jsonlBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  private def jsonlFixture(s: SparkSession, d: String): String = {
+    val fp = graft.Artifacts.fingerprint(s, s"$d/events.parquet")
+    graft.Artifacts.cachedLocation(jsonlBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        graft.Artifacts.scratchBase(s), s"graft_jsonl_${slug}_$fpv").toString
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val vu = column(graft.plans.ScaledLong(
+        expression(col("value").cast("double")), 10000.0))
+      Tables.events(s, d)
+        .select(concat(
+          lit("{\"event_id\":"), col("event_id"),
+          lit(",\"user_id\":"), col("user_id"),
+          lit(",\"vu\":"), vu,
+          when(pmod(col("event_id"), lit(17L)) === 0, lit("")).otherwise(lit("}")))
+          .as("line"))
+        .coalesce(1).write.mode("overwrite").text(dir)
+      dir
+    }
+  }
+
+  def sourceJsonlQuarantine(s: SparkSession, d: String): DataFrame = {
+    val parsed = s.read
+      .schema("event_id BIGINT, user_id BIGINT, vu BIGINT, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(jsonlFixture(s, d))
+    parsed.agg(
+      count(when(col("_corrupt").isNull, 1)).as("n_parsed"),
+      count(col("_corrupt")).as("n_corrupt"),
+      sum(when(col("_corrupt").isNull, col("event_id"))).as("parsed_id_sum"),
+      expr("md5(array_join(transform(array_sort(" +
+        "collect_list(_corrupt)), x -> x), ','))").as("corrupt_md5"))
+  }
+
+  val sourceJsonlQuarantineSql: String = s"""
+    WITH src AS (
+      SELECT event_id, user_id,
+        ${graft.plans.ScaledLong.sql("value", "10000.0")} AS vu
+      FROM events),
+    corrupt AS (
+      SELECT concat('{"event_id":', event_id, ',"user_id":', user_id,
+        ',"vu":', vu) AS line
+      FROM src WHERE event_id % 17 = 0)
+    SELECT
+      (SELECT COUNT(*) FROM src WHERE event_id % 17 <> 0) AS n_parsed,
+      (SELECT COUNT(*) FROM corrupt) AS n_corrupt,
+      (SELECT CAST(SUM(event_id) AS BIGINT) FROM src WHERE event_id % 17 <> 0) AS parsed_id_sum,
+      (SELECT md5(array_to_string(list(line ORDER BY line), ','))
+       FROM corrupt) AS corrupt_md5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_jsonl_quarantine" -> sourceJsonlQuarantine _,
     "pipe_window_agg" -> pipeWindowAgg _,
     "pipe_window_session" -> pipeWindowSession _,
     "pipe_partition" -> pipePartition _,
@@ -554,6 +621,7 @@ object BeamParity {
     // DataFrame-native C1b/C2 operators: two independent implementations,
     // one replay — the strongest parity statement available
     "pipe_window_agg" -> Relational.oracles("events_hopping_agg"),
+    "source_jsonl_quarantine" -> sourceJsonlQuarantineSql,
     "pipe_window_session" -> Relational.oracles("events_session"),
     "sink_text_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
