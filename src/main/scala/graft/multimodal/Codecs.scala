@@ -112,9 +112,12 @@ object Codecs extends Serializable {
     require(pos < b.length && isWs(b(pos)),
       "netpbm: missing single whitespace after maxval")
     pos += 1
-    val n = w * h * channels
-    require(b.length - pos >= n,
-      s"netpbm: truncated raster (${b.length - pos} of $n payload bytes)")
+    // header tokens are each bounded by 2^26, so w*h*channels can overflow
+    // Int — size the expected payload in Long before narrowing
+    val nL = w.toLong * h * channels
+    require(nL <= b.length - pos,
+      s"netpbm: truncated raster (${b.length - pos} of $nL payload bytes)")
+    val n = nL.toInt
     val px = new Array[Int](n)
     var i = 0
     while (i < n) { px(i) = b(pos + i) & 0xFF; i += 1 }

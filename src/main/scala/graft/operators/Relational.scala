@@ -590,11 +590,17 @@ object Relational {
     * come from an inverted q-gram index (grams tagged by occurrence index
     * — multiset semantics, the theorem's requirement) with a per-pair
     * count cut, then exact `levenshtein` verifies only those. The filter
-    * cannot prune pairs whose max length ≤ K·q + q − 1; those SHORT names
-    * take a tiny length-banded cross join among themselves (bounded by
-    * the short-name count — empty on this catalog, exercised by the
-    * spec's planted fixture). Scale: postings explode → hash-partition on
-    * gram → pair counts, the E2 inverted-index discipline on names.
+    * is powerless PER PAIR, not per name: a pair is unprunable iff
+    * max(|a|,|b|) ≤ K·q + q − 1 (its count threshold is ≤ 0, and the two
+    * names may share zero grams). So EVERY name with |n| ≥ q is indexed
+    * — a short name can still pair with a long one through shared grams
+    * (e.g. 'abcd' × 'abcdef', threshold 1) — and only the unprunable
+    * pairs (both names short) take the tiny cross join among short
+    * names, excluded from the gram path to avoid double emission. Names
+    * with |n| < q produce no grams, but any partner long enough to need
+    * the gram path is already > K away by the length bound ed ≥ ||a|−|b||.
+    * Scale: postings explode → hash-partition on gram → pair counts, the
+    * E2 inverted-index discipline on names.
     */
   val FuzzyK = 2
   val FuzzyQ = 2
@@ -603,10 +609,9 @@ object Relational {
     val maxUnprunable = FuzzyK * FuzzyQ + FuzzyQ - 1 // filter powerless below this
     val nm = Tables.part(s, d).select(col("p_name").as("n")).distinct()
       .withColumn("len", length(col("n")))
-    val long = nm.filter(col("len") > maxUnprunable)
-    // tagged q-grams: k-th occurrence of a gram becomes (gram, k) — the
-    // multiset intersection the count-filter theorem needs
-    val grams = long
+    // tagged q-grams over EVERY gram-able name (k-th occurrence of a gram
+    // becomes (gram, k) — the multiset intersection the theorem needs)
+    val grams = nm.filter(col("len") >= FuzzyQ)
       .select(col("n"), col("len"), posexplode(expr(
         s"transform(sequence(1, len - ${FuzzyQ - 1}), i -> substring(n, i, $FuzzyQ))"))
         .as(Seq("pos", "g")))
@@ -618,7 +623,10 @@ object Relational {
           col("a.n") < col("b.n"))
       .groupBy(col("a.n").as("name_a"), col("b.n").as("name_b"),
         col("a.len").as("la"), col("b.len").as("lb"))
+      // prunable pairs only — the unprunable ones (both short) go through
+      // the cross join below; keeping them out here prevents duplicates
       .agg(count(lit(1)).as("shared"))
+      .filter(greatest(col("la"), col("lb")) > maxUnprunable)
       .filter(col("shared") >=
         greatest(col("la"), col("lb")) - (FuzzyQ - 1) - FuzzyK * FuzzyQ)
       .select(col("name_a"), col("name_b"))

@@ -1074,9 +1074,17 @@ object Ann {
       }
       val partials = heapShortlist[(Long, Array[Double]), (Long, Array[Double])](
         e, bq.value, _._1, _._1,
-        (q, c) => BigDecimal(pdot(q._2, c._2, dims) /
-            (math.sqrt(pdot(q._2, q._2, dims)) * math.sqrt(pdot(c._2, c._2, dims))))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        (q, c) => {
+          // a vector whose first `dims` components are all zero has no
+          // defined cosine on the prefix — score it 0.0 instead of letting
+          // 0/0 = NaN blow up BigDecimal (the fixture has no zero prefixes,
+          // so the gate hash is unchanged; this guards crafted inputs)
+          val den = math.sqrt(pdot(q._2, q._2, dims)) *
+            math.sqrt(pdot(c._2, c._2, dims))
+          if (den == 0.0) 0.0
+          else BigDecimal(pdot(q._2, c._2, dims) / den)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        },
         TopK, desc = true)
       val topd = partials
         .withColumn("rank", row_number().over(

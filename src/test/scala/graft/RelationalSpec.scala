@@ -107,14 +107,19 @@ class RelationalSpec extends SparkSpec {
     // branch catches the long pair
     val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
     Seq((1L, "cat"), (2L, "cap"), (3L, "dog"), (4L, "evergreen widget"),
-      (5L, "evergreen widgets"), (6L, "completely different"))
+      (5L, "evergreen widgets"), (6L, "completely different"),
+      (7L, "abcd"), (8L, "abcdef"))
       .toDF("p_partkey", "p_name")
       .write.parquet(s"$dir/part.parquet")
     val planted = Relational.joinFuzzyNames(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
-    // lev(cat,dog)=3 — outside K; the two true pairs split across branches
+    // lev(cat,dog)=3 — outside K; the true pairs split across branches:
+    // cap~cat via the short cross join, the widget pair via the gram
+    // index, and abcd~abcdef (SHORT × LONG, ed=2) via the gram index —
+    // the pair the per-name routing bug used to drop
     assert(planted == Set(("cap", "cat", 1),
-      ("evergreen widget", "evergreen widgets", 1)),
+      ("evergreen widget", "evergreen widgets", 1),
+      ("abcd", "abcdef", 2)),
       s"planted result: $planted")
   }
 }
