@@ -110,7 +110,7 @@ object Ann {
     * is total and deterministic, and a global top-r is a top-r of
     * per-partition top-rs.
     */
-  private def heapShortlist[C, Q: scala.reflect.ClassTag](
+  private[similarity] def heapShortlist[C, Q: scala.reflect.ClassTag](
       corpus: Dataset[C], queries: Array[Q],
       qidOf: Q => Long, nidOf: C => Long, score: (Q, C) => Double,
       r: Int, desc: Boolean,
