@@ -657,6 +657,114 @@ object Streams {
   /** Probe access: per-batch progress of the last late-data run. */
   @volatile private[graft] var lastProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
 
+  /** C28 — streaming dedup with BOUNDED state (round-12 verdict item 6):
+    * C5's `dropDuplicates` keeps a state row per distinct key FOREVER —
+    * unbounded on a real stream. `dropDuplicatesWithinWatermark` is the
+    * production form: a key's state carries an expiry (first-seen event
+    * time + the TTL delay) and is EVICTED once the watermark passes it, so
+    * state is bounded by keys-per-TTL-window — and a key returning after
+    * eviction legitimately re-emits. This gate proves the whole lifecycle
+    * deterministically against a batch oracle.
+    *
+    * Fixture (the C25 modTime-ordered single-file-batch discipline):
+    *   batch0 — the KEY REGISTRY: one row per (user_id, event_type) from
+    *     the old era (ts ≤ max − 2h), the key's LATEST old-era occurrence
+    *     (ts desc, event_id desc — a deterministic pick; one row per key
+    *     is load-bearing: with duplicates in one micro-batch, WHICH row
+    *     seeds the state — and thus the expiry — is partition-order
+    *     nondeterministic);
+    *   batch1 — the empty BRIDGE (SPARK-24634: the late filter lags one
+    *     batch; the bridge also triggers the eviction pass, so batch2
+    *     meets post-eviction state);
+    *   batch2 — the NEW ERA (every row with ts > max − 2h): a key re-emits
+    *     iff its registry state expired — probe-verified semantics:
+    *     expiry is µs-grain first-seen + TTL, evicted when ≤ the ms-grain
+    *     watermark (max registry event time, ms-truncated, minus TTL);
+    *   batch3 — the PLANTED LATE set (old-era duplicates, event_id%10=0,
+    *     ts ≤ max − 8h): all behind the watermark, all dropped — the spec
+    *     pins numRowsDroppedByWatermark to the planted count (C25's
+    *     discipline applied to dedup state).
+    *
+    * Output: per-key emission count (1 = deduped or seen once; 2 = state
+    * evicted between eras). The oracle replays registry selection, the
+    * ms-truncated watermark, and the µs expiry comparison exactly.
+    */
+  val DedupTtlUs: Long = 6L * 3600 * 1000000
+
+  private val dedupFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  private def dedupFixtureDir(s: SparkSession, d: String): String = {
+    import graft.operators.Tables
+    import org.apache.spark.sql.expressions.Window
+    val fp = graft.Artifacts.fingerprint(s, s"$d/events.parquet")
+    graft.Artifacts.cachedLocation(dedupFixtureBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        graft.Artifacts.scratchBase(s), s"graft_ddw_fix_${slug}_$fpv")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true); fs.mkdirs(dir)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0) // scalar, bounded
+      val cut2 = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+      val lateCut = new java.sql.Timestamp(maxTs.getTime - 8L * 3600 * 1000)
+      val registry = ev.filter(col("ts") <= lit(cut2))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val newEra = ev.filter(col("ts") > lit(cut2))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val late = ev
+        .filter(pmod(col("event_id"), lit(10L)) === 0 && col("ts") <= lit(lateCut))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      def writeOne(df: DataFrame, name: String, modTime: Long): Unit = {
+        val staging = new org.apache.hadoop.fs.Path(dir, s"_stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging)
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+        val target = new org.apache.hadoop.fs.Path(dir, s"$name.parquet")
+        fs.rename(part, target)
+        fs.delete(staging, true)
+        fs.setTimes(target, modTime, -1)
+      }
+      val t0 = System.currentTimeMillis()
+      writeOne(registry, "batch0_registry", t0 - 240000)
+      writeOne(registry.filter(lit(false)), "batch1_bridge", t0 - 180000)
+      writeOne(newEra, "batch2_newera", t0 - 120000)
+      writeOne(late, "batch3_late", t0 - 60000)
+      dir.toString
+    }
+  }
+
+  /** Probe access: per-batch progress of the last bounded-dedup run. */
+  @volatile private[graft] var lastDedupProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+
+  def streamingDedupWithinWatermark(s: SparkSession, d: String): DataFrame = {
+    val dir = dedupFixtureDir(s, d)
+    val name = "graft_stream_ddw_sink_" + sinkId.incrementAndGet()
+    withStateParts(s) {
+      val src = s.readStream
+        .schema("user_id BIGINT, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*.parquet")
+      val q = src
+        .withWatermark("ts", "6 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      lastDedupProgress = q.recentProgress.toSeq
+      q.stop()
+    }
+    s.table(name)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_emits"))
+  }
+
   def streamingLateData(s: SparkSession, d: String): DataFrame = {
     val dir = lateFixtureDir(s, d)
     val name = "graft_stream_late_sink_" + sinkId.incrementAndGet()
@@ -679,6 +787,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "streaming_late_data" -> streamingLateData _,
+      "streaming_dedup_within_watermark" -> streamingDedupWithinWatermark _,
       "streaming_outer_join" -> streamingOuterJoin _,
       "streaming_cusum_shift" -> streamingCusumShift _,
       "streaming_topk" -> streamingTopK _,
@@ -748,6 +857,30 @@ object Streams {
     "streaming_hll_distinct" -> graft.operators.Relational.hllSql("events", "user_id"),
     "streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // bounded-state dedup: registry selection (latest old-era row per key),
+    // the ms-truncated watermark, and the µs expiry compare replayed exactly
+    "streaming_dedup_within_watermark" -> s"""
+      WITH e AS (SELECT event_id, user_id, event_type, ts FROM events),
+      cut AS (SELECT max(ts) - INTERVAL 2 HOUR AS c2 FROM e),
+      b0 AS (
+        SELECT user_id, event_type, ts FROM (
+          SELECT user_id, event_type, ts,
+            ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e, cut WHERE ts <= cut.c2) t WHERE rn = 1),
+      wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - $DedupTtlUs AS w_us FROM b0),
+      b2k AS (SELECT DISTINCT user_id, event_type FROM e, cut WHERE ts > cut.c2),
+      em AS (
+        SELECT user_id, event_type FROM b0
+        UNION ALL
+        SELECT k.user_id, k.event_type
+        FROM b2k k
+        LEFT JOIN b0 ON b0.user_id = k.user_id AND b0.event_type = k.event_type
+        CROSS JOIN wm
+        WHERE b0.user_id IS NULL
+           OR epoch_us(b0.ts) + $DedupTtlUs <= wm.w_us)
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_emits
+      FROM em GROUP BY 1, 2 ORDER BY 1, 2""",
     "streaming_topk" -> s"""
       WITH c AS (
         SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,

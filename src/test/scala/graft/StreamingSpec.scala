@@ -111,6 +111,59 @@ class StreamingSpec extends SparkSpec {
       s"numRowsDroppedByWatermark ${droppedPerBatch.mkString(",")} != planted $nLate")
   }
 
+  test("C28: bounded-state dedup — eviction, TTL survivors, late-batch drop accounting") {
+    import graft.operators.Tables
+    val out = Streams.streamingDedupWithinWatermark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val cut2 = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val lateCut = new java.sql.Timestamp(maxTs.getTime - 8L * 3600 * 1000)
+    // independent recompute of the lifecycle: registry (latest old-era row
+    // per key), ms-truncated watermark, µs expiry compare
+    val registry = ev.filter(col("ts") <= lit(cut2))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t0"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wmUs = registry.values.max / 1000 * 1000 - Streams.DedupTtlUs
+    val evicted = registry.filter { case (_, t0) =>
+      t0 + Streams.DedupTtlUs <= wmUs }.keySet
+    val newKeys = ev.filter(col("ts") > lit(cut2))
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (registry.keySet ++ newKeys).map { k =>
+      k -> ((if (registry.contains(k)) 1L else 0L) +
+        (if (newKeys.contains(k) &&
+          (!registry.contains(k) || evicted.contains(k))) 1L else 0L))
+    }.toMap
+    assert(out == expected && expected.nonEmpty)
+    // both lifecycle branches non-vacuous on this corpus
+    assert(expected.values.exists(_ == 2L), "no key exercised eviction + re-emit")
+    assert(newKeys.exists(k => registry.contains(k) && !evicted.contains(k)),
+      "no key exercised TTL-survivor dedup")
+    // engine accounting: the bridge batch's eviction pass removes EXACTLY
+    // the expired registry rows
+    val bridgeRemoved = Streams.lastDedupProgress
+      .find(p => p.batchId == 1L)
+      .map(p => p.stateOperators.map(_.numRowsRemoved).sum)
+    assert(bridgeRemoved.contains(evicted.size.toLong),
+      s"bridge evictions $bridgeRemoved != expected ${evicted.size}")
+    // and the planted late batch is dropped to the row (the C25 discipline
+    // applied to dedup state)
+    val nLate = ev.filter(pmod(col("event_id"), lit(10L)) === 0 &&
+      col("ts") <= lit(lateCut)).count()
+    assert(nLate > 0, "no planted late rows at this SF — gate vacuous")
+    val dropped = Streams.lastDedupProgress
+      .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+    assert(dropped.sum == nLate,
+      s"numRowsDroppedByWatermark ${dropped.mkString(",")} != planted $nLate")
+  }
+
   test("C26: left-outer stream join emits nulls only for watermark-expired purchases") {
     import graft.operators.Tables
     val out = Streams.streamingOuterJoin(spark, sf).collect()
