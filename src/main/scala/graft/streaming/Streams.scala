@@ -320,6 +320,44 @@ object Streams {
     s.table(name)
   }
 
+  /** C29 — stream-stream FULL OUTER time-bounded join (round-12 verdict
+    * item 9; completes the C7/C26 family): BOTH sides emit on state
+    * expiry. Inner matches emit on arrival; an unmatched purchase emits a
+    * NULL click once the watermark proves no future click can match
+    * (c_ts ≤ p_ts ⇒ unmatchable when wm > p_ts — C26's branch); an
+    * unmatched click emits a NULL purchase once the watermark proves no
+    * future purchase can match (p_ts ≤ c_ts + 30 min ⇒ unmatchable when
+    * wm > c_ts + 30 min — the NEW branch). The oracle is the batch full
+    * join with each null branch cut at the final min-watermark
+    * (per-stream ms-truncated max − 1h, the C26 replay); the spec pins
+    * both null branches non-vacuous AND both held-at-stream-end sets
+    * non-emitting.
+    */
+  def streamingFullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_fojoin_sink_" + sinkId.incrementAndGet()
+    def src = eventsStream(s, d, "event_id BIGINT, user_id BIGINT, event_type STRING")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    withStateParts(s) {
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+            col("c_ts") <= col("p_ts"),
+          "full_outer")
+        .select(col("p_id"), col("c_id"),
+          coalesce(col("user_id"), col("c_user")).as("user_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+  }
+
   case class FunnelEv(user_id: Long, event_type: String, ts_us: Long)
   case class FunnelState(s: Option[Long], v: Option[Long], p: Option[Long]) {
     def stage: Int = if (p.nonEmpty) 3 else if (v.nonEmpty) 2 else if (s.nonEmpty) 1 else 0
@@ -788,6 +826,7 @@ object Streams {
     Map(
       "streaming_late_data" -> streamingLateData _,
       "streaming_dedup_within_watermark" -> streamingDedupWithinWatermark _,
+      "streaming_full_outer_join" -> streamingFullOuterJoin _,
       "streaming_outer_join" -> streamingOuterJoin _,
       "streaming_cusum_shift" -> streamingCusumShift _,
       "streaming_topk" -> streamingTopK _,
@@ -819,6 +858,30 @@ object Streams {
       FROM agg a, mx
       WHERE a.hour_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
       ORDER BY 1, 2""",
+    // full join + BOTH state-expiry cuts: a null-click row survives where
+    // the purchase is strictly below the final min-watermark; a
+    // null-purchase row where the click's match horizon (c_ts + 30 min)
+    // is strictly below it
+    "streaming_full_outer_join" -> """
+      WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+            FROM events WHERE event_type = 'click'),
+      wm AS (SELECT LEAST(
+          (SELECT (epoch_us(max(p_ts)) // 1000) * 1000 FROM p),
+          (SELECT (epoch_us(max(c_ts)) // 1000) * 1000 FROM c))
+          - 3600000000 AS w_us),
+      m AS (SELECT p.p_id, c.c_id,
+              COALESCE(p.user_id, c.c_user) AS user_id,
+              epoch_us(p.p_ts) AS p_us, epoch_us(c.c_ts) AS c_us
+            FROM p FULL JOIN c
+              ON c.c_user = p.user_id
+             AND c.c_ts >= p.p_ts - INTERVAL '30 minutes' AND c.c_ts <= p.p_ts)
+      SELECT p_id, c_id, user_id FROM m, wm
+      WHERE (p_id IS NOT NULL AND c_id IS NOT NULL)
+         OR (c_id IS NULL AND p_us < wm.w_us)
+         OR (p_id IS NULL AND c_us + 1800000000 < wm.w_us)
+      ORDER BY p_id, c_id, user_id""",
     // left join + the state-expiry cut: a null row survives only where the
     // purchase is STRICTLY below the final min-watermark (ms-truncated max
     // per stream, the engine's EventTimeStats precision)

@@ -196,6 +196,48 @@ class StreamingSpec extends SparkSpec {
     assert(held > 0, "every unmatched purchase expired — the held-state branch untested")
   }
 
+  test("C29: full-outer stream join — both null branches expire, both held sets stay") {
+    import graft.operators.Tables
+    def key(r: org.apache.spark.sql.Row) = (
+      if (r.isNullAt(0)) -1L else r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))
+    val out = Streams.streamingFullOuterJoin(spark, sf).collect().map(key).toSet
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val maxP = p.agg(max(unix_micros(col("p_ts")))).head.getLong(0)
+    val maxC = c.agg(max(unix_micros(col("c_ts")))).head.getLong(0)
+    val wmUs = math.min(maxP / 1000 * 1000, maxC / 1000 * 1000) - 3600L * 1000000
+    val joined = p.join(c,
+        col("c_user") === col("user_id") &&
+          col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+          col("c_ts") <= col("p_ts"), "full_outer")
+      .select(col("p_id"), col("c_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+      .collect()
+    val expected = joined.flatMap { r =>
+      val pId = if (r.isNullAt(0)) -1L else r.getLong(0)
+      val cId = if (r.isNullAt(1)) -1L else r.getLong(1)
+      val keep =
+        (pId >= 0 && cId >= 0) ||
+          (cId < 0 && r.getLong(3) < wmUs) ||
+          (pId < 0 && r.getLong(4) + 1800L * 1000000 < wmUs)
+      if (keep) Some((pId, cId, r.getLong(2))) else None
+    }.toSet
+    assert(out == expected && expected.nonEmpty)
+    // BOTH null branches emitted something...
+    assert(out.exists(_._2 == -1L), "no expired unmatched purchases")
+    assert(out.exists(_._1 == -1L), "no expired unmatched clicks")
+    // ...and BOTH held-at-stream-end sets exist and did not emit
+    val heldP = joined.count(r => r.isNullAt(1) && r.getLong(3) >= wmUs)
+    val heldC = joined.count(r => r.isNullAt(0) && r.getLong(4) + 1800L * 1000000 >= wmUs)
+    assert(heldP > 0, "every unmatched purchase expired — held branch untested")
+    assert(heldC > 0, "every unmatched click expired — held branch untested")
+  }
+
   test("C5: streaming dedup (dropDuplicates + watermark) == batch distinct count") {
     val staged = stageDir()
     // dedup on (user_id, event_type) pairs, which arrive many times each
