@@ -1425,6 +1425,103 @@ object Ann {
       .withColumn("recall_bps", expr(s"(10000 * n_hits) DIV $TopK"))
   }
 
+  /** F21 — IVF train-on-SAMPLE proof (round-12 verdict item 7): the
+    * documented 100 TB path — Lloyd iterations over a deterministic 10%
+    * splitmix64-residue sample of the corpus, FULL-corpus assignment under
+    * the sampled centroids — demonstrated and gated, through the exact
+    * conf (`graft.ann.trainSampleRows`) a deployment would set, so the
+    * tested code path IS the production path (`ivfIndexDir`'s sampling
+    * branch, previously spec-only). Output: F14's per-query recall report
+    * under the sampled index. The oracle replays the sample filter
+    * (splitmix64 in HUGEINT mod 2^64, the H6 chain), residue-class seeds
+    * WITH the basis-vector fallback (a 10% sample can leave a residue
+    * class empty — the Spark builder's fallback, now in SQL too), the
+    * fixed-point Lloyd steps, and the full-corpus assignment. The spec
+    * pins sampled recall within a stated band of full-corpus training.
+    */
+  def ivfSampledRecall(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count() // footer count, bounded
+    val saved = s.conf.getOption("graft.ann.trainSampleRows")
+    s.conf.set("graft.ann.trainSampleRows", (n / 10).toString)
+    try {
+      val brute = bruteTopK(s, d).select(col("qid"), col("nid"))
+      val ivf = rankTopK(ivfCandsAt(s, d, 2)).select(col("qid"), col("nid"))
+        .withColumn("hit", lit(1L))
+      brute.join(ivf, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_bps", expr(s"(10000 * n_hits) DIV $TopK"))
+    } finally {
+      saved match {
+        case Some(v) => s.conf.set("graft.ann.trainSampleRows", v)
+        case None => s.conf.unset("graft.ann.trainSampleRows")
+      }
+    }
+  }
+
+  /** The sampled-training replay: `es` (the 10% splitmix64 sample), `c0s`
+    * (residue-class seeds from the sample, basis-vector fallback for empty
+    * classes), three Lloyd steps over `es`, and `afs`/`cws` (full-corpus
+    * assignment + centroid norms). Requires `e`/`en` in scope. */
+  private def ivfSampledCtes: String = {
+    import graft.plans.MixHash._
+    val dim = 64
+    s"""
+    kp AS (SELECT GREATEST(
+        (1048576 * ((SELECT COUNT(*) FROM e) // 10)) // (SELECT COUNT(*) FROM e),
+        1) AS keep),
+    sh0 AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS z FROM e),
+    sh1 AS (SELECT vec_id, ${sqlMixStep1("z")} AS z FROM sh0),
+    sh2 AS (SELECT vec_id, ${sqlMixStep2("z")} AS z FROM sh1),
+    sh3 AS (SELECT vec_id, ${sqlMixStep3("z")} AS z FROM sh2),
+    sh4 AS (SELECT vec_id, ${sqlMixStep4("z")} AS z FROM sh3),
+    shs AS (SELECT vec_id, ${sqlToSigned("z")} AS hv FROM sh4),
+    es AS (
+      SELECT e.vec_id, e.v FROM e JOIN shs ON shs.vec_id = e.vec_id, kp
+      WHERE ((shs.hv % 1048576) + 1048576) % 1048576 < kp.keep),
+    c0s AS (
+      SELECT CAST(r.cls AS INT) AS cell_id,
+        COALESCE(s.cv, list_transform(range($dim),
+          j -> CASE WHEN j = r.cls % $dim THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)) AS cv
+      FROM (SELECT unnest(range($IvfCells)) AS cls) r
+      LEFT JOIN (
+        SELECT CAST(vec_id % $IvfCells AS BIGINT) AS cls, v AS cv FROM (
+          SELECT vec_id, v, ROW_NUMBER() OVER (
+            PARTITION BY vec_id % $IvfCells ORDER BY vec_id) AS rn FROM es) t
+        WHERE rn = 1) s ON s.cls = r.cls),
+    ${lloydCte("es", "c0s", "a1s", "m1s", "c1s")},
+    ${lloydCte("es", "c1s", "a2s", "m2s", "c2s")},
+    ${lloydCte("es", "c2s", "a3s", "m3s", "c3s")},
+    ${assignCte("afs", "c3s")},
+    cws AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c3s)"""
+  }
+
+  private def ivfSampledRecallSql: String = s"""
+    WITH
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    $ivfSampledCtes,
+    ${ivfProbeCtes(2, "_smp", cw = "cws", af = "afs")},
+    ${ivfRankedFrom("_smp", "ivf_ranked_smp")},
+    bp AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+        ROUND(list_cosine_similarity(q.v, c.v), 6) AS rcos
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < $NumQueries),
+    br AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
+        FROM bp) t
+      WHERE rank <= $TopK),
+    h AS (
+      SELECT b.qid, CAST(COUNT(iv.nid) AS BIGINT) AS n_hits
+      FROM br b LEFT JOIN ivf_ranked_smp iv
+        ON iv.qid = b.qid AND iv.nid = b.nid AND iv.rank <= $TopK
+      GROUP BY b.qid)
+    SELECT qid, n_hits, CAST((10000 * n_hits) // $TopK AS BIGINT) AS recall_bps
+    FROM h ORDER BY qid"""
+
   private def annRecallReportSql: String = s"""
     WITH $ivfRankedCtes,
     bp AS (
@@ -1452,6 +1549,7 @@ object Ann {
     "emb_gram_matrix" -> embGramMatrix _,
     "ann_recall_curve" -> annRecallCurve _,
     "ann_recall_report" -> annRecallReport _,
+    "ann_ivf_sampled_recall" -> ivfSampledRecall _,
     "ann_hard_negatives" -> hardNegativesTopK _,
     "ann_mips_topk" -> mipsTopK _,
     "ann_binary_topk" -> binaryTopK _,
@@ -1520,19 +1618,23 @@ object Ann {
     * shared by [[ivfOracleSql]] and the SemDeDup twin so the two oracles
     * can never drift from each other's training.
     */
-  private def ivfAssignCtes: String = {
-    val minNormal = "2.2250738585072014e-308"
+  private val minNormalSql = "2.2250738585072014e-308"
+
+  /** One Lloyd step over training CTE `src`: assignment under centroid CTE
+    * `cp` → new centroids `cn`. Shared text between the full-corpus chain
+    * ([[ivfAssignCtes]]) and the sampled-training chain
+    * ([[ivfSampledCtes]]) so the two replays cannot drift. */
+  private def lloydCte(src: String, cp: String, a: String, m: String, cn: String): String = {
     val dim = 64
-    // one Lloyd step: assignment under centroid CTE `cp` -> new centroids `cn`
-    def lloyd(cp: String, a: String, m: String, cn: String): String = s"""
+    s"""
     $a AS (
       SELECT vec_id, v, cell FROM (
         SELECT e.vec_id, e.v, c.cell_id AS cell,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
             list_dot_product(e.v, c.cv)
-              / GREATEST(sqrt(list_dot_product(c.cv, c.cv)), $minNormal) DESC,
+              / GREATEST(sqrt(list_dot_product(c.cv, c.cv)), $minNormalSql) DESC,
             c.cell_id) AS rn
-        FROM e, $cp c) t WHERE rn = 1),
+        FROM $src e, $cp c) t WHERE rn = 1),
     $m AS (
       SELECT cell, j,
         SUM(CAST(ROUND(v[CAST(j + 1 AS INT)] * 16777216.0::DOUBLE) AS BIGINT)) AS sm,
@@ -1544,7 +1646,21 @@ object Ann {
         SELECT cell AS cell_id,
           list(CAST(sm AS DOUBLE) / (16777216.0::DOUBLE * cnt) ORDER BY j) AS cv
         FROM $m GROUP BY cell) n ON n.cell_id = p.cell_id)"""
-    s"""
+  }
+
+  /** Full-corpus assignment of `e` under centroid CTE `cents`, emitted as
+    * CTE `name` — shared by both training chains' final step. */
+  private def assignCte(name: String, cents: String): String = s"""
+    $name AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, c.cv)
+              / GREATEST(sqrt(list_dot_product(c.cv, c.cv)), $minNormalSql) DESC,
+            c.cell_id) AS rn
+        FROM e, $cents c) t WHERE rn = 1)"""
+
+  private def ivfAssignCtes: String = s"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     c0 AS (
@@ -1552,18 +1668,10 @@ object Ann {
         SELECT vec_id, v, ROW_NUMBER() OVER (
           PARTITION BY vec_id % $IvfCells ORDER BY vec_id) AS rn FROM e) t
       WHERE rn = 1),
-    ${lloyd("c0", "a1", "m1", "c1")},
-    ${lloyd("c1", "a2", "m2", "c2")},
-    ${lloyd("c2", "a3", "m3", "c3")},
-    af AS (
-      SELECT vec_id, cell FROM (
-        SELECT e.vec_id, c.cell_id AS cell,
-          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-            list_dot_product(e.v, c.cv)
-              / GREATEST(sqrt(list_dot_product(c.cv, c.cv)), $minNormal) DESC,
-            c.cell_id) AS rn
-        FROM e, c3 c) t WHERE rn = 1)"""
-  }
+    ${lloydCte("e", "c0", "a1", "m1", "c1")},
+    ${lloydCte("e", "c1", "a2", "m2", "c2")},
+    ${lloydCte("e", "c2", "a3", "m3", "c3")},
+    ${assignCte("af", "c3")}"""
 
   /** Full SQL twin of ivfTopK: 3 unrolled Lloyd iterations (see
     * [[ivfAssignCtes]]). Bit-exact because centroids come from
@@ -1577,18 +1685,19 @@ object Ann {
   private def ivfCwCte: String =
     "cw AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c3)"
 
-  private def ivfProbeCtes(nprobe: Int, sfx: String): String = s"""
+  private def ivfProbeCtes(nprobe: Int, sfx: String,
+      cw: String = "cw", af: String = "af"): String = s"""
     routed$sfx AS (
       SELECT qid, qcell FROM (
         SELECT q.vec_id AS qid, c.cell_id AS qcell,
           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
             list_dot_product(q.v, c.cv) / (q.nrm * c.cn) DESC, c.cell_id) AS crank
-        FROM en q, cw c WHERE q.vec_id < $NumQueries) t
+        FROM en q, $cw c WHERE q.vec_id < $NumQueries) t
       WHERE crank <= $nprobe),
     cand$sfx AS (
       SELECT r.qid, a.vec_id AS nid
       FROM routed$sfx r
-      JOIN af a ON a.cell = r.qcell AND a.vec_id <> r.qid)"""
+      JOIN $af a ON a.cell = r.qcell AND a.vec_id <> r.qid)"""
 
   /** Exact-cosine ranking of a cand$sfx chain, emitted as CTE `name`. */
   private def ivfRankedFrom(sfx: String, name: String): String = s"""
@@ -1808,6 +1917,7 @@ object Ann {
     "ann_lsh_topk" -> lshOracleSql,
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_recall_report" -> annRecallReportSql,
+    "ann_ivf_sampled_recall" -> ivfSampledRecallSql,
     "ann_quantized_topk" -> s"""
       WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
