@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,33 +54,48 @@ object BpeTrain {
   // training
   // ------------------------------------------------------------------
 
+  /** The shared K-round max-frequency loop over a prepared text frame.
+    * `excludeSym`: pairs touching this symbol are never counted — the
+    * pre-tokenization boundary (merges must not cross pre-token edges,
+    * and since excluded pairs are never learned, rule APPLICATION needs
+    * no change: no learned rule can contain the separator). */
+  private def trainLoop(docs: org.apache.spark.sql.DataFrame, mergeBase: Int,
+      excludeSym: Option[Int]): Seq[(Int, Int, Int, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+    var ra = Seq.empty[Int]; var rb = Seq.empty[Int]; var rm = Seq.empty[Int]
+    var r = 0
+    while (r < Rounds) {
+      val pairs = docs
+        .select(explode(BpeDynamic.pairKeysCol(col("text"), ra, rb, rm)).as("pk"))
+      val kept = excludeSym match {
+        case Some(x) => pairs.filter(expr(
+          s"pk DIV ${BpeDynamic.PairBase} <> ${x}L AND pk % ${BpeDynamic.PairBase} <> ${x}L"))
+        case None => pairs
+      }
+      val best = kept
+        .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+        .agg(max(struct(col("cnt"), (-col("pk")).as("npk"))).as("m"))
+        .select(col("m.cnt").as("cnt"), (-col("m.npk")).as("pk"))
+        .head()
+      val cnt = best.getLong(0)
+      val pk = best.getLong(1)
+      val a = (pk / BpeDynamic.PairBase).toInt
+      val b = (pk % BpeDynamic.PairBase).toInt
+      val m = mergeBase + r
+      out += ((a, b, m, cnt))
+      ra :+= a; rb :+= b; rm :+= m
+      r += 1
+    }
+    out.toSeq
+  }
+
   /** One training run: K rounds over the persisted corpus. Returns
     * (sym_a, sym_b, merged, n_pairs) per round in learned order. */
   private def trainRules(s: SparkSession, d: String): Seq[(Int, Int, Int, Long)] = {
     val docs = Tables.documents(s, d).select(col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
-      var ra = Seq.empty[Int]; var rb = Seq.empty[Int]; var rm = Seq.empty[Int]
-      var r = 0
-      while (r < Rounds) {
-        val best = docs
-          .select(explode(BpeDynamic.pairKeysCol(col("text"), ra, rb, rm)).as("pk"))
-          .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-          .agg(max(struct(col("cnt"), (-col("pk")).as("npk"))).as("m"))
-          .select(col("m.cnt").as("cnt"), (-col("m.npk")).as("pk"))
-          .head()
-        val cnt = best.getLong(0)
-        val pk = best.getLong(1)
-        val a = (pk / BpeDynamic.PairBase).toInt
-        val b = (pk % BpeDynamic.PairBase).toInt
-        val m = MergeBase + r
-        out += ((a, b, m, cnt))
-        ra :+= a; rb :+= b; rm :+= m
-        r += 1
-      }
-      out.toSeq
-    } finally { docs.unpersist(blocking = false); () }
+    try trainLoop(docs, MergeBase, None)
+    finally { docs.unpersist(blocking = false); () }
   }
 
   private val rulesBuilt =
@@ -271,7 +286,168 @@ object BpeTrain {
     FROM documents d JOIN s$Rounds f ON f.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source"""
 
+  // ------------------------------------------------------------------
+  // H41/H42 — GPT-2-STYLE PRE-TOKENIZED training (round-12 verdict item 8)
+  // ------------------------------------------------------------------
+
+  /** Pre-token boundary marker (PUA, clear of the fixed table's
+    * U+E000-E04F block AND both learned merge ranges). A marker char is
+    * appended after every pre-token match; pairs touching it are excluded
+    * from training, so merges can never cross a pre-token edge. */
+  val PretokSepCp = 0xE0FF
+  val PretokSep: String = new String(Character.toChars(PretokSepCp))
+  /** First merge-symbol codepoint for the pre-tokenized table (own PUA
+    * range — the two learned vocabularies must coexist). */
+  val MergeBasePretok = 0xE200
+
+  /** The public GPT-2 pre-tokenization pattern (contractions, optionally
+    * space-prefixed letter/digit/punctuation runs, whitespace runs),
+    * minus the trailing `\\s+(?!\\S)` lookahead clause — RE2 (the oracle's
+    * engine) has no lookahead, and the whitespace classes are written
+    * explicitly because Java's `\\s` includes U+000B while RE2's does not.
+    */
+  val PretokRe: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\p{L}\\p{N}]+|[ \\t\\n\\r]+"
+
+  /** Every pre-token match gets the boundary marker appended — one shared
+    * definition for training, counting, and (as [[pretokSql]]) the oracle. */
+  def pretokCol(c: Column): Column = regexp_replace(c, PretokRe, "$0" + PretokSep)
+
+  def pretokSql(x: String): String = {
+    val pat = PretokRe.replace("'", "''")
+    s"regexp_replace($x, '$pat', '\\0' || chr($PretokSepCp), 'g')"
+  }
+
+  private def trainRulesPretok(s: SparkSession, d: String): Seq[(Int, Int, Int, Long)] = {
+    val docs = Tables.documents(s, d).select(pretokCol(col("text")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainLoop(docs, MergeBasePretok, Some(PretokSepCp))
+    finally { docs.unpersist(blocking = false); () }
+  }
+
+  private val pretokRulesBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  private def pretokRulesLocation(s: SparkSession, d: String): String = {
+    val fp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
+    graft.Artifacts.cachedLocation(pretokRulesBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        graft.Artifacts.scratchBase(s), s"graft_bpe_pretok_${slug}_$fpv").toString
+      val rows = trainRulesPretok(s, d).zipWithIndex.map { case ((a, b, m, cnt), i) =>
+        (i + 1, a.toLong, b.toLong, m.toLong, cnt)
+      }
+      import s.implicits._
+      rows.toDF("round", "sym_a", "sym_b", "merged", "n_pairs")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
+  }
+
+  private[graft] def learnedRulesPretok(s: SparkSession, d: String): (Seq[Int], Seq[Int], Seq[Int]) = {
+    val rows = s.read.parquet(pretokRulesLocation(s, d))
+      .orderBy(col("round")).collect()
+    (rows.map(_.getAs[Long]("sym_a").toInt).toSeq,
+      rows.map(_.getAs[Long]("sym_b").toInt).toSeq,
+      rows.map(_.getAs[Long]("merged").toInt).toSeq)
+  }
+
+  /** H41 — the PRE-TOKENIZED merge table: training never counts a pair
+    * across a pre-token boundary, the structural gap between plain BPE
+    * and real tokenizers (Sennrich trains within words; GPT-2 within its
+    * regex pre-tokens). The spec shows the learned rules genuinely differ
+    * from H33's boundary-free table. */
+  def trainMergesPretok(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(pretokRulesLocation(s, d))
+      .select(col("round"), col("sym_a"), col("sym_b"), col("merged"), col("n_pairs"))
+
+  /** H42 — tokenizer fertility RE-DERIVED under the pre-tokenized learned
+    * table (H30's report, token counts from H41's vocabulary): per-doc
+    * tokens = merged length of the pre-tokenized string minus the
+    * boundary markers (one per pre-token, untouched by every merge). */
+  def fertilityPretok(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val (ra, rb, rm) = learnedRulesPretok(s, d)
+    Tables.documents(s, d)
+      .select(col("source"), langId(col("text")).as("pred_lang"),
+        wsTokens(col("text")).cast("long").as("nw"),
+        (BpeDynamic.countWithCol(pretokCol(col("text")), ra, rb, rm).cast("long")
+          - (length(pretokCol(col("text"))) - length(col("text"))).cast("long"))
+          .as("nb"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("words"), sum(col("nb")).as("bpe_tokens"),
+        sum(col("nc")).as("chars"))
+      .withColumn("fertility_milli",
+        expr("(1000 * bpe_tokens) DIV greatest(words, 1L)"))
+      .withColumn("chars_per_tok_milli",
+        expr("(1000 * chars) DIV greatest(bpe_tokens, 1L)"))
+  }
+
+  /** CTE chain `t0 … t{K}` + `tp1 … tp{K}`: the H33 replay over the
+    * PRE-TOKENIZED corpus, with boundary pairs excluded from each round's
+    * count (the marker is never part of a rule, so the replace-chain
+    * rewrite needs no exclusion). */
+  private def pretokTrainingCtes: String = {
+    val pb = BpeDynamic.PairBase
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""t0 AS MATERIALIZED (
+        SELECT doc_id, ${pretokSql("text")} AS s FROM documents)""")
+    (1 to Rounds).foreach { r =>
+      parts += s"""tb$r AS (
+        SELECT pk, count(*) AS cnt FROM (
+          SELECT CAST(ord(substring(s, CAST(pos AS INT), 1)) AS BIGINT) * $pb
+               + ord(substring(s, CAST(pos AS INT) + 1, 1)) AS pk
+          FROM (SELECT s, unnest(range(1, length(s))) AS pos FROM t${r - 1}))
+        WHERE pk // $pb <> $PretokSepCp AND pk % $pb <> $PretokSepCp
+        GROUP BY 1)"""
+      parts += s"tp$r AS MATERIALIZED (SELECT pk, cnt FROM tb$r ORDER BY cnt DESC, pk ASC LIMIT 1)"
+      parts += s"""t$r AS MATERIALIZED (
+        SELECT doc_id, replace(s,
+          chr(CAST(pk // $pb AS INT)) || chr(CAST(pk % $pb AS INT)),
+          chr(${MergeBasePretok + r - 1})) AS s
+        FROM t${r - 1}, tp$r)"""
+    }
+    parts.mkString(",\n")
+  }
+
+  private def trainMergesPretokSql: String = {
+    val pb = BpeDynamic.PairBase
+    val rows = (1 to Rounds).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS round,
+        CAST(pk // $pb AS BIGINT) AS sym_a, CAST(pk % $pb AS BIGINT) AS sym_b,
+        CAST(${MergeBasePretok + r - 1} AS BIGINT) AS merged,
+        CAST(cnt AS BIGINT) AS n_pairs FROM tp$r"""
+    }.mkString(" UNION ALL ")
+    s"WITH $pretokTrainingCtes\nSELECT * FROM ($rows) ORDER BY round"
+  }
+
+  private def fertilityPretokSql: String = {
+    import graft.functions.TextFunctions._
+    s"""WITH $pretokTrainingCtes,
+    f AS (
+      SELECT d.source, ${langIdSql("d.text")} AS pred_lang,
+        CAST(${wsTokensSql("d.text")} AS BIGINT) AS nw,
+        CAST(length(fk.s) - (length(f0.s) - length(d.text)) AS BIGINT) AS nb,
+        CAST(length(d.text) AS BIGINT) AS nc
+      FROM documents d
+      JOIN t0 f0 ON f0.doc_id = d.doc_id
+      JOIN t$Rounds fk ON fk.doc_id = d.doc_id),
+    g AS (
+      SELECT source, pred_lang, COUNT(*) AS n_docs,
+        CAST(SUM(nw) AS BIGINT) AS words, CAST(SUM(nb) AS BIGINT) AS bpe_tokens,
+        CAST(SUM(nc) AS BIGINT) AS chars
+      FROM f GROUP BY 1, 2)
+    SELECT source, pred_lang, n_docs, words, bpe_tokens, chars,
+      CAST((1000 * bpe_tokens) // greatest(words, 1) AS BIGINT) AS fertility_milli,
+      CAST((1000 * chars) // greatest(bpe_tokens, 1) AS BIGINT) AS chars_per_tok_milli
+    FROM g ORDER BY source, pred_lang"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train_merges_pretok" -> trainMergesPretok _,
+    "corpus_fertility_pretok" -> fertilityPretok _,
     "bpe_vocab_coverage" -> vocabCoverage _,
     "bpe_train_merges" -> trainMerges _,
     "bpe_learned_tokens" -> learnedTokens _,
@@ -279,6 +455,8 @@ object BpeTrain {
   )
 
   val oracles: Map[String, String] = Map(
+    "bpe_train_merges_pretok" -> trainMergesPretokSql,
+    "corpus_fertility_pretok" -> fertilityPretokSql,
     "bpe_vocab_coverage" -> vocabCoverageSql,
     "bpe_train_merges" -> trainMergesSql,
     "bpe_learned_tokens" -> learnedTokensSql,

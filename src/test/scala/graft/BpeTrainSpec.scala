@@ -44,6 +44,97 @@ class BpeTrainSpec extends SparkSpec {
     out.toSeq
   }
 
+  /** Reference trainer with a boundary symbol excluded from pair counts —
+    * the pre-tokenization variant, sharing no code with the engine. */
+  private def referenceTrainExcluding(
+      texts: Seq[String], rounds: Int, mergeBase: Int, excl: Int): Seq[(Int, Int, Int, Long)] = {
+    var seqs = texts.map(_.codePoints().toArray)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+    (0 until rounds).foreach { r =>
+      val counts = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      seqs.foreach { arr =>
+        var i = 0
+        while (i < arr.length - 1) {
+          if (arr(i) != excl && arr(i + 1) != excl) {
+            val k = (arr(i), arr(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + 1
+          }
+          i += 1
+        }
+      }
+      val ((a, b), cnt) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x.toLong * 2097152 + y) }.head
+      val m = mergeBase + r
+      out += ((a, b, m, cnt))
+      seqs = seqs.map { arr =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < arr.length) {
+          if (i + 1 < arr.length && arr(i) == a && arr(i + 1) == b) {
+            buf += m; i += 2
+          } else { buf += arr(i); i += 1 }
+        }
+        buf.toArray
+      }
+    }
+    out.toSeq
+  }
+
+  test("H41 pre-tokenized table equals the reference; rules differ from boundary-free H33") {
+    val texts = graft.operators.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0)).toSeq
+    // independent pre-tokenization with the same public pattern
+    val pretok = texts.map(_.replaceAll(BpeTrain.PretokRe, "$0" + BpeTrain.PretokSep))
+    val expected = referenceTrainExcluding(
+      pretok, BpeTrain.Rounds, BpeTrain.MergeBasePretok, BpeTrain.PretokSepCp)
+    val got = BpeTrain.trainMergesPretok(spark, sf).orderBy("round").collect()
+      .map(r => (r.getAs[Long]("sym_a").toInt, r.getAs[Long]("sym_b").toInt,
+        r.getAs[Long]("merged").toInt, r.getAs[Long]("n_pairs")))
+    assert(got.length == BpeTrain.Rounds)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"round ${i + 1}: engine $g vs reference $e")
+    }
+    // no learned rule may touch the boundary marker
+    assert(got.forall { case (a, b, _, _) =>
+      a != BpeTrain.PretokSepCp && b != BpeTrain.PretokSepCp })
+    // pre-tokenization must CHANGE what is learned (the structural claim):
+    // the (a, b) rule sequences diverge from the boundary-free table
+    val plain = BpeTrain.trainMerges(spark, sf).orderBy("round").collect()
+      .map(r => (r.getAs[Long]("sym_a").toInt, r.getAs[Long]("sym_b").toInt))
+    assert(got.map(g => (g._1, g._2)).toSeq != plain.toSeq,
+      "pre-tokenized merges identical to boundary-free merges — boundary had no effect")
+  }
+
+  test("H42 pretok fertility reconciles with a reference re-application per document") {
+    val rules = BpeTrain.trainMergesPretok(spark, sf).orderBy("round").collect()
+      .map(r => (r.getAs[Long]("sym_a").toInt, r.getAs[Long]("sym_b").toInt,
+        r.getAs[Long]("merged").toInt))
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    // reference: pre-tokenize, apply the learned chain, count non-marker symbols
+    val refBySource = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.map { case (_, text) =>
+        var arr = text.replaceAll(BpeTrain.PretokRe, "$0" + BpeTrain.PretokSep)
+          .codePoints().toArray
+        rules.foreach { case (a, b, m) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var i = 0
+          while (i < arr.length) {
+            if (i + 1 < arr.length && arr(i) == a && arr(i + 1) == b) { buf += m; i += 2 }
+            else { buf += arr(i); i += 1 }
+          }
+          arr = buf.toArray
+        }
+        arr.count(_ != BpeTrain.PretokSepCp).toLong
+      }.sum
+    }
+    val got = BpeTrain.fertilityPretok(spark, sf)
+      .groupBy("source").agg(sum("bpe_tokens").as("nb")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refBySource && got.nonEmpty,
+      s"pretok token totals: engine $got vs reference $refBySource")
+  }
+
   test("learned table equals the reference trainer's, round for round") {
     val texts = graft.operators.Tables.documents(spark, sf)
       .select("text").collect().map(_.getString(0)).toSeq
