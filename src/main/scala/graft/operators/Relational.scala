@@ -647,8 +647,66 @@ object Relational {
     WHERE levenshtein(a.n, b.n) <= $FuzzyK
     ORDER BY 1, 2"""
 
+  /** B68 — RECORD LINKAGE (round-12 verdict item 10): B66's q-gram device
+    * generalized to the two-field entity-resolution shape users actually
+    * run — records link iff they agree EXACTLY on a blocking field
+    * (p_brand) and their name field is within Levenshtein [[FuzzyK]].
+    * Blocking is the standard linkage device (Fellegi-Sunter practice):
+    * the gram inverted index is keyed on (block, gram, occurrence), so
+    * candidate generation never crosses blocks, and a per-block LENGTH
+    * BAND (ed ≥ \|la−lb\| ⇒ band ≤ K) prunes the postings join before the
+    * count filter runs. The per-pair routing fix from B66 carries over:
+    * every gram-able name is indexed; only pairs with both names short
+    * take the in-block cross join. Scale: block × gram partitioning — the
+    * worst key is (hottest block × hottest gram), strictly finer than
+    * B66's gram-only keys.
+    */
+  def joinRecordLinkage(s: SparkSession, d: String): DataFrame = {
+    val maxUnprunable = FuzzyK * FuzzyQ + FuzzyQ - 1
+    val nm = Tables.part(s, d)
+      .select(col("p_brand").as("blk"), col("p_name").as("n")).distinct()
+      .withColumn("len", length(col("n")))
+    val grams = nm.filter(col("len") >= FuzzyQ)
+      .select(col("blk"), col("n"), col("len"), posexplode(expr(
+        s"transform(sequence(1, len - ${FuzzyQ - 1}), i -> substring(n, i, $FuzzyQ))"))
+        .as(Seq("pos", "g")))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("blk"), col("n"), col("g")).orderBy(col("pos"))))
+      .select(col("blk"), col("n"), col("len"), col("g"), col("k"))
+    val candLong = grams.as("a").join(grams.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.g") === col("b.g") && col("a.k") === col("b.k") &&
+          col("a.n") < col("b.n") &&
+          abs(col("a.len") - col("b.len")) <= FuzzyK)
+      .groupBy(col("a.blk").as("brand"), col("a.n").as("name_a"),
+        col("b.n").as("name_b"), col("a.len").as("la"), col("b.len").as("lb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(greatest(col("la"), col("lb")) > maxUnprunable)
+      .filter(col("shared") >=
+        greatest(col("la"), col("lb")) - (FuzzyQ - 1) - FuzzyK * FuzzyQ)
+      .select(col("brand"), col("name_a"), col("name_b"))
+    val short = nm.filter(col("len") <= maxUnprunable)
+    val candShort = short.as("a").join(short.as("b"),
+        col("a.blk") === col("b.blk") && col("a.n") < col("b.n") &&
+          abs(col("a.len") - col("b.len")) <= FuzzyK)
+      .select(col("a.blk").as("brand"), col("a.n").as("name_a"), col("b.n").as("name_b"))
+    candLong.unionByName(candShort)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyK)
+      .select(col("brand"), col("name_a"), col("name_b"), col("dist"))
+  }
+
+  val joinRecordLinkageSql: String = s"""
+    WITH nm AS (SELECT DISTINCT p_brand AS brand, p_name AS n FROM part)
+    SELECT a.brand, a.n AS name_a, b.n AS name_b,
+      CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist
+    FROM nm a JOIN nm b ON a.brand = b.brand AND a.n < b.n
+    WHERE levenshtein(a.n, b.n) <= $FuzzyK
+    ORDER BY 1, 2, 3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_fuzzy_names" -> joinFuzzyNames _,
+    "join_record_linkage" -> joinRecordLinkage _,
     "q1_pricing" -> q1Pricing _,
     "q3_shipping" -> q3Shipping _,
     "q5_local_supplier" -> q5LocalSupplier _,
@@ -688,6 +746,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "join_fuzzy_names" -> joinFuzzyNamesSql,
+    "join_record_linkage" -> joinRecordLinkageSql,
     "q1_pricing" -> q1PricingSql,
     "hll_distinct" -> hllDistinctSql,
     "q3_shipping" -> s"""

@@ -122,4 +122,48 @@ class RelationalSpec extends SparkSpec {
       ("abcd", "abcdef", 2)),
       s"planted result: $planted")
   }
+
+  test("B68 record linkage: blocked q-gram filter equals brute force; blocking separates") {
+    import SparkSpecBase.spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    // brute force within blocks over the real catalog
+    val recs = graft.operators.Tables.part(spark, sf)
+      .select("p_brand", "p_name").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val brute = (for {
+      (ma, a) <- recs; (mb, b) <- recs
+      if ma == mb && a < b
+      d = lev(a, b) if d <= Relational.FuzzyK
+    } yield (ma, a, b, d)).toSet
+    val got = Relational.joinRecordLinkage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(got == brute, s"got ${got.size} pairs vs brute ${brute.size}")
+    // planted fixture: same-block typo pairs link (one short-x-long through
+    // the gram path, one both-short through the in-block cross join); the
+    // SAME near-identical names in DIFFERENT blocks must NOT link
+    val dir = java.nio.file.Files.createTempDirectory("graft-linkage").toString
+    Seq((1L, "M1", "abcd"), (2L, "M1", "abcdef"), // short x long, ed=2, in-block
+      (3L, "M1", "cat"), (4L, "M1", "cap"),       // both short, ed=1, in-block
+      (5L, "M2", "abcd"),                          // M2 twin of 'abcd': cross-block only
+      (6L, "M2", "evergreen widget"), (7L, "M3", "evergreen widgets"), // cross-block long pair
+      (8L, "M1", "zzz unrelated name"))
+      .toDF("p_partkey", "p_brand", "p_name")
+      .write.parquet(s"$dir/part.parquet")
+    val planted = Relational.joinRecordLinkage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(planted == Set(("M1", "abcd", "abcdef", 2), ("M1", "cap", "cat", 1)),
+      s"planted result: $planted")
+  }
 }
