@@ -47,6 +47,12 @@ object PlanAudit {
     // (budget, water line) all consume source-level rows, never the
     // corpus (the skew_report discipline)
     "corpus_budget_waterfill",
+    // corpus_prepare_v2: the same H36 waterfill tail over the composite's
+    // per-source token totals — identical |sources|-row window/reduce shape
+    "corpus_prepare_v2",
+    // corpus_mix_epochs: embeds the H36 tail (same |sources|-row shape);
+    // the per-doc cumsum window partitions by source, never global
+    "corpus_mix_epochs",
     // hll_distinct: 256 fixed-size register rows reduced to the one-row
     // estimate — the same tiny-global-aggregate shape as combine_global
     "hll_distinct",

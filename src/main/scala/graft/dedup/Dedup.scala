@@ -358,14 +358,26 @@ object Dedup {
   private[graft] def pairsParquet(s: SparkSession, d: String): DataFrame =
     s.read.parquet(pairsArtifact(s, d)._2)
 
-  def clusterPairs(s: SparkSession, d: String): DataFrame = {
+  def clusterPairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(clusterLabelsSparse(s, d), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+
+  /** The SPARSE cluster labeling — (doc_id, cluster_id) for vertices that
+    * touch a near-dup edge only (an isolated doc is its own cluster by
+    * construction: consumers left-join and `coalesce(cluster_id, doc_id)`,
+    * as [[clusterPairs]] does). Exposed so a composite that already holds
+    * a document frame (H13 v2's keep-best stage) can attach labels without
+    * a second documents scan. */
+  private[graft] def clusterLabelsSparse(s: SparkSession, d: String): DataFrame = {
     // E2's pair output is derived ONCE PER CORPUS ([[pairsParquet]]); the CC
     // strategy is size-adaptive (the E5 broadcast→grid guard pattern): the
     // edge count is probed from the stored parquet, and below
     // `graft.dedup.ccLocalMaxEdges` the edges are collected and union-found
     // ON THE DRIVER — a near-dup pair graph that fits there gains nothing
     // from 5 rounds of distributed join latency, and the returned frame
-    // (documents ⋈ broadcast local labels) is trivially replayable with no
+    // (a broadcast-ready local label table) is trivially replayable with no
     // checkpoint blocks to manage. Above the threshold (the 100 TB shape)
     // the distributed path below runs.
     val (ccFp, pairsLoc) = pairsArtifact(s, d)
@@ -375,11 +387,7 @@ object Dedup {
       val edges = pairsPq.collect().map(r => (r.getLong(0), r.getLong(1)))
       val labels = unionFindMinLabels(edges).toSeq
       import s.implicits._
-      val labelsDf = labels.toDF("doc_id", "cluster_id")
-      return Tables.documents(s, d).select(col("doc_id"))
-        .join(broadcast(labelsDf), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      return broadcast(labels.toDF("doc_id", "cluster_id"))
     }
     // Distributed path: the alternating-star contraction consumes the
     // stored E2 pair parquet DIRECTLY — it already is the reliable,
@@ -403,10 +411,7 @@ object Dedup {
       propagateMinLabels(s, pairsPq.toDF("src", "dst"), loc)
       loc
     }
-    // re-attach the non-edge docs (their own clusters) for the full labeling
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(s.read.parquet(labelsLoc), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    s.read.parquet(labelsLoc)
   }
 
   /** Build-once ledger for the distributed-CC labels parquet — same

@@ -188,7 +188,7 @@ object BpeTrain {
     * pk ASC) argmax, and rewrites the corpus with the PUA merge symbol.
     * MATERIALIZED is load-bearing — see the object scaladoc.
     */
-  private def trainingCtes: String = {
+  private[operators] def trainingCtes: String = {
     val pb = BpeDynamic.PairBase
     val parts = scala.collection.mutable.ArrayBuffer(
       "s0 AS MATERIALIZED (SELECT doc_id, text AS s FROM documents)")
@@ -227,7 +227,7 @@ object BpeTrain {
 
   /** The learned replace chain applied to an arbitrary string expression
     * (each round's pattern is a scalar subquery over its p CTE). */
-  private def learnedChain(x: String): String = {
+  private[operators] def learnedChain(x: String): String = {
     val pb = BpeDynamic.PairBase
     (1 to Rounds).foldLeft(x) { (acc, r) =>
       s"""replace($acc, (SELECT chr(CAST(pk // $pb AS INT)) || chr(CAST(pk % $pb AS INT)) FROM p$r), chr(${MergeBase + r - 1}))"""

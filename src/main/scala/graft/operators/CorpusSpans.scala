@@ -769,17 +769,30 @@ object CorpusSpans {
     * cannot drift from the selection rule). Emits doc_id, source,
     * a_milli, stop_milli, rep_milli, score.
     */
-  def qualityScored(docs: DataFrame): DataFrame = {
+  def qualityScored(docs: DataFrame): DataFrame =
+    withQualityScore(docs).select(col("doc_id"), col("source"),
+      col("nc"), col("na"), col("ns"), col("nw"), col("nd"),
+      col("a_milli"), col("stop_milli"), col("rep_milli"),
+      col("len_cap"), col("score"))
+
+  /** Column-preserving form of [[qualityScored]]: appends the feature and
+    * score columns to an arbitrary frame carrying `text` (the H13-v2
+    * composite needs the score FUSED into its already-masked scan instead
+    * of a second documents read). One definition of the score — this is
+    * what [[qualityScored]] selects from. */
+  def withQualityScore(docs: DataFrame): DataFrame = {
     val padded = concat(lit(" "), col("text"), lit(" "))
     val stops = Seq(" the ", " a ", " of ", " and ", " to ")
     val nStop = stops.map(sw => graft.functions.TextFunctions.occurrences(padded, sw))
       .reduce(_ + _).cast("long")
     val w = graft.functions.TextFunctions.words(col("text"))
-    docs.select(col("doc_id"), col("source"),
-        length(col("text")).cast("long").as("nc"),
-        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("na"),
-        nStop.as("ns"), size(w).cast("long").as("nw"),
-        size(array_distinct(w)).cast("long").as("nd"))
+    docs
+      .withColumn("nc", length(col("text")).cast("long"))
+      .withColumn("na",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("ns", nStop)
+      .withColumn("nw", size(w).cast("long"))
+      .withColumn("nd", size(array_distinct(w)).cast("long"))
       .withColumn("a_milli", expr("(1000 * na) DIV greatest(nc, 1L)"))
       .withColumn("stop_milli", expr("(1000 * ns) DIV greatest(nw, 1L)"))
       .withColumn("rep_milli", expr("(1000 * (nw - nd)) DIV greatest(nw, 1L)"))

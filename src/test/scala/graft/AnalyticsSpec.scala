@@ -430,6 +430,49 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("corpus_prepare_v2: waterfill arithmetic holds and the plan stays scan-bounded") {
+    val df = CorpusClean.corpusPrepareV2(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val rawNonEval = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= CorpusClean.EvalDocs).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum < rawNonEval)
+    // exact integer water-filling invariants over the report frame
+    val budget = rows.map(_.getAs[Long]("bpe_tokens")).sum * 3 / 2
+    val alloc = rows.map(_.getAs[Long]("allocation"))
+    val unsat = rows.filter(!_.getAs[Boolean]("saturated"))
+    rows.foreach { r =>
+      val (cap, a) = (r.getAs[Long]("capacity"), r.getAs[Long]("allocation"))
+      assert(a <= cap, s"${r.getAs[String]("source")}: allocation $a > capacity $cap")
+      if (r.getAs[Boolean]("saturated")) assert(a == cap)
+      assert(r.getAs[Long]("epochs_bps") ==
+        10000L * a / math.max(r.getAs[Long]("bpe_tokens"), 1L))
+    }
+    if (unsat.nonEmpty) {
+      val levels = unsat.map(_.getAs[Long]("allocation")).distinct
+      assert(levels.length == 1, s"unsaturated sources at different levels: $levels")
+      // saturated capacities sit below the water line by the prefix argument
+      rows.filter(_.getAs[Boolean]("saturated"))
+        .foreach(r => assert(r.getAs[Long]("capacity") <= levels.head + rows.length))
+      // allocations exhaust the budget up to the floor-division remainder
+      assert(alloc.sum <= budget && budget - alloc.sum < unsat.length)
+    }
+    // scale pin: the composite reads documents at most 3 times (main fused
+    // scan, eval-gram side, contamination probe) — the waterfill tail's
+    // self-references dedupe via exchange reuse. Checked with AQE off (the
+    // PlanAudit discipline): under AQE the pre-execution plan string hides
+    // the reuse it applies at runtime.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = CorpusClean.corpusPrepareV2(spark, sf)
+        .queryExecution.executedPlan.toString
+      val docScans = plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans <= 3, s"$docScans documents scans:\n$plan")
+      assert(plan.contains("ReusedExchange"), "waterfill tail lost exchange reuse")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("corpus_row_ids assigns dense 1..N ids in doc_id order without a global window") {
     val df = CorpusClean.rowIds(spark, sf)
     val rows = df.orderBy("doc_id").collect()

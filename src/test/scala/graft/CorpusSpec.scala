@@ -46,6 +46,37 @@ class CorpusSpec extends SparkSpec {
       s"degenerate split (${rows.count(_._5)} saturated of ${rows.length})")
   }
 
+  test("H44 mix epochs: allocation decomposes exactly; partial prefix covers the remainder") {
+    val rows = CorpusClean.mixEpochs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the per-source max doc-token count bounds the prefix overshoot
+    val maxDocTok = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(max(size(split(col("text"), " ")).cast("long")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (nt, a) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("allocation"))
+      val (fe, rem) = (r.getAs[Long]("full_epochs"), r.getAs[Long]("rem_tokens"))
+      val (pd, pt) = (r.getAs[Long]("partial_docs"), r.getAs[Long]("partial_tokens"))
+      assert(fe * nt + rem == a, s"$src: $fe*$nt+$rem != $a")
+      assert(rem >= 0 && rem < nt, s"$src: remainder $rem outside [0, $nt)")
+      if (rem == 0) assert(pd == 0 && pt == 0, s"$src: partial on zero remainder")
+      else {
+        // the prefix reaches the remainder, overshooting by less than its
+        // last document (the H5 packing convention)
+        assert(pd > 0 && pt >= rem, s"$src: prefix $pt short of remainder $rem")
+        assert(pt - rem < maxDocTok(src),
+          s"$src: overshoot ${pt - rem} >= max doc ${maxDocTok(src)}")
+        assert(pt <= nt, s"$src: partial tokens $pt exceed the source")
+      }
+    }
+    // non-vacuous: some source repeats (full epoch >= 1) and some has a
+    // genuine partial prefix at this SF
+    assert(rows.exists(_.getAs[Long]("full_epochs") >= 1L))
+    assert(rows.exists(_.getAs[Long]("partial_docs") > 0L))
+  }
+
   test("H36 water-filling: hand-built skewed corpus resolves the exact allocation") {
     import SparkSpecBase.spark.implicits._
     // capacities engineered around the budget: tokens per source via
