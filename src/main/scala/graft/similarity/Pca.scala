@@ -203,6 +203,48 @@ object Pca {
       .toDF("vec_id", "j", "pc")
   }
 
+  /** Gram unit scale: components are 2^20 fixed-point in F18's buffer, so
+    * eigenvalue units carry 2^40. */
+  private val GramUnitScale = 1048576.0 * 1048576.0
+
+  /** `emb_whiten` — the WHITENED projection (PCA whitening, the standard
+    * decorrelate-and-equalize preprocessing before quantization or a
+    * downstream linear model): coordinate j is the eigenbasis projection
+    * scaled by 1/√λ_j, so the corpus's second-moment matrix in the output
+    * basis is the identity (the property the spec asserts — Σ wc_j² = 1
+    * per coordinate, cross-moments ≈ 0). The inverse-root factors derive
+    * from the STORED eigenvalues (one more column of the same rotation
+    * artifact — no new distributed work), and the oracle multiplies the
+    * same shortest-round-trip literals in the same order, so the 6 dp
+    * projections hash-gate exactly like `emb_pca_project`. A rank-deficient
+    * corpus (λ ≤ 0 inside the top-[[ProjDim]]) scores 0.0 — the F17 zero
+    * guard discipline. One scan, zero shuffles. */
+  def whiten(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (evals, rot) = learnedRotation(s, d)
+    val inv = evals.take(ProjDim).map { ev =>
+      val lam = ev / GramUnitScale
+      if (lam > 0.0) 1.0 / math.sqrt(lam) else 0.0
+    }
+    val bc = s.sparkContext.broadcast((rot, inv))
+    val pd = ProjDim
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, vec) =>
+        val (r, w) = bc.value
+        (0 until pd).iterator.map { j =>
+          val row = r(j)
+          var acc = 0.0
+          var i = 0
+          while (i < vec.length) { acc += vec(i) * row(i); i += 1 }
+          (id, j,
+            BigDecimal(acc * w(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF("vec_id", "j", "wc")
+  }
+
   /** `ann_pca_recall` — recall@[[Ann.TopK]] of d-dim EIGENBASIS prefixes
     * against the full-dimension brute top-k, for d ∈ [[RecallDims]]: the
     * twin of F17's matryoshka report with the rotation applied first.
@@ -295,6 +337,24 @@ object Pca {
       FROM e, r ORDER BY vec_id, j"""
   }
 
+  private def whitenSql: String = stashedOrPlaceholder match {
+    case None =>
+      "SELECT NULL AS vec_id, NULL AS j, NULL AS wc WHERE 1 = 0"
+    case Some((evals, rot)) =>
+      val rows = (0 until ProjDim).map { j =>
+        val lam = evals(j) / GramUnitScale
+        val iw = if (lam > 0.0) 1.0 / math.sqrt(lam) else 0.0
+        s"($j, ${rotLiteral(rot(j))}, ${java.lang.Double.toString(iw)})"
+      }.mkString(",\n        ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      r(j, rv, iw) AS (VALUES
+        $rows)
+      SELECT e.vec_id, CAST(r.j AS INTEGER) AS j,
+        ROUND(list_dot_product(e.v, r.rv) * r.iw, 6) AS wc
+      FROM e, r ORDER BY vec_id, j"""
+  }
+
   private def pcaRecallSql: String = stashedOrPlaceholder match {
     case None =>
       "SELECT NULL AS n_dims, NULL AS n_hits, NULL AS recall_bps WHERE 1 = 0"
@@ -345,11 +405,13 @@ object Pca {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca_project" -> pcaProject _,
+    "emb_whiten" -> whiten _,
     "ann_pca_recall" -> pcaRecall _
   )
 
   def oracles: Map[String, String] = Map(
     "emb_pca_project" -> pcaProjectSql,
+    "emb_whiten" -> whitenSql,
     "ann_pca_recall" -> pcaRecallSql
   )
 }

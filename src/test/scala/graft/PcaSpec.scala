@@ -98,6 +98,52 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("whitening: output second-moment matrix is the identity; zero-lambda guard holds") {
+    // the property whitening exists for — in the whitened basis the
+    // corpus's ProjDim×ProjDim second-moment matrix is I (each coordinate's
+    // Σ wc² = 1 because λ IS that sum in the eigenbasis; cross-moments
+    // vanish by orthogonality). Tolerances cover the 2^-20 fixed-point
+    // quantization between the Gram's units and the raw-double projection
+    // plus the Jacobi residue.
+    val rows = Pca.whiten(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val nVec = rows.map(_._1).distinct.length
+    assert(rows.length == nVec * Pca.ProjDim)
+    val byVec = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3)).toMap
+    val m = Array.ofDim[Double](Pca.ProjDim, Pca.ProjDim)
+    byVec.values.foreach { w =>
+      var i = 0
+      while (i < Pca.ProjDim) {
+        var j = i
+        while (j < Pca.ProjDim) { m(i)(j) += w(i) * w(j); j += 1 }
+        i += 1
+      }
+    }
+    for (i <- 0 until Pca.ProjDim; j <- i until Pca.ProjDim) {
+      if (i == j) assert(math.abs(m(i)(i) - 1.0) < 1e-2,
+        s"coordinate $i second moment ${m(i)(i)} != 1")
+      else assert(math.abs(m(i)(j)) < 1e-2, s"cross moment ($i,$j) = ${m(i)(j)}")
+    }
+    // the gated values are exactly the projection × stored 1/sqrt(lambda)
+    val (evals, rot) = storedRotation()
+    val vecs = graft.operators.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toArray).toMap
+    rows.take(500).foreach { case (id, j, wc) =>
+      val v = vecs(id)
+      val row = rot(j)
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i) * row(i); i += 1 }
+      val lam = evals(j) / (1048576.0 * 1048576.0)
+      val want = BigDecimal(acc * (if (lam > 0) 1.0 / math.sqrt(lam) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(wc == want, s"vec $id comp $j: $wc vs $want")
+    }
+  }
+
   test("rotation pays: eigenbasis prefixes beat raw matryoshka prefixes at every width") {
     val pca = Pca.pcaRecall(spark, sf).collect()
       .map(r => r.getAs[Int]("n_dims") -> r.getAs[Long]("n_hits")).toMap
