@@ -53,6 +53,9 @@ object PlanAudit {
     // corpus_mix_epochs: embeds the H36 tail (same |sources|-row shape);
     // the per-doc cumsum window partitions by source, never global
     "corpus_mix_epochs",
+    // corpus_mix_temperature: the 1-row totals reduce over per-source
+    // partials — the combine_global shape
+    "corpus_mix_temperature",
     // hll_distinct: 256 fixed-size register rows reduced to the one-row
     // estimate — the same tiny-global-aggregate shape as combine_global
     "hll_distinct",

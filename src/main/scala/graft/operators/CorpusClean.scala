@@ -1111,6 +1111,63 @@ object CorpusClean {
       epochs_bps
     FROM alloc ORDER BY source"""
 
+  /** H45 — TEMPERATURE-scaled source mixing (the multilingual/multi-source
+    * standard: sampling weight ∝ share^(1/T), T = 2 here — the flattening
+    * exponent multilingual training mixes publish): upweights small
+    * sources and damps dominant ones, the knob between proportional
+    * sampling (T=1, head domination) and uniform (T→∞, tail over-repeat).
+    * Exact integer arithmetic end to end: the temperature weight is the
+    * INTEGER square root — floor(√x) from the IEEE double sqrt plus a
+    * two-sided multiplication correction, exact for any x < 2^52, so both
+    * engines land on the same integer with no float in the ranking — and
+    * shares/allocations are floor divisions against the 1-row totals. The
+    * allocation spends the H36 budget (1.5× unique tokens), so the two
+    * mixing policies are directly comparable rows. One scan →
+    * |sources|-row frame; the totals are the combine_global shape.
+    */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(wsTokens(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("s0",
+        expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_root", expr(
+        "s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN 1 ELSE 0 END)" +
+          " - (CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END)"))
+    val tot = tok.agg(sum(col("n_tokens")).as("tot_tokens"),
+        sum(col("w_root")).as("tot_root"))
+      .withColumn("budget", expr("(tot_tokens * 3) DIV 2"))
+    tok.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("w_root"),
+        expr("(10000 * n_tokens) DIV tot_tokens").as("share_bps"),
+        expr("(10000 * w_root) DIV tot_root").as("temp_share_bps"),
+        expr("(budget * w_root) DIV tot_root").as("alloc_tokens"))
+  }
+
+  val mixTemperatureSql: String = s"""
+    WITH srcs AS (
+      SELECT source, CAST(SUM(${wsTokensSql("text")}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    rt AS (
+      SELECT source, n_tokens,
+        CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+      FROM srcs),
+    wr AS (
+      SELECT source, n_tokens,
+        s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN 1 ELSE 0 END)
+           - (CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END) AS w_root
+      FROM rt),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        CAST(SUM(w_root) AS BIGINT) AS tot_root,
+        (CAST(SUM(n_tokens) AS BIGINT) * 3) // 2 AS budget
+      FROM wr)
+    SELECT w.source, w.n_tokens, CAST(w.w_root AS BIGINT) AS w_root,
+      CAST((10000 * w.n_tokens) // t.tot_tokens AS BIGINT) AS share_bps,
+      CAST((10000 * w.w_root) // t.tot_root AS BIGINT) AS temp_share_bps,
+      CAST((t.budget * w.w_root) // t.tot_root AS BIGINT) AS alloc_tokens
+    FROM wr w, tot t ORDER BY w.source"""
+
   /** H44 — EPOCH MATERIALIZATION of the water-filling allocation (H36's
     * consumer): turn each source's token allocation into the repeat
     * schedule a training job actually runs — `allocation DIV n_tokens`
@@ -1190,6 +1247,7 @@ object CorpusClean {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_budget_waterfill" -> budgetWaterfill _,
     "corpus_mix_epochs" -> mixEpochs _,
+    "corpus_mix_temperature" -> mixTemperature _,
     "corpus_shard_manifest" -> shardManifest _,
     "corpus_funnel_report" -> funnelReport _,
     "corpus_clean" -> corpusClean _,
@@ -1214,6 +1272,7 @@ object CorpusClean {
   val oracles: Map[String, String] = Map(
     "corpus_budget_waterfill" -> budgetWaterfillSql,
     "corpus_mix_epochs" -> mixEpochsSql,
+    "corpus_mix_temperature" -> mixTemperatureSql,
     "corpus_shard_manifest" -> shardManifestSql,
     "corpus_funnel_report" -> funnelReportSql,
     "corpus_clean" -> corpusCleanSql,

@@ -77,6 +77,34 @@ class CorpusSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("partial_docs") > 0L))
   }
 
+  test("H45 temperature mixing: exact integer sqrt; shares flatten toward uniform") {
+    val rows = CorpusClean.mixTemperature(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("w_root"), r.getAs[Long]("share_bps"),
+        r.getAs[Long]("temp_share_bps"), r.getAs[Long]("alloc_tokens")))
+    assert(rows.length > 1)
+    // w_root is THE integer square root (not a float approximation)
+    rows.foreach { case (src, nt, w, _, _, _) =>
+      assert(w * w <= nt && (w + 1) * (w + 1) > nt, s"$src: isqrt($nt) != $w")
+    }
+    // flattening: sqrt is concave, so the dominant source loses share and
+    // the smallest gains (strict on this corpus — sources differ in size)
+    val byRaw = rows.sortBy(_._4)
+    assert(byRaw.last._4 > byRaw.head._4, "degenerate fixture: equal shares")
+    assert(byRaw.last._5 < byRaw.last._4,
+      s"head source not damped: ${byRaw.last._5} vs ${byRaw.last._4}")
+    assert(byRaw.head._5 > byRaw.head._4,
+      s"tail source not boosted: ${byRaw.head._5} vs ${byRaw.head._4}")
+    // monotone transform: token ordering implies weight ordering (no
+    // pairwise inversions — floor ties collapse but never cross)
+    for (a <- rows; b <- rows if a._2 < b._2)
+      assert(a._3 <= b._3, s"isqrt inversion: ${a._1} vs ${b._1}")
+    val budget = rows.map(_._2).sum * 3 / 2
+    val spent = rows.map(_._6).sum
+    assert(spent <= budget && budget - spent < rows.length,
+      s"alloc $spent vs budget $budget")
+  }
+
   test("H36 water-filling: hand-built skewed corpus resolves the exact allocation") {
     import SparkSpecBase.spark.implicits._
     // capacities engineered around the budget: tokens per source via
