@@ -56,6 +56,9 @@ object PlanAudit {
     // corpus_mix_temperature: the 1-row totals reduce over per-source
     // partials — the combine_global shape
     "corpus_mix_temperature",
+    // ann_ivf_cell_report: the 1-row corpus total over k per-cell partials
+    // — the combine_global shape
+    "ann_ivf_cell_report",
     // hll_distinct: 256 fixed-size register rows reduced to the one-row
     // estimate — the same tiny-global-aggregate shape as combine_global
     "hll_distinct",

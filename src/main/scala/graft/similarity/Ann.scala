@@ -1219,6 +1219,63 @@ object Ann {
     FROM af LEFT JOIN prs ON prs.dup = af.vec_id
     WHERE prs.dup IS NULL ORDER BY af.vec_id"""
 
+  /** F22 — IVF CELL-BALANCE report: per stored cell, its corpus share and
+    * the mean cosine of members to their own centroid — the index-health
+    * table an IVF deployment watches (a hot cell makes every probe that
+    * routes to it scan its size — the tail-latency driver at scale; a low
+    * mean cosine flags a cell the centroids serve poorly — the re-train
+    * trigger). Reads the STORED index tables only (the F3 artifact — no
+    * re-derivation); the per-vector cosine is 6 dp-rounded then summed in
+    * exact micro-units (integer, order-independent) so the mean is a floor
+    * division both engines replay. k-row output; the 1-row total is the
+    * combine_global shape. Oracle replays assignment via [[ivfAssignCtes]]
+    * (shared text with F3 — cannot drift).
+    */
+  /** Spec accessors for the stored index tables (read-only; the report's
+    * exactness is pinned against these same artifacts). */
+  private[graft] def ivfCorpusForSpec(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ivfIndexDir(s, d)}/corpus")
+  private[graft] def ivfCentroidsForSpec(
+      s: SparkSession, d: String): Map[Int, (Array[Double], Double)] =
+    s.read.parquet(s"${ivfIndexDir(s, d)}/centroids").collect()
+      .map(r => r.getInt(0) ->
+        (r.getAs[scala.collection.Seq[Double]]("cv").toArray,
+          r.getAs[Double]("cn"))).toMap
+
+  def ivfCellReport(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfIndexDir(s, d)
+    val per = s.read.parquet(s"$dir/corpus")
+      .join(broadcast(s.read.parquet(s"$dir/centroids")),
+        col("cell") === col("cell_id"))
+      .withColumn("cos6",
+        round(dotCol("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("cu", round(col("cos6") * 1e6).cast("long"))
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("cu")).as("smc"))
+    val tot = per.agg(sum(col("n_vecs")).as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("(10000 * n_vecs) DIV n_total").as("share_bps"),
+        expr("smc DIV n_vecs").as("mean_cos_micro"))
+  }
+
+  private def ivfCellReportSql: String = s"""
+    WITH $ivfAssignCtes,
+    scd AS (
+      SELECT af.cell,
+        CAST(ROUND(ROUND(list_cosine_similarity(e.v, c.cv), 6) * 1000000.0)
+          AS BIGINT) AS cu
+      FROM af JOIN e ON e.vec_id = af.vec_id
+      JOIN c3 c ON c.cell_id = af.cell),
+    per AS (
+      SELECT cell, COUNT(*) AS n_vecs, CAST(SUM(cu) AS BIGINT) AS smc
+      FROM scd GROUP BY 1),
+    tc AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM per)
+    SELECT CAST(p.cell AS INTEGER) AS cell, p.n_vecs,
+      CAST((10000 * p.n_vecs) // t.n_total AS BIGINT) AS share_bps,
+      CAST(p.smc // p.n_vecs AS BIGINT) AS mean_cos_micro
+    FROM per p, tc t ORDER BY p.cell"""
+
   /** F11 — binary-code retrieval cascade (faiss IndexBinaryFlat shape):
     * sign-binarize each embedding into 64 bits packed as two 32-bit words,
     * shortlist by hamming distance over the CODES ONLY, then exact-rerank
@@ -1554,6 +1611,7 @@ object Ann {
     "ann_mips_topk" -> mipsTopK _,
     "ann_binary_topk" -> binaryTopK _,
     "dedup_semantic" -> semanticDedup _,
+    "ann_ivf_cell_report" -> ivfCellReport _,
     "ann_pq_topk" -> pqTopK _,
     "ann_brute_topk" -> bruteTopK _,
     "ann_lsh_topk" -> lshTopK _,
@@ -1894,6 +1952,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "dedup_semantic" -> semanticDedupSql,
+    "ann_ivf_cell_report" -> ivfCellReportSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_ivfpq_topk" -> ivfpqOracleSql,
     "ann_matryoshka_recall" -> matryoshkaRecallSql,

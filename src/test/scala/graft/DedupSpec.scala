@@ -712,6 +712,40 @@ class DedupSpec extends SparkSpec {
       "candidate stage does not read the stored label-partitioned int8 index")
   }
 
+  test("ivf cell report: exact accounting against the stored index; balance sane") {
+    val rows = Ann.ivfCellReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= Ann.IvfCells)
+    val nTotal = graft.operators.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == nTotal, "cells do not partition the corpus")
+    // floor-division shares sum to 10000 up to one unit per cell
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum <= 10000 && 10000 - shareSum < rows.length, s"$shareSum")
+    // members sit on the positive side of their own centroid
+    rows.foreach { case (cell, n, _, mc) =>
+      assert(n > 0 && mc > 0 && mc <= 1000000L, s"cell $cell mean $mc")
+    }
+    // one cell recomputed by hand from the stored tables matches exactly
+    val cell0 = rows.minBy(_._1)._1
+    val cents = Ann.ivfCentroidsForSpec(spark, sf)
+    val members = Ann.ivfCorpusForSpec(spark, sf)
+      .filter(col("cell") === cell0)
+      .select(col("v"), col("nrm")).collect()
+    val (cv, cn) = cents(cell0)
+    val sum = members.map { r =>
+      val v = r.getAs[scala.collection.Seq[Double]](0).toArray
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i) * cv(i); i += 1 }
+      val c6 = BigDecimal(acc / (r.getDouble(1) * cn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.round(c6 * 1e6)
+    }.sum
+    val want = sum / members.length
+    assert(rows.find(_._1 == cell0).get._4 == want,
+      s"cell $cell0 mean: ${rows.find(_._1 == cell0).get._4} vs $want")
+  }
+
   test("ivf sampled training: bounded Lloyd scans, full-corpus assignment, recall holds") {
     // SURVEY §5's 100 TB claim as code: with graft.ann.trainSampleRows below
     // the corpus size, k-means trains on a deterministic splitmix64 residue
