@@ -672,6 +672,66 @@ object Multimodal {
                 ELSE last_loud - first_loud + 1 END AS BIGINT) AS kept_frames
     FROM loud ORDER BY doc_id"""
 
+  /** G12 — integer-factor DOWNSAMPLING (decimation with boxcar pooling):
+    * the sample-rate reduction step every speech pipeline runs before
+    * feature extraction (8 kHz → 2 kHz here, factor [[AudioDecimation]]).
+    * Each output sample is the floor-mean of its block (a boxcar low-pass
+    * then decimate — the integer stand-in for a proper FIR, same plumbing),
+    * the tail block averaging over its actual length. The gate pins the
+    * DOWNSAMPLED SIGNAL itself, not just its size: ds_energy = Σ m² and the
+    * position-weighted ds_checksum = Σ m·(k+1) are exact integers that
+    * change if any output sample changes value OR position. Same
+    * decode-then-tight-loop per-row kernel shape as G7 (real
+    * [[Codecs.decodeWav]] chunk walk first); oracle replays blocks
+    * positionally over the text bytes.
+    */
+  val AudioDecimation = 4
+
+  def audioDownsample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dd = AudioDecimation
+    Tables.documents(s, d)
+      .filter(char_length(col("text")) > 0)
+      .select(col("doc_id"),
+        MediaCodecs.wavEncode(encode(col("text"), "UTF-8"), 8000).as("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, wavBytes) =>
+          val p = Codecs.decodeWav(wavBytes).data
+          val nOut = (p.length + dd - 1) / dd
+          var energy = 0L
+          var checksum = 0L
+          var k = 0
+          while (k < nOut) {
+            var sum = 0L
+            var i = k * dd
+            val end = math.min(i + dd, p.length)
+            while (i < end) { sum += (p(i) & 0xFF).toLong; i += 1 }
+            val m = sum / (end - k * dd)
+            energy += m * m
+            checksum += m * (k + 1L)
+            k += 1
+          }
+          (id, p.length.toLong, nOut.toLong, energy, checksum)
+        }
+      }.toDF("doc_id", "n_samples", "n_out", "ds_energy", "ds_checksum")
+  }
+
+  private val audioDownsampleSql: String = s"""
+    WITH b AS (
+      SELECT doc_id, unnest(range(1, length(text) + 1)) AS pos, text
+      FROM documents WHERE length(text) > 0),
+    m AS (
+      SELECT doc_id, (pos - 1) // $AudioDecimation AS k,
+        CAST(SUM(ord(substring(text, pos, 1))) AS BIGINT) // COUNT(*) AS m
+      FROM b GROUP BY 1, 2)
+    SELECT m.doc_id,
+      CAST(length(dx.text) AS BIGINT) AS n_samples,
+      COUNT(*) AS n_out,
+      CAST(SUM(m.m * m.m) AS BIGINT) AS ds_energy,
+      CAST(SUM(m.m * (m.k + 1)) AS BIGINT) AS ds_checksum
+    FROM m JOIN documents dx ON dx.doc_id = m.doc_id
+    GROUP BY m.doc_id, dx.text ORDER BY m.doc_id"""
+
   private val audioEnergySql: String = s"""
     WITH b AS (
       SELECT doc_id, unnest(range(1, length(text) + 1)) AS pos, text
@@ -693,6 +753,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_energy" -> audioEnergy _,
+    "mm_audio_downsample" -> audioDownsample _,
     "mm_frame_dedup" -> frameDedup _,
     "mm_scene_cuts" -> sceneCuts _,
     "mm_audio_silence_trim" -> audioSilenceTrim _,
@@ -740,6 +801,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_audio_energy" -> audioEnergySql,
+    "mm_audio_downsample" -> audioDownsampleSql,
     "mm_frame_dedup" -> frameDedupSql,
     "mm_scene_cuts" -> sceneCutsSql,
     "mm_audio_silence_trim" -> audioSilenceTrimSql,

@@ -30,6 +30,38 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.map(_.getAs[Long]("n_frames")).distinct.length > 1)
   }
 
+  test("G12 downsample: decimated signal matches a local boxcar replay, tail block exact") {
+    val out = Multimodal.audioDownsample(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("n_out"),
+          r.getAs[Long]("ds_energy"), r.getAs[Long]("ds_checksum"))).toMap
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._2.nonEmpty)
+    assert(docs.length == out.size && docs.nonEmpty)
+    val dd = Multimodal.AudioDecimation
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val nOut = (bytes.length + dd - 1) / dd
+      var energy = 0L
+      var checksum = 0L
+      for (k <- 0 until nOut) {
+        val end = math.min(k * dd + dd, bytes.length)
+        var sum = 0L
+        for (i <- k * dd until end) sum += (bytes(i) & 0xFF).toLong
+        val m = sum / (end - k * dd)
+        energy += m * m
+        checksum += m * (k + 1L)
+      }
+      val (ns, no, e, c) = out(id)
+      assert(ns == bytes.length && no == nOut, s"doc $id sizes")
+      assert(e == energy && c == checksum, s"doc $id signal mismatch")
+    }
+    // tail blocks genuinely exercised: some doc's length is not a multiple
+    // of the decimation factor
+    assert(docs.exists(_._2.getBytes("UTF-8").length % dd != 0))
+  }
+
   test("G2 image features: parsed dims + channel sums match a local decode replay") {
     val out = Multimodal.imageFeatures(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
