@@ -201,6 +201,29 @@ object QualityTrain {
         col("y").as("label"), col("hold").as("is_holdout"))
   }
 
+  /** H46 — CALIBRATION report of the learned classifier (the reliability
+    * table every deployed filter ships with): held-out docs bucketed by
+    * predicted score into deciles, per bucket the observed weak-label rate
+    * vs the mean predicted score (both in bps — well-calibrated means the
+    * two columns track). All integer: bucket = (score·10) DIV 2^20 clamped
+    * to 9, rates are floor divisions, the score sum is exact. Held-out
+    * only — calibration measured on training rows flatters the model.
+    * 10-row output off one feature scan under the stored weights. */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    val w = learnedWeights(s, d)
+    featureFrame(Tables.documents(s, d))
+      .filter(col("hold") === 1)
+      .withColumn("z", expr(zSql(w.toSeq)))
+      .withColumn("score_fx", expr(sigSql("z")))
+      .withColumn("bucket", expr(s"least(9L, (score_fx * 10) DIV ${PScale}L)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum(col("score_fx")).as("sum_score"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        expr("(10000 * n_pos) DIV n_docs").as("obs_bps"),
+        expr(s"(10000 * sum_score) DIV (n_docs * ${PScale}L)").as("pred_bps"))
+  }
+
   // ------------------------------------------------------------------
   // oracles: the K-round training replay
   // ------------------------------------------------------------------
@@ -282,13 +305,27 @@ object QualityTrain {
       y AS label, hold AS is_holdout
     FROM scored ORDER BY doc_id"""
 
+  private def qualityCalibrationSql: String =
+    s"""WITH $trainingCtes,
+    scored AS (
+      SELECT y, ${sigSqlOracle("z")} AS score_fx FROM
+        (SELECT qf.*, ${zSqlOracle("w")} AS z FROM qf, w${Rounds}_ w
+         WHERE qf.hold = 1))
+    SELECT least(9, (score_fx * 10) // $PScale) AS bucket,
+      COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos,
+      CAST((10000 * SUM(y)) // COUNT(*) AS BIGINT) AS obs_bps,
+      CAST((10000 * SUM(score_fx)) // (COUNT(*) * $PScale) AS BIGINT) AS pred_bps
+    FROM scored GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_quality_weights" -> qualityWeights _,
-    "corpus_quality_learned" -> qualityLearned _
+    "corpus_quality_learned" -> qualityLearned _,
+    "corpus_quality_calibration" -> qualityCalibration _
   )
 
   val oracles: Map[String, String] = Map(
     "corpus_quality_weights" -> qualityWeightsSql,
-    "corpus_quality_learned" -> qualityLearnedSql
+    "corpus_quality_learned" -> qualityLearnedSql,
+    "corpus_quality_calibration" -> qualityCalibrationSql
   )
 }

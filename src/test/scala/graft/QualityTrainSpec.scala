@@ -113,6 +113,30 @@ class QualityTrainSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("pred")).distinct.length == 2)
   }
 
+  test("calibration table: conserves the held-out split and discriminates across buckets") {
+    val cal = QualityTrain.qualityCalibration(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("obs_bps"),
+        r.getAs[Long]("pred_bps"))).sortBy(_._1)
+    assert(cal.nonEmpty && cal.forall(b => b._1 >= 0 && b._1 <= 9))
+    // conservation against the per-doc gated frame's held-out rows
+    val held = QualityTrain.qualityLearned(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("is_holdout") === 1).collect()
+    assert(cal.map(_._2).sum == held.length)
+    assert(cal.map(_._3).sum == held.count(_.getAs[Long]("label") == 1L))
+    cal.foreach { case (b, n, p, obs, pred) =>
+      assert(p <= n && obs == 10000 * p / n, s"bucket $b rate")
+      assert(pred >= 0 && pred <= 10000, s"bucket $b pred $pred")
+    }
+    // discrimination: the top occupied bucket's observed positive rate
+    // strictly exceeds the bottom occupied bucket's (the classifier orders
+    // reality, not just its own scores)
+    assert(cal.last._4 > cal.head._4,
+      s"no discrimination: top ${cal.last._4} vs bottom ${cal.head._4}")
+    // direction agreement: predicted rates rise with bucket by construction
+    cal.sliding(2).foreach { w => assert(w(0)._5 <= w(1)._5) }
+  }
+
   test("stored artifact: retraining is skipped while the corpus fingerprint holds") {
     val first = QualityTrain.qualityWeights(spark, sf).collect().toSeq
     val second = QualityTrain.qualityWeights(spark, sf).collect().toSeq
