@@ -68,6 +68,55 @@ object Streams {
       }
   }
 
+  /** C30 — sessionization re-expressed on Spark 4's `transformWithState`
+    * (the arbitrary-stateful successor of flatMapGroupsWithState, and the
+    * API new state machines should target): the SAME 30-minute gap rule as
+    * C4, with the open session held in a NAMED `ValueState` through the
+    * StatefulProcessor lifecycle (init allocates the state handle once per
+    * partition; handleInputRows folds each micro-batch's rows). Runs on
+    * the RocksDB state store provider the operator requires — itself the
+    * production choice at scale (changelog-checkpointed, memory-bounded
+    * off-heap state vs the in-memory HDFS-backed default). Gate: the same
+    * oracle text as C4 — one session rule, two state APIs, provably equal.
+    */
+  class TwsSession extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = evs.map(_.ts_us).toArray.sorted
+      var cur: Option[SessionState] = if (open.exists()) Some(open.get()) else None
+      val closed = scala.collection.mutable.ArrayBuffer[SessionState]()
+      sorted.foreach { t =>
+        cur match {
+          case Some(sess) if t - sess.end <= GapUs =>
+            cur = Some(sess.copy(end = t, n = sess.n + 1))
+          case Some(sess) =>
+            closed += sess
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur match {
+        case Some(sess) => open.update(sess)
+        case None => open.clear()
+      }
+      closed.iterator.map(sess => SessionOut(userId, sess.start, sess.end, sess.n))
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TwsSession,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Bounded-file streaming source over `$d/events.parquet` with `ts`
@@ -241,6 +290,32 @@ object Streams {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable()
       q.stop()
+    }
+    s.table(name)
+  }
+
+  /** C30's gated driver: [[sessionizeTws]] run to completion over the
+    * bounded source, on the RocksDB provider (set for this query, restored
+    * after — transformWithState rejects the default HDFS-backed store). */
+  def streamingSessionizeTws(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_tws_sink_" + sinkId.incrementAndGet()
+    import s.implicits._
+    val src = eventsStream(s, d, "user_id BIGINT, value DOUBLE")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Ev]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateParts(s) {
+      val q = sessionizeTws(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally saved match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
     }
     s.table(name)
   }
@@ -837,6 +912,7 @@ object Streams {
       "streaming_window_agg" -> streamingWindowAgg _,
       "streaming_enrich" -> streamingEnrich _,
       "streaming_sessionize" -> streamingSessionize _,
+      "streaming_sessionize_tws" -> streamingSessionizeTws _,
       "streaming_funnel" -> streamingFunnel _,
       "streaming_rate_alert" -> streamingRateAlert _,
       "streaming_freq_sketch" -> streamingFreqSketch _,
@@ -970,7 +1046,12 @@ object Streams {
        AND p.event_type = 'purchase' AND c.event_type = 'click'
        AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
       ORDER BY p_id, c_id""",
-    "streaming_sessionize" -> """
+    "streaming_sessionize" -> sessionizeOracleSql,
+    // C30: the transformWithState twin emits under the SAME session rule —
+    // one oracle text for both state APIs, so they provably cannot diverge
+    "streaming_sessionize_tws" -> sessionizeOracleSql)
+
+  private lazy val sessionizeOracleSql: String = """
       WITH flagged AS (
         SELECT user_id, ts, event_id,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -991,5 +1072,5 @@ object Streams {
       FROM sessions s
       WHERE s_start < (SELECT MAX(s_start) FROM sessions m
                        WHERE m.user_id = s.user_id)
-      ORDER BY user_id, start_us""")
+      ORDER BY user_id, start_us"""
 }

@@ -345,6 +345,20 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("C30: transformWithState sessionization == the flatMapGroupsWithState form") {
+    // one session rule, two state APIs: the new StatefulProcessor must emit
+    // the exact session set C4 does over the same corpus, and the RocksDB
+    // provider conf set for its query must not leak into the session
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(provKey)
+    val tws = Streams.streamingSessionizeTws(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fgs = Streams.streamingSessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(tws == fgs && fgs.nonEmpty)
+    assert(spark.conf.getOption(provKey) == before, "provider conf leaked")
+  }
+
   test("C14/C16: streaming alert and sketch == their batch twins") {
     val alertS = Streams.streamingRateAlert(spark, sf).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
