@@ -209,6 +209,51 @@ object Signals {
         (col("sw.end") - expr("interval 30 minutes")).as("session_end"),
         col("n_events"))
 
+  /** C31 — sessionization with a DYNAMIC per-event gap (round-13): Spark's
+    * native `session_window` with a gap EXPRESSION — each event type keeps
+    * the session alive for its own horizon (purchases 60 min, everything
+    * else 30 — the "high-intent events extend engagement" rule product
+    * analytics actually uses). Each event spans [ts, ts+gap); overlapping
+    * spans merge, so the session end is the max per-event horizon, not
+    * last-ts + constant. The oracle replays the merge rule as
+    * gaps-and-islands over the running MAX of (ts + gap): a new session
+    * starts exactly when every prior horizon has closed (≤ ts — end
+    * exclusive, Spark's rule). Same one-shuffle shape as C2b.
+    */
+  def eventsSessionDynamic(s: SparkSession, d: String): DataFrame = {
+    // session_window's gap expression requires CalendarIntervalType —
+    // string literals through when() arrive as DayTimeInterval, so the
+    // branches are explicit CalendarInterval casts
+    val gap = when(col("event_type") === "purchase",
+        expr("cast('60 minutes' as interval)"))
+      .otherwise(expr("cast('30 minutes' as interval)"))
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+  }
+
+  val eventsSessionDynamicSql: String = """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+        ts + (CASE WHEN event_type = 'purchase' THEN INTERVAL '60 minutes'
+                   ELSE INTERVAL '30 minutes' END) AS horizon
+      FROM events),
+    f AS (
+      SELECT user_id, ts, event_id, horizon,
+        CASE WHEN MAX(horizon) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > ts
+             THEN 0 ELSE 1 END AS new_session
+      FROM g),
+    n AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM f)
+    SELECT user_id, MIN(ts) AS session_start, MAX(horizon) AS session_end,
+      COUNT(*) AS n_events
+    FROM n GROUP BY user_id, seq ORDER BY user_id, session_start"""
+
   /** C15 — state intervals (gaps-and-islands run-length encoding): collapse
     * each user's event stream into maximal runs of the same event type with
     * validity bounds — the SCD2-style interval build every temporal
@@ -775,6 +820,7 @@ object Signals {
     "events_rate_alert" -> eventsRateAlert _,
     "events_state_intervals" -> eventsStateIntervals _,
     "events_session_native" -> eventsSessionNative _,
+    "events_session_dynamic" -> eventsSessionDynamic _,
     "freq_sketch_cms" -> freqSketchCms _
   )
 
@@ -792,6 +838,7 @@ object Signals {
     "stats_ab_test" -> statsAbTestSql,
     "events_cusum_shift" -> eventsCusumShiftSql,
     "events_session_native" -> Relational.oracles("events_session"),
+    "events_session_dynamic" -> eventsSessionDynamicSql,
     "freq_sketch_cms" -> freqSketchCmsSql
   )
 }

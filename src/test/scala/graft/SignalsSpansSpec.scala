@@ -333,6 +333,32 @@ class SignalsSpansSpec extends SparkSpec {
     assert(native.count() > 0)
   }
 
+  test("dynamic-gap sessions: purchases bridge; never more sessions than fixed 30-min") {
+    // every dynamic gap >= the fixed 30 min, so merges only grow: the
+    // dynamic session count must be <= C2b's, and on this corpus a
+    // purchase genuinely bridges somewhere (strictly fewer)
+    val dyn = Signals.eventsSessionDynamic(spark, sf)
+    val fixed = Signals.eventsSessionNative(spark, sf)
+    val (nd, nf) = (dyn.count(), fixed.count())
+    assert(nd < nf, s"dynamic $nd not below fixed $nf — no purchase ever bridges")
+    assert(dyn.agg(sum(col("n_events"))).head.getLong(0) ==
+      Tables.events(spark, sf).count(), "sessions do not partition the events")
+    // planted merge rule: a purchase at t extends 60 min, so an event 45 min
+    // later joins ITS session; a click there would not
+    import SparkSpecBase.spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dynsess").toString
+    Seq((1L, 1L, "purchase", at(0)), (2L, 1L, "click", at(45)),
+        (3L, 2L, "click", at(0)), (4L, 2L, "click", at(45)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = Signals.eventsSessionDynamic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(planted.sorted.toSeq == Seq((1L, 2L), (2L, 1L), (2L, 1L)),
+      s"planted merge: ${planted.toSeq}")
+  }
+
   test("state intervals partition the stream into alternating maximal runs") {
     val rows = Signals.eventsStateIntervals(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum ==
