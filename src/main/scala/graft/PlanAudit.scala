@@ -35,6 +35,9 @@ object PlanAudit {
     // ann_matryoshka_recall: one 1-row hit reduce per truncation width
     // (4 total) — the same swept combine_global shape as the nprobe curve
     "ann_matryoshka_recall",
+    // ann_pca_recall: the eigenbasis twin of the matryoshka report — one
+    // 1-row hit reduce per width (3 total), same swept shape
+    "ann_pca_recall",
     // emb_gram_matrix: ONE dim^2-long constant buffer reduced to a single
     // row — combine_global with a matrix-shaped accumulator
     "emb_gram_matrix",
