@@ -293,6 +293,67 @@ object Signals {
       MIN(ts) AS valid_from, MAX(ts) AS valid_to, COUNT(*) AS n_events
     FROM numbered GROUP BY 1, 2, 3 ORDER BY user_id, island"""
 
+  /** B69 — INTERVAL-OVERLAP join (round-13): pairs of intervals that
+    * intersect in time — the temporal-join shape Spark has no native
+    * operator for (B26's range join is point-in-interval; this is
+    * interval×interval). Inputs are C15's state intervals (the shared
+    * definition); two users' same-type intervals link iff their closed
+    * spans intersect. The SCALE DEVICE is time binning: each interval
+    * explodes to the hour buckets it covers, the join keys on
+    * (bucket, type) — so the quadratic work is per-bucket, bounded by
+    * bucket occupancy, never all-pairs — and the classic duplicate
+    * problem (one pair overlapping in many buckets) is solved WITHOUT a
+    * distinct shuffle: only the bucket containing the overlap START emits
+    * the pair (ownership rule — every emitted pair has exactly one such
+    * bucket). Exact-µs overlap lengths; oracle is the quadratic
+    * formulation DuckDB can afford at sf.
+    */
+  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val binned = eventsStateIntervals(s, d)
+      .select(col("user_id"), col("island"), col("event_type"),
+        col("valid_from"), col("valid_to"))
+      .withColumn("bkt", explode(expr(
+        "sequence(date_trunc('hour', valid_from), date_trunc('hour', valid_to), interval 1 hour)")))
+    def side(p: String) = binned.select(col("user_id").as(s"${p}_user"),
+      col("island").as(s"${p}_island"), col("event_type"),
+      col("valid_from").as(s"${p}_from"), col("valid_to").as(s"${p}_to"),
+      col("bkt"))
+    side("a").join(side("b"), Seq("bkt", "event_type"))
+      .filter(col("a_user") < col("b_user"))
+      .filter(col("a_from") <= col("b_to") && col("b_from") <= col("a_to"))
+      .filter(expr("date_trunc('hour', greatest(a_from, b_from)) = bkt"))
+      .select(col("a_user"), col("a_island"), col("b_user"), col("b_island"),
+        col("event_type"),
+        (unix_micros(least(col("a_to"), col("b_to"))) -
+          unix_micros(greatest(col("a_from"), col("b_from")))).as("overlap_us"))
+  }
+
+  val joinIntervalOverlapSql: String = """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN LAG(event_type) OVER w IS NULL
+               OR LAG(event_type) OVER w <> event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+        CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      FROM flagged),
+    si AS (
+      SELECT user_id, island, event_type,
+        MIN(ts) AS valid_from, MAX(ts) AS valid_to
+      FROM numbered GROUP BY 1, 2, 3)
+    SELECT a.user_id AS a_user, a.island AS a_island,
+      b.user_id AS b_user, b.island AS b_island, a.event_type,
+      epoch_us(least(a.valid_to, b.valid_to))
+        - epoch_us(greatest(a.valid_from, b.valid_from)) AS overlap_us
+    FROM si a JOIN si b
+      ON a.event_type = b.event_type AND a.user_id < b.user_id
+     AND a.valid_from <= b.valid_to AND b.valid_from <= a.valid_to
+    ORDER BY a_user, a_island, b_user, b_island"""
+
   /** B59 — per-group Pearson correlation from EXACT moments: Σx, Σy, Σxy,
     * Σx², Σy² all through the scaled-int128 aggregate (one pass, one
     * shuffle into k group rows), the r formula then evaluated in IEEE
@@ -821,6 +882,7 @@ object Signals {
     "events_state_intervals" -> eventsStateIntervals _,
     "events_session_native" -> eventsSessionNative _,
     "events_session_dynamic" -> eventsSessionDynamic _,
+    "join_interval_overlap" -> joinIntervalOverlap _,
     "freq_sketch_cms" -> freqSketchCms _
   )
 
@@ -839,6 +901,7 @@ object Signals {
     "events_cusum_shift" -> eventsCusumShiftSql,
     "events_session_native" -> Relational.oracles("events_session"),
     "events_session_dynamic" -> eventsSessionDynamicSql,
+    "join_interval_overlap" -> joinIntervalOverlapSql,
     "freq_sketch_cms" -> freqSketchCmsSql
   )
 }

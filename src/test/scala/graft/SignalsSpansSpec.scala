@@ -359,6 +359,43 @@ class SignalsSpansSpec extends SparkSpec {
       s"planted merge: ${planted.toSeq}")
   }
 
+  test("interval overlap join equals the all-pairs brute force; ownership dedup holds") {
+    val got = Signals.joinIntervalOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)) -> r.getLong(5))
+    // ownership rule: every pair emitted exactly once despite multi-bucket
+    // overlaps
+    assert(got.map(_._1).distinct.length == got.length, "duplicate pairs")
+    got.foreach { case (k, ov) => assert(ov >= 0, s"$k negative overlap") }
+    // brute force over the same interval frame, grouped by type
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val iv = Signals.eventsStateIntervals(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("island"),
+        r.getAs[String]("event_type"),
+        us(r.getAs[java.sql.Timestamp]("valid_from")),
+        us(r.getAs[java.sql.Timestamp]("valid_to"))))
+    val want = scala.collection.mutable.HashMap[(Long, Long, Long, Long, String), Long]()
+    iv.groupBy(_._3).values.foreach { g =>
+      var i = 0
+      while (i < g.length) {
+        var j = 0
+        while (j < g.length) {
+          val a = g(i); val b = g(j)
+          if (a._1 < b._1 && a._4 <= b._5 && b._4 <= a._5)
+            want((a._1, a._2, b._1, b._2, a._3)) =
+              math.min(a._5, b._5) - math.max(a._4, b._4)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    assert(got.length == want.size, s"${got.length} pairs vs brute ${want.size}")
+    got.foreach { case (k, ov) =>
+      assert(want.get(k).contains(ov), s"$k: $ov vs ${want.get(k)}")
+    }
+  }
+
   test("state intervals partition the stream into alternating maximal runs") {
     val rows = Signals.eventsStateIntervals(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum ==
