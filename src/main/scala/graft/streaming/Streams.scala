@@ -117,6 +117,147 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** C32 — session FLUSH-ON-EXPIRY via transformWithState EVENT-TIME
+    * TIMERS (round-13; the other half of the new API, and the semantics a
+    * production sessionizer actually needs): C4/C30 only emit a session
+    * when a LATER event closes it — a user who walks away leaves their
+    * final session in state forever. Here every open session registers an
+    * event-time timer at end + gap; when the watermark passes it,
+    * `handleExpiredTimer` emits the session and clears the state. The
+    * emitted set therefore has a batch-exact characterization: a maximal
+    * 30-min-gap run is emitted iff a later event of the same user closed
+    * it OR its (ms-grain) end + gap sits behind the final watermark
+    * (ms-truncated max event time − 1h) — the no-data batch Spark runs
+    * after the last file fires the remaining timers. Mid-stream flushes
+    * (the era fixture's bridge) cannot diverge from that formula because
+    * the expiry horizon (gap + delay = 1.5 h) exceeds the session gap: any
+    * event that could have extended a flushed session would have arrived
+    * inside its horizon. Timer hygiene: the previous open session's timer
+    * is deleted whenever the open session changes; a stale expiry (not
+    * matching the current session's timer) is ignored.
+    */
+  case class Ev2(user_id: Long, ts: java.sql.Timestamp)
+
+  class TwsTimedSession extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev2, SessionOut] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    private def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    private def timerMs(sess: SessionState): Long =
+      sess.end / 1000 + GapUs / 1000
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(userId: Long, evs: Iterator[Ev2],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val prev = if (open.exists()) Some(open.get()) else None
+      val sorted = evs.map(e => usOf(e.ts)).toArray.sorted
+      var cur = prev
+      val closed = scala.collection.mutable.ArrayBuffer[SessionState]()
+      sorted.foreach { t =>
+        cur match {
+          case Some(sess) if t - sess.end <= GapUs =>
+            cur = Some(sess.copy(end = t, n = sess.n + 1))
+          case Some(sess) =>
+            closed += sess
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      (prev, cur) match {
+        case (p, Some(c)) if !p.contains(c) =>
+          p.foreach(s => getHandle.deleteTimer(timerMs(s)))
+          getHandle.registerTimer(timerMs(c))
+          open.update(c)
+        case (_, Some(c)) => open.update(c)
+        case (p, None) =>
+          p.foreach(s => getHandle.deleteTimer(timerMs(s)))
+          open.clear()
+      }
+      closed.iterator.map(sess => SessionOut(userId, sess.start, sess.end, sess.n))
+    }
+    override def handleExpiredTimer(userId: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (open.exists()) {
+        val sess = open.get()
+        if (timerMs(sess) == info.getExpiryTimeInMs()) {
+          open.clear()
+          return Iterator.single(SessionOut(userId, sess.start, sess.end, sess.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Era fixture for C32 (the C25/C28 modTime-ordered discipline): old-era
+    * events, an empty bridge (fires the mid-stream timer pass at the
+    * post-batch0 watermark), then the new era. */
+  private val twsFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  private def twsFixtureDir(s: SparkSession, d: String): String = {
+    import graft.operators.Tables
+    val fp = graft.Artifacts.fingerprint(s, s"$d/events.parquet")
+    graft.Artifacts.cachedLocation(twsFixtureBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        graft.Artifacts.scratchBase(s), s"graft_twst_fix_${slug}_$fpv")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true); fs.mkdirs(dir)
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0) // scalar, bounded
+      val cut2 = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+      def writeOne(df: DataFrame, name: String, modTime: Long): Unit = {
+        val staging = new org.apache.hadoop.fs.Path(dir, s"_stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging)
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+        val target = new org.apache.hadoop.fs.Path(dir, s"$name.parquet")
+        fs.rename(part, target)
+        fs.delete(staging, true)
+        fs.setTimes(target, modTime, -1)
+      }
+      val t0 = System.currentTimeMillis()
+      writeOne(ev.filter(col("ts") <= lit(cut2)), "batch0_oldera", t0 - 180000)
+      writeOne(ev.filter(lit(false)), "batch1_bridge", t0 - 120000)
+      writeOne(ev.filter(col("ts") > lit(cut2)), "batch2_newera", t0 - 60000)
+      dir.toString
+    }
+  }
+
+  def streamingSessionTimers(s: SparkSession, d: String): DataFrame = {
+    val dir = twsFixtureDir(s, d)
+    val name = "graft_stream_twst_sink_" + sinkId.incrementAndGet()
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateParts(s) {
+      val src = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*.parquet")
+        .withWatermark("ts", "1 hour")
+        .as[Ev2]
+      val q = src.groupByKey(_.user_id)
+        .transformWithState(new TwsTimedSession,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally saved match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.table(name)
+  }
+
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Bounded-file streaming source over `$d/events.parquet` with `ts`
@@ -913,6 +1054,7 @@ object Streams {
       "streaming_enrich" -> streamingEnrich _,
       "streaming_sessionize" -> streamingSessionize _,
       "streaming_sessionize_tws" -> streamingSessionizeTws _,
+      "streaming_session_timers" -> streamingSessionTimers _,
       "streaming_funnel" -> streamingFunnel _,
       "streaming_rate_alert" -> streamingRateAlert _,
       "streaming_freq_sketch" -> streamingFreqSketch _,
@@ -1049,7 +1191,34 @@ object Streams {
     "streaming_sessionize" -> sessionizeOracleSql,
     // C30: the transformWithState twin emits under the SAME session rule —
     // one oracle text for both state APIs, so they provably cannot diverge
-    "streaming_sessionize_tws" -> sessionizeOracleSql)
+    "streaming_sessionize_tws" -> sessionizeOracleSql,
+    // C32: sessions emitted iff event-closed OR expired at the final
+    // watermark (ms-grain end + gap behind ms-truncated max − 1h) — the
+    // timer-flush semantics batch-characterized
+    "streaming_session_timers" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      numbered AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+          COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_seq),
+      wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events)
+      SELECT user_id, epoch_us(s_start) AS start_us, epoch_us(s_end) AS end_us,
+        n_events
+      FROM sessions s, wm
+      WHERE s_start < (SELECT MAX(s_start) FROM sessions m
+                       WHERE m.user_id = s.user_id)
+         OR (epoch_ms(s_end) + 1800000) < wm.wm_ms
+      ORDER BY user_id, start_us""")
 
   private lazy val sessionizeOracleSql: String = """
       WITH flagged AS (

@@ -359,6 +359,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.conf.getOption(provKey) == before, "provider conf leaked")
   }
 
+  test("C32: timer flush emits exactly the expired finals on top of the event-closed set") {
+    val timed = Streams.streamingSessionTimers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val closedOnly = Streams.streamingSessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // event-closed sessions are a strict subset: timers ADD the expired
+    // finals, never change or remove an event-closed emission
+    assert(closedOnly.subsetOf(timed), "timer variant lost event-closed sessions")
+    val extra = timed -- closedOnly
+    assert(extra.nonEmpty, "no session was ever flushed by timer — vacuous")
+    // every extra emission is a FINAL session whose ms-grain horizon sits
+    // behind the final watermark; unexpired finals stay in state (both
+    // branches non-vacuous)
+    val ev = graft.operators.Tables.events(spark, sf)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val wmMs = maxUs / 1000 - 3600000L
+    extra.foreach { case (u, _, endUs, _) =>
+      assert(endUs / 1000 + 1800000L < wmMs, s"user $u flushed before expiry")
+    }
+    val users = ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(extra.size < users, "every final session expired — the unflushed branch is vacuous")
+  }
+
   test("C14/C16: streaming alert and sketch == their batch twins") {
     val alertS = Streams.streamingRateAlert(spark, sf).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
