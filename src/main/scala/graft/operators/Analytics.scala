@@ -189,6 +189,83 @@ object Analytics {
         spread16(col("xb")).bitwiseOR(shiftleft(spread16(col("yb")), 1)).as("zvalue"))
   }
 
+  /** B70 — HILBERT-curve layout key (round-13; B35's better-locality
+    * sibling — the curve production clustering engines moved to): unlike
+    * Z-order, the Hilbert curve has NO long diagonal jumps, so consecutive
+    * keys are always ADJACENT cells and a range of keys covers a tighter
+    * 2-D box (the spec MEASURES it: total Manhattan drift along the curve
+    * strictly below Z-order's on the same data). The xy→d transform is the
+    * standard 16-round rotate-and-accumulate (one round per bit plane,
+    * high to low; each round classifies the quadrant, adds s²·(3·rx ⊕ ry),
+    * and rotates/reflects the frame) — pure integer AND/XOR/subtract, so
+    * the DuckDB twin replays it round for round as a chained CTE unroll,
+    * exactly the splitmix/BPE chain discipline. Same 16-bit inputs as B35
+    * (custkey mod 2^16, bounded day offset). One scan, zero shuffles.
+    */
+  def layoutHilbert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(65536L)).as("x"),
+        datediff(col("o_orderdate"), lit(ZorderEpoch).cast("date"))
+          .cast("long").bitwiseAND(lit(65535L)).as("y"))
+      .withColumn("acc", lit(0L))
+    val folded = (0 until 16).foldLeft(base) { (df, r) =>
+      val sv = 1L << (15 - r)
+      df.withColumn("rx", expr(s"CASE WHEN (x & ${sv}L) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("ry", expr(s"CASE WHEN (y & ${sv}L) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("acc", expr(s"acc + ${sv * sv}L * ((3L * rx) ^ ry)"))
+        .withColumn("xn", expr(
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${sv - 1}L - y ELSE y END) ELSE x END"))
+        .withColumn("yn", expr(
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${sv - 1}L - x ELSE x END) ELSE y END"))
+        .withColumn("x", col("xn")).withColumn("y", col("yn"))
+        .drop("rx", "ry", "xn", "yn")
+    }
+    folded.select(col("o_orderkey"), col("acc").as("hvalue"))
+  }
+
+  /** Reference xy→d for the spec (same rounds, plain Scala). */
+  private[graft] def hilbertD(x0: Long, y0: Long): Long = {
+    var (x, y, acc) = (x0, y0, 0L)
+    var r = 0
+    while (r < 16) {
+      val sv = 1L << (15 - r)
+      val rx = if ((x & sv) > 0) 1L else 0L
+      val ry = if ((y & sv) > 0) 1L else 0L
+      acc += sv * sv * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        val (nx, ny) =
+          if (rx == 1) (sv - 1 - y, sv - 1 - x) else (y, x)
+        x = nx; y = ny
+      }
+      r += 1
+    }
+    acc
+  }
+
+  val layoutHilbertSql: String = {
+    val rounds = (0 until 16).map { r =>
+      val sv = 1L << (15 - r)
+      s"""h${r + 1} AS (
+        SELECT o_orderkey,
+          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${sv - 1} - y ELSE y END) ELSE x END AS x,
+          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${sv - 1} - x ELSE x END) ELSE y END AS y,
+          acc + ${sv * sv} * xor(3 * rx, ry) AS acc
+        FROM (SELECT *,
+            CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END AS rx,
+            CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END AS ry
+          FROM h$r))"""
+    }.mkString(",\n")
+    s"""
+    WITH h0 AS (SELECT o_orderkey,
+        o_custkey % 65536 AS x,
+        date_diff('day', TIMESTAMP '$ZorderEpoch 00:00:00', o_orderdate) & 65535 AS y,
+        CAST(0 AS BIGINT) AS acc
+      FROM orders),
+    $rounds
+    SELECT o_orderkey, CAST(acc AS BIGINT) AS hvalue
+    FROM h16 ORDER BY o_orderkey"""
+  }
+
   /** B35b — the z-order loop CLOSED: B35 computes the clustering key; this
     * operator WRITES the z-ordered layout (range-partition + sort by
     * `zvalue` → every file/row-group covers a z-range, which bounds BOTH
@@ -681,6 +758,7 @@ object Analytics {
     "window_ntile" -> windowNtile _,
     "q17_small_qty" -> q17SmallQty _,
     "layout_zorder" -> layoutZorder _,
+    "layout_hilbert" -> layoutHilbert _,
     "layout_zorder_scan" -> layoutZorderScan _,
     "approx_quantile_hist" -> approxQuantileHist _,
     "quantile_sketch_log" -> quantileSketchLog _,
@@ -764,6 +842,7 @@ object Analytics {
       SELECT ROUND(${sqlDsum("l_extendedprice")} / 7.0, 6) AS avg_yearly
       FROM lineitem JOIN aq USING (l_partkey)
       WHERE l_quantity < 0.2 * aq""",
+    "layout_hilbert" -> layoutHilbertSql,
     "layout_zorder" -> s"""
       WITH b AS (SELECT o_orderkey,
           o_custkey % 65536 AS xb,

@@ -178,6 +178,47 @@ class AnalyticsSpec extends SparkSpec {
       r.getAs[Long]("zvalue") <= 0xFFFFFFFFL))
   }
 
+  test("layout_hilbert: exact transform, unit-step curve, locality beats z-order") {
+    // the classic property: the Hilbert curve takes UNIT steps — adjacent
+    // d values are Manhattan-distance-1 cells (verified on a dense 32x32
+    // subgrid against the shared reference transform)
+    val cells = for (x <- 0L until 32L; y <- 0L until 32L) yield (Analytics.hilbertD(x, y), x, y)
+    val sortedCells = cells.sortBy(_._1)
+    assert(sortedCells.map(_._1).distinct.length == cells.length, "not injective")
+    sortedCells.sliding(2).foreach {
+      case Seq((da, xa, ya), (db, xb, yb)) =>
+        if (db == da + 1)
+          assert(math.abs(xa - xb) + math.abs(ya - yb) == 1,
+            s"non-unit step at d=$da: ($xa,$ya)->($xb,$yb)")
+      case _ =>
+    }
+    // gated values equal the reference transform on the real inputs
+    val inputs = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), pmod(col("o_custkey"), lit(65536L)).as("x"),
+        datediff(col("o_orderdate"), lit(Analytics.ZorderEpoch).cast("date"))
+          .cast("long").bitwiseAND(lit(65535L)).as("y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Analytics.layoutHilbert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.length == inputs.size)
+    got.foreach { case (k, h) =>
+      val (x, y) = inputs(k)
+      assert(h == Analytics.hilbertD(x, y), s"order $k")
+    }
+    // the selling point, measured: total Manhattan drift along the curve
+    // order is strictly below z-order's on the same data
+    def drift(order: Seq[Long]): Long =
+      order.map(inputs).sliding(2).map {
+        case Seq((xa, ya), (xb, yb)) => math.abs(xa - xb) + math.abs(ya - yb)
+        case _ => 0L
+      }.sum
+    val hOrder = got.sortBy(_._2).map(_._1).toSeq
+    val zOrder = Analytics.layoutZorder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).map(_._1).toSeq
+    val (hd, zd) = (drift(hOrder), drift(zOrder))
+    assert(hd < zd, s"hilbert drift $hd not below z-order drift $zd")
+  }
+
   test("corpus_sample_weighted favors longer docs and is deterministic") {
     val a = CorpusClean.sampleWeighted(spark, sf).collect()
     val b = CorpusClean.sampleWeighted(spark, sf).collect()
