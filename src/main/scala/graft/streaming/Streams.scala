@@ -192,6 +192,76 @@ object Streams {
     }
   }
 
+  /** C33 — BURST detection via transformWithState LIST state (round-13;
+    * the remaining state primitive of the new API, in its natural role —
+    * a bounded recent-events buffer): emit an alert row whenever a user's
+    * k-th purchase lands inside a sliding 12-hour horizon (the velocity
+    * rule every fraud/abuse pipeline runs; the horizon is a parameter —
+    * 12 h is where this corpus's purchase rate makes the rule fire). The
+    * ListState holds ONLY the
+    * horizon-recent purchase times — pruned to (max seen − horizon) on
+    * every call, so state per key is bounded by horizon × rate, never
+    * stream length. Rows fold in (ts, event_id) order, so tie handling is
+    * deterministic and the batch oracle replays the count as
+    * rn − |rows ≤ t − horizon| (a RANGE frame), the exact same quantity.
+    */
+  val BurstWindowUs: Long = 12L * 3600 * 1000000
+  val BurstK = 3
+
+  case class PEv(user_id: Long, event_id: Long, ts_us: Long)
+  case class BurstOut(user_id: Long, event_id: Long, ts_us: Long, n_in_window: Long)
+
+  class TwsBurst extends org.apache.spark.sql.streaming.StatefulProcessor[Long, PEv, BurstOut] {
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(userId: Long, evs: Iterator[PEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[BurstOut] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (recent.exists()) buf ++= recent.get()
+      val out = scala.collection.mutable.ArrayBuffer.empty[BurstOut]
+      evs.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        buf += e.ts_us
+        val cnt = buf.count(t => t > e.ts_us - BurstWindowUs)
+        if (cnt >= BurstK) out += BurstOut(userId, e.event_id, e.ts_us, cnt)
+      }
+      if (buf.nonEmpty) {
+        val horizon = buf.max - BurstWindowUs
+        recent.put(buf.filter(_ > horizon).toArray)
+      }
+      out.iterator
+    }
+  }
+
+  def streamingBurstDetect(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_burst_sink_" + sinkId.incrementAndGet()
+    import s.implicits._
+    val src = eventsStream(s, d, "event_id BIGINT, user_id BIGINT, event_type STRING")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[PEv]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateParts(s) {
+      val q = src.groupByKey(_.user_id)
+        .transformWithState(new TwsBurst,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally saved match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.table(name)
+  }
+
   /** Era fixture for C32 (the C25/C28 modTime-ordered discipline): old-era
     * events, an empty bridge (fires the mid-stream timer pass at the
     * post-batch0 watermark), then the new era. */
@@ -1055,6 +1125,7 @@ object Streams {
       "streaming_sessionize" -> streamingSessionize _,
       "streaming_sessionize_tws" -> streamingSessionizeTws _,
       "streaming_session_timers" -> streamingSessionTimers _,
+      "streaming_burst_detect" -> streamingBurstDetect _,
       "streaming_funnel" -> streamingFunnel _,
       "streaming_rate_alert" -> streamingRateAlert _,
       "streaming_freq_sketch" -> streamingFreqSketch _,
@@ -1192,6 +1263,22 @@ object Streams {
     // C30: the transformWithState twin emits under the SAME session rule —
     // one oracle text for both state APIs, so they provably cannot diverge
     "streaming_sessionize_tws" -> sessionizeOracleSql,
+    // C33: per-purchase horizon count = rn − |rows at or before t−horizon|
+    // (RANGE frame), alert rows where it reaches BurstK
+    "streaming_burst_detect" -> """
+      WITH p AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      w AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN UNBOUNDED PRECEDING
+                      AND INTERVAL 12 HOURS PRECEDING) AS before_horizon
+        FROM p)
+      SELECT user_id, event_id, ts_us,
+        CAST(rn - before_horizon AS BIGINT) AS n_in_window
+      FROM w WHERE rn - before_horizon >= 3
+      ORDER BY user_id, ts_us, event_id""",
     // C32: sessions emitted iff event-closed OR expired at the final
     // watermark (ms-grain end + gap behind ms-truncated max − 1h) — the
     // timer-flush semantics batch-characterized

@@ -382,6 +382,32 @@ class StreamingSpec extends SparkSpec {
     assert(extra.size < users, "every final session expired — the unflushed branch is vacuous")
   }
 
+  test("C33: burst detection fires exactly at the k-th in-horizon purchase") {
+    // real corpus: non-vacuous and every alert's window count >= k
+    val real = Streams.streamingBurstDetect(spark, sf).collect()
+    assert(real.nonEmpty, "no burst on this corpus — vacuous gate")
+    real.foreach(r => assert(r.getAs[Long]("n_in_window") >= Streams.BurstK))
+    // planted timeline: purchases at 0h, 5h, 11h, 23h, 23.5h (12h horizon)
+    // -> the 11h purchase is the 3rd in-horizon (alert, n=3); at 23h the
+    // horizon (11h, 23h] holds only itself (strict >); at 23.5h two — no
+    // further alerts. A sparse user never fires.
+    import SparkSpecBase.spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Double) = new java.sql.Timestamp(t0.getTime + (h * 3600000L).toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    Seq((1L, 1L, "purchase", 1.0, at(0)), (2L, 1L, "purchase", 1.0, at(5)),
+        (3L, 1L, "purchase", 1.0, at(11)), (4L, 1L, "purchase", 1.0, at(23)),
+        (5L, 1L, "purchase", 1.0, at(23.5)),
+        (6L, 2L, "purchase", 1.0, at(0)), (7L, 2L, "purchase", 1.0, at(20)),
+        (8L, 1L, "click", 1.0, at(11.1)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = Streams.streamingBurstDetect(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("n_in_window")))
+    assert(planted.toSeq == Seq((1L, 3L, 3L)), s"planted: ${planted.toSeq}")
+  }
+
   test("C14/C16: streaming alert and sketch == their batch twins") {
     val alertS = Streams.streamingRateAlert(spark, sf).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
