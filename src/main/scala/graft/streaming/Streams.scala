@@ -192,6 +192,108 @@ object Streams {
     }
   }
 
+  /** C34 — BATCH-BOOTSTRAP of streaming state via
+    * `StatefulProcessorWithInitialState` (round-13; the migration path
+    * every deployment needs — start a streaming state machine from state a
+    * batch job computed, instead of replaying history): the batch side
+    * folds the OLD era (ts ≤ max − 2h) into each user's final OPEN session
+    * (old-era CLOSED sessions are the batch job's own output, not
+    * re-emitted here); `handleInitialState` seeds the ValueState; the
+    * stream processes ONLY the new era. A session that started in the old
+    * era and closes in the new era is emitted by the STREAM with its
+    * old-era start — the handover case that proves the bootstrap carries
+    * real state, not just keys. Batch-exact characterization (the gate):
+    * a full-corpus session is stream-emitted iff its closing event (the
+    * next session's first event) lands in the new era.
+    */
+  class TwsBootSession extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, Ev, SessionOut, SessionState] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(userId: Long, st: SessionState,
+        tv: org.apache.spark.sql.streaming.TimerValues): Unit =
+      open.update(st)
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = evs.map(_.ts_us).toArray.sorted
+      var cur: Option[SessionState] = if (open.exists()) Some(open.get()) else None
+      val closed = scala.collection.mutable.ArrayBuffer[SessionState]()
+      sorted.foreach { t =>
+        cur match {
+          case Some(sess) if t - sess.end <= GapUs =>
+            cur = Some(sess.copy(end = t, n = sess.n + 1))
+          case Some(sess) =>
+            closed += sess
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur match {
+        case Some(sess) => open.update(sess)
+        case None => open.clear()
+      }
+      closed.iterator.map(sess => SessionOut(userId, sess.start, sess.end, sess.n))
+    }
+  }
+
+  def streamingSessionizeBootstrap(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Tables
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val name = "graft_stream_boot_sink_" + sinkId.incrementAndGet()
+    // batch side: the old era's final OPEN session per user (ms-grain cut,
+    // so both engines and the stream filter agree exactly)
+    val evb = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val maxTs = evb.agg(max(col("ts"))).head.getTimestamp(0) // scalar, bounded
+    val cut2 = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val oldSessions = evb.filter(col("ts") <= lit(cut2))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("ts_us") - col("prev") > GapUs, 1).otherwise(0))
+      .withColumn("seq", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("seq"))
+      .agg(min(col("ts_us")).as("start"), max(col("ts_us")).as("end"),
+        count(lit(1)).cast("int").as("n"))
+    val openState = oldSessions
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("seq").desc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("start"), col("end"), col("n"))
+      .as[(Long, Long, Long, Int)]
+      .map { case (u, st, en, n) => (u, SessionState(st, en, n)) }
+      .groupByKey(_._1).mapValues(_._2)
+    val src = eventsStream(s, d, "user_id BIGINT, value DOUBLE")
+      .filter(col("ts") > lit(cut2))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Ev]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateParts(s) {
+      val q = src.groupByKey(_.user_id)
+        .transformWithState(new TwsBootSession,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+          openState)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally saved match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.table(name)
+  }
+
   /** C33 — BURST detection via transformWithState LIST state (round-13;
     * the remaining state primitive of the new API, in its natural role —
     * a bounded recent-events buffer): emit an alert row whenever a user's
@@ -1126,6 +1228,7 @@ object Streams {
       "streaming_sessionize_tws" -> streamingSessionizeTws _,
       "streaming_session_timers" -> streamingSessionTimers _,
       "streaming_burst_detect" -> streamingBurstDetect _,
+      "streaming_sessionize_bootstrap" -> streamingSessionizeBootstrap _,
       "streaming_funnel" -> streamingFunnel _,
       "streaming_rate_alert" -> streamingRateAlert _,
       "streaming_freq_sketch" -> streamingFreqSketch _,
@@ -1263,6 +1366,35 @@ object Streams {
     // C30: the transformWithState twin emits under the SAME session rule —
     // one oracle text for both state APIs, so they provably cannot diverge
     "streaming_sessionize_tws" -> sessionizeOracleSql,
+    // C34: a full-corpus session is stream-emitted iff its CLOSING event
+    // (the next session's first event) lands in the new era (ts > ms-grain
+    // max − 2h) — old-era-closed sessions belong to the batch job
+    "streaming_sessionize_bootstrap" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      numbered AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+          COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_seq),
+      nxt AS (
+        SELECT *, LEAD(s_start) OVER (PARTITION BY user_id ORDER BY s_start)
+          AS next_start
+        FROM sessions),
+      cut AS (SELECT (epoch_ms(MAX(ts)) - 7200000) * 1000 AS cut_us FROM events)
+      SELECT user_id, epoch_us(s_start) AS start_us, epoch_us(s_end) AS end_us,
+        n_events
+      FROM nxt, cut
+      WHERE next_start IS NOT NULL AND epoch_us(next_start) > cut_us
+      ORDER BY user_id, start_us""",
     // C33: per-purchase horizon count = rn − |rows at or before t−horizon|
     // (RANGE frame), alert rows where it reaches BurstK
     "streaming_burst_detect" -> """

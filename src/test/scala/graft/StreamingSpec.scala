@@ -382,6 +382,29 @@ class StreamingSpec extends SparkSpec {
     assert(extra.size < users, "every final session expired — the unflushed branch is vacuous")
   }
 
+  test("C34: batch-bootstrapped stream closes old-era sessions with their real state") {
+    val got = Streams.streamingSessionizeBootstrap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty)
+    val ev = graft.operators.Tables.events(spark, sf)
+    val cutUs = (ev.agg(max(col("ts"))).head.getTimestamp(0).getTime
+      - 2L * 3600 * 1000) * 1000
+    // THE handover: at least one emitted session STARTED in the old era —
+    // its start/count could only come from the seeded batch state
+    assert(got.exists(_._2 <= cutUs), "no session spans the bootstrap cut")
+    // and the emitted set is exactly the full-corpus sessions whose CLOSING
+    // event (the next session's start) lands in the new era
+    val all = graft.operators.Relational.eventsSession(spark, sf)
+      .select(col("user_id"), unix_micros(col("session_start")).as("st"),
+        unix_micros(col("session_end")).as("en"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = all.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val want = byUser.values.flatMap { ss =>
+      ss.zip(ss.drop(1)).collect { case (s, nx) if nx._2 > cutUs => s }
+    }.toSet
+    assert(got == want, s"emitted ${got.size} vs characterized ${want.size}")
+  }
+
   test("C33: burst detection fires exactly at the k-th in-horizon purchase") {
     // real corpus: non-vacuous and every alert's window count >= k
     val real = Streams.streamingBurstDetect(spark, sf).collect()
