@@ -192,6 +192,79 @@ object Streams {
     }
   }
 
+  /** C35 — per-user TRANSITION counting via transformWithState MAP state
+    * (round-13; completes the new API's state-primitive coverage —
+    * ValueState C30, timers C32, ListState C33, initial state C34): the
+    * behavioral Markov-chain counter — for every event after a user's
+    * first, emit (from_type → to_type) with the running count of that
+    * transition for the user. State = one ValueState (previous type) + one
+    * MapState keyed by the transition pair — bounded by |types|² per user,
+    * never stream length; MapState gives per-entry point updates (the
+    * whole point of the primitive: no read-modify-write of a full map
+    * blob). Fold order (ts, event_id) makes ties deterministic; the batch
+    * oracle is a lag + per-transition row_number.
+    */
+  case class TEv(user_id: Long, event_id: Long, ts_us: Long, event_type: String)
+  case class TransOut(user_id: Long, event_id: Long, ts_us: Long,
+      from_type: String, to_type: String, n_so_far: Long)
+
+  class TwsTransitions extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TEv, TransOut] {
+    @transient private var prev: org.apache.spark.sql.streaming.ValueState[String] = _
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[(String, String), Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      prev = getHandle.getValueState[String]("prev",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      counts = getHandle.getMapState[(String, String), Long]("counts",
+        org.apache.spark.sql.Encoders.product[(String, String)],
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(userId: Long, evs: Iterator[TEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TransOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+      var p: Option[String] = if (prev.exists()) Some(prev.get()) else None
+      evs.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        p.foreach { from =>
+          val key = (from, e.event_type)
+          val n = (if (counts.containsKey(key)) counts.getValue(key) else 0L) + 1L
+          counts.updateValue(key, n)
+          out += TransOut(userId, e.event_id, e.ts_us, from, e.event_type, n)
+        }
+        p = Some(e.event_type)
+      }
+      p.foreach(prev.update)
+      out.iterator
+    }
+  }
+
+  def streamingTypeTransitions(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_stream_trans_sink_" + sinkId.incrementAndGet()
+    import s.implicits._
+    val src = eventsStream(s, d, "event_id BIGINT, user_id BIGINT, event_type STRING")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[TEv]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateParts(s) {
+      val q = src.groupByKey(_.user_id)
+        .transformWithState(new TwsTransitions,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally saved match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.table(name)
+  }
+
   /** C34 — BATCH-BOOTSTRAP of streaming state via
     * `StatefulProcessorWithInitialState` (round-13; the migration path
     * every deployment needs — start a streaming state machine from state a
@@ -1229,6 +1302,7 @@ object Streams {
       "streaming_session_timers" -> streamingSessionTimers _,
       "streaming_burst_detect" -> streamingBurstDetect _,
       "streaming_sessionize_bootstrap" -> streamingSessionizeBootstrap _,
+      "streaming_type_transitions" -> streamingTypeTransitions _,
       "streaming_funnel" -> streamingFunnel _,
       "streaming_rate_alert" -> streamingRateAlert _,
       "streaming_freq_sketch" -> streamingFreqSketch _,
@@ -1366,6 +1440,20 @@ object Streams {
     // C30: the transformWithState twin emits under the SAME session rule —
     // one oracle text for both state APIs, so they provably cannot diverge
     "streaming_sessionize_tws" -> sessionizeOracleSql,
+    // C35: lag gives the transition; per-(user, from, to) row_number gives
+    // the running count
+    "streaming_type_transitions" -> """
+      WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_type
+        FROM events)
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        prev_type AS from_type, event_type AS to_type,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id, prev_type, event_type
+          ORDER BY ts, event_id) AS BIGINT) AS n_so_far
+      FROM o WHERE prev_type IS NOT NULL
+      ORDER BY user_id, ts_us, event_id""",
     // C34: a full-corpus session is stream-emitted iff its CLOSING event
     // (the next session's first event) lands in the new era (ts > ms-grain
     // max − 2h) — old-era-closed sessions belong to the batch job

@@ -382,6 +382,34 @@ class StreamingSpec extends SparkSpec {
     assert(extra.size < users, "every final session expired — the unflushed branch is vacuous")
   }
 
+  test("C35: MapState transition counts are dense per pair and conserve the event count") {
+    val rows = Streams.streamingTypeTransitions(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_type"),
+        r.getAs[String]("to_type"), r.getAs[Long]("n_so_far")))
+    assert(rows.nonEmpty)
+    val ev = graft.operators.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    // every event after a user's first emits exactly one transition
+    assert(rows.length.toLong == nEvents - nUsers,
+      s"${rows.length} emissions vs ${nEvents - nUsers}")
+    // running counts are dense 1..n per (user, from, to) — the MapState
+    // point-update never skips or repeats
+    rows.groupBy(t => (t._1, t._2, t._3)).foreach { case (k, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq, s"$k not dense")
+    }
+    // and the final count per pair equals the batch lag/groupBy recompute
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("user_id"), col("prev"), col("event_type")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    rows.groupBy(t => (t._1, t._2, t._3)).foreach { case (k, g) =>
+      assert(batch(k) == g.length.toLong, s"$k: ${g.length} vs ${batch(k)}")
+    }
+  }
+
   test("C34: batch-bootstrapped stream closes old-era sessions with their real state") {
     val got = Streams.streamingSessionizeBootstrap(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
