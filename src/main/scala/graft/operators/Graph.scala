@@ -152,11 +152,69 @@ object Graph {
     SELECT node, pr FROM r$PrIters ORDER BY node"""
   }
 
+  /** B71 — TRIANGLE counting on the co-purchase graph (round-13): the
+    * standard degree-ordered orientation (Cohen / "compact-forward"):
+    * every undirected edge is oriented from its lower-(deg, id) endpoint
+    * to the higher, wedges are enumerated ONLY from each vertex's
+    * out-neighborhood (Σ outdeg², bounded by m^1.5 because orientation
+    * caps outdegree at ~√m — THE device that makes triangles feasible at
+    * scale, vs Σ deg² which a hub explodes), and a wedge closes iff the
+    * oriented edge between its endpoints exists. Each triangle is
+    * enumerated exactly once; per-vertex counts come from exploding the
+    * triangle's three corners. Reads the stored edge artifact. The oracle
+    * is the id-ordered triple join (x<y<z) — a different enumeration of
+    * the same set, so a hash match proves the orientation logic.
+    */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val und = edges(s, d).filter(col("src") < col("dst"))
+      .select(col("src").as("pa"), col("dst").as("pb"))
+    val e = graft.CacheScope.scopedPersist(und)
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val ranked = e
+      .join(deg.select(col("v").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("v").as("pb"), col("deg").as("db")), "pb")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val oriented = graft.CacheScope.scopedPersist(ranked.select(
+      when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
+      when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg")))
+    val wedges = oriented.as("o1").join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") &&
+          (col("o1.ddeg") < col("o2.ddeg") ||
+            (col("o1.ddeg") === col("o2.ddeg") && col("o1.dst") < col("o2.dst"))))
+      .select(col("o1.src").as("a"), col("o1.dst").as("b"), col("o2.dst").as("c"))
+    val tris = wedges.join(oriented,
+        col("b") === col("src") && col("c") === col("dst"), "left_semi")
+    val out = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("partkey"))
+      .groupBy(col("partkey")).agg(count(lit(1)).as("n_triangles"))
+    graft.CacheScope.releaseAfterUse(out, e, oriented)
+  }
+
+  val graphTrianglesSql: String = s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= $PrMinSupport),
+    tr AS (
+      SELECT a.pa AS x, a.pb AS y, c.pb AS z
+      FROM p a JOIN p b ON b.pa = a.pa AND b.pb > a.pb
+      JOIN p c ON c.pa = a.pb AND c.pb = b.pb),
+    v AS (SELECT unnest([x, y, z]) AS partkey FROM tr)
+    SELECT partkey, COUNT(*) AS n_triangles
+    FROM v GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> pageRank _
+    "graph_pagerank" -> pageRank _,
+    "graph_triangles" -> graphTriangles _
   )
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> pageRankSql
+    "graph_pagerank" -> pageRankSql,
+    "graph_triangles" -> graphTrianglesSql
   )
 }

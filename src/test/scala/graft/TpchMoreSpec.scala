@@ -133,6 +133,38 @@ class TpchMoreSpec extends SparkSpec {
       assert(again(r.getAs[Long]("node")) == r.getAs[Double]("pr")))
   }
 
+  test("graph_triangles equals a local brute force; orientation caps outdegree at sqrt(2m)") {
+    val got = graft.operators.Graph.graphTriangles(spark, sf).collect()
+      .map(r => r.getAs[Long]("partkey") -> r.getAs[Long]("n_triangles")).toMap
+    // local brute force over the same edge definition
+    val edges = TpchMore.coPurchasePairs(spark, sf, graft.operators.Graph.PrMinSupport)
+      .select(col("pa"), col("pb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val want = scala.collection.mutable.HashMap.empty[Long, Long]
+    var total = 0L
+    for ((x, y) <- edges; z <- adj(x) if z > y && eset.contains((y, z))) {
+      total += 1
+      Seq(x, y, z).foreach(v => want(v) = want.getOrElse(v, 0L) + 1)
+    }
+    assert(total > 0, "no triangles on this corpus — vacuous")
+    assert(got == want.toMap, s"${got.size} vertices vs brute ${want.size}")
+    assert(got.values.sum == 3 * total, "corner counts do not conserve 3 per triangle")
+    // the scale claim, measured: degree orientation bounds outdegree by
+    // sqrt(2m) (a vertex with outdeg k needs k out-neighbors of degree >= k)
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val ord = Ordering.Tuple2[Long, Long]
+    val outdeg = edges.groupBy { case (a, b) =>
+      if (ord.lt((deg(a), a), (deg(b), b))) a else b
+    }.view.mapValues(_.length).toMap
+    val m = edges.length
+    assert(outdeg.values.max <= math.ceil(math.sqrt(2.0 * m)).toLong + 1,
+      s"orientation failed to cap outdegree: ${outdeg.values.max} vs sqrt(2*$m)")
+  }
+
   test("q21_late_supplier uses semi+anti joins, not a nested loop") {
     val df = TpchMore.q21LateSupplier(spark, sf)
     val plan = formatted(df)
