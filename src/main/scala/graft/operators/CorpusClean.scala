@@ -152,6 +152,80 @@ object CorpusClean {
       .select(col("doc_id"))
   }
 
+  /** H47 — SURGICAL span decontamination (round-13; the PaLM-style
+    * refinement of H2): instead of dropping a contaminated document
+    * entirely, cut only the words covered by eval-overlapping 5-grams —
+    * the policy that keeps a long clean document with one quoted benchmark
+    * sentence. Every training doc's POSITIONAL 5-grams (i → words
+    * [i, i+4]) probe the broadcast eval-gram set; removed words = the
+    * UNION of hit spans (overlapping hits merge by construction — covered
+    * indices are deduped, not summed). The report row per doc pins the
+    * whole cut decision: span hits, words removed, words kept. All
+    * integer; one training scan + the broadcast eval side; the per-doc
+    * aggregation shuffles (doc_id, index) pairs bounded by hits × 5.
+    */
+  def decontaminateSpans(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d)
+    val evalGrams = raw.filter(col("doc_id") < EvalDocs)
+      .select(explode(graft.plans.ShingleArray.shingles(
+        col("text"), DecontaminationGram)).as("g"))
+      .distinct()
+    val train = raw.filter(col("doc_id") >= EvalDocs)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"), col("ws"))
+    val hits = train
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(ws) >= $DecontaminationGram THEN " +
+          s"transform(sequence(0, size(ws) - $DecontaminationGram), " +
+          s"i -> struct(i AS i, concat_ws(' ', slice(ws, i + 1, $DecontaminationGram)) AS g)) " +
+          "ELSE array() END")).as("h"))
+      .select(col("doc_id"), col("h.i").as("i"), col("h.g").as("g"))
+      .join(broadcast(evalGrams), "g")
+    val removed = hits
+      .select(col("doc_id"), col("i"),
+        explode(expr(s"sequence(i, i + ${DecontaminationGram - 1})")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("i")).as("n_spans_hit"),
+        countDistinct(col("w")).as("words_removed"))
+    train.select(col("doc_id"), col("n_words"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans_hit"), lit(0L)).as("n_spans_hit"),
+        coalesce(col("words_removed"), lit(0L)).as("words_removed"),
+        (col("n_words") - coalesce(col("words_removed"), lit(0L))).as("words_kept"))
+  }
+
+  val decontaminateSpansSql: String = s"""
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    esh AS (
+      SELECT doc_id,
+        list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+                       for i in range(1, len(ws) - 3)]) AS s
+      FROM w WHERE len(ws) >= 5),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM esh WHERE doc_id < $EvalDocs),
+    tr AS (SELECT doc_id, ws, len(ws) AS n_words FROM w WHERE doc_id >= $EvalDocs),
+    pos AS (
+      SELECT doc_id, unnest(range(0, n_words - ${DecontaminationGram - 1})) AS i, ws
+      FROM tr WHERE n_words >= $DecontaminationGram),
+    tsh AS (
+      SELECT doc_id, i,
+        array_to_string(ws[i + 1 : i + $DecontaminationGram], ' ') AS g
+      FROM pos),
+    hits AS (SELECT t.doc_id, t.i FROM tsh t JOIN ev ON ev.g = t.g),
+    cov AS (
+      SELECT doc_id, unnest(range(i, i + $DecontaminationGram)) AS wd, i
+      FROM hits),
+    agg AS (
+      SELECT doc_id, COUNT(DISTINCT i) AS n_spans_hit,
+        COUNT(DISTINCT wd) AS words_removed
+      FROM cov GROUP BY 1)
+    SELECT tr.doc_id, CAST(tr.n_words AS BIGINT) AS n_words,
+      CAST(COALESCE(agg.n_spans_hit, 0) AS BIGINT) AS n_spans_hit,
+      CAST(COALESCE(agg.words_removed, 0) AS BIGINT) AS words_removed,
+      CAST(tr.n_words - COALESCE(agg.words_removed, 0) AS BIGINT) AS words_kept
+    FROM tr LEFT JOIN agg ON agg.doc_id = tr.doc_id
+    ORDER BY tr.doc_id"""
+
   val decontaminateSql: String = s"""
     WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
     sh AS (
@@ -1263,6 +1337,7 @@ object CorpusClean {
     "corpus_token_stats" -> tokenStats _,
     "corpus_token_budget" -> tokenBudget _,
     "corpus_decontaminate" -> decontaminate _,
+    "corpus_decontaminate_spans" -> decontaminateSpans _,
     "corpus_sample_mix" -> sampleMix _,
     "corpus_chunk" -> chunk _,
     "corpus_pack" -> pack _,
@@ -1288,6 +1363,7 @@ object CorpusClean {
     "corpus_token_stats" -> tokenStatsSql,
     "corpus_token_budget" -> tokenBudgetSql,
     "corpus_decontaminate" -> decontaminateSql,
+    "corpus_decontaminate_spans" -> decontaminateSpansSql,
     "corpus_sample_mix" -> sampleMixSql,
     "corpus_chunk" -> chunkSql,
     "corpus_pack" -> packSql,

@@ -77,6 +77,33 @@ class CorpusSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("partial_docs") > 0L))
   }
 
+  test("H47 span decontamination: agrees with H2's verdicts but cuts, not drops") {
+    val rows = CorpusClean.decontaminateSpans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_spans_hit"), r.getAs[Long]("words_removed"),
+        r.getAs[Long]("words_kept")))
+    assert(rows.nonEmpty)
+    // the hit set is EXACTLY the doc set H2 drops (one contamination rule)
+    val survivors = CorpusClean.decontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val hitDocs = rows.filter(_._3 > 0).map(_._1).toSet
+    val cleanDocs = rows.filter(_._3 == 0).map(_._1).toSet
+    assert(cleanDocs == survivors, "span verdicts drifted from H2's")
+    assert(hitDocs.nonEmpty, "no contamination on this corpus — vacuous")
+    rows.foreach { case (id, nw, h, rm, kept) =>
+      assert(kept == nw - rm && rm <= nw, s"doc $id accounting")
+      if (h > 0) assert(rm >= CorpusClean.DecontaminationGram && rm <= 5 * h,
+        s"doc $id: $h hits removed $rm words")
+      else assert(rm == 0)
+    }
+    // the policy's point: the cut is SURGICAL — some contaminated doc
+    // retains words H2 would have dropped (the fixture's contaminated docs
+    // are near-total eval duplicates, so retention is small but non-zero;
+    // the merged-union accounting above is what pins the span arithmetic)
+    assert(rows.exists(r => r._3 > 0 && r._5 > 0),
+      "no contaminated doc retained anything — the cut degenerates to H2's drop")
+  }
+
   test("H45 temperature mixing: exact integer sqrt; shares flatten toward uniform") {
     val rows = CorpusClean.mixTemperature(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
