@@ -223,6 +223,57 @@ object TextAnalysis {
       ${maskPiiSql("raw")} AS masked
     FROM raw ORDER BY doc_id"""
 
+  /** D17 — MOJIBAKE / encoding-damage detection (round-13; the ftfy-class
+    * signal every web-corpus pipeline scores before training): counts of
+    * the three canonical damage signatures — U+FFFD replacement characters
+    * (a decoder already gave up), the UTF-8-read-as-Latin-1 signature
+    * (Ã followed by a continuation-range codepoint — how "é" becomes
+    * "Ã©"), and bare C1 control codepoints (U+0080–U+009F, the cp1252
+    * round-trip residue) — plus a fixed-point damage-per-kchar score. The
+    * corpus is clean ASCII by construction, so the gate PLANTS row-varying
+    * doc_id-derived damage of all three classes (the D10 discipline); the
+    * damaged text is built from Scala unicode literals shared by both
+    * engines' query text, never chr() (Spark's chr truncates mod 256).
+    */
+  private val MojiReplRe = "\uFFFD"
+  private val MojiLatin1Re = "\u00C3[\u0080-\u00BF]"
+  private val MojiC1Re = "[\u0080-\u009F]"
+
+  private def plantMojiCol: Column = concat(col("text"),
+    expr("repeat('\uFFFD', CAST(pmod(doc_id, 3) AS INT))"),
+    expr("repeat('\u00C3\u00A9', CAST(pmod(doc_id, 4) AS INT))"),
+    expr("repeat('\u0085', CAST(pmod(doc_id, 5) AS INT))"))
+
+  private val plantMojiSql: String =
+    "text || repeat('\uFFFD', CAST(doc_id % 3 AS INT)) || " +
+      "repeat('\u00C3\u00A9', CAST(doc_id % 4 AS INT)) || " +
+      "repeat('\u0085', CAST(doc_id % 5 AS INT))"
+
+  def textMojibake(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), plantMojiCol.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(MojiReplRe)).cast("long").as("n_replacement"),
+        regexp_count(col("raw"), lit(MojiLatin1Re)).cast("long").as("n_latin1_utf8"),
+        regexp_count(col("raw"), lit(MojiC1Re)).cast("long").as("n_c1_controls"),
+        length(col("raw")).cast("long").as("n_chars"))
+      .withColumn("damage_per_kchar", expr(
+        "(1000 * (n_replacement + n_latin1_utf8 + n_c1_controls))" +
+          " DIV greatest(n_chars, 1L)"))
+
+  val textMojibakeSql: String = s"""
+    WITH raw AS (SELECT doc_id, $plantMojiSql AS raw FROM documents)
+    SELECT doc_id,
+      CAST(LENGTH(regexp_extract_all(raw, '$MojiReplRe')) AS BIGINT) AS n_replacement,
+      CAST(LENGTH(regexp_extract_all(raw, '$MojiLatin1Re')) AS BIGINT) AS n_latin1_utf8,
+      CAST(LENGTH(regexp_extract_all(raw, '$MojiC1Re')) AS BIGINT) AS n_c1_controls,
+      CAST(LENGTH(raw) AS BIGINT) AS n_chars,
+      CAST((1000 * (LENGTH(regexp_extract_all(raw, '$MojiReplRe'))
+          + LENGTH(regexp_extract_all(raw, '$MojiLatin1Re'))
+          + LENGTH(regexp_extract_all(raw, '$MojiC1Re'))))
+        // GREATEST(LENGTH(raw), 1) AS BIGINT) AS damage_per_kchar
+    FROM raw ORDER BY doc_id"""
+
   /** D11 — per-DOMAIN corpus report: URL extraction + domain-level doc/url
     * counts, the primitive behind web-corpus curation (domain allow/deny
     * lists, per-domain quality cutoffs, crawl dedup all consume exactly
@@ -696,6 +747,7 @@ object TextAnalysis {
     "text_bm25_search" -> textBm25 _,
     "text_mask_numbers" -> textMaskNumbers _,
     "text_mask_pii" -> textMaskPii _,
+    "text_mojibake" -> textMojibake _,
     "text_url_domains" -> textUrlDomains _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
@@ -713,6 +765,7 @@ object TextAnalysis {
     "text_strip_html" -> textStripHtmlSql,
     "text_bm25_search" -> textBm25Sql,
     "text_mask_pii" -> textMaskPiiSql,
+    "text_mojibake" -> textMojibakeSql,
     "text_url_domains" -> textUrlDomainsSql,
     "text_mask_numbers" -> """
       SELECT event_id,

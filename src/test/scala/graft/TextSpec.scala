@@ -143,6 +143,26 @@ class TextSpec extends SparkSpec {
       if (expNgram != "und") assert(score > 0)
     }
   }
+  test("D17 mojibake: planted damage counted exactly per class, clean text scores zero") {
+    val rows = TextAnalysis.textMojibake(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the plant is fully deterministic: each class's count is its
+      // doc_id-derived repetition (the ASCII base text matches nothing,
+      // and the classes don't bleed: '©' U+00A9 is outside the C1 range)
+      assert(r.getAs[Long]("n_replacement") == id % 3, s"doc $id repl")
+      assert(r.getAs[Long]("n_latin1_utf8") == id % 4, s"doc $id latin1")
+      assert(r.getAs[Long]("n_c1_controls") == id % 5, s"doc $id c1")
+      val dmg = id % 3 + id % 4 + id % 5
+      assert(r.getAs[Long]("damage_per_kchar") ==
+        1000 * dmg / math.max(r.getAs[Long]("n_chars"), 1L), s"doc $id score")
+    }
+    // a doc_id divisible by 60 plants nothing — the zero branch is real
+    assert(rows.exists(r => r.getAs[Long]("doc_id") % 60 == 0 &&
+      r.getAs[Long]("damage_per_kchar") == 0))
+  }
+
   test("D16 readability replays the fixed-point Flesch formulas exactly") {
     val rows = TextAnalysis.textReadability(spark, sf).collect()
     assert(rows.nonEmpty)
