@@ -866,6 +866,56 @@ object Ann {
     }
   }
 
+  /** F23 — PQ DISTORTION report (round-13; the codebook-health sibling of
+    * F22's cell balance): per subspace, the mean and max squared
+    * reconstruction error ‖sv − codeword‖² of the stored assignment — THE
+    * quantization-quality table (a subspace with outsized distortion is
+    * where ADC scores go wrong first; the retrain/re-split trigger, and
+    * the measurement behind every "PQ recall is fine at these params"
+    * claim). Reads the stored codes + codebook; the original subvectors
+    * come from one embeddings scan. Each error is computed by the shared
+    * sequential-fold dot composition (‖sv‖² − 2⟨sv,c⟩ + ‖c‖² — the same
+    * expression text as the oracle, IEEE-identical), rounded once to the
+    * 2^20 grid, then summed in exact integers — mean is a floor division.
+    * 16-row output.
+    */
+  def pqDistortionReport(s: SparkSession, d: String): DataFrame = {
+    val dir = pqIndexDir(s, d)
+    val cb = s.read.parquet(s"$dir/codebook")
+    val ev = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val assigned = s.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cell")))
+    subVectors(ev).join(assigned, Seq("vec_id", "sub"))
+      .join(broadcast(cb), Seq("sub", "cell"))
+      .withColumn("se", round((
+        graft.plans.DotProduct.dot(col("sv"), col("sv")) -
+          lit(2.0) * graft.plans.DotProduct.dot(col("sv"), col("cv")) +
+          graft.plans.DotProduct.dot(col("cv"), col("cv"))) * lit(PqScale))
+        .cast("long"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("se")).as("sum_se"),
+        max(col("se")).as("max_se_units"))
+      .select(col("sub"), col("n_vecs"),
+        expr("sum_se DIV n_vecs").as("mse_units"), col("max_se_units"))
+  }
+
+  private def pqDistortionSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ${pqChainCtes("")},
+    se AS (
+      SELECT a.sub,
+        CAST(ROUND((list_dot_product(t.sv, t.sv)
+            - 2 * list_dot_product(t.sv, c.cv)
+            + list_dot_product(c.cv, c.cv)) * 1048576.0) AS BIGINT) AS se
+      FROM paf a
+      JOIN sv t ON t.vec_id = a.vec_id AND t.sub = a.sub
+      JOIN cb c ON c.sub = a.sub AND c.cell = a.cell)
+    SELECT CAST(sub AS INTEGER) AS sub, COUNT(*) AS n_vecs,
+      CAST(SUM(se) // COUNT(*) AS BIGINT) AS mse_units,
+      CAST(MAX(se) AS BIGINT) AS max_se_units
+    FROM se GROUP BY 1 ORDER BY 1"""
+
   /** Per-query fixed-point ADC tables against the stored codebook:
     * (qid, dt[PqSubs*PqK], qn) — shared by F10 and the F15 IVFPQ cascade
     * so the ADC arithmetic exists once. */
@@ -1612,6 +1662,7 @@ object Ann {
     "ann_binary_topk" -> binaryTopK _,
     "dedup_semantic" -> semanticDedup _,
     "ann_ivf_cell_report" -> ivfCellReport _,
+    "emb_pq_distortion" -> pqDistortionReport _,
     "ann_pq_topk" -> pqTopK _,
     "ann_brute_topk" -> bruteTopK _,
     "ann_lsh_topk" -> lshTopK _,
@@ -1953,6 +2004,7 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "dedup_semantic" -> semanticDedupSql,
     "ann_ivf_cell_report" -> ivfCellReportSql,
+    "emb_pq_distortion" -> pqDistortionSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_ivfpq_topk" -> ivfpqOracleSql,
     "ann_matryoshka_recall" -> matryoshkaRecallSql,

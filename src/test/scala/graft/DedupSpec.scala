@@ -746,6 +746,32 @@ class DedupSpec extends SparkSpec {
       s"cell $cell0 mean: ${rows.find(_._1 == cell0).get._4} vs $want")
   }
 
+  test("pq distortion: codes are the L2 argmin; quantization beats the zero codebook") {
+    val rep = Ann.pqDistortionReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.length == Ann.PqSubs)
+    val nVecs = graft.operators.Tables.embeddings(spark, sf).count()
+    rep.foreach { case (sub, n, mse, mx) =>
+      assert(n == nVecs, s"sub $sub covers $n of $nVecs")
+      assert(mse >= 0 && mx >= mse, s"sub $sub: mse $mse max $mx")
+    }
+    // quantization gains: per-sub MSE strictly below the subvectors' own
+    // mean second moment (the error of an all-zeros codebook)
+    val vecs = graft.operators.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.transform(
+        col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    val scale = (1L << 20).toDouble
+    for (sub <- 0 until Ann.PqSubs) {
+      val m2 = vecs.map { v =>
+        val s0 = sub * Ann.PqSubDim
+        (0 until Ann.PqSubDim).map(i => v(s0 + i) * v(s0 + i)).sum
+      }.sum / vecs.length * scale
+      val mse = rep.find(_._1 == sub).get._3
+      assert(mse < m2, s"sub $sub: mse $mse not below zero-codebook $m2")
+    }
+  }
+
   test("ivf sampled training: bounded Lloyd scans, full-corpus assignment, recall holds") {
     // SURVEY §5's 100 TB claim as code: with graft.ann.trainSampleRows below
     // the corpus size, k-means trains on a deterministic splitmix64 residue
