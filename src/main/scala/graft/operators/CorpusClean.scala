@@ -411,6 +411,49 @@ object CorpusClean {
           .otherwise("test").as("split"))
   }
 
+  /** H48 — STRATIFIED train/val/test split (round-13; H6's hash split made
+    * exact-per-stratum): H6's bucket rule hits 90/5/5 only in expectation —
+    * a small source can land val-empty, which breaks per-source eval. Here
+    * every source is split at EXACT floor boundaries of its own
+    * deterministic hash order (rank by splitmix64(doc_id): first ⌊90%⌋
+    * train, next ⌊95%⌋−⌊90%⌋ val, rest test) — per-stratum proportions
+    * guaranteed to within one document, still stable under reruns and
+    * engine changes. One scan + the per-source rank window (partitioned —
+    * strata distribute). Spec pins the exact per-source count arithmetic,
+    * the partition property, and determinism.
+    */
+  def splitStratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("hv", graft.plans.MixHash.splitmix64Col(col("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"),
+        when(col("rk") * 100 <= col("n") * 90, "train")
+          .when(col("rk") * 100 <= col("n") * 95, "val")
+          .otherwise("test").as("split"))
+
+  val splitStratifiedSql: String = {
+    import graft.plans.MixHash._
+    s"""
+    WITH s0 AS (SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS z FROM documents),
+    s1 AS (SELECT doc_id, source, ${sqlMixStep1("z")} AS z FROM s0),
+    s2 AS (SELECT doc_id, source, ${sqlMixStep2("z")} AS z FROM s1),
+    s3 AS (SELECT doc_id, source, ${sqlMixStep3("z")} AS z FROM s2),
+    s4 AS (SELECT doc_id, source, ${sqlMixStep4("z")} AS z FROM s3),
+    sg AS (SELECT doc_id, source, ${sqlToSigned("z")} AS hv FROM s4),
+    rk AS (
+      SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk,
+        COUNT(*) OVER (PARTITION BY source) AS n
+      FROM sg)
+    SELECT doc_id, source,
+      CASE WHEN rk * 100 <= n * 90 THEN 'train'
+           WHEN rk * 100 <= n * 95 THEN 'val'
+           ELSE 'test' END AS split
+    FROM rk ORDER BY doc_id"""
+  }
+
   /** Shared H6 oracle fragments: the splitmix64 replay chain ending in
     * `spl(doc_id, bucket, split)`. Composed by the H6 oracle itself and by
     * downstream auditors (H17) so the 90/5/5 thresholds and the hash replay
@@ -1334,6 +1377,7 @@ object CorpusClean {
     "corpus_row_ids" -> rowIds _,
     "corpus_sample_weighted" -> sampleWeighted _,
     "corpus_split" -> trainSplit _,
+    "corpus_split_stratified" -> splitStratified _,
     "corpus_token_stats" -> tokenStats _,
     "corpus_token_budget" -> tokenBudget _,
     "corpus_decontaminate" -> decontaminate _,
@@ -1360,6 +1404,7 @@ object CorpusClean {
     "corpus_prepare" -> corpusPrepareSql,
     "corpus_prepare_v2" -> corpusPrepareV2Sql,
     "corpus_split" -> splitSql,
+    "corpus_split_stratified" -> splitStratifiedSql,
     "corpus_token_stats" -> tokenStatsSql,
     "corpus_token_budget" -> tokenBudgetSql,
     "corpus_decontaminate" -> decontaminateSql,

@@ -77,6 +77,31 @@ class CorpusSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("partial_docs") > 0L))
   }
 
+  test("H48 stratified split: exact per-source floor boundaries, partition, determinism") {
+    val rows = CorpusClean.splitStratified(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("split")))
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == total, "split does not partition the corpus")
+    // exact floor arithmetic per source: train = floor(0.9n), val =
+    // floor(0.95n) - floor(0.9n), test = rest
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val n = g.length.toLong
+      val counts = g.groupBy(_._3).view.mapValues(_.length.toLong)
+        .toMap.withDefaultValue(0L)
+      assert(counts("train") == n * 90 / 100, s"$src train")
+      assert(counts("val") == n * 95 / 100 - n * 90 / 100, s"$src val")
+      assert(counts("test") == n - n * 95 / 100, s"$src test")
+      // unlike H6's expectation-only buckets, every stratum of this corpus
+      // gets a non-empty val set
+      assert(counts("val") > 0 && counts("test") > 0, s"$src empty eval split")
+    }
+    val again = CorpusClean.splitStratified(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
+    rows.foreach { case (id, _, sp) => assert(again(id) == sp) }
+  }
+
   test("H47 span decontamination: agrees with H2's verdicts but cuts, not drops") {
     val rows = CorpusClean.decontaminateSpans(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
