@@ -4,13 +4,14 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The end-to-end data-prep composite is the engine's identity piece:
-    * quality gate + language ID + exact dedup + eval-set decontamination +
-    * per-source length trim fused into ONE Catalyst plan, reduced to
-    * per-source corpus stats.
+    * The end-to-end data-prep composite V2 is the engine's identity piece:
+    * quality gate + language ID + keep-BEST near-dup dedup + eval-set
+    * decontamination + per-source trim + LEARNED-BPE token accounting +
+    * water-filling mix allocation, fused into one Catalyst plan over three
+    * documents scans plus two fingerprint-versioned artifact reads.
     */
   def entry(spark: SparkSession): DataFrame =
-    CorpusClean.corpusPrepare(spark, "/root/testdata/sf0.001")
+    CorpusClean.corpusPrepareV2(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ TpchMore.queries ++ Graph.queries ++ BeamParity.queries ++ TextAnalysis.queries ++
