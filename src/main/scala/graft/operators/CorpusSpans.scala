@@ -184,6 +184,55 @@ object CorpusSpans {
     SELECT bigram, COUNT(*) AS n FROM g
     GROUP BY 1 ORDER BY n DESC, bigram LIMIT $TopNgrams"""
 
+  /** H49 — n-gram NOVELTY per document (round-13; the diversity /
+    * memorization-risk signal): the fraction of a document's DISTINCT
+    * 5-grams that appear NOWHERE else in the corpus (df = 1). A doc with
+    * near-zero novelty is assembled from corpus-common phrasing
+    * (boilerplate/template risk); near-one is unique content — the
+    * per-document diversity ranking data-mixing work thresholds on, and
+    * the denominator side of every "how much would the model memorize"
+    * estimate. One inverted pass: per-doc distinct 5-grams → gram-keyed df
+    * agg (vocabulary-sized shuffle, never corpus-quadratic) → join back
+    * per doc. Fixed-point bps; short docs (< 5 words) report zero grams.
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val dg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.plans.ShingleArray.shingles(
+        col("text"), CorpusClean.DecontaminationGram)).as("g"))
+    val df5 = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val per = dg.join(df5, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("(10000 * coalesce(n_novel, 0L)) DIV greatest(coalesce(n_grams, 0L), 1L)")
+          .as("novel_bps"))
+  }
+
+  val ngramNoveltySql: String = s"""
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+    dg AS (
+      SELECT doc_id, unnest(list_distinct(
+        [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+         for i in range(1, len(ws) - 3)])) AS g
+      FROM w WHERE len(ws) >= 5),
+    df5 AS (SELECT g, COUNT(*) AS df FROM dg GROUP BY 1),
+    per AS (
+      SELECT dg.doc_id, COUNT(*) AS n_grams,
+        CAST(SUM(CASE WHEN df5.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM dg JOIN df5 USING (g) GROUP BY 1)
+    SELECT d.doc_id,
+      CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+      CAST((10000 * COALESCE(per.n_novel, 0))
+        // GREATEST(COALESCE(per.n_grams, 0), 1) AS BIGINT) AS novel_bps
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
   /** H16 — contamination SCORING (the graded companion to H2's binary
     * decontamination gate): per training document, the fraction of its
     * distinct 5-grams that appear in the eval set. Pipelines threshold this
@@ -978,6 +1027,7 @@ object CorpusSpans {
     "corpus_span_dedup_anchor" -> spanDedupAnchor _,
     "corpus_pii_report" -> piiReport _,
     "corpus_ngram_counts" -> ngramCounts _,
+    "corpus_ngram_novelty" -> ngramNovelty _,
     "corpus_contamination_score" -> contaminationScore _,
     "corpus_split_leakage" -> splitLeakage _,
     "corpus_dedup_report" -> dedupReport _
@@ -995,6 +1045,7 @@ object CorpusSpans {
     "corpus_span_dedup" -> spanDedupSql,
     "corpus_span_dedup_anchor" -> spanDedupAnchorSql,
     "corpus_ngram_counts" -> ngramCountsSql,
+    "corpus_ngram_novelty" -> ngramNoveltySql,
     "corpus_contamination_score" -> contaminationScoreSql,
     "corpus_split_leakage" -> splitLeakageSql,
     "corpus_dedup_report" -> dedupReportSql,

@@ -359,6 +359,40 @@ class SignalsSpansSpec extends SparkSpec {
       s"planted merge: ${planted.toSeq}")
   }
 
+  test("H49 ngram novelty: exact duplicates score zero; novel mass conserves global df=1") {
+    val rows = CorpusSpans.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Long]("novel_bps")))
+    assert(rows.nonEmpty && rows.length ==
+      Tables.documents(spark, sf).count().toInt)
+    rows.foreach { case (id, ng, nv, bps) =>
+      assert(nv <= ng, s"doc $id novel $nv > grams $ng")
+      assert(bps == 10000 * nv / math.max(ng, 1), s"doc $id bps")
+    }
+    // planted fixture: identical twins share every 5-gram (novelty 0);
+    // a unique doc's grams appear nowhere else (novelty 10000)
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-novel").toString
+    val twin = (1 to 8).map(i => s"twin word number $i").mkString(" ")
+    val uniq = (1 to 8).map(i => s"only here token $i").mkString(" ")
+    Seq((1L, twin, "en", "src0", twin.length.toLong),
+        (2L, twin, "en", "src0", twin.length.toLong),
+        (3L, uniq, "en", "src1", uniq.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = CorpusSpans.ngramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("novel_bps")).toMap
+    assert(planted(1L) == 0 && planted(2L) == 0 && planted(3L) == 10000,
+      s"planted novelty: $planted")
+    // conservation: Σ per-doc novel grams == the number of df=1 grams
+    val globalNovel = Tables.documents(spark, sf)
+      .select(explode(graft.plans.ShingleArray.shingles(
+        col("text"), graft.operators.CorpusClean.DecontaminationGram)).as("g"))
+      .groupBy(col("g")).count().filter(col("count") === 1).count()
+    assert(rows.map(_._3).sum == globalNovel, "novel mass not conserved")
+    assert(rows.exists(_._4 > 5000), "no high-novelty doc — signal vacuous")
+  }
+
   test("interval overlap join equals the all-pairs brute force; ownership dedup holds") {
     val got = Signals.joinIntervalOverlap(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
