@@ -229,6 +229,30 @@ object Relational {
       .select(col("o_orderkey"), col("prev_date"))
   }
 
+  /** B14c — FORWARD as-of join (round-13; B14 mirrored): each order ← the
+    * EARLIEST strictly-later order date of the same customer — the
+    * "time-to-next-event" primitive behind churn/repeat-purchase features
+    * (B14 looks back; real feature pipelines need both directions). Same
+    * union-window device, reflected: rights sort BEFORE lefts at equal t,
+    * so the current-row→following frame excludes same-instant rights —
+    * strict ">" without a second pass. One shuffle on the key.
+    */
+  def asofJoinForward(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val dateType = o.schema("o_orderdate").dataType.sql
+    val left = o.select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      col("o_orderkey"), lit(1).as("side"), lit(null).cast(dateType).as("rdate"))
+    val right = o.select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(null).cast("long").as("o_orderkey"), lit(0).as("side"),
+      col("o_orderdate").as("rdate"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    left.unionByName(right)
+      .withColumn("next_date", min(col("rdate")).over(w))
+      .filter(col("side") === 1)
+      .select(col("o_orderkey"), col("next_date"))
+  }
+
   /** B14b — the same as-of semantics through the custom operator stack
     * (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec, a co-partitioned
     * sort-merge as-of). Shares `asof_join`'s oracle: both paths must produce
@@ -723,6 +747,7 @@ object Relational {
     "rollup_agg" -> rollupAgg _,
     "cube_agg" -> cubeAgg _,
     "asof_join" -> asofJoin _,
+    "asof_join_forward" -> asofJoinForward _,
     "asof_join_exec" -> asofJoinExec _,
     "json_extract" -> jsonExtract _,
     "agg_percentiles" -> aggPercentiles _,
@@ -827,6 +852,11 @@ object Relational {
       SELECT o1.o_orderkey,
         (SELECT max(o2.o_orderdate) FROM orders o2
          WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderdate < o1.o_orderdate) AS prev_date
+      FROM orders o1 ORDER BY o1.o_orderkey""",
+    "asof_join_forward" -> """
+      SELECT o1.o_orderkey,
+        (SELECT min(o2.o_orderdate) FROM orders o2
+         WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderdate > o1.o_orderdate) AS next_date
       FROM orders o1 ORDER BY o1.o_orderkey""",
     "asof_join_exec" -> """
       SELECT o1.o_orderkey,

@@ -13,6 +13,39 @@ class AsOfSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("forward as-of: strictly later, brackets with backward, last order unmatched") {
+    // NTZ dates compare as epoch micros (getTimestamp throws on NTZ rows)
+    val fwd = Relational.asofJoinForward(spark, sf)
+      .select(col("o_orderkey"), unix_micros(col("next_date").cast("timestamp")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val bwd = Relational.asofJoin(spark, sf)
+      .select(col("o_orderkey"), unix_micros(col("prev_date").cast("timestamp")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val ordersUs = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dates = ordersUs.map(r => r._2 -> r._3).toMap
+    assert(fwd.size == dates.size && fwd.keySet == bwd.keySet)
+    fwd.foreach { case (k, nx) =>
+      nx.foreach(t => assert(t > dates(k), s"order $k next not after own date"))
+      bwd(k).foreach(p => assert(p < dates(k), s"order $k prev not before"))
+    }
+    // every customer's last order has no next (and someone's does exist)
+    assert(fwd.values.exists(_.isEmpty) && fwd.values.exists(_.nonEmpty))
+    // exact duality against the per-customer sorted timeline (sample)
+    ordersUs.groupBy(_._1).values.take(50).foreach { rows =>
+      val tl = rows.map(r => (r._2, r._3))
+      tl.foreach { case (k, t) =>
+        val later = tl.map(_._2).filter(_ > t)
+        val expect = if (later.isEmpty) None else Some(later.min)
+        assert(fwd(k) == expect, s"order $k forward mismatch")
+      }
+    }
+  }
+
   test("non-strict as-of matches equal timestamps; null when no prior row") {
     val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
       .toDF("k", "t", "tag")
