@@ -62,6 +62,9 @@ object PlanAudit {
     // ann_ivf_cell_report: the 1-row corpus total over k per-cell partials
     // — the combine_global shape
     "ann_ivf_cell_report",
+    // corpus_pack_report: the 1-row audit over per-pack partials —
+    // combine_global over the H5 frame
+    "corpus_pack_report",
     // hll_distinct: 256 fixed-size register rows reduced to the one-row
     // estimate — the same tiny-global-aggregate shape as combine_global
     "hll_distinct",

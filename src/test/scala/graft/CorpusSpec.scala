@@ -77,6 +77,26 @@ class CorpusSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("partial_docs") > 0L))
   }
 
+  test("H50 pack report: reconciles against the per-pack frame; overhead honest") {
+    val r = CorpusClean.packReport(spark, sf).head()
+    val packs = CorpusClean.pack(spark, sf).collect()
+      .map(_.getAs[Long]("n_tokens"))
+    assert(r.getAs[Long]("n_packs") == packs.length.toLong)
+    assert(r.getAs[Long]("total_tokens") == packs.sum)
+    assert(r.getAs[Long]("n_overflow") ==
+      packs.count(_ > CorpusClean.PackBudget).toLong)
+    val ideal = (packs.sum + CorpusClean.PackBudget - 1) / CorpusClean.PackBudget
+    assert(r.getAs[Long]("ideal_packs") == ideal)
+    // the packer can never beat the LP bound, and this corpus's per-group
+    // remainders make the overhead strictly positive (honest, not hidden)
+    assert(r.getAs[Long]("n_packs") >= ideal)
+    assert(r.getAs[Long]("overhead_bps") ==
+      10000 * (packs.length - ideal) / math.max(ideal, 1L))
+    assert(r.getAs[Long]("overhead_bps") > 0, "overhead vacuous on this corpus")
+    assert(r.getAs[Long]("mean_fill_bps") ==
+      10000 * packs.sum / (packs.length * CorpusClean.PackBudget))
+  }
+
   test("H48 stratified split: exact per-source floor boundaries, partition, determinism") {
     val rows = CorpusClean.splitStratified(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
