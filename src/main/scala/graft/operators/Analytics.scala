@@ -76,6 +76,74 @@ object Analytics {
       .unionByName(stage(pu, 3, "purchase"))
   }
 
+  /** C36 — TIME-TO-CONVERT report (round-13; the latency companion of C8's
+    * count funnel — product analytics asks "how long", not just "how
+    * many"): per funnel transition, the converting-user count and the
+    * exact nearest-rank median and p90 of the transition latency. Stage
+    * timestamps use C8's exact derivation (same constants, same strictly-
+    * after + purchase-window rules); percentiles are the deterministic
+    * lower nearest-rank ((n+1) DIV 2, (9n+9) DIV 10) over a per-stage rank
+    * window with (delta, user_id) tiebreaks — all integer µs, no float
+    * percentile anywhere. Per-stage frames are converting-users-sized.
+    */
+  def eventsFunnelTime(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_signup"))
+    val vw = ev.filter(col("event_type") === "view")
+      .join(su, "user_id")
+      .filter(col("ts") > col("ts_signup"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_view"), min(col("ts_signup")).as("ts_signup"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(vw.select(col("user_id"), col("ts_view")), "user_id")
+      .filter(col("ts") > col("ts_view") &&
+        unix_micros(col("ts")) - unix_micros(col("ts_view")) <= FunnelPurchaseWindowUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_purchase"), min(col("ts_view")).as("ts_view"))
+    val deltas = vw.select(lit("signup_to_view").as("stage"), col("user_id"),
+        (unix_micros(col("ts_view")) - unix_micros(col("ts_signup"))).as("delta"))
+      .unionByName(pu.select(lit("view_to_purchase").as("stage"), col("user_id"),
+        (unix_micros(col("ts_purchase")) - unix_micros(col("ts_view"))).as("delta")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("stage"))
+    deltas
+      .withColumn("rk", row_number().over(w.orderBy(col("delta"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rk") === expr("(n + 1) DIV 2") || col("rk") === expr("(9 * n + 9) DIV 10"))
+      .groupBy(col("stage"))
+      .agg(max(col("n")).as("n_users"),
+        max(when(col("rk") === expr("(n + 1) DIV 2"), col("delta"))).as("median_us"),
+        max(when(col("rk") === expr("(9 * n + 9) DIV 10"), col("delta"))).as("p90_us"))
+  }
+
+  val eventsFunnelTimeSql: String = s"""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS ts_signup FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    vw AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_view, MIN(su.ts_signup) AS ts_signup
+      FROM events e JOIN su USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > su.ts_signup GROUP BY 1),
+    pu AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_purchase, MIN(vw.ts_view) AS ts_view
+      FROM events e JOIN vw USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > vw.ts_view
+        AND epoch_us(e.ts) - epoch_us(vw.ts_view) <= $FunnelPurchaseWindowUs
+      GROUP BY 1),
+    d AS (
+      SELECT 'signup_to_view' AS stage, user_id,
+        epoch_us(ts_view) - epoch_us(ts_signup) AS delta FROM vw
+      UNION ALL
+      SELECT 'view_to_purchase', user_id,
+        epoch_us(ts_purchase) - epoch_us(ts_view) FROM pu),
+    r AS (
+      SELECT stage, delta,
+        ROW_NUMBER() OVER (PARTITION BY stage ORDER BY delta, user_id) AS rk,
+        COUNT(*) OVER (PARTITION BY stage) AS n
+      FROM d)
+    SELECT stage, CAST(MAX(n) AS BIGINT) AS n_users,
+      CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN delta END) AS BIGINT) AS median_us,
+      CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN delta END) AS BIGINT) AS p90_us
+    FROM r GROUP BY stage ORDER BY stage"""
+
   /** B31 — fixed-width histogram: bin key computed in the scan's codegen
     * stage, one shuffle into ~10 bins. The no-surprises building block for
     * distribution profiling at any scale.
@@ -752,6 +820,7 @@ object Analytics {
     "q18_large_volume" -> q18LargeVolume _,
     "grouping_sets_agg" -> groupingSetsAgg _,
     "event_funnel" -> eventFunnel _,
+    "events_funnel_time" -> eventsFunnelTime _,
     "hist_bins" -> histBins _,
     "merge_upsert" -> mergeUpsert _,
     "join_bloom_prune" -> joinBloomPrune _,
@@ -798,6 +867,7 @@ object Analytics {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "events_funnel_time" -> eventsFunnelTimeSql,
     "event_funnel" -> s"""
       WITH s AS (SELECT user_id, MIN(ts) AS ts_signup FROM events
                  WHERE event_type = 'signup' GROUP BY 1),

@@ -471,6 +471,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("C36 funnel time: counts agree with C8; percentiles equal a local nearest-rank recount") {
+    val got = Analytics.eventsFunnelTime(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("median_us"), r.getAs[Long]("p90_us"))).toMap
+    assert(got.keySet == Set("signup_to_view", "view_to_purchase"))
+    // user counts must equal C8's stage counts (one funnel definition)
+    val funnel = Analytics.eventFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(got("signup_to_view")._1 == funnel("view"))
+    assert(got("view_to_purchase")._1 == funnel("purchase"))
+    got.values.foreach { case (n, med, p90) =>
+      assert(n > 0 && med > 0 && p90 >= med, s"($n, $med, $p90)")
+    }
+    // local nearest-rank recount of one stage from the raw events
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val su = ev.filter(_._2 == "signup").groupBy(_._1).view.mapValues(_.map(_._3).min)
+    val deltas = ev.filter(_._2 == "view").groupBy(_._1).flatMap { case (u, vs) =>
+      su.get(u).flatMap { t0 =>
+        val later = vs.map(_._3).filter(_ > t0)
+        if (later.isEmpty) None else Some(later.min - t0)
+      }
+    }.toArray.sorted
+    assert(deltas.length.toLong == got("signup_to_view")._1)
+    assert(got("signup_to_view")._2 == deltas((deltas.length + 1) / 2 - 1))
+    assert(got("signup_to_view")._3 == deltas((9 * deltas.length + 9) / 10 - 1))
+  }
+
   test("corpus_prepare_v2: waterfill arithmetic holds and the plan stays scan-bounded") {
     val df = CorpusClean.corpusPrepareV2(spark, sf)
     val rows = df.collect()
