@@ -293,6 +293,27 @@ object Signals {
       MIN(ts) AS valid_from, MAX(ts) AS valid_to, COUNT(*) AS n_events
     FROM numbered GROUP BY 1, 2, 3 ORDER BY user_id, island"""
 
+  /** B69 hot-bucket occupancy cap (round-14, verdict item 4): one busy hour
+    * × hot event type makes the per-bucket self-join Θ(m²) with nothing
+    * bounding m — the same mega-cluster blowup E3/E4 cap with
+    * `maxBandBucket`. Same discipline here: buckets at or under the cap
+    * enumerate all pairs; an OVERSIZED (bucket, type) switches to a star —
+    * every member pairs only with the bucket representative (min
+    * (user_id, island) interval), m−1 candidates, so the hottest bucket
+    * costs linear, not quadratic. Recall trade, documented like
+    * MaxBandBucketDefault: member–member overlaps inside an oversized
+    * bucket whose overlap STARTS there are not emitted (a pair whose
+    * overlap starts in a sub-cap bucket is still emitted by that bucket's
+    * all-pairs path). No-op below the cap — the gate corpora peak at ~51
+    * intervals per (hour, type) at sf0.1, so CORRECTNESS and the oracle
+    * are unchanged. Overridable via `graft.interval.maxBucketOccupancy`.
+    */
+  val MaxBucketOccupancyDefault = 10000L
+
+  private[graft] def maxBucketOccupancy(s: SparkSession): Long =
+    s.conf.getOption("graft.interval.maxBucketOccupancy")
+      .map(_.toLong).getOrElse(MaxBucketOccupancyDefault)
+
   /** B69 — INTERVAL-OVERLAP join (round-13): pairs of intervals that
     * intersect in time — the temporal-join shape Spark has no native
     * operator for (B26's range join is point-in-interval; this is
@@ -301,24 +322,51 @@ object Signals {
     * spans intersect. The SCALE DEVICE is time binning: each interval
     * explodes to the hour buckets it covers, the join keys on
     * (bucket, type) — so the quadratic work is per-bucket, bounded by
-    * bucket occupancy, never all-pairs — and the classic duplicate
+    * bucket occupancy (itself capped: see [[MaxBucketOccupancyDefault]]),
+    * never all-pairs — and the classic duplicate
     * problem (one pair overlapping in many buckets) is solved WITHOUT a
     * distinct shuffle: only the bucket containing the overlap START emits
     * the pair (ownership rule — every emitted pair has exactly one such
-    * bucket). Exact-µs overlap lengths; oracle is the quadratic
-    * formulation DuckDB can afford at sf.
+    * bucket; star candidates pass the same filter, so a pair can never be
+    * emitted by both paths). Exact-µs overlap lengths; oracle is the
+    * quadratic formulation DuckDB can afford at sf.
     */
   def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
-    val binned = eventsStateIntervals(s, d)
+    val binned = graft.CacheScope.scopedPersist(eventsStateIntervals(s, d)
       .select(col("user_id"), col("island"), col("event_type"),
         col("valid_from"), col("valid_to"))
       .withColumn("bkt", explode(expr(
-        "sequence(date_trunc('hour', valid_from), date_trunc('hour', valid_to), interval 1 hour)")))
-    def side(p: String) = binned.select(col("user_id").as(s"${p}_user"),
+        "sequence(date_trunc('hour', valid_from), date_trunc('hour', valid_to), interval 1 hour)"))))
+    // occupancy stats via the E3 key-sized-aggregate device: only oversized
+    // (bkt, type) keys come back non-null, AQE broadcasts the tiny key table
+    val stats = graft.dedup.Dedup.withBucketStats(binned, Seq("bkt", "event_type"),
+      struct(col("user_id"), col("island"), col("valid_from"), col("valid_to")),
+      maxBucketOccupancy(s))
+    val small = stats.filter(col("bn").isNull)
+    def side(p: String) = small.select(col("user_id").as(s"${p}_user"),
       col("island").as(s"${p}_island"), col("event_type"),
       col("valid_from").as(s"${p}_from"), col("valid_to").as(s"${p}_to"),
       col("bkt"))
-    side("a").join(side("b"), Seq("bkt", "event_type"))
+    val allPairs = side("a").join(side("b"), Seq("bkt", "event_type"))
+    // oversized buckets: member → representative stars, canonicalized by
+    // user so the shared a_user < b_user contract applies unchanged
+    val repIsA = col("rep.user_id") < col("user_id")
+    val starPairs = stats
+      .filter(col("bn").isNotNull &&
+        !(col("user_id") === col("rep.user_id") && col("island") === col("rep.island")))
+      .select(col("bkt"), col("event_type"),
+        when(repIsA, col("rep.user_id")).otherwise(col("user_id")).as("a_user"),
+        when(repIsA, col("rep.island")).otherwise(col("island")).as("a_island"),
+        when(repIsA, col("rep.valid_from")).otherwise(col("valid_from")).as("a_from"),
+        when(repIsA, col("rep.valid_to")).otherwise(col("valid_to")).as("a_to"),
+        when(repIsA, col("user_id")).otherwise(col("rep.user_id")).as("b_user"),
+        when(repIsA, col("island")).otherwise(col("rep.island")).as("b_island"),
+        when(repIsA, col("valid_from")).otherwise(col("rep.valid_from")).as("b_from"),
+        when(repIsA, col("valid_to")).otherwise(col("rep.valid_to")).as("b_to"))
+    val cand = Seq("bkt", "event_type", "a_user", "a_island", "a_from", "a_to",
+      "b_user", "b_island", "b_from", "b_to")
+    val out = allPairs.select(cand.map(col): _*)
+      .unionByName(starPairs.select(cand.map(col): _*))
       .filter(col("a_user") < col("b_user"))
       .filter(col("a_from") <= col("b_to") && col("b_from") <= col("a_to"))
       .filter(expr("date_trunc('hour', greatest(a_from, b_from)) = bkt"))
@@ -326,6 +374,7 @@ object Signals {
         col("event_type"),
         (unix_micros(least(col("a_to"), col("b_to"))) -
           unix_micros(greatest(col("a_from"), col("b_from")))).as("overlap_us"))
+    graft.CacheScope.releaseAfterUse(out, binned)
   }
 
   val joinIntervalOverlapSql: String = """

@@ -430,6 +430,37 @@ class SignalsSpansSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap hot-bucket cap bounds an oversized bucket to a star (planted mega-bucket)") {
+    // 300 same-type single-point intervals land in ONE (hour, type) bucket:
+    // uncapped the bucket self-join enumerates C(300,2) pairs — the B69
+    // blowup. Capped, the oversized bucket emits member->representative
+    // stars (299 pairs anchored at the min interval); sub-cap buckets are
+    // untouched.
+    val root = java.nio.file.Files.createTempDirectory("graft-hotbkt").toString
+    val s = spark
+    import s.implicits._
+    val hotTs = java.sql.Timestamp.valueOf("2024-01-01 12:30:00")
+    val coldTs = java.sql.Timestamp.valueOf("2024-01-02 03:10:00")
+    val hot = (0L until 300L).map(u => (u, hotTs, u, "hot", 1.0, "{}"))
+    val cold = (1000L to 1002L).map(u => (u, coldTs, u, "cold", 1.0, "{}"))
+    (hot ++ cold).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$root/events.parquet")
+    spark.conf.set("graft.interval.maxBucketOccupancy", "50")
+    try {
+      val got = Signals.joinIntervalOverlap(spark, root).collect()
+      val hotPairs = got.filter(_.getString(4) == "hot")
+      val coldPairs = got.filter(_.getString(4) == "cold")
+      assert(hotPairs.length == 299, s"hot bucket not star-bounded: ${hotPairs.length}")
+      assert(hotPairs.forall(r => r.getLong(0) == 0L && r.getLong(5) == 0L),
+        "star pairs not anchored at the bucket representative")
+      assert(coldPairs.length == 3, s"sub-cap bucket pairs changed: ${coldPairs.length}")
+    } finally spark.conf.unset("graft.interval.maxBucketOccupancy")
+    // below the (default) cap the same bucket enumerates all pairs unchanged
+    val all = Signals.joinIntervalOverlap(spark, root).collect()
+    assert(all.count(_.getString(4) == "hot") == 300 * 299 / 2,
+      "default cap engaged at gate scale — it must be a no-op")
+  }
+
   test("state intervals partition the stream into alternating maximal runs") {
     val rows = Signals.eventsStateIntervals(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum ==
