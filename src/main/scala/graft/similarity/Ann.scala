@@ -1269,6 +1269,74 @@ object Ann {
     FROM af LEFT JOIN prs ON prs.dup = af.vec_id
     WHERE prs.dup IS NULL ORDER BY af.vec_id"""
 
+  /** F24 — distributed kNN JOIN (round-14, verdict item 2): EVERY corpus
+    * row gets its top-k neighbors from the stored IVF index — the
+    * retrieval-augmentation / corpus-enrichment shape (kNN-LM-style
+    * neighbor tables, per-document dedup scoring) where the query side is
+    * itself a corpus-scale table, so the F1-F15 bounded-query device
+    * (collect + broadcast the ≤[[NumQueries]] block, [[bruteTopK]]) is
+    * exactly what must NOT happen. Queries stay distributed end to end:
+    *   - ROUTING is a per-row codegen expression over the [[IvfCells]]-row
+    *     centroid table inlined as literals ([[nearestCellCol]] generalized
+    *     to top-nprobe) — no window, no n×k expand, no shuffle: routing
+    *     fuses into the corpus scan;
+    *   - CANDIDATES come from the cell-routed equi-join against the stored
+    *     assignment (E9's device): per-query work is nprobe·|cell|, and no
+    *     corpus² pair stream exists anywhere in the plan;
+    *   - TOP-K is one rank window partitioned by qid — n partitions of
+    *     cell-bounded size, never the round-10 hazard (few partitions ×
+    *     corpus-sized streams).
+    * Same index, nprobe, scoring, and tiebreaks as F3, so restricting to
+    * the F3 query set reproduces `ann_ivf_topk` bit-exactly (spec-pinned);
+    * the oracle is the F3 replay with the query filter widened to TRUE —
+    * shared CTE text, cannot drift.
+    */
+  val KnnNprobe = 2
+
+  /** Top-`nprobe` probe cells as a per-row expression over centroid
+    * literals: sort (−ccos normalized of −0.0, cell_id) ascending — exactly
+    * the oracle's (ccos DESC, cell_id) row_number order. */
+  private def topCellsCol(v: String, nrm: String,
+      cents: Array[(Int, Array[Double], Double)], nprobe: Int): Column = {
+    val cells = cents.map { case (i, c, cn) =>
+      val carr = array(c.toIndexedSeq.map(lit): _*)
+      struct(
+        (lit(0d) - graft.plans.DotProduct.dot(col(v), carr) /
+          (col(nrm) * lit(cn)) + lit(0d)).as("ns"),
+        lit(i).as("ci"))
+    }
+    transform(slice(array_sort(array(cells.toIndexedSeq: _*)), 1, nprobe),
+      x => x.getField("ci"))
+  }
+
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfIndexDir(s, d)
+    val corpus = s.read.parquet(s"$dir/corpus")
+    // the k-row centroid table as driver literals — bounded by construction
+    // (k = IvfCells), the same k rows every probe path broadcasts
+    val cents = s.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]]("cv").toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val routed = corpus
+      .withColumn("qcell", explode(topCellsCol("v", "nrm", cents, KnnNprobe)))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("qcell"))
+    val cand = corpus.join(routed,
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id").as("nid"), col("rcos"))
+    rankTopK(cand)
+  }
+
+  private def knnJoinSql: String = s"""
+    WITH $ivfAssignCtes,
+    $ivfCwCte,
+    ${ivfProbeCtes(KnnNprobe, "_knn", qWhere = "TRUE")},
+    ${ivfRankedFrom("_knn", "knn_ranked")}
+    SELECT qid, nid, rank, rcos FROM knn_ranked
+    WHERE rank <= $TopK ORDER BY qid, rank"""
+
   /** F22 — IVF CELL-BALANCE report: per stored cell, its corpus share and
     * the mean cosine of members to their own centroid — the index-health
     * table an IVF deployment watches (a hot cell makes every probe that
@@ -1661,6 +1729,7 @@ object Ann {
     "ann_mips_topk" -> mipsTopK _,
     "ann_binary_topk" -> binaryTopK _,
     "dedup_semantic" -> semanticDedup _,
+    "ann_knn_join" -> knnJoin _,
     "ann_ivf_cell_report" -> ivfCellReport _,
     "emb_pq_distortion" -> pqDistortionReport _,
     "ann_pq_topk" -> pqTopK _,
@@ -1795,13 +1864,14 @@ object Ann {
     "cw AS (SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c3)"
 
   private def ivfProbeCtes(nprobe: Int, sfx: String,
-      cw: String = "cw", af: String = "af"): String = s"""
+      cw: String = "cw", af: String = "af",
+      qWhere: String = s"q.vec_id < $NumQueries"): String = s"""
     routed$sfx AS (
       SELECT qid, qcell FROM (
         SELECT q.vec_id AS qid, c.cell_id AS qcell,
           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
             list_dot_product(q.v, c.cv) / (q.nrm * c.cn) DESC, c.cell_id) AS crank
-        FROM en q, $cw c WHERE q.vec_id < $NumQueries) t
+        FROM en q, $cw c WHERE $qWhere) t
       WHERE crank <= $nprobe),
     cand$sfx AS (
       SELECT r.qid, a.vec_id AS nid
@@ -2003,6 +2073,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "dedup_semantic" -> semanticDedupSql,
+    "ann_knn_join" -> knnJoinSql,
     "ann_ivf_cell_report" -> ivfCellReportSql,
     "emb_pq_distortion" -> pqDistortionSql,
     "ann_pq_topk" -> pqOracleSql,
