@@ -706,6 +706,140 @@ object Streams {
     s.table(name)
   }
 
+  /** Fixture for C37: the event corpus split into two time-ordered halves
+    * (one parquet file each), fingerprint-cached like the other stream
+    * fixtures. Arrival ORDER is controlled per run by the recovery driver
+    * (phase 1 stages half0 only), so no modTime choreography is needed. */
+  private val recFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  private def recoveryFixtureDir(s: SparkSession, d: String): String = {
+    import graft.operators.Tables
+    val fp = graft.Artifacts.fingerprint(s, s"$d/events.parquet")
+    graft.Artifacts.cachedLocation(recFixtureBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        graft.Artifacts.scratchBase(s), s"graft_recov_fix_${slug}_$fpv")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true); fs.mkdirs(dir)
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head // 2 scalars, bounded
+      val midMs = mm.getTimestamp(0).getTime +
+        (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2
+      // The cut must fall strictly INSIDE a session that a later event
+      // closes, or the restart never exercises cross-phase state merge (and
+      // the spec's boundary assertion is vacuous). Deterministically pick
+      // the closed multi-instant session nearest the corpus midpoint and
+      // cut at its start: its first event lands in half 0, its remaining
+      // events in half 1, and phase 2 must extend phase 1's restored open
+      // session to emit it whole.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val cutRow = ev
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s", when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > GapUs, 1).otherwise(0))
+        .withColumn("seq", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("seq"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        .withColumn("mx", max(col("s_start")).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("s_start") < col("mx") && col("s_end") > col("s_start"))
+        .withColumn("dist", abs(unix_millis(col("s_start")) - lit(midMs)))
+        .orderBy(col("dist"), col("user_id"), col("s_start"))
+        .limit(1).collect() // ≤1 row, bounded
+      val cut = cutRow.headOption.map(_.getTimestamp(2))
+        .getOrElse(new java.sql.Timestamp(midMs)) // degenerate-corpus fallback
+      def writeOne(df: DataFrame, name: String): Unit = {
+        val staging = new org.apache.hadoop.fs.Path(dir, s"_stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging)
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+        fs.rename(part, new org.apache.hadoop.fs.Path(dir, s"$name.parquet"))
+        fs.delete(staging, true); ()
+      }
+      writeOne(ev.filter(col("ts") <= lit(cut)), "half0")
+      writeOne(ev.filter(col("ts") > lit(cut)), "half1")
+      import s.implicits._
+      writeOne(Seq(cut.getTime / 1000 * 1000000L + cut.getNanos / 1000)
+        .toDF("cut_us"), "cutinfo")
+      dir.toString
+    }
+  }
+
+  /** The phase-boundary instant (epoch µs) the recovery fixture cut at —
+    * spec accessor for asserting a session actually spans the restart. */
+  private[graft] def recoveryCutUs(s: SparkSession, d: String): Long =
+    s.read.parquet(s"${recoveryFixtureDir(s, d)}/cutinfo.parquet").head.getLong(0)
+
+  /** C37 — checkpoint RESTART RECOVERY (round-14, verdict item 3): the
+    * production property the other streaming keys run to completion without
+    * exercising — kill a stateful query mid-stream, start a NEW query from
+    * the same checkpoint, and the final result is identical to the
+    * uninterrupted run. Per invocation the corpus arrives as two
+    * time-ordered halves in a fresh input dir: phase 1 sees only half 0
+    * (C30's transformWithState sessionizer on RocksDB, writing through the
+    * exactly-once PARQUET file sink), drains, and STOPS — a stop with every
+    * user's open session live in the state store. Phase 2 is a brand-new
+    * query object over the same checkpoint after half 1 lands: it must
+    * resume from the restored RocksDB state (sessions spanning the phase
+    * boundary merge, not split) and append through the file-sink commit log
+    * without loss or duplication. A `require` pins restoration on every
+    * gate run: phase 2's batches all have id ≥ 1 — a from-scratch rerun
+    * would restart at batch 0. Gate: the C4/C30 oracle text UNCHANGED —
+    * recovery must be invisible in the result.
+    */
+  def streamingRestartRecovery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fix = recoveryFixtureDir(s, d)
+    val base = new org.apache.hadoop.fs.Path(
+      graft.Artifacts.scratchBase(s),
+      "graft_recov_run_" + sinkId.incrementAndGet())
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = base.getFileSystem(hconf)
+    fs.delete(base, true)
+    val in = new org.apache.hadoop.fs.Path(base, "in")
+    fs.mkdirs(in)
+    val ckpt = new org.apache.hadoop.fs.Path(base, "ckpt").toString
+    val out = new org.apache.hadoop.fs.Path(base, "out").toString
+    def arrive(name: String): Unit = {
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(fix, name),
+        fs, new org.apache.hadoop.fs.Path(in, name), false, hconf); ()
+    }
+    def runPhase(): Seq[Long] = withStateParts(s) {
+      val src = s.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .parquet(s"$in/*.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          lit(0.0).as("value")).as[Ev]
+      val q = sessionizeTws(src)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      q.recentProgress.toSeq.map(_.batchId)
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      arrive("half0.parquet")
+      runPhase() // phase 1: committed, then killed with open state
+      arrive("half1.parquet")
+      val p2 = runPhase() // phase 2: fresh query, same checkpoint
+      require(p2.nonEmpty && p2.forall(_ >= 1),
+        s"phase 2 did not resume from the checkpoint: batch ids $p2")
+    } finally saved match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.read.parquet(out)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
+
   /** C7 as a CORRECTNESS-GATED query: stream-stream inner join — purchases
     * matched to the same user's clicks in the preceding 30 minutes (the
     * attribution join every event pipeline runs). Both sides carry
@@ -1299,6 +1433,7 @@ object Streams {
       "streaming_enrich" -> streamingEnrich _,
       "streaming_sessionize" -> streamingSessionize _,
       "streaming_sessionize_tws" -> streamingSessionizeTws _,
+      "streaming_restart_recovery" -> streamingRestartRecovery _,
       "streaming_session_timers" -> streamingSessionTimers _,
       "streaming_burst_detect" -> streamingBurstDetect _,
       "streaming_sessionize_bootstrap" -> streamingSessionizeBootstrap _,
@@ -1440,6 +1575,9 @@ object Streams {
     // C30: the transformWithState twin emits under the SAME session rule —
     // one oracle text for both state APIs, so they provably cannot diverge
     "streaming_sessionize_tws" -> sessionizeOracleSql,
+    // C37: kill/restart mid-stream must be invisible — the SAME oracle text
+    // as C4/C30; any state loss or sink duplication breaks the hash gate
+    "streaming_restart_recovery" -> sessionizeOracleSql,
     // C35: lag gives the transition; per-(user, from, to) row_number gives
     // the running count
     "streaming_type_transitions" -> """

@@ -359,6 +359,25 @@ class StreamingSpec extends SparkSpec {
     assert(spark.conf.getOption(provKey) == before, "provider conf leaked")
   }
 
+  test("C37: kill/restart from checkpoint == the uninterrupted run, boundary sessions merge") {
+    // the recovery driver stops a live query with open state, restarts a NEW
+    // query from the checkpoint, and must land on the exact uninterrupted
+    // session set (the driver itself `require`s phase 2 resumed at batch >= 1)
+    val rec = Streams.streamingRestartRecovery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val uninterrupted = Streams.streamingSessionizeTws(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rec.sorted.toSeq == uninterrupted.sorted.toSeq && rec.nonEmpty,
+      s"recovered run diverges: ${rec.length} vs ${uninterrupted.length} sessions")
+    // state restoration is actually EXERCISED: at least one emitted session
+    // spans the phase-1/phase-2 cut (the fixture pins the cut inside a
+    // closed session) — with lost state it would have split into two and
+    // the equality above would fail
+    val cutUs = Streams.recoveryCutUs(spark, sf)
+    assert(rec.exists(t => t._2 <= cutUs && t._3 > cutUs),
+      "no session spans the restart boundary — the recovery path was not exercised")
+  }
+
   test("C32: timer flush emits exactly the expired finals on top of the event-closed set") {
     val timed = Streams.streamingSessionTimers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
