@@ -840,6 +840,141 @@ object Streams {
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
   }
 
+  /** Fixture for C38: orders split into three date-ordered CDC slices, the
+    * arrival choreography the other stream fixtures use (modTime order +
+    * maxFilesPerTrigger=1 → one slice per micro-batch). */
+  private val cdcFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  private def cdcFixtureDir(s: SparkSession, d: String): String = {
+    import graft.operators.Tables
+    val fp = graft.Artifacts.fingerprint(s, s"$d/orders.parquet")
+    graft.Artifacts.cachedLocation(cdcFixtureBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        graft.Artifacts.scratchBase(s), s"graft_cdc_fix_${slug}_$fpv")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true); fs.mkdirs(dir)
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      val c1 = expr("timestamp'1996-01-01 00:00:00'")
+      val c2 = expr("timestamp'1998-01-01 00:00:00'")
+      def writeOne(df: DataFrame, name: String, modTime: Long): Unit = {
+        val staging = new org.apache.hadoop.fs.Path(dir, s"_stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging)
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+        val target = new org.apache.hadoop.fs.Path(dir, s"$name.parquet")
+        fs.rename(part, target)
+        fs.delete(staging, true)
+        fs.setTimes(target, modTime, -1); ()
+      }
+      val t0 = System.currentTimeMillis()
+      writeOne(o.filter(col("o_orderdate") < c1), "cdc0", t0 - 180000)
+      writeOne(o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+        "cdc1", t0 - 120000)
+      writeOne(o.filter(col("o_orderdate") >= c2), "cdc2", t0 - 60000)
+      dir.toString
+    }
+  }
+
+  /** Spec accessor: the CDC fixture location (read-only). */
+  private[graft] def cdcFixtureDirForSpec(s: SparkSession, d: String): String =
+    cdcFixtureDir(s, d)
+
+  /** One idempotent CDC MERGE step for C38 — the foreachBatch body. The
+    * snapshot lives as batchId-versioned parquet generations under `snap`;
+    * a batch commits by atomic rename of `_tmp-gen-N` → `gen-N`, so a
+    * RETRIED batch (foreachBatch's at-least-once delivery after a failure)
+    * sees its own generation and returns without touching anything — the
+    * standard idempotent-sink discipline that upgrades at-least-once to
+    * exactly-once. Merge arithmetic is B32's: counts add, last dates take
+    * greatest, and money stays DECIMAL across EVERY generation (decimal
+    * addition is exact and associative, so K merges equal the one-shot
+    * recompute bit-for-bit; the one double cast happens at read-out). */
+  private[graft] def applyCdcBatch(s: SparkSession, snap: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val dec = "decimal(28,4)"
+    val snapP = new org.apache.hadoop.fs.Path(snap)
+    val fs = snapP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gen = new org.apache.hadoop.fs.Path(snapP, s"gen-$batchId")
+    if (fs.exists(gen)) return // retried batch: already committed
+    val delta = batch.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("d_n"), max(col("o_orderdate")).as("d_last"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast(dec).as("d_sum"))
+    val prevGens =
+      if (!fs.exists(snapP)) Array.empty[Long]
+      else fs.listStatus(snapP).map(_.getPath.getName)
+        .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+        .filter(_ < batchId)
+    val merged =
+      if (prevGens.isEmpty)
+        delta.select(col("o_custkey"), col("d_n").as("n_orders"),
+          col("d_last").as("last_odate"), col("d_sum").as("sum_dec"))
+      else {
+        val prev = s.read.parquet(
+          new org.apache.hadoop.fs.Path(snapP, s"gen-${prevGens.max}").toString)
+        prev.join(delta, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            (coalesce(col("n_orders"), lit(0L)) +
+              coalesce(col("d_n"), lit(0L))).as("n_orders"),
+            greatest(col("last_odate"), col("d_last")).as("last_odate"),
+            (coalesce(col("sum_dec"), lit(0).cast(dec)) +
+              coalesce(col("d_sum"), lit(0).cast(dec))).cast(dec).as("sum_dec"))
+      }
+    val tmp = new org.apache.hadoop.fs.Path(snapP, s"_tmp-gen-$batchId")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(tmp, gen); ()
+  }
+
+  /** C38 — streaming CDC APPLY (round-14, verdict item 8): B32's
+    * merge/upsert semantics run CONTINUOUSLY — each micro-batch of the
+    * order stream is aggregated and MERGEd into a persistent per-customer
+    * snapshot through [[applyCdcBatch]]'s idempotent foreachBatch sink.
+    * This is the shape a warehouse ingestion pipeline actually runs (CDC
+    * stream → MERGE INTO), with exactly-once landing guaranteed by the
+    * batchId-keyed commit, not by the sink being magic. Gate: the final
+    * snapshot must equal B32's one-shot recompute over ALL orders — the
+    * same oracle text — so the per-batch merge arithmetic (including exact
+    * decimal money across generations) is what's being proven. The spec
+    * additionally re-applies a committed batch and pins the snapshot
+    * byte-identical (the retry path).
+    */
+  def streamingMergeUpsert(s: SparkSession, d: String): DataFrame =
+    runCdcMerge(s, d)._2
+
+  private[graft] def runCdcMerge(s: SparkSession, d: String): (String, DataFrame) = {
+    val fix = cdcFixtureDir(s, d)
+    val base = new org.apache.hadoop.fs.Path(
+      graft.Artifacts.scratchBase(s),
+      "graft_cdc_run_" + sinkId.incrementAndGet())
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(base, true); fs.mkdirs(base)
+    val snap = new org.apache.hadoop.fs.Path(base, "snap").toString
+    val ckpt = new org.apache.hadoop.fs.Path(base, "ckpt").toString
+    withStateParts(s) {
+      // NTZ, matching the batch reader's type for the same parquet (the
+      // oracle compares naive timestamps)
+      val q = s.readStream
+        .schema("o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$fix/*.parquet")
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) => applyCdcBatch(s, snap, b, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val snapP = new org.apache.hadoop.fs.Path(snap)
+    val latest = fs.listStatus(snapP).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong).max
+    val df = s.read.parquet(new org.apache.hadoop.fs.Path(snapP, s"gen-$latest").toString)
+      .select(col("o_custkey"), col("n_orders"), col("last_odate"),
+        col("sum_dec").cast("double").as("sum_price"))
+    (snap, df)
+  }
+
   /** C7 as a CORRECTNESS-GATED query: stream-stream inner join — purchases
     * matched to the same user's clicks in the preceding 30 minutes (the
     * attribution join every event pipeline runs). Both sides carry
@@ -1434,6 +1569,7 @@ object Streams {
       "streaming_sessionize" -> streamingSessionize _,
       "streaming_sessionize_tws" -> streamingSessionizeTws _,
       "streaming_restart_recovery" -> streamingRestartRecovery _,
+      "streaming_merge_upsert" -> streamingMergeUpsert _,
       "streaming_session_timers" -> streamingSessionTimers _,
       "streaming_burst_detect" -> streamingBurstDetect _,
       "streaming_sessionize_bootstrap" -> streamingSessionizeBootstrap _,
@@ -1578,6 +1714,12 @@ object Streams {
     // C37: kill/restart mid-stream must be invisible — the SAME oracle text
     // as C4/C30; any state loss or sink duplication breaks the hash gate
     "streaming_restart_recovery" -> sessionizeOracleSql,
+    // C38: the continuously-merged snapshot must equal B32's one-shot
+    // recompute over all orders (same oracle text as merge_upsert)
+    "streaming_merge_upsert" -> s"""
+      SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_orderdate) AS last_odate,
+        ${graft.operators.Exact.sqlDsum("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1""",
     // C35: lag gives the transition; per-(user, from, to) row_number gives
     // the running count
     "streaming_type_transitions" -> """

@@ -378,6 +378,29 @@ class StreamingSpec extends SparkSpec {
       "no session spans the restart boundary — the recovery path was not exercised")
   }
 
+  test("C38: continuous CDC merge == batch B32; a retried batch is a no-op (exactly-once)") {
+    val (snap, df) = Streams.runCdcMerge(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), String.valueOf(r.get(2)), r.getDouble(3))
+    val got = df.collect().map(key).sortBy(_._1).toSeq
+    val want = graft.operators.Analytics.mergeUpsert(spark, sf)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty, "merged snapshot diverges from B32")
+    // retry path: re-apply an already-committed batch — the idempotent sink
+    // must leave the snapshot untouched (no new generation, mtimes frozen)
+    val snapDir = new java.io.File(new java.net.URI("file:" + snap).getPath)
+    def state() = snapDir.listFiles().map(f => f.getName -> f.lastModified).sorted.toSeq
+    val before = state()
+    val batch0 = spark.read.parquet(s"${Streams.cdcFixtureDirForSpec(spark, sf)}/cdc0.parquet")
+    Streams.applyCdcBatch(spark, snap, batch0, 0L)
+    assert(state() == before, "retried batch 0 mutated the snapshot")
+    val after = spark.read.parquet(s"$snap/gen-2")
+      .select(col("o_custkey"), col("n_orders"), col("last_odate"),
+        col("sum_dec").cast("double").as("sum_price"))
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(after == want, "snapshot content changed after the retry")
+  }
+
   test("C32: timer flush emits exactly the expired finals on top of the event-closed set") {
     val timed = Streams.streamingSessionTimers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
