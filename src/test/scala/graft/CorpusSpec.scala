@@ -7,6 +7,47 @@ import graft.operators.{CorpusClean, Relational, Tables}
 
 class CorpusSpec extends SparkSpec {
 
+  test("H53: incremental flagship — every documents-text scan is batch-" +
+      "predicated; corpus state arrives only through stored artifacts") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val df = CorpusClean.corpusPrepareIncremental(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("graft_incr_prefix") && phys.contains("graft_incr_df")
+      && phys.contains("graft_incr_arr"), "stored E7 index not in the plan")
+    assert(phys.contains("graft_evalgrams_"),
+      "stored eval-gram artifact not in the plan")
+    // walk the optimized plan: every relation over documents.parquet must
+    // sit beneath a Filter carrying the batch predicate (doc_id % 10 >= 8)
+    def audit(p: LogicalPlan, under: Boolean): Seq[Boolean] = {
+      val self = p match {
+        case r: LogicalRelation => r.relation match {
+          case h: HadoopFsRelation
+              if h.location.rootPaths.exists(_.toString.contains("documents.parquet")) =>
+            Seq(under)
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
+      }
+      val u2 = p match {
+        case f: Filter => under || f.condition.toString.contains("% 10")
+        case _ => under
+      }
+      self ++ p.children.flatMap(c => audit(c, u2))
+    }
+    val scans = audit(df.queryExecution.optimizedPlan, under = false)
+    assert(scans.nonEmpty && scans.forall(identity),
+      s"unpredicated corpus-text scan ($scans):\n${df.queryExecution.optimizedPlan}")
+    // mix-accounting invariants on the batch report
+    val rows = df.collect()
+    assert(rows.nonEmpty, "empty batch report")
+    rows.foreach { r =>
+      val (cap, alloc, satd) = (r.getLong(4), r.getLong(5), r.getBoolean(6))
+      assert(alloc <= cap, s"${r.getString(0)}: allocation above capacity")
+      assert(!satd || alloc == cap, s"${r.getString(0)}: saturated but capped short")
+    }
+  }
+
   test("H36 water-filling: budget exhausted up to remainder, fairness structure holds") {
     val rows = CorpusClean.budgetWaterfill(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
