@@ -15,14 +15,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ TpchMore.queries ++ Graph.queries ++ BeamParity.queries ++ TextAnalysis.queries ++
-      CorpusClean.queries ++ CorpusSpans.queries ++ Signals.queries ++ Bucketed.queries ++ SetSketch.queries ++ BpeTrain.queries ++ QualityTrain.queries ++ UlmTrain.queries ++
+      CorpusClean.queries ++ CorpusSpans.queries ++ Signals.queries ++ Bucketed.queries ++ SetSketch.queries ++ BpeTrain.queries ++ QualityTrain.queries ++ UlmTrain.queries ++ ScaleCurve.queries ++
       graft.dedup.Dedup.queries ++ graft.similarity.Ann.queries ++ graft.similarity.Pca.queries ++
       graft.multimodal.Multimodal.queries ++ graft.streaming.Streams.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ TpchMore.oracles ++ Graph.oracles ++ BeamParity.oracles ++ TextAnalysis.oracles ++
-      CorpusClean.oracles ++ CorpusSpans.oracles ++ Signals.oracles ++ Bucketed.oracles ++ SetSketch.oracles ++ BpeTrain.oracles ++ QualityTrain.oracles ++ UlmTrain.oracles ++
+      CorpusClean.oracles ++ CorpusSpans.oracles ++ Signals.oracles ++ Bucketed.oracles ++ SetSketch.oracles ++ BpeTrain.oracles ++ QualityTrain.oracles ++ UlmTrain.oracles ++ ScaleCurve.oracles ++
       graft.dedup.Dedup.oracles ++ graft.similarity.Ann.oracles ++ graft.similarity.Pca.oracles ++
       graft.multimodal.Multimodal.oracles ++ graft.streaming.Streams.oracles
 }

@@ -584,8 +584,13 @@ object Dedup {
     * pins it against the exact E2 pairs, and the DuckDB oracle replays the
     * whole signature/banding pipeline in HUGEINT mod-2^64 arithmetic.
     */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(s, Tables.documents(s, d))
+
+  /** Frame-based core of E3 — shared by the gate (over the raw table) and
+    * the scale-curve report (over derived scaled corpora): ONE banding
+    * device, measured at several input sizes. */
+  private[graft] def minhashPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val shingled = graft.CacheScope.scopedPersist(withShingles(docs)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")))
     val postings = shingled
@@ -705,7 +710,7 @@ object Dedup {
     import graft.plans.MixHash._
     val n = MinhashBands * MinhashRows
     val slotVal = s"(${sqlMulMod("h", "sa[i+1]")} + sb[i+1]) % $M64"
-    s"""$shingleHashCtes,
+    s"""${shingleHashCtes()},
     ab AS (SELECT ${sqlSlotA(n)} AS sa, ${sqlSlotB(n)} AS sb),
     slots AS (
       SELECT doc_id, i, MIN(${sqlToSigned(slotVal)}) AS sv
@@ -1328,48 +1333,54 @@ object Dedup {
     * green jaccard oracle uses), exploded, then the mixed polynomial hash
     * replayed in HUGEINT mod 2^64 (see MixHash.sqlMixedCtes).
     */
-  private def shingleHashCtes: String = {
-    s"""w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
-    shl AS (
+  private def shingleHashCtes(src: String = "documents", p: String = ""): String = {
+    s"""${p}w AS (SELECT doc_id, str_split(text,' ') AS ws FROM $src),
+    ${p}shl AS (
       SELECT doc_id,
         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                        for i in range(1, len(ws) - 1)]) AS s
-      FROM w WHERE len(ws) >= 3),
-    post AS (SELECT doc_id, unnest(s) AS sh FROM shl),
-    ${graft.plans.MixHash.sqlMixedCtes("post", "sh", Seq("doc_id"))}"""
+      FROM ${p}w WHERE len(ws) >= 3),
+    ${p}post AS (SELECT doc_id, unnest(s) AS sh FROM ${p}shl),
+    ${graft.plans.MixHash.sqlMixedCtes(s"${p}post", "sh", Seq("doc_id"), s"${p}mh")}"""
   }
 
-  /** Full SQL twin of minhashPairs: replay the affine 64-slot signature,
-    * 16x4 banding, bucket join, and exact-Jaccard verification. Pure
-    * integer arithmetic until the final (rounded) jaccard — bit-exact vs
-    * the Spark pipeline by construction.
-    */
-  private def minhashOracleSql: String = {
+  /** The E3 replay as a parameterized CTE chain ending in `${p}mhp`
+    * (doc_a, doc_b, jac): affine 64-slot signature, 16x4 banding, bucket
+    * join, exact-Jaccard verification. Pure integer arithmetic until the
+    * final (rounded) jaccard. Prefixed so one statement can replay banding
+    * over several sources (the scale-curve oracle runs it per scale). */
+  private[graft] def minhashPairsCtes(src: String = "documents", p: String = ""): String = {
     import graft.plans.MixHash._
     val slotVal = s"(${sqlMulMod("h", "sa[i+1]")} + sb[i+1]) % $M64"
-    s"""
-    WITH $shingleHashCtes,
-    ab AS (SELECT ${sqlSlotA(MinhashBands * MinhashRows)} AS sa,
+    s"""${shingleHashCtes(src, p)},
+    ${p}ab AS (SELECT ${sqlSlotA(MinhashBands * MinhashRows)} AS sa,
                   ${sqlSlotB(MinhashBands * MinhashRows)} AS sb),
-    slots AS (
+    ${p}slots AS (
       SELECT doc_id, i, MIN(${sqlToSigned(slotVal)}) AS sv
-      FROM mh, (SELECT unnest(range(${MinhashBands * MinhashRows})) AS i), ab
+      FROM ${p}mh, (SELECT unnest(range(${MinhashBands * MinhashRows})) AS i), ${p}ab
       GROUP BY doc_id, i),
-    sig AS (
+    ${p}sig AS (
       SELECT doc_id, i // $MinhashRows AS band, list(sv ORDER BY i) AS bkey
-      FROM slots GROUP BY doc_id, band),
-    cand AS (
+      FROM ${p}slots GROUP BY doc_id, band),
+    ${p}cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-    SELECT c.doc_a, c.doc_b,
-      ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-            / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jac
-    FROM cand c JOIN shl x ON x.doc_id = c.doc_a JOIN shl y ON y.doc_id = c.doc_b
-    WHERE ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-            / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) >= 0.7
-    ORDER BY doc_a, doc_b"""
+      FROM ${p}sig a JOIN ${p}sig b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    ${p}mhp AS (
+      SELECT c.doc_a, c.doc_b,
+        ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jac
+      FROM ${p}cand c
+      JOIN ${p}shl x ON x.doc_id = c.doc_a JOIN ${p}shl y ON y.doc_id = c.doc_b
+      WHERE ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) >= 0.7)"""
   }
+
+  /** Full SQL twin of minhashPairs — the parameterized chain over the raw
+    * documents table. */
+  private def minhashOracleSql: String = s"""
+    WITH ${minhashPairsCtes()}
+    SELECT doc_a, doc_b, jac FROM mhp ORDER BY doc_a, doc_b"""
 
   /** Full SQL twin of simhashPairs: per-bit sign sums over the mixed shingle
     * hashes, 4x16-bit banding, hamming<=3 verification. All-integer.
@@ -1379,7 +1390,7 @@ object Dedup {
     val p2 = (0 until 64).map(j => s"${BigInt(1) << j}::HUGEINT").mkString("[", ",", "]")
     val pb = (0 until 4).map(b => s"${BigInt(1) << (16 * b)}::HUGEINT").mkString("[", ",", "]")
     s"""
-    WITH $shingleHashCtes,
+    WITH ${shingleHashCtes()},
     pw AS (SELECT $p2 AS p),
     bits AS (
       SELECT doc_id, j,

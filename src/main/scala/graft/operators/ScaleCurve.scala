@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14, verdict item 1 — the measured scaling curve's GATED half: a
+  * deterministic derived-corpus generator plus a (key × scale) report of
+  * exact input/output row and character counts, hash-gated against a
+  * DuckDB recompute of the same derived relations.
+  *
+  * The 100× case was an argument from plan shape; this key makes the
+  * derivation itself an auditable operator: documents replicate with
+  * salted ids and PER-WORD rep salting (each replica is an isomorphic but
+  * shingle-disjoint copy — dup clusters multiply in COUNT, not size, so
+  * healthy devices grow ~linearly), events replicate with salted ids and
+  * a 40-day per-rep time shift (eras disjoint — interval overlap cannot
+  * pair across replicas). The report runs the REAL operator cores —
+  * [[graft.dedup.Dedup.minhashPairsOf]] (the E3 banding device) and
+  * [[Signals.intervalOverlapPairsOf]] (the B69 binning device) — over the
+  * derived corpora at 1×/2×/4×, plus linear bookkeeping keys (scan
+  * totals, exact dedup). The ORACLE replays banding per scale through the
+  * same parameterized CTE chain E3's gate uses
+  * ([[graft.dedup.Dedup.minhashPairsCtes]]) and interval overlap through
+  * B69's quadratic formulation — so the growth numbers are themselves
+  * correctness-gated, not self-reported.
+  *
+  * The WALL-CLOCK half of the curve (1×/3×/10× of sf0.1, the seven heavy
+  * families) is measured by [[graft.tools.ScaleLab]] and published in
+  * PERF_NOTES §r14 — timings cannot be hash-gated; counts can.
+  *
+  * Scale shape of the report itself: each count is one distributed
+  * aggregate over a derived frame (the generator is a single
+  * explode-projection fused into the scan); the driver assembles a
+  * bounded (#keys × #scales)-row table.
+  */
+object ScaleCurve {
+
+  val Scales: Seq[Int] = Seq(1, 2, 4)
+  /** Replica id offset — far above any base id. */
+  val IdStride = 10000000L
+
+  /** Documents replicated ×k: rep 0 is the original corpus; rep r > 0
+    * salts EVERY word with the rep index, making replicas shingle-disjoint
+    * isomorphic copies. */
+  private[graft] def scaledDocs(s: SparkSession, d: String, k: Int): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("rep", explode(expr(s"sequence(0, ${k - 1})")))
+      .select((col("rep") * IdStride + col("doc_id")).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, col("rep").cast("string"))))).as("text"),
+        col("source"))
+
+  /** Purchase events replicated ×k with salted ids and a 40-day per-rep
+    * shift (> the corpus span, so replica eras are time-disjoint). The
+    * purchase restriction keeps the gate oracle's quadratic verification
+    * affordable; the binning device is exercised identically. */
+  private[graft] def scaledEvents(s: SparkSession, d: String, k: Int): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rep", explode(expr(s"sequence(0, ${k - 1})")))
+      .select((col("rep") * IdStride + col("event_id")).as("event_id"),
+        (col("rep") * IdStride + col("user_id")).as("user_id"),
+        col("event_type"),
+        (col("ts") + expr("make_dt_interval(CAST(rep * 40 AS INT), 0, 0, 0)")).as("ts"))
+
+  /** The gated (key × scale) growth report. */
+  def scaleCurveReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.wsTokens
+    val nBase = Tables.documents(s, d).count()
+    val rows = Scales.flatMap { k =>
+      val sd = graft.CacheScope.scopedPersist(scaledDocs(s, d, k))
+      val se = scaledEvents(s, d, k)
+      val docAgg = sd.agg(count(lit(1)),
+        sum(length(col("text")).cast("long")),
+        sum(wsTokens(col("text")).cast("long"))).head()
+      val (nDocs, nChars, nToks) =
+        (docAgg.getLong(0), docAgg.getLong(1), docAgg.getLong(2))
+      val nDups = sd.groupBy(col("text")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(coalesce(sum(col("c") - 1), lit(0L)))
+        .head().getLong(0)
+      val nPairs = graft.dedup.Dedup.minhashPairsOf(s, sd).count()
+      val nEv = se.count()
+      val nOverlap = Signals.intervalOverlapPairsOf(s, se).count()
+      sd.unpersist(blocking = false)
+      Seq(
+        ("corpus_scaled", k.toLong, nBase, nDocs, nChars),
+        ("text_tokens", k.toLong, nDocs, nToks, nChars),
+        ("dedup_exact", k.toLong, nDocs, nDups, 0L),
+        ("dedup_minhash", k.toLong, nDocs, nPairs, 0L),
+        ("interval_overlap", k.toLong, nEv, nOverlap, 0L))
+    }
+    rows.toDF("key", "scale", "n_input", "n_output", "input_chars")
+  }
+
+  // ------------------------------------------------------------------
+  // oracle
+  // ------------------------------------------------------------------
+
+  private def scaledDocsCte(k: Int): String = s"""
+    sdocs$k AS MATERIALIZED (
+      SELECT r.rep * $IdStride + d.doc_id AS doc_id,
+        CASE WHEN r.rep = 0 THEN d.text
+             ELSE array_to_string(list_transform(str_split(d.text, ' '),
+                    w -> w || CAST(r.rep AS VARCHAR)), ' ') END AS text
+      FROM documents d, (SELECT unnest(range($k)) AS rep) r)"""
+
+  private def scaledEventsCte(k: Int): String = s"""
+    sev$k AS MATERIALIZED (
+      SELECT r.rep * $IdStride + e.event_id AS event_id,
+        r.rep * $IdStride + e.user_id AS user_id, e.event_type,
+        e.ts + (r.rep * 40) * INTERVAL '1 day' AS ts
+      FROM events e, (SELECT unnest(range($k)) AS rep) r
+      WHERE e.event_type = 'purchase')"""
+
+  /** B69's islands + quadratic overlap count, prefixed per scale. */
+  private def overlapCountCtes(src: String, p: String): String = s"""
+    ${p}flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN LAG(event_type) OVER w IS NULL
+               OR LAG(event_type) OVER w <> event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM $src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    ${p}numbered AS (
+      SELECT user_id, event_type, ts,
+        CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      FROM ${p}flagged),
+    ${p}si AS (
+      SELECT user_id, island, event_type,
+        MIN(ts) AS valid_from, MAX(ts) AS valid_to
+      FROM ${p}numbered GROUP BY 1, 2, 3),
+    ${p}pairs AS (
+      SELECT a.user_id AS a_user
+      FROM ${p}si a JOIN ${p}si b
+        ON a.event_type = b.event_type AND a.user_id < b.user_id
+       AND a.valid_from <= b.valid_to AND b.valid_from <= a.valid_to)"""
+
+  private def scaleCurveReportSql: String = {
+    import graft.functions.TextFunctions.wsTokensSql
+    val ctes = Scales.flatMap { k =>
+      Seq(scaledDocsCte(k), scaledEventsCte(k),
+        graft.dedup.Dedup.minhashPairsCtes(s"sdocs$k", s"m${k}_"),
+        overlapCountCtes(s"sev$k", s"v${k}_"))
+    }.mkString(",\n")
+    val rows = Scales.map { k =>
+      s"""SELECT 'corpus_scaled' AS key, CAST($k AS BIGINT) AS scale,
+        (SELECT COUNT(*) FROM documents) AS n_input,
+        (SELECT COUNT(*) FROM sdocs$k) AS n_output,
+        (SELECT CAST(SUM(length(text)) AS BIGINT) FROM sdocs$k) AS input_chars
+      UNION ALL
+      SELECT 'text_tokens', $k, (SELECT COUNT(*) FROM sdocs$k),
+        (SELECT CAST(SUM(${wsTokensSql("text")}) AS BIGINT) FROM sdocs$k),
+        (SELECT CAST(SUM(length(text)) AS BIGINT) FROM sdocs$k)
+      UNION ALL
+      SELECT 'dedup_exact', $k, (SELECT COUNT(*) FROM sdocs$k),
+        (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+          (SELECT COUNT(*) AS c FROM sdocs$k GROUP BY text) t WHERE c > 1),
+        CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'dedup_minhash', $k, (SELECT COUNT(*) FROM sdocs$k),
+        (SELECT COUNT(*) FROM m${k}_mhp), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'interval_overlap', $k, (SELECT COUNT(*) FROM sev$k),
+        (SELECT COUNT(*) FROM v${k}_pairs), CAST(0 AS BIGINT)"""
+    }.mkString(" UNION ALL ")
+    s"WITH\n$ctes\nSELECT * FROM ($rows) t ORDER BY key, scale"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scale_curve_report" -> scaleCurveReport _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scale_curve_report" -> scaleCurveReportSql
+  )
+}

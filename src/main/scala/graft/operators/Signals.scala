@@ -262,9 +262,14 @@ object Signals {
     * user_id serves both windows and the final aggregate; (ts, event_id)
     * ordering makes island boundaries tie-deterministic.
     */
-  def eventsStateIntervals(s: SparkSession, d: String): DataFrame = {
+  def eventsStateIntervals(s: SparkSession, d: String): DataFrame =
+    stateIntervalsOf(Tables.events(s, d))
+
+  /** Frame-based core of C15 — shared by the gate and the scale-curve
+    * report (which runs it over derived scaled event corpora). */
+  private[graft] def stateIntervalsOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, d)
+    events
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("chg",
         when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1)
@@ -331,8 +336,13 @@ object Signals {
     * emitted by both paths). Exact-µs overlap lengths; oracle is the
     * quadratic formulation DuckDB can afford at sf.
     */
-  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
-    val binned = graft.CacheScope.scopedPersist(eventsStateIntervals(s, d)
+  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame =
+    intervalOverlapPairsOf(s, Tables.events(s, d))
+
+  /** Frame-based core of B69 — shared by the gate and the scale-curve
+    * report. */
+  private[graft] def intervalOverlapPairsOf(s: SparkSession, events: DataFrame): DataFrame = {
+    val binned = graft.CacheScope.scopedPersist(stateIntervalsOf(events)
       .select(col("user_id"), col("island"), col("event_type"),
         col("valid_from"), col("valid_to"))
       .withColumn("bkt", explode(expr(
