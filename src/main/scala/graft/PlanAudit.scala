@@ -50,6 +50,9 @@ object PlanAudit {
     // (budget, water line) all consume source-level rows, never the
     // corpus (the skew_report discipline)
     "corpus_budget_waterfill",
+    // corpus_prepare_incremental: the shared waterfill tail over the
+    // BATCH's |sources|-row frame — same shape as corpus_prepare_v2 below
+    "corpus_prepare_incremental",
     // corpus_prepare_v2: the same H36 waterfill tail over the composite's
     // per-source token totals — identical |sources|-row window/reduce shape
     "corpus_prepare_v2",

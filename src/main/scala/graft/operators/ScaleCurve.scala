@@ -70,7 +70,10 @@ object ScaleCurve {
     import graft.functions.TextFunctions.wsTokens
     val nBase = Tables.documents(s, d).count()
     val rows = Scales.flatMap { k =>
-      val sd = graft.CacheScope.scopedPersist(scaledDocs(s, d, k))
+      // plain persist + blocking unpersist: the frame feeds SEVERAL
+      // separate actions (scopedPersist would release after the first)
+      val sd = scaledDocs(s, d, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val se = scaledEvents(s, d, k)
       val docAgg = sd.agg(count(lit(1)),
         sum(length(col("text")).cast("long")),
@@ -83,7 +86,7 @@ object ScaleCurve {
       val nPairs = graft.dedup.Dedup.minhashPairsOf(s, sd).count()
       val nEv = se.count()
       val nOverlap = Signals.intervalOverlapPairsOf(s, se).count()
-      sd.unpersist(blocking = false)
+      sd.unpersist(blocking = true)
       Seq(
         ("corpus_scaled", k.toLong, nBase, nDocs, nChars),
         ("text_tokens", k.toLong, nDocs, nToks, nChars),
