@@ -379,6 +379,12 @@ object BeamParity {
     }
   }
 
+  /** Spec accessor: the fingerprint-versioned .bin fixture location (the
+    * spec must not guess the fp suffix — it did until round 14, passing
+    * only while a stale unversioned dir survived in /tmp). */
+  private[graft] def binaryDocsDirForSpec(s: SparkSession, d: String): String =
+    writeBinaryDocs(s, d)
+
   def sourceBinaryRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dirStr = writeBinaryDocs(s, d)
     s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dirStr)

@@ -135,10 +135,10 @@ class SourceSinkSpec extends SparkSpec {
     val nDocs = Tables.documents(spark, sf).count()
     val out = graft.operators.BeamParity.sourceBinaryCompacted(spark, sf)
     assert(out.count() == nDocs)
-    // the compacted dir was written next to the .bin scratch: recover it
-    // by rerunning the planner against a fresh target for an exact check
-    val binDir = System.getProperty("java.io.tmpdir") + "/graft_bin_rt_" +
-      sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    // the .bin fixture is fingerprint-versioned — resolve it through the
+    // builder instead of guessing the path (a stale unversioned /tmp dir
+    // masked a wrong guess here until round 14)
+    val binDir = graft.operators.BeamParity.binaryDocsDirForSpec(spark, sf)
     val binFiles = new java.io.File(binDir).listFiles.count(_.getName.endsWith(".bin"))
     assert(binFiles == nDocs, s"$binFiles .bin objects for $nDocs docs")
     val binBytes = new java.io.File(binDir).listFiles
