@@ -51,18 +51,25 @@ object ScaleCurve {
             w => concat(w, col("rep").cast("string"))))).as("text"),
         col("source"))
 
-  /** Purchase events replicated ×k with salted ids and a 40-day per-rep
-    * shift (> the corpus span, so replica eras are time-disjoint). The
-    * purchase restriction keeps the gate oracle's quadratic verification
-    * affordable; the binning device is exercised identically. */
-  private[graft] def scaledEvents(s: SparkSession, d: String, k: Int): DataFrame =
-    Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
+  /** The first THREE DAYS of events (all types), replicated ×k with
+    * salted ids and a 40-day per-rep shift (≥ 10× the slice span, so
+    * replica eras are time-disjoint). The slice keeps interval counts
+    * bounded at every sf — a single-type restriction would make each
+    * user's whole history ONE month-long island and the overlap report
+    * near-all-pairs (measured: 195 s at 4× of sf0.1) — while the binning
+    * device is exercised identically; type alternation keeps islands
+    * realistic. */
+  private[graft] def scaledEvents(s: SparkSession, d: String, k: Int): DataFrame = {
+    val ev = Tables.events(s, d)
+    val minTs = ev.agg(min(col("ts"))).head.getTimestamp(0) // scalar, bounded
+    val cut = new java.sql.Timestamp(minTs.getTime + 3L * 24 * 3600 * 1000)
+    ev.filter(col("ts") < lit(cut))
       .withColumn("rep", explode(expr(s"sequence(0, ${k - 1})")))
       .select((col("rep") * IdStride + col("event_id")).as("event_id"),
         (col("rep") * IdStride + col("user_id")).as("user_id"),
         col("event_type"),
         (col("ts") + expr("make_dt_interval(CAST(rep * 40 AS INT), 0, 0, 0)")).as("ts"))
+  }
 
   /** The gated (key × scale) growth report. */
   def scaleCurveReport(s: SparkSession, d: String): DataFrame = {
@@ -115,7 +122,7 @@ object ScaleCurve {
         r.rep * $IdStride + e.user_id AS user_id, e.event_type,
         e.ts + (r.rep * 40) * INTERVAL '1 day' AS ts
       FROM events e, (SELECT unnest(range($k)) AS rep) r
-      WHERE e.event_type = 'purchase')"""
+      WHERE e.ts < (SELECT MIN(ts) + INTERVAL '3 days' FROM events))"""
 
   /** B69's islands + quadratic overlap count, prefixed per scale. */
   private def overlapCountCtes(src: String, p: String): String = s"""

@@ -11,7 +11,10 @@ class CorpusSpec extends SparkSpec {
       "predicated; corpus state arrives only through stored artifacts") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val df = CorpusClean.corpusPrepareIncremental(spark, sf)
+    // audit the UNPERSISTED pipeline (the gated entry wraps it in a scoped
+    // persist for the waterfill tail, which would hide the scans behind an
+    // InMemoryTableScan)
+    val df = CorpusClean.prepareIncrementalTok(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
     assert(phys.contains("graft_incr_prefix") && phys.contains("graft_incr_df")
       && phys.contains("graft_incr_arr"), "stored E7 index not in the plan")
@@ -38,8 +41,8 @@ class CorpusSpec extends SparkSpec {
     val scans = audit(df.queryExecution.optimizedPlan, under = false)
     assert(scans.nonEmpty && scans.forall(identity),
       s"unpredicated corpus-text scan ($scans):\n${df.queryExecution.optimizedPlan}")
-    // mix-accounting invariants on the batch report
-    val rows = df.collect()
+    // mix-accounting invariants on the batch report (the gated entry)
+    val rows = CorpusClean.corpusPrepareIncremental(spark, sf).collect()
     assert(rows.nonEmpty, "empty batch report")
     rows.foreach { r =>
       val (cap, alloc, satd) = (r.getLong(4), r.getLong(5), r.getBoolean(6))
