@@ -39,17 +39,31 @@ object ScaleCurve {
   /** Replica id offset — far above any base id. */
   val IdStride = 10000000L
 
+  /** Offset of the PLANTED within-rep exact duplicates (stays inside the
+    * rep's id band: base ids ≪ DupStride ≪ IdStride). Every 50th base doc
+    * gets one exact copy PER REP, so the exact-dedup row is non-vacuous
+    * (the base corpus has no exact dups) and grows exactly linearly —
+    * within-rep planting keeps the minhash curve linear too. */
+  val DupStride = 5000000L
+  val DupEvery = 50L
+
   /** Documents replicated ×k: rep 0 is the original corpus; rep r > 0
     * salts EVERY word with the rep index, making replicas shingle-disjoint
-    * isomorphic copies. */
-  private[graft] def scaledDocs(s: SparkSession, d: String, k: Int): DataFrame =
-    Tables.documents(s, d)
+    * isomorphic copies. Plus the planted within-rep exact duplicates. */
+  private[graft] def scaledDocs(s: SparkSession, d: String, k: Int): DataFrame = {
+    val base = Tables.documents(s, d)
       .withColumn("rep", explode(expr(s"sequence(0, ${k - 1})")))
-      .select((col("rep") * IdStride + col("doc_id")).as("doc_id"),
+      .select(col("rep"), col("doc_id"),
         when(col("rep") === 0, col("text"))
           .otherwise(concat_ws(" ", transform(split(col("text"), " "),
             w => concat(w, col("rep").cast("string"))))).as("text"),
         col("source"))
+    base.select((col("rep") * IdStride + col("doc_id")).as("doc_id"),
+        col("text"), col("source"))
+      .unionByName(base.filter(col("doc_id") % DupEvery === 0)
+        .select((col("rep") * IdStride + lit(DupStride) + col("doc_id")).as("doc_id"),
+          col("text"), col("source")))
+  }
 
   /** The first THREE DAYS of events (all types), replicated ×k with
     * salted ids and a 40-day per-rep shift (≥ 10× the slice span, so
@@ -109,12 +123,17 @@ object ScaleCurve {
   // ------------------------------------------------------------------
 
   private def scaledDocsCte(k: Int): String = s"""
-    sdocs$k AS MATERIALIZED (
-      SELECT r.rep * $IdStride + d.doc_id AS doc_id,
+    sdocs${k}b AS (
+      SELECT r.rep AS rep, d.doc_id AS doc_id,
         CASE WHEN r.rep = 0 THEN d.text
              ELSE array_to_string(list_transform(str_split(d.text, ' '),
                     w -> w || CAST(r.rep AS VARCHAR)), ' ') END AS text
-      FROM documents d, (SELECT unnest(range($k)) AS rep) r)"""
+      FROM documents d, (SELECT unnest(range($k)) AS rep) r),
+    sdocs$k AS MATERIALIZED (
+      SELECT rep * $IdStride + doc_id AS doc_id, text FROM sdocs${k}b
+      UNION ALL
+      SELECT rep * $IdStride + $DupStride + doc_id, text FROM sdocs${k}b
+      WHERE doc_id % $DupEvery = 0)"""
 
   private def scaledEventsCte(k: Int): String = s"""
     sev$k AS MATERIALIZED (
