@@ -953,13 +953,15 @@ object CorpusClean {
     * under the batch predicate; corpus-sized state arrives only through
     * stored artifacts (spec-pinned scan census).
     */
-  def corpusPrepareIncremental(s: SparkSession, d: String): DataFrame =
+  def corpusPrepareIncremental(s: SparkSession, d: String): DataFrame = {
     // the |sources|-row tok frame is persisted across the waterfill tail's
     // self-references: unlike v2 (whose reuse the exchange-dedup handles,
     // spec-pinned), the pipeline below tok here contains E7's index join,
     // which the tail would otherwise re-derive 3× (measured 7.7 s vs
-    // ~3 s at sf0.1); the scoped persist releases with the first action
-    waterfillAllocation(graft.CacheScope.scopedPersist(prepareIncrementalTok(s, d)))
+    // ~3 s at sf0.1); released after the first consuming action
+    val tok = graft.CacheScope.scopedPersist(prepareIncrementalTok(s, d))
+    graft.CacheScope.releaseAfterUse(waterfillAllocation(tok), tok)
+  }
 
   /** The batch pipeline up to the per-source token frame — unpersisted,
     * so the spec can audit the real plan (the gated entry wraps it in a
