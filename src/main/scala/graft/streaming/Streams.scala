@@ -883,16 +883,70 @@ object Streams {
   private[graft] def cdcFixtureDirForSpec(s: SparkSession, d: String): String =
     cdcFixtureDir(s, d)
 
+  /** Buckets in the C38 snapshot layout (B22's bucket discipline applied
+    * to a continuously-merged table). Each snapshot generation holds only
+    * the buckets its batch TOUCHED; a `_MANIFEST` file maps every bucket
+    * to the generation whose `bucket=K/` dir carries its live data. */
+  private[graft] val CdcBuckets = 8
+
+  /** Parse a committed generation's `_MANIFEST`: lines `bucket,genId`. */
+  private[graft] def cdcManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      gen: org.apache.hadoop.fs.Path): Map[Int, Long] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(gen, "_MANIFEST"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val Array(b, g) = l.split(","); b.toInt -> g.toLong
+      }.toMap
+    finally in.close()
+  }
+
+  private def writeCdcManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, m: Map[Int, Long]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_MANIFEST"), true)
+    try out.write(m.toSeq.sorted.map { case (b, g) => s"$b,$g" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The live snapshot as of the newest committed generation: for each
+    * bucket, the parquet dir the manifest points at (generations differ
+    * per bucket — that's the carry-forward-by-reference working). */
+  private[graft] def readCdcSnapshot(s: SparkSession, snap: String): DataFrame = {
+    val snapP = new org.apache.hadoop.fs.Path(snap)
+    val fs = snapP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(snapP).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+    require(gens.nonEmpty, s"no CDC generations committed under $snap")
+    val manifest = cdcManifest(fs,
+      new org.apache.hadoop.fs.Path(snapP, s"gen-${gens.max}"))
+    require(manifest.nonEmpty, s"empty CDC manifest under $snap/gen-${gens.max}")
+    s.read.parquet(manifest.toSeq.sorted.map { case (k, g) =>
+      new org.apache.hadoop.fs.Path(snapP, s"gen-$g/bucket=$k").toString }: _*)
+  }
+
   /** One idempotent CDC MERGE step for C38 — the foreachBatch body. The
-    * snapshot lives as batchId-versioned parquet generations under `snap`;
-    * a batch commits by atomic rename of `_tmp-gen-N` → `gen-N`, so a
-    * RETRIED batch (foreachBatch's at-least-once delivery after a failure)
-    * sees its own generation and returns without touching anything — the
-    * standard idempotent-sink discipline that upgrades at-least-once to
-    * exactly-once. Merge arithmetic is B32's: counts add, last dates take
-    * greatest, and money stays DECIMAL across EVERY generation (decimal
-    * addition is exact and associative, so K merges equal the one-shot
-    * recompute bit-for-bit; the one double cast happens at read-out). */
+    * snapshot is hash-bucketed on the merge key ([[CdcBuckets]] fixed
+    * buckets, `pmod(hash(key), B)` — B22's co-location discipline) and
+    * lives as batchId-versioned generations under `snap`, each holding
+    * ONLY the buckets its batch touched plus a `_MANIFEST` mapping every
+    * bucket to the generation that carries its live data. Per-batch work
+    * is therefore O(delta ∪ touched buckets), not O(snapshot): untouched
+    * buckets carry forward by manifest REFERENCE — their files are never
+    * read, rewritten, or copied. A batch commits by atomic rename of
+    * `_tmp-gen-N` → `gen-N` (manifest included), so a RETRIED batch
+    * (foreachBatch's at-least-once delivery after a failure) sees its own
+    * generation and returns untouched — the idempotent-sink discipline
+    * that upgrades at-least-once to exactly-once; only gen-N itself must
+    * survive for that, since a replay of batch N implies N−1 was already
+    * checkpointed. After commit, retention SWEEPS superseded storage:
+    * bucket dirs no longer referenced by the new manifest and generation
+    * dirs with no referenced bucket left — storage stays O(one snapshot),
+    * not O(snapshot × batches). Merge arithmetic is B32's: counts add,
+    * last dates take greatest, and money stays DECIMAL across EVERY
+    * generation (decimal addition is exact and associative, so K merges
+    * equal the one-shot recompute bit-for-bit; the one double cast
+    * happens at read-out). */
   private[graft] def applyCdcBatch(s: SparkSession, snap: String,
       batch: DataFrame, batchId: Long): Unit = {
     val dec = "decimal(28,4)"
@@ -900,32 +954,71 @@ object Streams {
     val fs = snapP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val gen = new org.apache.hadoop.fs.Path(snapP, s"gen-$batchId")
     if (fs.exists(gen)) return // retried batch: already committed
+    val bkt = pmod(hash(col("o_custkey")), lit(CdcBuckets))
     val delta = batch.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("d_n"), max(col("o_orderdate")).as("d_last"),
         sum(col("o_totalprice").cast("decimal(18,4)")).cast(dec).as("d_sum"))
-    val prevGens =
-      if (!fs.exists(snapP)) Array.empty[Long]
-      else fs.listStatus(snapP).map(_.getPath.getName)
-        .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
-        .filter(_ < batchId)
-    val merged =
-      if (prevGens.isEmpty)
-        delta.select(col("o_custkey"), col("d_n").as("n_orders"),
-          col("d_last").as("last_odate"), col("d_sum").as("sum_dec"))
-      else {
-        val prev = s.read.parquet(
-          new org.apache.hadoop.fs.Path(snapP, s"gen-${prevGens.max}").toString)
-        prev.join(delta, Seq("o_custkey"), "full_outer")
-          .select(col("o_custkey"),
-            (coalesce(col("n_orders"), lit(0L)) +
-              coalesce(col("d_n"), lit(0L))).as("n_orders"),
-            greatest(col("last_odate"), col("d_last")).as("last_odate"),
-            (coalesce(col("sum_dec"), lit(0).cast(dec)) +
-              coalesce(col("d_sum"), lit(0).cast(dec))).cast(dec).as("sum_dec"))
-      }
-    val tmp = new org.apache.hadoop.fs.Path(snapP, s"_tmp-gen-$batchId")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(tmp, gen); ()
+      .withColumn("bucket", bkt)
+      .persist() // two driver actions below (touched-set, merge write)
+    try {
+      // bounded collect: ≤ CdcBuckets distinct values by construction
+      val touched = delta.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val prevGens =
+        if (!fs.exists(snapP)) Array.empty[Long]
+        else fs.listStatus(snapP).map(_.getPath.getName)
+          .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+          .filter(_ < batchId)
+      val prevManifest: Map[Int, Long] =
+        if (prevGens.isEmpty) Map.empty
+        else cdcManifest(fs,
+          new org.apache.hadoop.fs.Path(snapP, s"gen-${prevGens.max}"))
+      // prior state for ONLY the touched buckets (bucket pruning: each
+      // path is one bucket dir of whichever generation last wrote it)
+      val prevDirs = touched.toSeq.flatMap(k => prevManifest.get(k).map(g =>
+        new org.apache.hadoop.fs.Path(snapP, s"gen-$g/bucket=$k").toString))
+      val merged =
+        if (prevDirs.isEmpty)
+          delta.select(col("o_custkey"), col("d_n").as("n_orders"),
+            col("d_last").as("last_odate"), col("d_sum").as("sum_dec"),
+            col("bucket"))
+        else {
+          val prev = s.read.parquet(prevDirs: _*)
+          prev.join(delta.drop("bucket"), Seq("o_custkey"), "full_outer")
+            .select(col("o_custkey"),
+              (coalesce(col("n_orders"), lit(0L)) +
+                coalesce(col("d_n"), lit(0L))).as("n_orders"),
+              greatest(col("last_odate"), col("d_last")).as("last_odate"),
+              (coalesce(col("sum_dec"), lit(0).cast(dec)) +
+                coalesce(col("d_sum"), lit(0).cast(dec))).cast(dec).as("sum_dec"),
+              bkt.as("bucket"))
+        }
+      val tmp = new org.apache.hadoop.fs.Path(snapP, s"_tmp-gen-$batchId")
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      val writtenBuckets = fs.listStatus(tmp).map(_.getPath.getName)
+        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+      val manifest = prevManifest ++ writtenBuckets.map(_ -> batchId)
+      writeCdcManifest(fs, tmp, manifest)
+      fs.rename(tmp, gen)
+      // retention sweep: drop bucket dirs the new manifest superseded and
+      // generations with no referenced bucket left (a replay can only be
+      // of THIS batch, whose gen dir is kept whole)
+      val live: Map[Long, Set[Int]] =
+        manifest.groupBy(_._2).map { case (g, m) => g -> m.keySet }
+      fs.listStatus(snapP).map(_.getPath)
+        .filter(_.getName.startsWith("gen-")).foreach { gp =>
+          val g = gp.getName.stripPrefix("gen-").toLong
+          if (g < batchId) {
+            if (!live.contains(g)) { fs.delete(gp, true); () }
+            else fs.listStatus(gp).map(_.getPath)
+              .filter(_.getName.startsWith("bucket=")).foreach { bp =>
+                val k = bp.getName.stripPrefix("bucket=").toInt
+                if (!live(g).contains(k)) { fs.delete(bp, true); () }
+              }
+          }
+        }
+      ()
+    } finally { delta.unpersist(blocking = true); () }
   }
 
   /** C38 — streaming CDC APPLY (round-14, verdict item 8): B32's
@@ -938,8 +1031,10 @@ object Streams {
     * snapshot must equal B32's one-shot recompute over ALL orders — the
     * same oracle text — so the per-batch merge arithmetic (including exact
     * decimal money across generations) is what's being proven. The spec
-    * additionally re-applies a committed batch and pins the snapshot
-    * byte-identical (the retry path).
+    * additionally re-applies the last committed batch and pins the
+    * snapshot byte-identical (the retry path), and a planted-delta spec
+    * pins the bucket pruning: untouched buckets' files unrewritten across
+    * a batch, superseded generations swept.
     */
   def streamingMergeUpsert(s: SparkSession, d: String): DataFrame =
     runCdcMerge(s, d)._2
@@ -966,10 +1061,7 @@ object Streams {
         .trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable(); q.stop()
     }
-    val snapP = new org.apache.hadoop.fs.Path(snap)
-    val latest = fs.listStatus(snapP).map(_.getPath.getName)
-      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong).max
-    val df = s.read.parquet(new org.apache.hadoop.fs.Path(snapP, s"gen-$latest").toString)
+    val df = readCdcSnapshot(s, snap)
       .select(col("o_custkey"), col("n_orders"), col("last_odate"),
         col("sum_dec").cast("double").as("sum_price"))
     (snap, df)

@@ -386,19 +386,78 @@ class StreamingSpec extends SparkSpec {
     val want = graft.operators.Analytics.mergeUpsert(spark, sf)
       .collect().map(key).sortBy(_._1).toSeq
     assert(got == want && got.nonEmpty, "merged snapshot diverges from B32")
-    // retry path: re-apply an already-committed batch — the idempotent sink
-    // must leave the snapshot untouched (no new generation, mtimes frozen)
+    // retry path: re-apply the LAST committed batch (the only batch that
+    // can really replay — N replaying implies N−1 checkpointed) — the
+    // idempotent sink must leave the snapshot untouched (no new
+    // generation, mtimes frozen, recursively)
     val snapDir = new java.io.File(new java.net.URI("file:" + snap).getPath)
-    def state() = snapDir.listFiles().map(f => f.getName -> f.lastModified).sorted.toSeq
+    def state(): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        f +: (if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Nil)
+      walk(snapDir).map(f => f.getPath -> f.lastModified).sorted
+    }
     val before = state()
-    val batch0 = spark.read.parquet(s"${Streams.cdcFixtureDirForSpec(spark, sf)}/cdc0.parquet")
-    Streams.applyCdcBatch(spark, snap, batch0, 0L)
-    assert(state() == before, "retried batch 0 mutated the snapshot")
-    val after = spark.read.parquet(s"$snap/gen-2")
+    val batch2 = spark.read.parquet(s"${Streams.cdcFixtureDirForSpec(spark, sf)}/cdc2.parquet")
+    Streams.applyCdcBatch(spark, snap, batch2, 2L)
+    assert(state() == before, "retried batch 2 mutated the snapshot")
+    val after = Streams.readCdcSnapshot(spark, snap)
       .select(col("o_custkey"), col("n_orders"), col("last_odate"),
         col("sum_dec").cast("double").as("sum_price"))
       .collect().map(key).sortBy(_._1).toSeq
     assert(after == want, "snapshot content changed after the retry")
+  }
+
+  test("C38: untouched buckets carry forward by reference; superseded storage is swept") {
+    val base = new org.apache.hadoop.fs.Path(
+      graft.Artifacts.scratchBase(spark), "graft_cdc_prune_spec")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(base, true)
+    val snap = new org.apache.hadoop.fs.Path(base, "snap").toString
+    // bucket ids for planted keys, via the engine's own hash discipline
+    val b = spark.range(0, 64)
+      .withColumn("b", pmod(hash(col("id")), lit(Streams.CdcBuckets)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byBucket = b.groupBy(_._2).map { case (k, m) => k -> m.keys.toSeq.sorted }
+    // batch 0 spans several buckets; batch 1 touches exactly ONE of them
+    val spanKeys = byBucket.values.map(_.head).toSeq.sorted.take(4)
+    val oneBucket = b(spanKeys.head)
+    val t0 = java.time.LocalDateTime.of(1995, 1, 1, 0, 0)
+    def mkBatch(keys: Seq[Long]) = keys
+      .map(k => (k, 10.0, t0.plusDays(k)))
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    Streams.applyCdcBatch(spark, snap, mkBatch(spanKeys), 0L)
+    Streams.applyCdcBatch(spark, snap, mkBatch(Seq(spanKeys.head)), 1L)
+    val snapP = new org.apache.hadoop.fs.Path(snap)
+    // gen-1 wrote ONLY the touched bucket
+    val g1Buckets = fs.listStatus(new org.apache.hadoop.fs.Path(snapP, "gen-1"))
+      .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSeq
+    assert(g1Buckets == Seq(s"bucket=$oneBucket"),
+      s"gen-1 should hold exactly the touched bucket, got $g1Buckets")
+    // the manifest references gen-0 for every untouched bucket — their
+    // dirs still live under gen-0, files unrewritten (same paths exist)
+    val man1 = Streams.cdcManifest(fs, new org.apache.hadoop.fs.Path(snapP, "gen-1"))
+    val untouched = spanKeys.tail.map(b)
+    untouched.foreach { k =>
+      assert(man1(k) == 0L, s"bucket $k should still reference gen-0")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(snapP, s"gen-0/bucket=$k")),
+        s"gen-0/bucket=$k vanished")
+    }
+    assert(man1(oneBucket) == 1L)
+    // retention: gen-0's superseded copy of the rewritten bucket is gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(snapP, s"gen-0/bucket=$oneBucket")),
+      "superseded gen-0 bucket dir was not swept")
+    // batch 2 rewrites the remaining gen-0 buckets → gen-0 fully
+    // unreferenced and deleted whole
+    Streams.applyCdcBatch(spark, snap, mkBatch(spanKeys.tail), 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(snapP, "gen-0")),
+      "fully-superseded generation was not swept")
+    // and through it all the merged content is exact: every key arrived
+    // in batch 0 and once more (head in batch 1, tail in batch 2)
+    val out = Streams.readCdcSnapshot(spark, snap)
+      .select(col("o_custkey"), col("n_orders")).as[(Long, Long)]
+      .collect().toMap
+    assert(out == spanKeys.map(_ -> 2L).toMap, s"merged snapshot wrong: $out")
+    fs.delete(base, true); ()
   }
 
   test("C32: timer flush emits exactly the expired finals on top of the event-closed set") {
