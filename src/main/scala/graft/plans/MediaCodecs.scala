@@ -80,6 +80,63 @@ object MediaCodecs {
     new GenericArrayData(out)
   }
 
+  // ---------------- PNG ----------------
+
+  /** PNG encode: pack an array<int> of samples as a genuine 8-bit RGB
+    * (channels=3) / grayscale (channels=1) PNG — zlib-deflated IDAT with
+    * per-row filters cycling all five spec predictors
+    * ([[graft.multimodal.Codecs.encodePng]]).
+    */
+  case class PngFromCodes(child: Expression, w: Int, h: Int, channels: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] =
+      Seq(ArrayType(IntegerType))
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.pngFromCodes(a.asInstanceOf[ArrayData], w, h, channels)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.MediaCodecs.pngFromCodes($c, $w, $h, $channels)")
+    override protected def withNewChildInternal(c: Expression): PngFromCodes =
+      copy(child = c)
+  }
+
+  def pngFromCodes(codes: ArrayData, w: Int, h: Int, ch: Int): Array[Byte] = {
+    val n = w * h * ch
+    val px = new Array[Int](n)
+    var i = 0
+    while (i < n) { px(i) = codes.getInt(i); i += 1 }
+    Codecs.encodePng(Codecs.Raster(w, h, ch, 255, px))
+  }
+
+  /** PNG DECODE: signature + CRC-verified chunk walk, zlib inflate, and
+    * per-scanline filter reconstruction
+    * ([[graft.multimodal.Codecs.decodePng]]), emitted in the PpmDecode
+    * layout `[width, height, maxval] ++ pixels` so the downstream stats/
+    * resize kernels compose unchanged. Dims come from the PARSED IHDR
+    * bytes — the gate proves the parse. */
+  case class PngDecode(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(BinaryType)
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.pngDecode(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.MediaCodecs.pngDecode($c)")
+    override protected def withNewChildInternal(c: Expression): PngDecode =
+      copy(child = c)
+  }
+
+  def pngDecode(b: Array[Byte]): GenericArrayData = {
+    val r = Codecs.decodePng(b)
+    val out = new Array[Any](3 + r.pixels.length)
+    out(0) = r.width; out(1) = r.height; out(2) = r.maxval
+    var i = 0
+    while (i < r.pixels.length) { out(3 + i) = r.pixels(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   // ---------------- WAV ----------------
 
   /** RIFF/WAVE encode: wrap raw bytes as mono 8-bit PCM at `rate` Hz (8-bit
@@ -441,6 +498,10 @@ object MediaCodecs {
     column(PpmFromCodes(expression(codes), w, h, ch))
   def ppmDecodeCol(payload: Column): Column =
     column(PpmDecode(expression(payload)))
+  def pngEncode(codes: Column, w: Int, h: Int, ch: Int): Column =
+    column(PngFromCodes(expression(codes), w, h, ch))
+  def pngDecodeCol(payload: Column): Column =
+    column(PngDecode(expression(payload)))
   def wavEncode(data: Column, rate: Int): Column =
     column(WavFromBytes(expression(data), rate))
   def y4mEncode(data: Column, w: Int, h: Int): Column =
