@@ -286,6 +286,72 @@ object BpeTrain {
     FROM documents d JOIN s$Rounds f ON f.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source"""
 
+  /** H54 — token-ID sequence EMISSION (round-15, verdict item 5): the
+    * last step of the corpus pipeline, the one a training job actually
+    * loads. Applies the stored H33 merge table, builds the dense
+    * vocabulary (distinct merged symbols, sorted — id = rank), and emits
+    * each document's id sequence; the gate carries the exact
+    * length + md5-of-comma-joined-ids so rows stay bounded while every
+    * id is pinned. Two corpus scans by design — the sentencepiece shape:
+    * pass 1 enumerates the vocabulary (shuffle carries only DISTINCT
+    * symbols after map-side combine, vocabulary-sized not corpus-sized;
+    * the collect is bounded by construction: ASCII corpus codepoints +
+    * [[Rounds]] merge symbols), pass 2 encodes with the vocabulary baked
+    * into the kernel as plan constants — no join on the hot path, one
+    * codegen'd call per row. Empty documents are filtered (no tokens to
+    * emit; both engines drop those rows). */
+  def tokenizeIds(s: SparkSession, d: String): DataFrame = {
+    val (ra, rb, rm) = learnedRules(s, d)
+    val docs = Tables.documents(s, d)
+      .filter(char_length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    val vocab = docs
+      .select(explode(BpeDynamic.symbolsCol(col("text"), ra, rb, rm)).as("sym"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    docs.select(col("doc_id"),
+      BpeDynamic.encodeIdsCol(col("text"), ra, rb, rm, vocab).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_ids"),
+        graft.plans.MediaCodecs.md5CsvCol(col("ids")).as("ids_md5"))
+  }
+
+  /** Invert [[tokenizeIds]]' encoding for a planted document set: id →
+    * symbol via the sorted vocabulary, then recursive merge-symbol
+    * expansion through the rule table (later rules may reference earlier
+    * merge symbols), then codepoints → text. Round-trip support for the
+    * spec and for debugging a trained vocabulary. */
+  private[graft] def detokenize(ids: Seq[Int], vocab: Seq[Int],
+      ra: Seq[Int], rb: Seq[Int], rm: Seq[Int]): String = {
+    val expand = rm.indices.map(i => rm(i) -> (ra(i), rb(i))).toMap
+    def expandSym(sym: Int): Seq[Int] = expand.get(sym) match {
+      case Some((a, b)) => expandSym(a) ++ expandSym(b)
+      case None => Seq(sym)
+    }
+    val sb = new java.lang.StringBuilder
+    ids.flatMap(id => expandSym(vocab(id)))
+      .foreach(cp => sb.appendCodePoint(cp))
+    sb.toString
+  }
+
+  /** H54's oracle: replay the merge chain (the H33 CTEs), enumerate the
+    * final states positionally, rank distinct symbols for the dense ids,
+    * and rebuild each document's id list in order. */
+  private def tokenizeIdsSql: String =
+    s"""WITH $trainingCtes,
+    fin AS MATERIALIZED (SELECT doc_id, s FROM s$Rounds WHERE length(s) > 0),
+    u AS MATERIALIZED (
+      SELECT doc_id, pos, ord(substring(s, CAST(pos AS INT), 1)) AS sym
+      FROM (SELECT doc_id, s, unnest(range(1, length(s) + 1)) AS pos FROM fin)),
+    vocab AS MATERIALIZED (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INTEGER) AS id
+      FROM (SELECT DISTINCT sym FROM u)),
+    ids AS (
+      SELECT u.doc_id, list(v.id ORDER BY u.pos) AS ids
+      FROM u JOIN vocab v ON v.sym = u.sym GROUP BY u.doc_id)
+    SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
+      md5(array_to_string(ids, ',')) AS ids_md5
+    FROM ids ORDER BY doc_id"""
+
   // ------------------------------------------------------------------
   // H41/H42 — GPT-2-STYLE PRE-TOKENIZED training (round-12 verdict item 8)
   // ------------------------------------------------------------------
@@ -451,7 +517,8 @@ object BpeTrain {
     "bpe_vocab_coverage" -> vocabCoverage _,
     "bpe_train_merges" -> trainMerges _,
     "bpe_learned_tokens" -> learnedTokens _,
-    "corpus_pack_bpe_learned" -> packBpeLearned _
+    "corpus_pack_bpe_learned" -> packBpeLearned _,
+    "corpus_tokenize_ids" -> tokenizeIds _
   )
 
   val oracles: Map[String, String] = Map(
@@ -460,6 +527,7 @@ object BpeTrain {
     "bpe_vocab_coverage" -> vocabCoverageSql,
     "bpe_train_merges" -> trainMergesSql,
     "bpe_learned_tokens" -> learnedTokensSql,
-    "corpus_pack_bpe_learned" -> packBpeLearnedSql
+    "corpus_pack_bpe_learned" -> packBpeLearnedSql,
+    "corpus_tokenize_ids" -> tokenizeIdsSql
   )
 }

@@ -126,4 +126,83 @@ object BpeDynamic {
     column(BpePairKeys(expression(c), ra, rb, rm))
   def countWithCol(c: Column, ra: Seq[Int], rb: Seq[Int], rm: Seq[Int]): Column =
     column(BpeCountWith(expression(c), ra, rb, rm))
+
+  /** The merged SYMBOL sequence after applying the rule table — the
+    * stream the vocabulary pass enumerates (H54). */
+  def symbolsOf(s: UTF8String, ra: Array[Int], rb: Array[Int], rm: Array[Int]): GenericArrayData = {
+    val (arr, len) = applyRules(s, ra, rb, rm)
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) { out(i) = arr(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Dense token-ID encoding (H54): apply the rule table, then map each
+    * merged symbol to its rank in the sorted `vocab` array (binary
+    * search). A symbol absent from the vocabulary throws — the id pass
+    * runs over the same corpus the vocabulary was built from, so a miss
+    * is a bug surfacing, not data handling. */
+  def encodeIds(s: UTF8String, ra: Array[Int], rb: Array[Int], rm: Array[Int],
+      vocab: Array[Int]): GenericArrayData = {
+    val (arr, len) = applyRules(s, ra, rb, rm)
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      val id = java.util.Arrays.binarySearch(vocab, arr(i))
+      if (id < 0) throw new IllegalArgumentException(
+        s"symbol ${arr(i)} not in the ${vocab.length}-entry vocabulary")
+      out(i) = id
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class BpeSymbols(child: Expression, ra: Seq[Int], rb: Seq[Int], rm: Seq[Int])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(ra.length == rb.length && rb.length == rm.length, "ragged rule table")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+    @transient private lazy val (raA, rbA, rmA) = (ra.toArray, rb.toArray, rm.toArray)
+    override def nullSafeEval(a: Any): Any =
+      BpeDynamic.symbolsOf(a.asInstanceOf[UTF8String], raA, rbA, rmA)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val raRef = ctx.addReferenceObj("bpeRa", raA, "int[]")
+      val rbRef = ctx.addReferenceObj("bpeRb", rbA, "int[]")
+      val rmRef = ctx.addReferenceObj("bpeRm", rmA, "int[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.BpeDynamic.symbolsOf($c, $raRef, $rbRef, $rmRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeSymbols =
+      copy(child = c)
+  }
+
+  case class BpeEncodeIds(child: Expression, ra: Seq[Int], rb: Seq[Int],
+      rm: Seq[Int], vocab: Seq[Int]) extends UnaryExpression with ExpectsInputTypes {
+    require(ra.length == rb.length && rb.length == rm.length, "ragged rule table")
+    require(vocab == vocab.sorted, "vocabulary must be sorted (ids are ranks)")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+    @transient private lazy val (raA, rbA, rmA, vA) =
+      (ra.toArray, rb.toArray, rm.toArray, vocab.toArray)
+    override def nullSafeEval(a: Any): Any =
+      BpeDynamic.encodeIds(a.asInstanceOf[UTF8String], raA, rbA, rmA, vA)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val raRef = ctx.addReferenceObj("bpeRa", raA, "int[]")
+      val rbRef = ctx.addReferenceObj("bpeRb", rbA, "int[]")
+      val rmRef = ctx.addReferenceObj("bpeRm", rmA, "int[]")
+      val vRef = ctx.addReferenceObj("bpeVocab", vA, "int[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.BpeDynamic.encodeIds($c, $raRef, $rbRef, $rmRef, $vRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeEncodeIds =
+      copy(child = c)
+  }
+
+  def symbolsCol(c: Column, ra: Seq[Int], rb: Seq[Int], rm: Seq[Int]): Column =
+    column(BpeSymbols(expression(c), ra, rb, rm))
+  def encodeIdsCol(c: Column, ra: Seq[Int], rb: Seq[Int], rm: Seq[Int],
+      vocab: Seq[Int]): Column =
+    column(BpeEncodeIds(expression(c), ra, rb, rm, vocab))
 }

@@ -220,4 +220,52 @@ class BpeTrainSpec extends SparkSpec {
       .agg(sum("n_chunks")).head.getLong(0)
     assert(nChunks == direct, "learned packing lost or duplicated chunks")
   }
+
+  test("H54 id emission round-trips: detokenize(encode(text)) == text on planted docs") {
+    import SparkSpecBase.spark.implicits._
+    // planted rule table with a CASCADED merge (rule 3 consumes rule 1's
+    // symbol) — detokenization must expand recursively
+    val ra = Seq('a'.toInt, 'c'.toInt, 0xE100)
+    val rb = Seq('b'.toInt, 'd'.toInt, 'c'.toInt)
+    val rm = Seq(0xE100, 0xE101, 0xE102)
+    val docs = Seq("abcdabcab", "aabbccdd", "xyzzy", "abc", "")
+    val syms = docs.filter(_.nonEmpty).toDF("text")
+      .select(explode(graft.plans.BpeDynamic.symbolsCol(col("text"), ra, rb, rm)))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val enc = docs.filter(_.nonEmpty).toDF("text")
+      .select(col("text"),
+        graft.plans.BpeDynamic.encodeIdsCol(col("text"), ra, rb, rm, syms).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    // the cascade actually fired: "abcdabcab" -> E100 E101 E102 E100
+    // (the E102 comes from rule 3 consuming rule 1's output symbol)
+    assert(enc("abcdabcab") == Seq(0xE100, 0xE101, 0xE102, 0xE100).map(syms.indexOf),
+      s"cascaded merge missing: ${enc("abcdabcab")}")
+    enc.foreach { case (text, ids) =>
+      assert(BpeTrain.detokenize(ids, syms, ra, rb, rm) == text,
+        s"round-trip broke for '$text': $ids")
+      assert(ids.forall(id => id >= 0 && id < syms.length), "id out of vocab range")
+    }
+    // and on the real corpus artifacts: the gated frame reconciles with a
+    // direct detokenization of a few sampled docs
+    val (lra, lrb, lrm) = BpeTrain.learnedRules(spark, sf)
+    val docsDf = graft.operators.Tables.documents(spark, sf)
+      .filter(char_length(col("text")) > 0).limit(5)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vocab = graft.operators.Tables.documents(spark, sf)
+      .filter(char_length(col("text")) > 0)
+      .select(explode(graft.plans.BpeDynamic.symbolsCol(col("text"), lra, lrb, lrm)))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val encoded = graft.operators.Tables.documents(spark, sf)
+      .filter(char_length(col("text")) > 0)
+      .filter(col("doc_id").isin(docsDf.keys.toSeq: _*))
+      .select(col("doc_id"),
+        graft.plans.BpeDynamic.encodeIdsCol(col("text"), lra, lrb, lrm, vocab).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(encoded.nonEmpty)
+    encoded.foreach { case (id, ids) =>
+      assert(BpeTrain.detokenize(ids, vocab, lra, lrb, lrm) == docsDf(id),
+        s"corpus round-trip broke for doc $id")
+    }
+  }
 }
