@@ -1337,6 +1337,89 @@ object Ann {
     SELECT qid, nid, rank, rcos FROM knn_ranked
     WHERE rank <= $TopK ORDER BY qid, rank"""
 
+  /** Sampling knobs for F25 — one deterministic splitmix64 residue class
+    * of corpus rows (expected n/[[KnnRecallMod]] queries). At 100 TB the
+    * modulus is the certification-budget knob: raise it with corpus size
+    * so the sampled query block stays broadcastable and the exact
+    * reference stays one corpus scan against a bounded block. */
+  val KnnRecallMod = 16
+  val KnnRecallRes = 7
+
+  /** F25 — recall certification for the corpus-wide kNN JOIN (round-15,
+    * verdict item 6): F14/F16/F21 certify the bounded `vec_id <
+    * NumQueries` query path; this key measures F24's corpus-wide form at
+    * its own operating point (nprobe=[[KnnNprobe]]) on a deterministic
+    * splitmix64 residue sample. The approximate side is F24's exact
+    * candidate/rank plan with the sample predicate pushed into the QUERY
+    * side — per-query top-k is independent of the other queries, so the
+    * restriction changes cost, not per-query results (spec-pinned
+    * against the unrestricted join). The exact side is brute cosine of
+    * the sampled block against the full corpus — the certification's
+    * inherent cost, one corpus scan per sample block. Output: F14's
+    * per-query (n_hits, recall_bps), integer basis points.
+    */
+  def knnJoinRecall(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfIndexDir(s, d)
+    val corpus = s.read.parquet(s"$dir/corpus")
+    val cents = s.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]]("cv").toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val sampleP = pmod(graft.plans.MixHash.splitmix64Col(col("vec_id")),
+      lit(KnnRecallMod.toLong)) === lit(KnnRecallRes.toLong)
+    val routed = corpus.filter(sampleP)
+      .withColumn("qcell", explode(topCellsCol("v", "nrm", cents, KnnNprobe)))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("qcell"))
+    val approx = rankTopK(corpus.join(routed,
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id").as("nid"), col("rcos")))
+      .select(col("qid"), col("nid")).withColumn("hit", lit(1L))
+    val q = corpus.filter(sampleP)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val brute = rankTopK(corpus.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id").as("nid"), col("rcos")))
+      .select(col("qid"), col("nid"))
+    brute.join(approx, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_bps", expr(s"(10000 * n_hits) DIV $TopK"))
+  }
+
+  /** F25's oracle: the H6 splitmix chain picks the residue sample, the
+    * F24 probe chain (shared CTE text) supplies the approximate side on
+    * those queries, and the quadratic brute on sample × corpus is the
+    * exact reference. */
+  private def knnJoinRecallSql: String = s"""
+    WITH $ivfAssignCtes,
+    $ivfCwCte,
+    ${graft.plans.MixHash.sqlSplitmixCtes(
+      "e", "CAST(vec_id AS HUGEINT)", Seq("vec_id"), "krs")},
+    sq AS (SELECT vec_id FROM krs WHERE h % $KnnRecallMod = $KnnRecallRes),
+    ${ivfProbeCtes(KnnNprobe, "_kr",
+      qWhere = "q.vec_id IN (SELECT vec_id FROM sq)")},
+    ${ivfRankedFrom("_kr", "kr_ranked")},
+    kbp AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+        ROUND(list_cosine_similarity(q.v, c.v), 6) AS rcos
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id IN (SELECT vec_id FROM sq)),
+    kbr AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rcos DESC, nid) AS rank
+        FROM kbp) t
+      WHERE rank <= $TopK),
+    kh AS (
+      SELECT b.qid, CAST(COUNT(iv.nid) AS BIGINT) AS n_hits
+      FROM kbr b LEFT JOIN kr_ranked iv
+        ON iv.qid = b.qid AND iv.nid = b.nid AND iv.rank <= $TopK
+      GROUP BY b.qid)
+    SELECT qid, n_hits, CAST((10000 * n_hits) // $TopK AS BIGINT) AS recall_bps
+    FROM kh ORDER BY qid"""
+
   /** F22 — IVF CELL-BALANCE report: per stored cell, its corpus share and
     * the mean cosine of members to their own centroid — the index-health
     * table an IVF deployment watches (a hot cell makes every probe that
@@ -1730,6 +1813,7 @@ object Ann {
     "ann_binary_topk" -> binaryTopK _,
     "dedup_semantic" -> semanticDedup _,
     "ann_knn_join" -> knnJoin _,
+    "ann_knn_join_recall" -> knnJoinRecall _,
     "ann_ivf_cell_report" -> ivfCellReport _,
     "emb_pq_distortion" -> pqDistortionReport _,
     "ann_pq_topk" -> pqTopK _,
@@ -2074,6 +2158,7 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "dedup_semantic" -> semanticDedupSql,
     "ann_knn_join" -> knnJoinSql,
+    "ann_knn_join_recall" -> knnJoinRecallSql,
     "ann_ivf_cell_report" -> ivfCellReportSql,
     "emb_pq_distortion" -> pqDistortionSql,
     "ann_pq_topk" -> pqOracleSql,

@@ -150,6 +150,44 @@ class PlanSpec extends SparkSpec {
     assert(mine.toSeq == f3.toSeq, "knn join diverges from F3 on the F3 query set")
   }
 
+  test("F25: sampled kNN-join recall reconciles hit-by-hit with brute ∩ F24") {
+    import graft.similarity.Ann
+    val rep = Ann.knnJoinRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.nonEmpty, "empty recall report")
+    // the report covers EXACTLY the pinned residue class
+    val expectQids = Ann.ivfCorpusForSpec(spark, sf)
+      .filter(pmod(graft.plans.MixHash.splitmix64Col(col("vec_id")),
+        lit(Ann.KnnRecallMod.toLong)) === lit(Ann.KnnRecallRes.toLong))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rep.keySet == expectQids, "sampled query set diverges from the residue class")
+    // per-query hits recomputed independently: the UNRESTRICTED F24 join
+    // (proving the sample-pushdown changed cost, not results) intersected
+    // with an in-process exact brute over the collected spec-SF corpus
+    val full = Ann.knnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val emb = Ann.ivfCorpusForSpec(spark, sf)
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray).toMap
+    def cos6(a: Array[Double], b: Array[Double]): BigDecimal = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    rep.foreach { case (qid, nHits) =>
+      val exact = emb.keys.filter(_ != qid).toSeq
+        .map(nid => (nid, cos6(emb(qid), emb(nid))))
+        .sortBy { case (nid, c) => (-c, nid) }.take(Ann.TopK).map(_._1).toSet
+      val hits = exact.intersect(full.getOrElse(qid, Set.empty)).size.toLong
+      assert(hits == nHits, s"qid $qid: report says $nHits hits, reference $hits")
+    }
+    // the certification is non-vacuous: some query misses, some hits
+    assert(rep.values.sum > 0, "zero hits everywhere — index unusable or bug")
+  }
+
   test("F7/F10/F11/F12: shortlist via heap partials — no Window ever consumes " +
       "a corpus-sized pair stream") {
     // Round-10 verdict lead item. The old shape joined the full corpus to
