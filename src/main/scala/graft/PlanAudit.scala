@@ -172,7 +172,11 @@ object PlanAudit {
     // source_jsonl_quarantine: collect_list of quarantined lines — bounded
     // by the corruption rate (1/17 of the fixture), a report input; a real
     // deployment writes the quarantine to a sink instead of digesting it
-    "source_jsonl_quarantine")
+    "source_jsonl_quarantine",
+    // scale_curve_report::minhash_pairs@*: the audit sub-rows run the E3
+    // banding device over the derived corpora — the same constant-size
+    // minhash signature buffers dedup_minhash carries
+    "scale_curve_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")
@@ -207,7 +211,16 @@ object PlanAudit {
     }
 
     val violations = scala.collection.mutable.ArrayBuffer[String]()
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // driver-assembled report keys return bounded local tables, so their
+    // own plan rows are vacuous (0 scans, no codegen); their constituent
+    // distributed frames are audited as explicit `key::device@scale`
+    // sub-rows (round-15 verdict item 7). Whitelists key on the part
+    // BEFORE `::` so a sub-row inherits nothing by accident and the base
+    // key's entries don't have to be duplicated per scale.
+    val audited = SparkEntry.queries.toSeq.sortBy(_._1) ++
+      graft.operators.ScaleCurve.auditFrameBuilders
+    val rows = audited.map { case (name, fn) =>
+      val wlName = name.split("::")(0)
       try {
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.executedPlan.toString
@@ -234,9 +247,9 @@ object PlanAudit {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         if (leaked > 0)
           violations += s"$name: leaked $leaked storage entries after execution"
-        if (singleEx > 0 && !SinglePartitionOk(name))
+        if (singleEx > 0 && !SinglePartitionOk(wlName))
           violations += s"$name: $singleEx SinglePartition exchange(s) outside the global-agg whitelist"
-        if (objHash > 0 && !ObjectAggOk(name))
+        if (objHash > 0 && !ObjectAggOk(wlName))
           violations += s"$name: $objHash ObjectHashAggregate(s) outside the bounded-buffer whitelist"
         s"| `$name` | $scans | ${if (pushed) "yes" else "—"} | $hashEx | $rangeEx | $singleEx | $bcast | $smj | $objHash | ${if (codegen) "yes" else "no"} | $leaked |"
       } catch {

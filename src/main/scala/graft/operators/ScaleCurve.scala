@@ -35,7 +35,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCurve {
 
-  val Scales: Seq[Int] = Seq(1, 2, 4)
+  /** Headline-gated scales. The 4x point moved to the spec tier in
+    * round 15 (verdict item 4): one proof key was ~10-20% of the whole
+    * bench; 1x/2x hash-gate the linearity slope at sf0.01 while
+    * [[ScaleCurveSpec]] re-asserts the full 1x/2x/4x curve (exact
+    * k-multiples + device envelope) and ScaleLab publishes measured
+    * wall-clock exponents across a decade of growth. */
+  val Scales: Seq[Int] = Seq(1, 2)
+  /** The spec tier's extended curve (includes the 4x point). */
+  val SpecScales: Seq[Int] = Seq(1, 2, 4)
   /** Replica id offset — far above any base id. */
   val IdStride = 10000000L
 
@@ -86,11 +94,15 @@ object ScaleCurve {
   }
 
   /** The gated (key × scale) growth report. */
-  def scaleCurveReport(s: SparkSession, d: String): DataFrame = {
+  def scaleCurveReport(s: SparkSession, d: String): DataFrame =
+    scaleCurveReportAt(s, d, Scales)
+
+  private[graft] def scaleCurveReportAt(
+      s: SparkSession, d: String, scales: Seq[Int]): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.wsTokens
     val nBase = Tables.documents(s, d).count()
-    val rows = Scales.flatMap { k =>
+    val rows = scales.flatMap { k =>
       // plain persist + blocking unpersist: the frame feeds SEVERAL
       // separate actions (scopedPersist would release after the first)
       val sd = scaledDocs(s, d, k)
@@ -117,6 +129,23 @@ object ScaleCurve {
     }
     rows.toDF("key", "scale", "n_input", "n_output", "input_chars")
   }
+
+  /** The report's constituent DISTRIBUTED frames, exposed for PlanAudit
+    * (round-15 verdict item 7): the gated key returns a driver-assembled
+    * bounded table, so auditing it alone records 0 scans / no codegen —
+    * a vacuous row. These builders hand the audit the real inner plans
+    * (the E3 banding device and the B69 binning device over each derived
+    * scale) as `scale_curve_report::<device>@<k>x` sub-rows. */
+  private[graft] val auditFrameBuilders: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Scales.flatMap { k =>
+      Seq(
+        s"scale_curve_report::minhash_pairs@${k}x" ->
+          ((s: SparkSession, d: String) =>
+            graft.dedup.Dedup.minhashPairsOf(s, scaledDocs(s, d, k))),
+        s"scale_curve_report::interval_overlap@${k}x" ->
+          ((s: SparkSession, d: String) =>
+            Signals.intervalOverlapPairsOf(s, scaledEvents(s, d, k))))
+    }
 
   // ------------------------------------------------------------------
   // oracle

@@ -10,12 +10,16 @@ import graft.operators.ScaleCurve
 class ScaleCurveSpec extends SparkSpec {
 
   test("scale report: constructed rows are exact k-multiples; devices grow ~linearly") {
-    val rows = ScaleCurve.scaleCurveReport(spark, sf).collect()
+    // the spec tier runs the EXTENDED curve (1x/2x/4x) — the headline key
+    // gates 1x/2x only (round-15 verdict item 4: bench right-sizing), so
+    // the 4x point's linearity is asserted here
+    val rows = ScaleCurve.scaleCurveReportAt(spark, sf, ScaleCurve.SpecScales).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val byKey = rows.groupBy(_._1).map { case (k, rs) =>
       k -> rs.map(t => t._2 -> (t._3, t._4, t._5)).toMap
     }
-    val scales = ScaleCurve.Scales.map(_.toLong)
+    val scales = ScaleCurve.SpecScales.map(_.toLong)
+    assert(scales.contains(4L), "spec tier must include the 4x point")
     // deterministic-by-construction rows: exact k-multiples of scale 1
     for (key <- Seq("corpus_scaled", "dedup_exact", "text_tokens"); k <- scales) {
       val (_, out1, ch1) = byKey(key)(1L)
