@@ -776,9 +776,14 @@ object Streams {
 
   /** C37 — checkpoint RESTART RECOVERY (round-14, verdict item 3): the
     * production property the other streaming keys run to completion without
-    * exercising — kill a stateful query mid-stream, start a NEW query from
-    * the same checkpoint, and the final result is identical to the
-    * uninterrupted run. Per invocation the corpus arrives as two
+    * exercising — stop a stateful query with open state at a batch
+    * boundary, start a NEW query from the same checkpoint, and the final
+    * result is identical to the uninterrupted run. (The stop is graceful
+    * — processAllAvailable + stop — so what this key proves is state
+    * restoration and commit-log continuation across query objects;
+    * restart after a MID-batch crash additionally leans on the file
+    * sink's commit-log dedup of a partially written batch, which this
+    * gate does not exercise.) Per invocation the corpus arrives as two
     * time-ordered halves in a fresh input dir: phase 1 sees only half 0
     * (C30's transformWithState sessionizer on RocksDB, writing through the
     * exactly-once PARQUET file sink), drains, and STOPS — a stop with every
@@ -827,7 +832,7 @@ object Streams {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       arrive("half0.parquet")
-      runPhase() // phase 1: committed, then killed with open state
+      runPhase() // phase 1: committed, then stopped with open state
       arrive("half1.parquet")
       val p2 = runPhase() // phase 2: fresh query, same checkpoint
       require(p2.nonEmpty && p2.forall(_ >= 1),
@@ -1803,8 +1808,8 @@ object Streams {
     // C30: the transformWithState twin emits under the SAME session rule —
     // one oracle text for both state APIs, so they provably cannot diverge
     "streaming_sessionize_tws" -> sessionizeOracleSql,
-    // C37: kill/restart mid-stream must be invisible — the SAME oracle text
-    // as C4/C30; any state loss or sink duplication breaks the hash gate
+    // C37: stop-with-open-state/restart must be invisible — the SAME oracle
+    // text as C4/C30; any state loss or sink duplication breaks the hash gate
     "streaming_restart_recovery" -> sessionizeOracleSql,
     // C38: the continuously-merged snapshot must equal B32's one-shot
     // recompute over all orders (same oracle text as merge_upsert)

@@ -28,7 +28,12 @@ object ScaleLab {
 
   private def materialize(s: SparkSession, base: String, k: Int, dir: String): Unit = {
     import graft.operators.Tables
-    if (new java.io.File(s"$dir/documents.parquet").exists()) return
+    // resume only on a COMPLETED materialization: an interrupted run can
+    // leave documents.parquet without the sibling tables (or with stale
+    // ones), and timing against a partial corpus would publish wrong
+    // exponents — the marker lands strictly after the last table
+    val done = new java.io.File(s"$dir/_SCALELAB_DONE")
+    if (done.exists()) return
     def reps = explode(expr(s"sequence(0, ${k - 1})"))
     Tables.documents(s, base)
       .withColumn("rep", reps)
@@ -59,6 +64,8 @@ object ScaleLab {
       .withColumn("l_partkey", col("rep") * IdStride + col("l_partkey"))
       .drop("rep")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = new java.io.FileOutputStream(done)
+    try out.write(s"base=$base k=$k\n".getBytes("UTF-8")) finally out.close()
     ()
   }
 

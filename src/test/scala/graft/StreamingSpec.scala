@@ -359,10 +359,11 @@ class StreamingSpec extends SparkSpec {
     assert(spark.conf.getOption(provKey) == before, "provider conf leaked")
   }
 
-  test("C37: kill/restart from checkpoint == the uninterrupted run, boundary sessions merge") {
-    // the recovery driver stops a live query with open state, restarts a NEW
-    // query from the checkpoint, and must land on the exact uninterrupted
-    // session set (the driver itself `require`s phase 2 resumed at batch >= 1)
+  test("C37: stop-with-open-state/restart from checkpoint == the uninterrupted run, boundary sessions merge") {
+    // the recovery driver stops a live query with open state at a batch
+    // boundary, restarts a NEW query from the checkpoint, and must land on
+    // the exact uninterrupted session set (the driver itself `require`s
+    // phase 2 resumed at batch >= 1)
     val rec = Streams.streamingRestartRecovery(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val uninterrupted = Streams.streamingSessionizeTws(spark, sf).collect()
