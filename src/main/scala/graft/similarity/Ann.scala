@@ -1072,14 +1072,38 @@ object Ann {
   def annRecallCurve(s: SparkSession, d: String): DataFrame = {
     val brute = graft.CacheScope.scopedPersist(
       bruteTopK(s, d).select(col("qid"), col("nid")))
-    val nQ = lit(NumQueries.toLong)
+    // ONE probe at max nprobe, candidates tagged with the probe rank of
+    // the cell that produced them (each corpus vector lives in exactly
+    // one cell, so `crank <= np` recovers the np-sweep's candidate set
+    // EXACTLY) — the 4-sweep union then shares a single scored candidate
+    // frame instead of re-running 4 routing joins + corpus scans
+    // (round-15: the two-pass-mover A/B found the composite curve paying
+    // ~1.3x; components were at parity — this removes the redundancy
+    // outright). Persisted across the sweep's 8 consuming subtrees.
+    val maxNp = RecallCurveNprobes.max
+    val dir = ivfIndexDir(s, d)
+    val corpus = s.read.parquet(s"$dir/corpus")
+    val routed = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(s.read.parquet(s"$dir/centroids")))
+      .withColumn("ccos", dotCol("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell_id"))))
+      .filter(col("crank") <= maxNp)
+      .select(col("qid"), col("qv"), col("qn"), col("cell_id").as("qcell"),
+        col("crank"))
+    val cands = graft.CacheScope.scopedPersist(
+      corpus.join(broadcast(routed),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
+        .select(col("qid"), col("vec_id").as("nid"), col("rcos"), col("crank")))
     val sweeps = RecallCurveNprobes.map { np =>
-      val cands = ivfCandsAt(s, d, np)
-      val ranked = rankTopK(cands).select(col("qid"), col("nid"))
+      val c = cands.filter(col("crank") <= np)
+      val ranked = rankTopK(c.drop("crank")).select(col("qid"), col("nid"))
         .withColumn("hit", lit(1L))
       val hits = brute.join(ranked, Seq("qid", "nid"), "left")
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      val scanned = cands.agg(count(lit(1)).as("n_scanned"))
+      val scanned = c.agg(count(lit(1)).as("n_scanned"))
       hits.crossJoin(scanned)
         .select(lit(np).as("nprobe"), col("n_hits"),
           expr(s"(10000 * n_hits) DIV (${NumQueries}L * $TopK)").as("recall_bps"),
@@ -1089,7 +1113,7 @@ object Ann {
     val out = sweeps.reduce(_ unionByName _)
       .withColumn("scanned_bps",
         expr(s"(10000 * n_scanned) DIV (${NumQueries}L * ${total}L)"))
-    graft.CacheScope.releaseAfterUse(out, brute)
+    graft.CacheScope.releaseAfterUse(out, brute, cands)
   }
 
   /** F17 — MATRYOSHKA truncation-recall report (round-12; Kusupati et al.
