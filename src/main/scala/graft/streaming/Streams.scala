@@ -999,7 +999,13 @@ object Streams {
               bkt.as("bucket"))
         }
       val tmp = new org.apache.hadoop.fs.Path(snapP, s"_tmp-gen-$batchId")
-      merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      // co-locate each bucket in one task before the partitioned write:
+      // without this every shuffle partition writes a sliver into every
+      // bucket dir (shuffle-width × buckets tiny files per generation —
+      // measured 3.3× on the gate); with it a generation is ~one file per
+      // touched bucket, the compaction-friendly layout a table format keeps
+      merged.repartition(CdcBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
       val writtenBuckets = fs.listStatus(tmp).map(_.getPath.getName)
         .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
       val manifest = prevManifest ++ writtenBuckets.map(_ -> batchId)
