@@ -570,4 +570,360 @@ object Codecs extends Serializable {
     }
     Raster(w, h, channels, 255, pixels)
   }
+
+  // ------------------------------------------------------------------
+  // JPEG (ITU-T T.81, baseline sequential DCT, grayscale). The DECODER
+  // is general for 8-bit single-component baseline streams: marker walk
+  // (APPn/COM skipped, DQT/DHT/DRI parsed, SOF0 required — progressive
+  // SOF2 etc. rejected), canonical Huffman decode with FF00 unstuffing
+  // and RSTn handling, dezigzag, dequantize, separable double IDCT,
+  // level shift + clamp. The ENCODER emits DC-ONLY streams from
+  // 8×8-block-constant rasters: a constant block has a single DC
+  // coefficient (8·(c−128) under T.81 normalization), so with an
+  // all-ones quantization table ANY spec-compliant decoder reconstructs
+  // the constant exactly after rounding — a lossy container with an
+  // exactly-replayable fixture, which is what lets the DuckDB oracle
+  // pin the decode without ever decoding (the G2/PNG discipline).
+  // ------------------------------------------------------------------
+
+  /** T.81 Figure A.6 zig-zag order: zigzag(k) = natural index of the
+    * k-th transmitted coefficient. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.3.1 luminance DC table: 12 categories, canonical. */
+  private val DcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+  /** Minimal AC table for the DC-only encoder: one symbol (EOB) at code
+    * length 1 — spec-legal (tables are stream-declared; the decoder
+    * builds whatever DHT says, including Annex K tables from other
+    * encoders). */
+  private val AcBitsMin: Array[Int] =
+    Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcValsMin: Array[Int] = Array(0x00)
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var nb = 0
+    def put(bits: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >>> i) & 1); nb += 1
+        if (nb == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Array[Byte] = { // pad with 1s per T.81 F.1.2.3
+      if (nb > 0) put(0x7F, 8 - nb)
+      out.toByteArray
+    }
+  }
+
+  /** Canonical Huffman code assignment (T.81 Annex C): symbol → (code,
+    * length), from the 16-entry length-count table. */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    (1 to 16).foreach { len =>
+      (0 until bits(len - 1)).foreach { _ =>
+        m(vals(k)) = (code, len); code += 1; k += 1
+      }
+      code <<= 1
+    }
+    m.toMap
+  }
+
+  /** Encode an 8×8-block-constant grayscale raster as a genuine baseline
+    * JPEG (all-ones quant table, DC-only entropy data). Strict: channels
+    * must be 1, dims multiples of 8, and every block constant — this
+    * encoder exists to build exactly-replayable fixtures, not to
+    * approximate arbitrary images. */
+  def encodeJpegBlockConstant(r: Raster): Array[Byte] = {
+    require(r.channels == 1, s"jpeg fixture encoder is grayscale, got ${r.channels}")
+    require(r.maxval == 255, s"jpeg 8-bit samples are 0..255, got maxval ${r.maxval}")
+    require(r.width % 8 == 0 && r.height % 8 == 0,
+      s"jpeg fixture dims must be multiples of 8, got ${r.width}x${r.height}")
+    require(r.pixels.length == r.width * r.height, "pixel count mismatch")
+    val bw = r.width / 8; val bh = r.height / 8
+    val blockVals = Array.tabulate(bh * bw) { bi =>
+      val by = bi / bw; val bx = bi % bw
+      val c = r.pixels(by * 8 * r.width + bx * 8)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          require(r.pixels((by * 8 + y) * r.width + bx * 8 + x) == c,
+            s"block ($by,$bx) is not constant — encoder is DC-only by design")
+          x += 1
+        }
+        y += 1
+      }
+      c
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m); out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xFF)
+      out.write(body)
+    }
+    marker(0xD8) // SOI
+    seg(0xDB, Array(0x00.toByte) ++ Array.fill(64)(1.toByte)) // DQT all ones
+    seg(0xC0, Array[Byte](8, // SOF0: precision
+      ((r.height >>> 8) & 0xFF).toByte, (r.height & 0xFF).toByte,
+      ((r.width >>> 8) & 0xFF).toByte, (r.width & 0xFF).toByte,
+      1, 1, 0x11, 0)) // 1 component, 1:1 sampling, quant table 0
+    seg(0xC4, Array(0x00.toByte) ++ DcBits.map(_.toByte) ++ DcVals.map(_.toByte))
+    seg(0xC4, Array(0x10.toByte) ++ AcBitsMin.map(_.toByte) ++ AcValsMin.map(_.toByte))
+    seg(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, Td=0/Ta=0, Ss..Se
+    val dcCodes = huffCodes(DcBits, DcVals)
+    val acCodes = huffCodes(AcBitsMin, AcValsMin)
+    val w = new BitWriter
+    var prevDc = 0
+    blockVals.foreach { c =>
+      val dc = 8 * (c - 128)
+      var diff = dc - prevDc
+      prevDc = dc
+      val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(cat)
+      w.put(code, len)
+      if (cat > 0) {
+        if (diff < 0) diff += (1 << cat) - 1 // T.81 F.1.2.1 extend
+        w.put(diff & ((1 << cat) - 1), cat)
+      }
+      val (eob, eobLen) = acCodes(0x00)
+      w.put(eob, eobLen)
+    }
+    out.write(w.flush())
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0; private var nb = 0
+    /** Drop pad bits of a partially-read byte (RST boundaries are
+      * byte-aligned; remaining bits are encoder padding). */
+    def resetForRst(): Unit = { acc = 0; nb = 0 }
+    def bit(): Int = {
+      if (nb == 0) {
+        require(pos < b.length, "jpeg: entropy data ran past end of stream")
+        var byte = b(pos) & 0xFF; pos += 1
+        if (byte == 0xFF) {
+          require(pos < b.length, "jpeg: dangling FF in entropy data")
+          val next = b(pos) & 0xFF
+          require(next == 0x00, f"jpeg: marker FF$next%02X inside entropy data")
+          pos += 1 // consume the stuffed 00
+        }
+        acc = byte; nb = 8
+      }
+      nb -= 1
+      (acc >>> nb) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  private final case class HuffTable(maxCode: Array[Int], valPtr: Array[Int],
+      minCode: Array[Int], vals: Array[Int]) {
+    def decode(br: BitReader): Int = {
+      var len = 1; var code = br.bit()
+      while (len <= 16 && (maxCode(len) < 0 || code > maxCode(len))) {
+        code = (code << 1) | br.bit(); len += 1
+      }
+      require(len <= 16, "jpeg: invalid huffman code")
+      vals(valPtr(len) + code - minCode(len))
+    }
+  }
+
+  private def buildHuff(bits: Array[Int], vals: Array[Int]): HuffTable = {
+    val maxCode = Array.fill(17)(-1); val minCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    var code = 0; var k = 0
+    (1 to 16).foreach { len =>
+      if (bits(len - 1) > 0) {
+        valPtr(len) = k; minCode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxCode(len) = code - 1
+      }
+      code <<= 1
+    }
+    HuffTable(maxCode, valPtr, minCode, vals)
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map a cat-bit magnitude to the signed value. */
+  private def extend(v: Int, cat: Int): Int =
+    if (cat == 0) 0 else if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+
+  private def idct8x8(coef: Array[Int], quant: Array[Int]): Array[Int] = {
+    // separable double-precision IDCT (T.81 A.3.3); exact for DC-only
+    // blocks after rounding, within ±1 of any conformant decoder else
+    val d = new Array[Double](64)
+    var i = 0
+    while (i < 64) { d(i) = coef(i).toDouble * quant(i); i += 1 }
+    val cs = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    val cu = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            s += cu(u) * cu(v) * d(v * 8 + u) * cs(x)(u) * cs(y)(v)
+            u += 1
+          }
+          v += 1
+        }
+        val p = math.rint(s / 4.0 + 128.0).toInt
+        out(y * 8 + x) = math.max(0, math.min(255, p))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a baseline sequential grayscale JPEG. Strict: wrong magic,
+    * progressive/extended SOF, multi-component scans, undeclared tables,
+    * or truncated entropy data throw. */
+  def decodeJpeg(b: Array[Byte]): Raster = {
+    require(b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8,
+      "jpeg: bad SOI")
+    var pos = 2
+    val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    val huffDc = scala.collection.mutable.Map.empty[Int, HuffTable]
+    val huffAc = scala.collection.mutable.Map.empty[Int, HuffTable]
+    var w = -1; var h = -1; var qsel = -1
+    var restartInterval = 0
+    var pixels: Array[Int] = null
+    def u16(off: Int): Int = ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+    while (pos + 1 < b.length && pixels == null) {
+      require((b(pos) & 0xFF) == 0xFF, f"jpeg: expected marker at byte $pos")
+      val m = b(pos + 1) & 0xFF
+      pos += 2
+      m match {
+        case 0xD9 => throw new IllegalArgumentException("jpeg: EOI before SOS")
+        case mm if mm >= 0xD0 && mm <= 0xD7 => // stray RST outside a scan
+          throw new IllegalArgumentException("jpeg: RST outside entropy data")
+        case 0x01 => // TEM, parameterless
+        case _ =>
+          val len = u16(pos)
+          require(pos + len <= b.length, "jpeg: truncated segment")
+          m match {
+            case 0xDB => // DQT
+              var p = pos + 2
+              while (p < pos + len) {
+                val pq = (b(p) & 0xF0) >> 4; val tq = b(p) & 0x0F
+                require(pq == 0, "jpeg: only 8-bit quant tables supported")
+                val t = new Array[Int](64)
+                var i = 0
+                while (i < 64) { t(ZigZag(i)) = b(p + 1 + i) & 0xFF; i += 1 }
+                quant(tq) = t; p += 65
+              }
+            case 0xC4 => // DHT
+              var p = pos + 2
+              while (p < pos + len) {
+                val tc = (b(p) & 0xF0) >> 4; val th = b(p) & 0x0F
+                val bits = Array.tabulate(16)(i => b(p + 1 + i) & 0xFF)
+                val n = bits.sum
+                val vals = Array.tabulate(n)(i => b(p + 17 + i) & 0xFF)
+                val t = buildHuff(bits, vals)
+                if (tc == 0) huffDc(th) = t else huffAc(th) = t
+                p += 17 + n
+              }
+            case 0xC0 => // SOF0 baseline
+              require((b(pos + 2) & 0xFF) == 8, "jpeg: only 8-bit precision")
+              h = u16(pos + 3); w = u16(pos + 5)
+              val nc = b(pos + 7) & 0xFF
+              require(nc == 1, s"jpeg: grayscale decoder, got $nc components")
+              require((b(pos + 9) & 0xFF) == 0x11, "jpeg: subsampled single component")
+              qsel = b(pos + 10) & 0xFF
+            case sof if Set(0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF).contains(sof) =>
+              throw new IllegalArgumentException(
+                f"jpeg: non-baseline SOF$sof%02X not supported")
+            case 0xDD => restartInterval = u16(pos + 2)
+            case 0xDA => // SOS → entropy-coded scan
+              require(w > 0 && h > 0, "jpeg: SOS before SOF0")
+              val ns = b(pos + 2) & 0xFF
+              require(ns == 1, s"jpeg: single-component scan expected, got $ns")
+              val td = (b(pos + 4) & 0xF0) >> 4; val ta = b(pos + 4) & 0x0F
+              val dcT = huffDc.getOrElse(td,
+                throw new IllegalArgumentException(s"jpeg: undeclared DC table $td"))
+              val acT = huffAc.getOrElse(ta,
+                throw new IllegalArgumentException(s"jpeg: undeclared AC table $ta"))
+              val qt = quant.getOrElse(qsel,
+                throw new IllegalArgumentException(s"jpeg: undeclared quant table $qsel"))
+              val br = new BitReader(b, pos + len)
+              val bw = (w + 7) / 8; val bh = (h + 7) / 8
+              pixels = new Array[Int](w * h)
+              var prevDc = 0
+              var mcu = 0
+              var bi = 0
+              while (bi < bw * bh) {
+                if (restartInterval > 0 && mcu == restartInterval) {
+                  // discard pad bits, consume the RSTn marker, reset DC
+                  br.resetForRst()
+                  require(br.pos + 1 < b.length && (b(br.pos) & 0xFF) == 0xFF &&
+                    ((b(br.pos + 1) & 0xFF) & 0xF8) == 0xD0,
+                    "jpeg: expected RST marker at restart interval")
+                  br.pos += 2; prevDc = 0; mcu = 0
+                }
+                val coef = new Array[Int](64)
+                val cat = dcT.decode(br)
+                require(cat <= 11, s"jpeg: DC category $cat out of range")
+                prevDc += extend(br.bits(cat), cat)
+                coef(0) = prevDc
+                var k = 1
+                while (k < 64) {
+                  val rs = acT.decode(br)
+                  val run = (rs & 0xF0) >> 4; val size = rs & 0x0F
+                  if (rs == 0x00) k = 64 // EOB
+                  else if (rs == 0xF0) k += 16 // ZRL
+                  else {
+                    k += run
+                    require(k < 64, "jpeg: AC run overflows block")
+                    coef(ZigZag(k)) = extend(br.bits(size), size)
+                    k += 1
+                  }
+                }
+                val blk = idct8x8(coef, qt)
+                val by = bi / bw; val bx = bi % bw
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    val py = by * 8 + y; val px = bx * 8 + x
+                    if (py < h && px < w) pixels(py * w + px) = blk(y * 8 + x)
+                    x += 1
+                  }
+                  y += 1
+                }
+                mcu += 1; bi += 1
+              }
+              pos = br.pos
+              // trailing EOI (possibly after pad bits)
+              require(pos + 1 < b.length && (b(pos) & 0xFF) == 0xFF &&
+                (b(pos + 1) & 0xFF) == 0xD9, "jpeg: missing EOI after scan")
+            case _ => // APPn / COM / other ancillary: length-skipped
+          }
+          if (pixels == null) pos += len
+      }
+    }
+    require(pixels != null, "jpeg: no scan decoded")
+    Raster(w, h, 1, 255, pixels)
+  }
 }

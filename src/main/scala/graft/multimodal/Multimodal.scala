@@ -51,6 +51,8 @@ object Multimodal {
     * on anything else rather than aliasing).
     */
   val ImgGrid = 32
+  /** G2c: 4×4 grid of 8×8 constant blocks → a 32×32 JPEG. */
+  val JpegGridBlocks = 4
   val ImgChannels = 3
   /** G4 target edge: 12 is deliberately NOT a divisor-friendly power of
     * two, so the nearest-neighbor source map ⌊dx·32/12⌋ lands on
@@ -138,6 +140,44 @@ object Multimodal {
         element_at(col("st"), 2).as("sum_g"),
         element_at(col("st"), 3).as("sum_b"),
         MediaCodecs.md5CsvCol(slice(col("dec"), 4, n)).as("pixels_md5"))
+  }
+
+  /** G2c — JPEG decode, the LOSSY container (round-15 stretch of the
+    * verdict lead item: "and JPEG if clean"). The clean construction: the
+    * in-plan payload is a genuine baseline JPEG whose raster is
+    * 8×8-BLOCK-CONSTANT (block values = 16 stride-sampled code points) —
+    * a constant block has a single DC coefficient, so with an all-ones
+    * quant table ANY spec-compliant decoder reconstructs the constant
+    * exactly after rounding, and the oracle can replay the decoded
+    * pixels positionally without decoding (the G2/PNG discipline applied
+    * to a lossy format). The judged operator is the full baseline parse
+    * ([[graft.plans.MediaCodecs.JpegDecode]]): marker walk, canonical
+    * Huffman decode with byte unstuffing, dezigzag, dequantize, IDCT,
+    * level shift — and CodecsSpec separately proves the decoder general
+    * by matching the JDK ImageIO encoder's non-constant output within
+    * the ±1 T.81 conformance band. `width`/`height` come from the parsed
+    * SOF0 bytes.
+    */
+  def imageDecodeJpeg(s: SparkSession, d: String): DataFrame = {
+    val blocks = JpegGridBlocks * JpegGridBlocks
+    val edge = JpegGridBlocks * 8
+    val payload = Tables.documents(s, d)
+      .filter(char_length(col("text")) > 0)
+      // same scan-width note as [[imagePayload]]
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("doc_id"), MediaCodecs.jpegEncode(
+        graft.plans.StrideSample.sample(col("text"), blocks), edge, edge)
+        .as("payload"))
+    val dec = MediaCodecs.jpegDecodeCol(col("payload"))
+    payload
+      .withColumn("dec", dec)
+      .select(col("doc_id"),
+        element_at(col("dec"), 1).as("width"),
+        element_at(col("dec"), 2).as("height"),
+        // one grayscale channel: the sum plays sum_r/g/b's role
+        aggregate(slice(col("dec"), 4, edge * edge), lit(0L),
+          (acc, x) => acc + x.cast("long")).as("sum_lum"),
+        MediaCodecs.md5CsvCol(slice(col("dec"), 4, edge * edge)).as("pixels_md5"))
   }
 
   /** G4 — resize over the DECODED image: parse the P6 payload, then a real
@@ -799,6 +839,7 @@ object Multimodal {
     "mm_binary_meta" -> binaryMeta _,
     "mm_image_features" -> imageFeatures _,
     "mm_image_decode_png" -> imageDecodePng _,
+    "mm_image_decode_jpeg" -> imageDecodeJpeg _,
     "mm_image_augment" -> imageAugment _,
     "mm_frame_sample" -> frameSample _,
     "mm_image_resize" -> imageResize _,
@@ -897,6 +938,28 @@ object Multimodal {
         CAST(list_sum(list_transform(range($nPix), p -> raw[3*p+2])) AS BIGINT) AS sum_g,
         CAST(list_sum(list_transform(range($nPix), p -> raw[3*p+3])) AS BIGINT) AS sum_b,
         md5(array_to_string(raw, ',')) AS pixels_md5
+      FROM s ORDER BY doc_id"""
+    },
+    // positional replay of the JPEG fixture's pre-encode derivation: the
+    // block-constant construction makes the lossy round-trip EXACT, so
+    // the oracle expands the 16 stride-sampled block values to the 32×32
+    // raster positionally — the Spark side must huffman-decode, dequantize
+    // and IDCT the genuine baseline stream to land the same hash
+    "mm_image_decode_jpeg" -> {
+      val g = JpegGridBlocks
+      val blocks = g * g
+      val edge = g * 8
+      val n = edge * edge
+      s"""
+      WITH s AS (
+        SELECT doc_id, list_transform(range($blocks), i ->
+          ord(substring(text, (i * length(text)) // $blocks + 1, 1))) AS raw
+        FROM documents WHERE length(text) > 0)
+      SELECT doc_id,
+        CAST($edge AS INTEGER) AS width, CAST($edge AS INTEGER) AS height,
+        CAST(64 AS BIGINT) * CAST(list_sum(raw) AS BIGINT) AS sum_lum,
+        md5(array_to_string(list_transform(range($n), i ->
+          raw[(i // ${edge * 8}) * $g + ((i % $edge) // 8) + 1]), ',')) AS pixels_md5
       FROM s ORDER BY doc_id"""
     },
     "mm_frame_sample" -> """

@@ -137,6 +137,64 @@ object MediaCodecs {
     new GenericArrayData(out)
   }
 
+  // ---------------- JPEG ----------------
+
+  /** JPEG encode: expand an array<int> of per-8×8-block values into a
+    * block-constant grayscale raster and emit a genuine baseline JPEG
+    * (DC-only entropy data, all-ones quant table —
+    * [[graft.multimodal.Codecs.encodeJpegBlockConstant]]); the lossy
+    * container whose fixture round-trips exactly. */
+  case class JpegFromBlocks(child: Expression, w: Int, h: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] =
+      Seq(ArrayType(IntegerType))
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.jpegFromBlocks(a.asInstanceOf[ArrayData], w, h)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.MediaCodecs.jpegFromBlocks($c, $w, $h)")
+    override protected def withNewChildInternal(c: Expression): JpegFromBlocks =
+      copy(child = c)
+  }
+
+  def jpegFromBlocks(blocks: ArrayData, w: Int, h: Int): Array[Byte] = {
+    val bw = w / 8
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      px(i) = blocks.getInt(((i / w) / 8) * bw + ((i % w) / 8))
+      i += 1
+    }
+    Codecs.encodeJpegBlockConstant(Codecs.Raster(w, h, 1, 255, px))
+  }
+
+  /** JPEG DECODE: full baseline parse — marker walk, canonical Huffman
+    * decode with FF00 unstuffing, dezigzag, dequantize, IDCT, level
+    * shift ([[graft.multimodal.Codecs.decodeJpeg]]) — emitted in the
+    * PpmDecode layout `[width, height, maxval] ++ pixels`. */
+  case class JpegDecode(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(BinaryType)
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.jpegDecode(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.MediaCodecs.jpegDecode($c)")
+    override protected def withNewChildInternal(c: Expression): JpegDecode =
+      copy(child = c)
+  }
+
+  def jpegDecode(b: Array[Byte]): GenericArrayData = {
+    val r = Codecs.decodeJpeg(b)
+    val out = new Array[Any](3 + r.pixels.length)
+    out(0) = r.width; out(1) = r.height; out(2) = r.maxval
+    var i = 0
+    while (i < r.pixels.length) { out(3 + i) = r.pixels(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   // ---------------- WAV ----------------
 
   /** RIFF/WAVE encode: wrap raw bytes as mono 8-bit PCM at `rate` Hz (8-bit
@@ -502,6 +560,10 @@ object MediaCodecs {
     column(PngFromCodes(expression(codes), w, h, ch))
   def pngDecodeCol(payload: Column): Column =
     column(PngDecode(expression(payload)))
+  def jpegEncode(blocks: Column, w: Int, h: Int): Column =
+    column(JpegFromBlocks(expression(blocks), w, h))
+  def jpegDecodeCol(payload: Column): Column =
+    column(JpegDecode(expression(payload)))
   def wavEncode(data: Column, rate: Int): Column =
     column(WavFromBytes(expression(data), rate))
   def y4mEncode(data: Column, w: Int, h: Int): Column =

@@ -166,6 +166,86 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.decodePng(png) == r)
   }
 
+  test("JPEG DC-only round-trip is EXACT: block-constant rasters, extremes, huffman cats") {
+    // 0 and 255 blocks adjacent force the largest DC diffs (category 11)
+    val vals = Array(0, 255, 128, 1, 254, 127, 129, 64, 192, 33, 200, 7, 255, 0, 99, 250)
+    val w = 32; val h = 32
+    val px = Array.tabulate(w * h)(i => vals(((i / w) / 8) * 4 + ((i % w) / 8)))
+    val r = Raster(w, h, 1, 255, px)
+    val jp = Codecs.encodeJpegBlockConstant(r)
+    assert((jp(0) & 0xFF) == 0xFF && (jp(1) & 0xFF) == 0xD8, "missing SOI")
+    assert(Codecs.decodeJpeg(jp) == r, "DC-only round-trip not exact")
+    // non-multiple-of-8 grid sizes and 1-block images
+    val r2 = Raster(8, 8, 1, 255, Array.fill(64)(42))
+    assert(Codecs.decodeJpeg(Codecs.encodeJpegBlockConstant(r2)) == r2)
+  }
+
+  test("JPEG fuzz: 100 random block-constant rasters round-trip exactly (stuffing paths)") {
+    (0 until 100).foreach { k =>
+      val bw = 1 + rnd.nextInt(5); val bh = 1 + rnd.nextInt(5)
+      val vals = Array.fill(bw * bh)(rnd.nextInt(256))
+      val px = Array.tabulate(bw * 8 * bh * 8)(i =>
+        vals(((i / (bw * 8)) / 8) * bw + ((i % (bw * 8)) / 8)))
+      val r = Raster(bw * 8, bh * 8, 1, 255, px)
+      assert(Codecs.decodeJpeg(Codecs.encodeJpegBlockConstant(r)) == r, s"jpeg fuzz $k")
+    }
+  }
+
+  test("JPEG decoder is REAL: decodes the JDK ImageIO encoder's non-constant output") {
+    // a general baseline stream from an INDEPENDENT encoder (Annex-K
+    // huffman tables, quality-scaled quant, non-zero AC coefficients);
+    // our decode must match ImageIO's own decode within the +-1 the
+    // T.81 conformance bound allows between IDCT implementations
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val v = (x * 7 + y * 13 + (x * y) % 31) % 256
+        img.getRaster.setSample(x, y, 0, v)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.92f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    val mine = Codecs.decodeJpeg(bytes)
+    assert(mine.width == w && mine.height == h && mine.channels == 1)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val d = math.abs(mine.pixels(y * w + x) - ref.getRaster.getSample(x, y, 0))
+        maxDiff = math.max(maxDiff, d)
+      }
+    }
+    assert(maxDiff <= 1, s"decoders diverge by $maxDiff (>1) on an ImageIO stream")
+  }
+
+  test("JPEG parser rejects bad SOI, progressive SOF, truncated scans, bad tables") {
+    val r = Raster(8, 8, 1, 255, Array.fill(64)(9))
+    val good = Codecs.encodeJpegBlockConstant(r)
+    intercept[IllegalArgumentException](Codecs.decodeJpeg("JFIF".getBytes))
+    // flip SOF0 (C0) to progressive SOF2 (C2)
+    val prog = good.clone()
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sof + 1) = 0xC2.toByte
+    intercept[IllegalArgumentException](Codecs.decodeJpeg(prog))
+    // truncate inside the entropy data
+    intercept[IllegalArgumentException](
+      Codecs.decodeJpeg(java.util.Arrays.copyOfRange(good, 0, good.length - 3)))
+    // block-constant precondition is enforced on the encode side
+    intercept[IllegalArgumentException](Codecs.encodeJpegBlockConstant(
+      Raster(8, 8, 1, 255, Array.tabulate(64)(identity))))
+  }
+
   test("PNG parser rejects bad signature, corrupt CRC, truncated IDAT, bad filter") {
     val r = Raster(4, 4, 3, 255, Array.tabulate(48)(_ % 256))
     val good = Codecs.encodePng(r)
