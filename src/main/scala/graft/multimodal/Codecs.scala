@@ -764,32 +764,42 @@ object Codecs extends Serializable {
   private def extend(v: Int, cat: Int): Int =
     if (cat == 0) 0 else if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
 
+  /** C_u·cos((2x+1)uπ/16), row-major [x][u] — hoisted so the per-block
+    * IDCT does no trig. */
+  private val IdctCos: Array[Array[Double]] = Array.tabulate(8, 8)((x, u) =>
+    (if (u == 0) 1.0 / math.sqrt(2) else 1.0) * math.cos((2 * x + 1) * u * math.Pi / 16))
+
   private def idct8x8(coef: Array[Int], quant: Array[Int]): Array[Int] = {
-    // separable double-precision IDCT (T.81 A.3.3); exact for DC-only
-    // blocks after rounding, within ±1 of any conformant decoder else
+    // separable double-precision IDCT (T.81 A.3.3): columns then rows —
+    // exact for DC-only blocks after rounding, within ±1 of any
+    // conformant decoder otherwise
     val d = new Array[Double](64)
     var i = 0
     while (i < 64) { d(i) = coef(i).toDouble * quant(i); i += 1 }
-    val cs = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
-    val cu = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+    val tmp = new Array[Double](64)
+    var x = 0
+    while (x < 8) { // 1-D IDCT down each column u
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += IdctCos(x)(v) * d(v * 8 + u); v += 1 }
+        tmp(x * 8 + u) = s
+        u += 1
+      }
+      x += 1
+    }
     val out = new Array[Int](64)
     var y = 0
     while (y < 8) {
-      var x = 0
-      while (x < 8) {
+      var xx = 0
+      while (xx < 8) {
         var s = 0.0
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            s += cu(u) * cu(v) * d(v * 8 + u) * cs(x)(u) * cs(y)(v)
-            u += 1
-          }
-          v += 1
-        }
+        var u = 0
+        while (u < 8) { s += IdctCos(xx)(u) * tmp(y * 8 + u); u += 1 }
         val p = math.rint(s / 4.0 + 128.0).toInt
-        out(y * 8 + x) = math.max(0, math.min(255, p))
-        x += 1
+        out(y * 8 + xx) = math.max(0, math.min(255, p))
+        xx += 1
       }
       y += 1
     }
