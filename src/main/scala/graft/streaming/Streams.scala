@@ -891,8 +891,46 @@ object Streams {
   /** Buckets in the C38 snapshot layout (B22's bucket discipline applied
     * to a continuously-merged table). Each snapshot generation holds only
     * the buckets its batch TOUCHED; a `_MANIFEST` file maps every bucket
-    * to the generation whose `bucket=K/` dir carries its live data. */
-  private[graft] val CdcBuckets = 8
+    * to the generation whose `bucket=K/` dir carries its live data.
+    *
+    * The count is a conf, `graft.streaming.cdcBuckets`, because it is the
+    * knob the whole design's win rides on: bucket pruning only pays when
+    * buckets ≫ distinct delta keys (a d-key micro-batch then hash-touches
+    * ~d buckets, so per-batch I/O is O(|delta| × snapshot/buckets), not
+    * O(snapshot)). Size it like a table format sizes files:
+    * snapshot_bytes / target_file_size — ~400k buckets for a 100 TB
+    * snapshot at 256 MB files, thousands even for a 1 TB table. The
+    * default (8) is GATE-scale only: the sf0.01 snapshot is ~4k rows, so
+    * more buckets would just mean thousands of near-empty files. The
+    * CdcLayoutSpec runs the buckets-≫-delta regime explicitly (512
+    * buckets, 5-key delta ⇒ ≤5 bucket dirs rewritten). */
+  private[graft] def cdcBucketsConf(s: SparkSession): Int = {
+    val b = s.conf.getOption("graft.streaming.cdcBuckets").map(_.toInt).getOrElse(8)
+    require(b > 0, s"graft.streaming.cdcBuckets must be positive, got $b")
+    b
+  }
+
+  /** The bucket count is LAYOUT, not session state: `pmod(hash(key), B)`
+    * must be the same B for every generation of one snapshot or merges
+    * read the wrong prior buckets. So batch 0 pins the count into a
+    * `_BUCKETS` file at the snapshot root (it survives the retention
+    * sweep, which only touches `gen-*`), and every later batch reads the
+    * pinned value — a conf change mid-stream cannot corrupt the layout. */
+  private[graft] def cdcBucketCount(s: SparkSession, snapP: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Int = {
+    val f = new org.apache.hadoop.fs.Path(snapP, "_BUCKETS")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    } else {
+      val b = cdcBucketsConf(s)
+      if (!fs.exists(snapP)) fs.mkdirs(snapP)
+      val out = fs.create(f, true)
+      try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+      b
+    }
+  }
 
   /** Parse a committed generation's `_MANIFEST`: lines `bucket,genId`. */
   private[graft] def cdcManifest(
@@ -959,14 +997,26 @@ object Streams {
     val fs = snapP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val gen = new org.apache.hadoop.fs.Path(snapP, s"gen-$batchId")
     if (fs.exists(gen)) return // retried batch: already committed
-    val bkt = pmod(hash(col("o_custkey")), lit(CdcBuckets))
+    // committed-batch marker that SURVIVES the retention sweep: gen-N
+    // itself can be deleted once fully superseded, so `fs.exists(gen)`
+    // alone can't detect a replay from a restored/rolled-back checkpoint
+    // (batches commit in order, so one high-water mark suffices)
+    val lastF = new org.apache.hadoop.fs.Path(snapP, "_LAST_BATCH")
+    if (fs.exists(lastF)) {
+      val in = fs.open(lastF)
+      val last = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      if (batchId <= last) return // already committed (possibly swept)
+    }
+    val nBuckets = cdcBucketCount(s, snapP, fs)
+    val bkt = pmod(hash(col("o_custkey")), lit(nBuckets))
     val delta = batch.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("d_n"), max(col("o_orderdate")).as("d_last"),
         sum(col("o_totalprice").cast("decimal(18,4)")).cast(dec).as("d_sum"))
       .withColumn("bucket", bkt)
       .persist() // two driver actions below (touched-set, merge write)
     try {
-      // bounded collect: ≤ CdcBuckets distinct values by construction
+      // bounded collect: ≤ min(buckets, distinct delta keys) values
       val touched = delta.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).sorted
       val prevGens =
@@ -1003,14 +1053,23 @@ object Streams {
       // without this every shuffle partition writes a sliver into every
       // bucket dir (shuffle-width × buckets tiny files per generation —
       // measured 3.3× on the gate); with it a generation is ~one file per
-      // touched bucket, the compaction-friendly layout a table format keeps
-      merged.repartition(CdcBuckets, col("bucket"))
+      // touched bucket, the compaction-friendly layout a table format
+      // keeps. Partition count = TOUCHED buckets, not the total bucket
+      // count: write parallelism tracks the delta (a 5-bucket batch runs
+      // 5 tasks, a full-table backfill runs |buckets| tasks — no fixed
+      // ceiling, no storm of empty tasks either way).
+      merged.repartition(math.max(touched.length, 1), col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
       val writtenBuckets = fs.listStatus(tmp).map(_.getPath.getName)
         .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
       val manifest = prevManifest ++ writtenBuckets.map(_ -> batchId)
       writeCdcManifest(fs, tmp, manifest)
       fs.rename(tmp, gen)
+      // advance the sweep-proof high-water mark (a crash between the
+      // rename and this write is covered by the fs.exists(gen) guard —
+      // gen-N is the newest generation and is never sweep-eligible)
+      val lout = fs.create(lastF, true)
+      try lout.write(batchId.toString.getBytes("UTF-8")) finally lout.close()
       // retention sweep: drop bucket dirs the new manifest superseded and
       // generations with no referenced bucket left (a replay can only be
       // of THIS batch, whose gen dir is kept whole)

@@ -416,7 +416,7 @@ class StreamingSpec extends SparkSpec {
     val snap = new org.apache.hadoop.fs.Path(base, "snap").toString
     // bucket ids for planted keys, via the engine's own hash discipline
     val b = spark.range(0, 64)
-      .withColumn("b", pmod(hash(col("id")), lit(Streams.CdcBuckets)))
+      .withColumn("b", pmod(hash(col("id")), lit(Streams.cdcBucketsConf(spark))))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val byBucket = b.groupBy(_._2).map { case (k, m) => k -> m.keys.toSeq.sorted }
     // batch 0 spans several buckets; batch 1 touches exactly ONE of them
@@ -458,6 +458,109 @@ class StreamingSpec extends SparkSpec {
       .select(col("o_custkey"), col("n_orders")).as[(Long, Long)]
       .collect().toMap
     assert(out == spanKeys.map(_ -> 2L).toMap, s"merged snapshot wrong: $out")
+    fs.delete(base, true); ()
+  }
+
+  test("C38: buckets >> delta keys — touched buckets ~ |delta|, write parallelism tracks the delta") {
+    // the regime the design exists for: a minute-grain delta against a
+    // wide snapshot must rewrite ~|delta-keys| buckets, not all of them
+    val saved = spark.conf.getOption("graft.streaming.cdcBuckets")
+    val base = new org.apache.hadoop.fs.Path(
+      graft.Artifacts.scratchBase(spark), "graft_cdc_wide_spec")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(base, true)
+    val snap = new org.apache.hadoop.fs.Path(base, "snap").toString
+    val snapP = new org.apache.hadoop.fs.Path(snap)
+    try {
+      spark.conf.set("graft.streaming.cdcBuckets", "512")
+      val t0 = java.time.LocalDateTime.of(1995, 1, 1, 0, 0)
+      def mkBatch(keys: Seq[Long]) = keys
+        .map(k => (k, 10.0, t0.plusDays(k % 1000)))
+        .toDF("o_custkey", "o_totalprice", "o_orderdate")
+      Streams.applyCdcBatch(spark, snap, mkBatch(0L until 2000L), 0L)
+      val deltaKeys = Seq(3L, 700L, 1100L, 1500L, 1999L)
+      Streams.applyCdcBatch(spark, snap, mkBatch(deltaKeys), 1L)
+      val expectTouched = spark.range(0, 2000)
+        .withColumn("b", pmod(hash(col("id")), lit(512)))
+        .filter(col("id").isin(deltaKeys: _*))
+        .select("b").distinct().as[Int].collect().toSet
+      val gen1 = new org.apache.hadoop.fs.Path(snapP, "gen-1")
+      val g1Buckets = fs.listStatus(gen1).map(_.getPath.getName)
+        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt).toSet
+      assert(g1Buckets == expectTouched && g1Buckets.size <= deltaKeys.size,
+        s"gen-1 rewrote ${g1Buckets.size} buckets for a ${deltaKeys.size}-key delta")
+      // one file per touched bucket: the repartition(touched, bucket)
+      // write puts each bucket wholly in one task, and only touched
+      // buckets get tasks at all (no 8-task ceiling, no 512-task storm)
+      g1Buckets.foreach { k =>
+        val parts = fs.listStatus(new org.apache.hadoop.fs.Path(gen1, s"bucket=$k"))
+          .map(_.getPath.getName).filter(_.startsWith("part-"))
+        assert(parts.length == 1, s"bucket=$k has ${parts.length} part files")
+      }
+      // the other ~507 buckets carry forward by gen-0 reference
+      val man1 = Streams.cdcManifest(fs, gen1)
+      assert(man1.count(_._2 == 0L) == man1.size - g1Buckets.size)
+      // layout immutability: a conf change mid-stream must NOT rebucket —
+      // batch 2 runs under the PINNED 512, not the new conf value
+      spark.conf.set("graft.streaming.cdcBuckets", "16")
+      Streams.applyCdcBatch(spark, snap, mkBatch(Seq(3L)), 2L)
+      val g2Buckets = fs.listStatus(new org.apache.hadoop.fs.Path(snapP, "gen-2"))
+        .map(_.getPath.getName).filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt).toSet
+      val bucketOf3 = spark.range(3, 4)
+        .select(pmod(hash(col("id")), lit(512))).as[Int].head()
+      assert(g2Buckets == Set(bucketOf3),
+        s"batch 2 ignored the pinned 512-bucket layout: $g2Buckets")
+      // and the merged content is exact through all of it
+      val out = Streams.readCdcSnapshot(spark, snap)
+        .select(col("o_custkey"), col("n_orders")).as[(Long, Long)]
+        .collect().toMap
+      val want = (0L until 2000L).map(k =>
+        k -> (1L + (if (k == 3L) 2L else if (deltaKeys.contains(k)) 1L else 0L))).toMap
+      assert(out == want, "merged snapshot diverges in the wide-bucket regime")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("graft.streaming.cdcBuckets", v)
+        case None => spark.conf.unset("graft.streaming.cdcBuckets")
+      }
+      fs.delete(base, true); ()
+    }
+  }
+
+  test("C38: a replay of a fully-SWEPT batch is still a no-op (_LAST_BATCH survives the sweep)") {
+    val base = new org.apache.hadoop.fs.Path(
+      graft.Artifacts.scratchBase(spark), "graft_cdc_replay_spec")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(base, true)
+    val snap = new org.apache.hadoop.fs.Path(base, "snap").toString
+    val snapP = new org.apache.hadoop.fs.Path(snap)
+    val t0 = java.time.LocalDateTime.of(1995, 1, 1, 0, 0)
+    def mkBatch(keys: Seq[Long]) = keys
+      .map(k => (k, 10.0, t0.plusDays(k)))
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val keys = Seq(1L, 2L, 3L)
+    Streams.applyCdcBatch(spark, snap, mkBatch(keys), 0L)
+    // batch 1 rewrites every bucket batch 0 touched → gen-0 fully
+    // superseded and DELETED by the retention sweep
+    Streams.applyCdcBatch(spark, snap, mkBatch(keys), 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(snapP, "gen-0")),
+      "precondition: gen-0 should be swept")
+    // a restored/rolled-back checkpoint replays batch 0: fs.exists(gen-0)
+    // can no longer catch it — the high-water marker must
+    val snapDir = new java.io.File(new java.net.URI("file:" + snap).getPath)
+    def state(): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        f +: (if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Nil)
+      walk(snapDir).map(f => f.getPath -> f.lastModified).sorted
+    }
+    val before = state()
+    Streams.applyCdcBatch(spark, snap, mkBatch(keys), 0L)
+    assert(state() == before, "replayed swept batch mutated the snapshot")
+    val out = Streams.readCdcSnapshot(spark, snap)
+      .select(col("o_custkey"), col("n_orders")).as[(Long, Long)]
+      .collect().toMap
+    assert(out == keys.map(_ -> 2L).toMap,
+      s"double-applied a swept batch: $out")
     fs.delete(base, true); ()
   }
 
