@@ -539,6 +539,11 @@ object Codecs extends Serializable {
     }
     require(sawIhdr && sawIend, "png: missing IHDR or IEND")
     require(w > 0 && h > 0, s"png: degenerate dimensions ${w}x$h")
+    // dims validated BEFORE any size arithmetic: adversarial IHDR values
+    // could otherwise overflow (stride+1)*h to a small positive and make
+    // the strict length checks below pass vacuously
+    require(w.toLong * h * channels <= (1L << 28),
+      s"png: ${w}x$h x$channels exceeds the 256M-sample decode bound")
     val stride = w * channels
     val expect = (stride + 1) * h
     val infl = new java.util.zip.Inflater()
@@ -548,6 +553,9 @@ object Codecs extends Serializable {
     try {
       while (got < expect && !infl.finished()) {
         val n = infl.inflate(filtered, got, expect - got)
+        // FDICT streams return n==0 with needsInput false — without this
+        // the loop would spin forever instead of throwing
+        require(!infl.needsDictionary, "png: preset dictionary unsupported")
         require(n > 0 || !infl.needsInput, "png: truncated IDAT stream")
         got += n
       }
@@ -555,7 +563,7 @@ object Codecs extends Serializable {
         (infl.finished() || infl.inflate(new Array[Byte](1)) == 0),
         s"png: pixel data is $got of $expect bytes (or trailing garbage)")
     } finally infl.end()
-    val pixels = new Array[Int](w.toLong.toInt * h * channels)
+    val pixels = new Array[Int](w * h * channels)
     val prior = new Array[Byte](stride)
     val cur = new Array[Byte](stride)
     var y = 0
@@ -706,6 +714,115 @@ object Codecs extends Serializable {
     out.toByteArray
   }
 
+  // BT.601 full-range YCbCr ↔ RGB in libjpeg-style 16-bit fixed point
+  // with floor(x + 1/2) rounding — Math.floorDiv keeps the rounding exact
+  // for negative products, and the SQL replay is floor(x/65536.0). The
+  // coefficient rows are adjusted by ≤1 ulp so each chroma row sums to
+  // exactly 0 (R=G=B ⇒ Cb=Cr=128 EXACTLY), which the constant-chroma
+  // cross-decoder pins rely on.
+  private def fix16(v: Int): Int = Math.floorDiv(v + 32768, 65536)
+  private def clamp8(v: Int): Int = math.max(0, math.min(255, v))
+
+  /** Forward RGB → YCbCr (fixture encoder + oracle replay). */
+  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = (
+    clamp8(fix16(19595 * r + 38470 * g + 7471 * b)),
+    clamp8(128 + fix16(-11059 * r - 21709 * g + 32768 * b)),
+    clamp8(128 + fix16(32768 * r - 27439 * g - 5329 * b)))
+
+  /** Inverse YCbCr → RGB — the decoder's transform, exposed so specs and
+    * fixture builders can replay it. */
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    val cbb = cb - 128; val crr = cr - 128
+    (clamp8(y + fix16(91881 * crr)),
+      clamp8(y - fix16(22554 * cbb + 46802 * crr)),
+      clamp8(y + fix16(116130 * cbb)))
+  }
+
+  /** Encode an MCU-constant RGB raster as a genuine interleaved baseline
+    * COLOR JPEG (3-component YCbCr, all-ones quant, DC-only entropy
+    * data). `sh`/`sv` are the luma sampling factors: (1,1) = 4:4:4,
+    * (2,2) = 4:2:0, (2,1) = 4:2:2. Every (8·sh)×(8·sv) MCU must be one
+    * constant RGB — then each component's blocks are constant, so ANY
+    * spec-compliant decoder reconstructs the (rounded, [[rgbToYcc]])
+    * YCbCr triple exactly, chroma upsampling is filter-independent inside
+    * an MCU, and the decoded RGB is the deterministic
+    * [[yccToRgb]]∘[[rgbToYcc]] image the oracle replays positionally.
+    * Strict: channels must be 3, dims multiples of the MCU edge, every
+    * MCU constant. */
+  def encodeJpegMcuConstantColor(r: Raster, sh: Int, sv: Int): Array[Byte] = {
+    require(r.channels == 3, s"jpeg color fixture encoder needs RGB, got ${r.channels}")
+    require(r.maxval == 255, s"jpeg 8-bit samples are 0..255, got maxval ${r.maxval}")
+    require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2, s"sampling ${sh}x$sv outside 1-2")
+    val mw = 8 * sh; val mh = 8 * sv
+    require(r.width % mw == 0 && r.height % mh == 0,
+      s"jpeg color fixture dims must be multiples of ${mw}x$mh, got ${r.width}x${r.height}")
+    require(r.pixels.length == r.width * r.height * 3, "pixel count mismatch")
+    val mX = r.width / mw; val mY = r.height / mh
+    val mcuYcc = Array.tabulate(mY * mX) { mi =>
+      val my = mi / mX; val mx = mi % mX
+      val base = (my * mh * r.width + mx * mw) * 3
+      val r0 = r.pixels(base); val g0 = r.pixels(base + 1); val b0 = r.pixels(base + 2)
+      var y = 0
+      while (y < mh) {
+        var x = 0
+        while (x < mw) {
+          val o = ((my * mh + y) * r.width + mx * mw + x) * 3
+          require(r.pixels(o) == r0 && r.pixels(o + 1) == g0 && r.pixels(o + 2) == b0,
+            s"MCU ($my,$mx) is not constant — encoder is DC-only by design")
+          x += 1
+        }
+        y += 1
+      }
+      rgbToYcc(r0, g0, b0)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m); out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xFF)
+      out.write(body)
+    }
+    marker(0xD8) // SOI
+    seg(0xDB, Array(0x00.toByte) ++ Array.fill(64)(1.toByte)) // DQT all ones
+    seg(0xC0, Array[Byte](8, // SOF0
+      ((r.height >>> 8) & 0xFF).toByte, (r.height & 0xFF).toByte,
+      ((r.width >>> 8) & 0xFF).toByte, (r.width & 0xFF).toByte,
+      3, // 3 components: Y subsampled per sh/sv, Cb/Cr at 1x1, all quant 0
+      1, ((sh << 4) | sv).toByte, 0,
+      2, 0x11, 0,
+      3, 0x11, 0))
+    seg(0xC4, Array(0x00.toByte) ++ DcBits.map(_.toByte) ++ DcVals.map(_.toByte))
+    seg(0xC4, Array(0x10.toByte) ++ AcBitsMin.map(_.toByte) ++ AcValsMin.map(_.toByte))
+    // SOS: all three components on DC table 0 / AC table 0
+    seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val dcCodes = huffCodes(DcBits, DcVals)
+    val acCodes = huffCodes(AcBitsMin, AcValsMin)
+    val (eob, eobLen) = acCodes(0x00)
+    val wtr = new BitWriter
+    val prevDc = new Array[Int](3)
+    def putBlock(ci: Int, value: Int): Unit = {
+      val dc = 8 * (value - 128)
+      var diff = dc - prevDc(ci)
+      prevDc(ci) = dc
+      val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, clen) = dcCodes(cat)
+      wtr.put(code, clen)
+      if (cat > 0) {
+        if (diff < 0) diff += (1 << cat) - 1 // T.81 F.1.2.1 extend
+        wtr.put(diff & ((1 << cat) - 1), cat)
+      }
+      wtr.put(eob, eobLen)
+    }
+    mcuYcc.foreach { case (yv, cb, cr) =>
+      var i = 0
+      while (i < sh * sv) { putBlock(0, yv); i += 1 } // luma blocks, row-major
+      putBlock(1, cb)
+      putBlock(2, cr)
+    }
+    out.write(wtr.flush())
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0; private var nb = 0
     /** Drop pad bits of a partially-read byte (RST boundaries are
@@ -806,9 +923,20 @@ object Codecs extends Serializable {
     out
   }
 
-  /** Decode a baseline sequential grayscale JPEG. Strict: wrong magic,
-    * progressive/extended SOF, multi-component scans, undeclared tables,
-    * or truncated entropy data throw. */
+  /** One frame component from the SOF0 header: id, H/V sampling
+    * factors, quant-table selector. */
+  private final case class JComp(id: Int, hs: Int, vs: Int, tq: Int)
+
+  /** Decode a baseline sequential JPEG — grayscale or 3-component YCbCr
+    * with sampling factors 1–2 per axis (4:4:4, 4:2:2, 4:2:0). Chroma
+    * upsampling is sample REPLICATION (T.81 leaves the filter to the
+    * decoder; replication is the deterministic choice the fixture oracle
+    * replays — fancy/triangular filters differ only where neighboring
+    * chroma samples differ, which the MCU-constant gate construction
+    * avoids by design) and the YCbCr→RGB transform is [[yccToRgb]]'s
+    * 16-bit fixed point. Strict: wrong magic, progressive/extended SOF,
+    * non-interleaved multi-scan files, undeclared tables, or truncated
+    * entropy data throw. */
   def decodeJpeg(b: Array[Byte]): Raster = {
     require(b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8,
       "jpeg: bad SOI")
@@ -816,9 +944,11 @@ object Codecs extends Serializable {
     val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
     val huffDc = scala.collection.mutable.Map.empty[Int, HuffTable]
     val huffAc = scala.collection.mutable.Map.empty[Int, HuffTable]
-    var w = -1; var h = -1; var qsel = -1
+    var w = -1; var h = -1
+    var comps: Array[JComp] = null
     var restartInterval = 0
     var pixels: Array[Int] = null
+    var outChannels = 1
     def u16(off: Int): Int = ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
     while (pos + 1 < b.length && pixels == null) {
       require((b(pos) & 0xFF) == 0xFF, f"jpeg: expected marker at byte $pos")
@@ -857,83 +987,161 @@ object Codecs extends Serializable {
             case 0xC0 => // SOF0 baseline
               require((b(pos + 2) & 0xFF) == 8, "jpeg: only 8-bit precision")
               h = u16(pos + 3); w = u16(pos + 5)
+              // dims validated BEFORE any size arithmetic: adversarial SOF
+              // values could otherwise overflow w*h*3 to a small positive
+              require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+                s"jpeg: ${w}x$h outside the 64M-pixel decode bound")
               val nc = b(pos + 7) & 0xFF
-              require(nc == 1, s"jpeg: grayscale decoder, got $nc components")
-              require((b(pos + 9) & 0xFF) == 0x11, "jpeg: subsampled single component")
-              qsel = b(pos + 10) & 0xFF
+              require(nc == 1 || nc == 3,
+                s"jpeg: 1- or 3-component baseline expected, got $nc")
+              comps = Array.tabulate(nc) { i =>
+                val off = pos + 8 + 3 * i
+                val hv = b(off + 1) & 0xFF
+                val hi = (hv >> 4) & 0xF; val vi = hv & 0xF
+                require(hi >= 1 && hi <= 2 && vi >= 1 && vi <= 2,
+                  s"jpeg: sampling factor ${hi}x$vi outside 1-2")
+                JComp(b(off) & 0xFF, hi, vi, b(off + 2) & 0xFF)
+              }
+              if (nc == 1) require(comps(0).hs == 1 && comps(0).vs == 1,
+                "jpeg: subsampled single component")
             case sof if Set(0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF).contains(sof) =>
               throw new IllegalArgumentException(
                 f"jpeg: non-baseline SOF$sof%02X not supported")
             case 0xDD => restartInterval = u16(pos + 2)
-            case 0xDA => // SOS → entropy-coded scan
-              require(w > 0 && h > 0, "jpeg: SOS before SOF0")
+            case 0xDA => // SOS → entropy-coded scan (interleaved)
+              require(comps != null, "jpeg: SOS before SOF0")
               val ns = b(pos + 2) & 0xFF
-              require(ns == 1, s"jpeg: single-component scan expected, got $ns")
-              val td = (b(pos + 4) & 0xF0) >> 4; val ta = b(pos + 4) & 0x0F
-              val dcT = huffDc.getOrElse(td,
-                throw new IllegalArgumentException(s"jpeg: undeclared DC table $td"))
-              val acT = huffAc.getOrElse(ta,
-                throw new IllegalArgumentException(s"jpeg: undeclared AC table $ta"))
-              val qt = quant.getOrElse(qsel,
-                throw new IllegalArgumentException(s"jpeg: undeclared quant table $qsel"))
+              require(ns == comps.length,
+                s"jpeg: interleaved scan over ${comps.length} components expected, got $ns")
+              val dcT = new Array[HuffTable](ns)
+              val acT = new Array[HuffTable](ns)
+              val qtb = new Array[Array[Int]](ns)
+              var j = 0
+              while (j < ns) {
+                val cs = b(pos + 3 + 2 * j) & 0xFF
+                require(comps(j).id == cs,
+                  s"jpeg: scan component $cs out of SOF order")
+                val tt = b(pos + 4 + 2 * j) & 0xFF
+                val td = (tt >> 4) & 0xF; val ta = tt & 0xF
+                dcT(j) = huffDc.getOrElse(td,
+                  throw new IllegalArgumentException(s"jpeg: undeclared DC table $td"))
+                acT(j) = huffAc.getOrElse(ta,
+                  throw new IllegalArgumentException(s"jpeg: undeclared AC table $ta"))
+                qtb(j) = quant.getOrElse(comps(j).tq,
+                  throw new IllegalArgumentException(
+                    s"jpeg: undeclared quant table ${comps(j).tq}"))
+                j += 1
+              }
+              val hmax = comps.map(_.hs).max; val vmax = comps.map(_.vs).max
+              val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+              val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+              // per-component planes, padded to the MCU grid
+              val planeW = Array.tabulate(ns)(i => mcusX * comps(i).hs * 8)
+              val planes = Array.tabulate(ns)(i =>
+                new Array[Int](planeW(i) * mcusY * comps(i).vs * 8))
               val br = new BitReader(b, pos + len)
-              val bw = (w + 7) / 8; val bh = (h + 7) / 8
-              pixels = new Array[Int](w * h)
-              var prevDc = 0
-              var mcu = 0
-              var bi = 0
-              while (bi < bw * bh) {
-                if (restartInterval > 0 && mcu == restartInterval) {
-                  // discard pad bits, consume the RSTn marker, reset DC
+              val prevDc = new Array[Int](ns)
+              var mcu = 0; var sinceRst = 0
+              while (mcu < mcusX * mcusY) {
+                if (restartInterval > 0 && sinceRst == restartInterval) {
+                  // discard pad bits, consume the RSTn marker, reset DCs
                   br.resetForRst()
                   require(br.pos + 1 < b.length && (b(br.pos) & 0xFF) == 0xFF &&
                     ((b(br.pos + 1) & 0xFF) & 0xF8) == 0xD0,
                     "jpeg: expected RST marker at restart interval")
-                  br.pos += 2; prevDc = 0; mcu = 0
+                  br.pos += 2; java.util.Arrays.fill(prevDc, 0); sinceRst = 0
                 }
-                val coef = new Array[Int](64)
-                val cat = dcT.decode(br)
-                require(cat <= 11, s"jpeg: DC category $cat out of range")
-                prevDc += extend(br.bits(cat), cat)
-                coef(0) = prevDc
-                var k = 1
-                while (k < 64) {
-                  val rs = acT.decode(br)
-                  val run = (rs & 0xF0) >> 4; val size = rs & 0x0F
-                  if (rs == 0x00) k = 64 // EOB
-                  else if (rs == 0xF0) k += 16 // ZRL
-                  else {
-                    k += run
-                    require(k < 64, "jpeg: AC run overflows block")
-                    coef(ZigZag(k)) = extend(br.bits(size), size)
-                    k += 1
+                val my = mcu / mcusX; val mx = mcu % mcusX
+                var ci = 0
+                while (ci < ns) {
+                  val c = comps(ci)
+                  var vb = 0
+                  while (vb < c.vs) {
+                    var hb = 0
+                    while (hb < c.hs) {
+                      val coef = new Array[Int](64)
+                      val cat = dcT(ci).decode(br)
+                      require(cat <= 11, s"jpeg: DC category $cat out of range")
+                      prevDc(ci) += extend(br.bits(cat), cat)
+                      coef(0) = prevDc(ci)
+                      var k = 1
+                      while (k < 64) {
+                        val rs = acT(ci).decode(br)
+                        val run = (rs & 0xF0) >> 4; val size = rs & 0x0F
+                        if (rs == 0x00) k = 64 // EOB
+                        else if (rs == 0xF0) k += 16 // ZRL
+                        else {
+                          k += run
+                          require(k < 64, "jpeg: AC run overflows block")
+                          coef(ZigZag(k)) = extend(br.bits(size), size)
+                          k += 1
+                        }
+                      }
+                      val blk = idct8x8(coef, qtb(ci))
+                      val py0 = (my * c.vs + vb) * 8
+                      val px0 = (mx * c.hs + hb) * 8
+                      var y = 0
+                      while (y < 8) {
+                        var x = 0
+                        while (x < 8) {
+                          planes(ci)((py0 + y) * planeW(ci) + px0 + x) = blk(y * 8 + x)
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      hb += 1
+                    }
+                    vb += 1
                   }
+                  ci += 1
                 }
-                val blk = idct8x8(coef, qt)
-                val by = bi / bw; val bx = bi % bw
-                var y = 0
-                while (y < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    val py = by * 8 + y; val px = bx * 8 + x
-                    if (py < h && px < w) pixels(py * w + px) = blk(y * 8 + x)
-                    x += 1
-                  }
-                  y += 1
-                }
-                mcu += 1; bi += 1
+                sinceRst += 1; mcu += 1
               }
               pos = br.pos
               // trailing EOI (possibly after pad bits)
               require(pos + 1 < b.length && (b(pos) & 0xFF) == 0xFF &&
                 (b(pos + 1) & 0xFF) == 0xD9, "jpeg: missing EOI after scan")
+              if (ns == 1) {
+                pixels = new Array[Int](w * h)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    pixels(y * w + x) = planes(0)(y * planeW(0) + x)
+                    x += 1
+                  }
+                  y += 1
+                }
+              } else {
+                outChannels = 3
+                pixels = new Array[Int](w * h * 3)
+                val h0 = comps(0).hs; val v0 = comps(0).vs
+                val h1 = comps(1).hs; val v1 = comps(1).vs
+                val h2 = comps(2).hs; val v2 = comps(2).vs
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val yy = planes(0)((y * v0 / vmax) * planeW(0) + x * h0 / hmax)
+                    val cb = planes(1)((y * v1 / vmax) * planeW(1) + x * h1 / hmax)
+                    val cr = planes(2)((y * v2 / vmax) * planeW(2) + x * h2 / hmax)
+                    val cbb = cb - 128; val crr = cr - 128
+                    val o = (y * w + x) * 3
+                    pixels(o) = clamp8(yy + fix16(91881 * crr))
+                    pixels(o + 1) = clamp8(yy - fix16(22554 * cbb + 46802 * crr))
+                    pixels(o + 2) = clamp8(yy + fix16(116130 * cbb))
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
             case _ => // APPn / COM / other ancillary: length-skipped
           }
           if (pixels == null) pos += len
       }
     }
     require(pixels != null, "jpeg: no scan decoded")
-    Raster(w, h, 1, 255, pixels)
+    Raster(w, h, outChannels, 255, pixels)
   }
 }

@@ -170,6 +170,42 @@ object MediaCodecs {
     Codecs.encodeJpegBlockConstant(Codecs.Raster(w, h, 1, 255, px))
   }
 
+  /** COLOR JPEG encode: expand an array<int> of per-MCU RGB triples
+    * (3·mcusX·mcusY values, row-major MCUs) into an MCU-constant RGB
+    * raster and emit a genuine interleaved 4:2:0 baseline color JPEG
+    * ([[graft.multimodal.Codecs.encodeJpegMcuConstantColor]] — DC-only,
+    * all-ones quant, so the lossy container round-trips to the
+    * deterministic yccToRgb∘rgbToYcc image the oracle replays). */
+  case class JpegColorFromMcus(child: Expression, mcusX: Int, mcusY: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] =
+      Seq(ArrayType(IntegerType))
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.jpegColorFromMcus(a.asInstanceOf[ArrayData], mcusX, mcusY)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.MediaCodecs.jpegColorFromMcus($c, $mcusX, $mcusY)")
+    override protected def withNewChildInternal(c: Expression): JpegColorFromMcus =
+      copy(child = c)
+  }
+
+  def jpegColorFromMcus(mcuRgb: ArrayData, mcusX: Int, mcusY: Int): Array[Byte] = {
+    val w = mcusX * 16; val h = mcusY * 16
+    val px = new Array[Int](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      val m = (y / 16) * mcusX + (x / 16)
+      px(3 * i) = mcuRgb.getInt(3 * m)
+      px(3 * i + 1) = mcuRgb.getInt(3 * m + 1)
+      px(3 * i + 2) = mcuRgb.getInt(3 * m + 2)
+      i += 1
+    }
+    Codecs.encodeJpegMcuConstantColor(Codecs.Raster(w, h, 3, 255, px), 2, 2)
+  }
+
   /** JPEG DECODE: full baseline parse — marker walk, canonical Huffman
     * decode with FF00 unstuffing, dezigzag, dequantize, IDCT, level
     * shift ([[graft.multimodal.Codecs.decodeJpeg]]) — emitted in the
@@ -562,6 +598,8 @@ object MediaCodecs {
     column(PngDecode(expression(payload)))
   def jpegEncode(blocks: Column, w: Int, h: Int): Column =
     column(JpegFromBlocks(expression(blocks), w, h))
+  def jpegColorEncode(mcuRgb: Column, mcusX: Int, mcusY: Int): Column =
+    column(JpegColorFromMcus(expression(mcuRgb), mcusX, mcusY))
   def jpegDecodeCol(payload: Column): Column =
     column(JpegDecode(expression(payload)))
   def wavEncode(data: Column, rate: Int): Column =

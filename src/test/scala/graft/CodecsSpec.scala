@@ -228,6 +228,158 @@ class CodecsSpec extends AnyFunSuite {
     assert(maxDiff <= 1, s"decoders diverge by $maxDiff (>1) on an ImageIO stream")
   }
 
+  test("COLOR JPEG: MCU-constant 4:2:0 and 4:4:4 round-trip to the deterministic ycc∘rgb image") {
+    // per-MCU RGB, including channel extremes forcing big chroma DCs
+    val rgbs = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255),
+      (0, 0, 0), (17, 200, 99), (128, 128, 128), (250, 10, 130))
+    for ((sh, sv) <- Seq((2, 2), (1, 1), (2, 1))) {
+      val mw = 8 * sh; val mh = 8 * sv
+      val mX = 4; val mY = 2
+      val w = mX * mw; val h = mY * mh
+      val px = new Array[Int](w * h * 3)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val (r, g, b) = rgbs((y / mh) * mX + (x / mw))
+          val o = (y * w + x) * 3
+          px(o) = r; px(o + 1) = g; px(o + 2) = b
+        }
+      }
+      val enc = Codecs.encodeJpegMcuConstantColor(Raster(w, h, 3, 255, px), sh, sv)
+      val dec = Codecs.decodeJpeg(enc)
+      assert(dec.width == w && dec.height == h && dec.channels == 3, s"dims $sh/$sv")
+      // expected: DC-only blocks reconstruct the rounded YCbCr exactly,
+      // so decoded RGB is exactly yccToRgb(rgbToYcc(rgb)) per MCU
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val (r, g, b) = rgbs((y / mh) * mX + (x / mw))
+          val (yv, cb, cr) = Codecs.rgbToYcc(r, g, b)
+          val (er, eg, eb) = Codecs.yccToRgb(yv, cb, cr)
+          val o = (y * w + x) * 3
+          assert((dec.pixels(o), dec.pixels(o + 1), dec.pixels(o + 2)) == ((er, eg, eb)),
+            s"pixel ($x,$y) $sh/$sv: got ${(dec.pixels(o), dec.pixels(o + 1), dec.pixels(o + 2))}, want ${(er, eg, eb)}")
+        }
+      }
+      // the round trip is within ±2 of the ORIGINAL rgb (two rounded
+      // fixed-point transforms) — pins the transform pair is sane
+      (0 until w * h * 3).foreach { i =>
+        val mcu = ((i / 3) / w / mh) * mX + ((i / 3) % w) / mw
+        val orig = rgbs(mcu).productIterator.toSeq(i % 3).asInstanceOf[Int]
+        assert(math.abs(dec.pixels(i) - orig) <= 2, s"roundtrip drift at $i")
+      }
+    }
+  }
+
+  test("COLOR JPEG cross-decoder: ImageIO reads our 4:4:4 and 4:2:0 streams within the band") {
+    val rgbs = Array((200, 30, 60), (10, 180, 220), (90, 90, 90), (255, 128, 0))
+    def build(sh: Int, sv: Int): (Int, Int, Array[Byte], Codecs.Raster) = {
+      val mw = 8 * sh; val mh = 8 * sv
+      val w = 2 * mw; val h = 2 * mh
+      val px = new Array[Int](w * h * 3)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val (r, g, b) = rgbs((y / mh) * 2 + (x / mw))
+          val o = (y * w + x) * 3
+          px(o) = r; px(o + 1) = g; px(o + 2) = b
+        }
+      }
+      val enc = Codecs.encodeJpegMcuConstantColor(Raster(w, h, 3, 255, px), sh, sv)
+      (w, h, enc, Codecs.decodeJpeg(enc))
+    }
+    // 4:4:4 — no upsampling ambiguity: whole frame within ±2 (IDCT + color
+    // transform differences between independent decoders)
+    val (w4, h4, enc4, mine4) = build(1, 1)
+    val ref4 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc4))
+    assert(ref4 != null && ref4.getWidth == w4 && ref4.getHeight == h4)
+    (0 until h4).foreach { y =>
+      (0 until w4).foreach { x =>
+        val rgb = ref4.getRGB(x, y)
+        val o = (y * w4 + x) * 3
+        val d = math.max(math.abs(((rgb >> 16) & 0xFF) - mine4.pixels(o)),
+          math.max(math.abs(((rgb >> 8) & 0xFF) - mine4.pixels(o + 1)),
+            math.abs((rgb & 0xFF) - mine4.pixels(o + 2))))
+        assert(d <= 2, s"4:4:4 ($x,$y) diverges by $d from ImageIO")
+      }
+    }
+    // 4:2:0 — upsampling filters differ ONLY where neighboring chroma
+    // samples differ, i.e. near MCU borders; compare MCU interiors
+    val (w0, h0, enc0, mine0) = build(2, 2)
+    val ref0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc0))
+    assert(ref0 != null && ref0.getWidth == w0 && ref0.getHeight == h0)
+    (0 until h0).foreach { y =>
+      (0 until w0).foreach { x =>
+        if (x % 16 >= 4 && x % 16 < 12 && y % 16 >= 4 && y % 16 < 12) {
+          val rgb = ref0.getRGB(x, y)
+          val o = (y * w0 + x) * 3
+          val d = math.max(math.abs(((rgb >> 16) & 0xFF) - mine0.pixels(o)),
+            math.max(math.abs(((rgb >> 8) & 0xFF) - mine0.pixels(o + 1)),
+              math.abs((rgb & 0xFF) - mine0.pixels(o + 2))))
+          assert(d <= 2, s"4:2:0 interior ($x,$y) diverges by $d from ImageIO")
+        }
+      }
+    }
+  }
+
+  test("COLOR JPEG decoder is REAL: decodes the JDK ImageIO COLOR encoder's 4:2:0 output") {
+    // grayscale CONTENT in a color container: R=G=B per pixel ⇒ the
+    // chroma planes are constant 128, so the (unspecified-by-T.81)
+    // upsampling filter choice cannot matter and the two decoders must
+    // agree within the IDCT+color-transform band on REAL quant tables,
+    // Annex-K huffman codes, and non-zero AC coefficients
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val v = (x * 5 + y * 11 + (x * y) % 23) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    val mine = Codecs.decodeJpeg(bytes)
+    assert(mine.width == w && mine.height == h && mine.channels == 3,
+      s"got ${mine.width}x${mine.height}x${mine.channels}")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val rgb = ref.getRGB(x, y)
+        val o = (y * w + x) * 3
+        maxDiff = math.max(maxDiff, math.max(
+          math.abs(((rgb >> 16) & 0xFF) - mine.pixels(o)), math.max(
+            math.abs(((rgb >> 8) & 0xFF) - mine.pixels(o + 1)),
+            math.abs((rgb & 0xFF) - mine.pixels(o + 2)))))
+      }
+    }
+    assert(maxDiff <= 3, s"decoders diverge by $maxDiff (>3) on an ImageIO color stream")
+  }
+
+  test("COLOR JPEG parser rejects 2-component SOF and out-of-range sampling factors") {
+    val r = Raster(16, 16, 3, 255, Array.fill(16 * 16 * 3)(99))
+    val good = Codecs.encodeJpegMcuConstantColor(r, 1, 1)
+    def sofAt(bb: Array[Byte]): Int = (0 until bb.length - 1).find(i =>
+      (bb(i) & 0xFF) == 0xFF && (bb(i + 1) & 0xFF) == 0xC0).get
+    // component count 2 (neither grayscale nor YCbCr)
+    val twoComp = good.clone()
+    twoComp(sofAt(twoComp) + 9) = 2
+    intercept[IllegalArgumentException](Codecs.decodeJpeg(twoComp))
+    // luma sampling factor 3x1
+    val badSamp = good.clone()
+    badSamp(sofAt(badSamp) + 11) = 0x31
+    intercept[IllegalArgumentException](Codecs.decodeJpeg(badSamp))
+    // non-MCU-constant encode rejected
+    intercept[IllegalArgumentException](Codecs.encodeJpegMcuConstantColor(
+      Raster(16, 16, 3, 255, Array.tabulate(16 * 16 * 3)(_ % 251)), 2, 2))
+  }
+
   test("JPEG parser rejects bad SOI, progressive SOF, truncated scans, bad tables") {
     val r = Raster(8, 8, 1, 255, Array.fill(64)(9))
     val good = Codecs.encodeJpegBlockConstant(r)
