@@ -712,6 +712,91 @@ object Multimodal {
     }.toDF("doc_id", "n_frames", "total_energy", "peak_frame", "peak_energy")
   }
 
+  /** Samples per frame for the 16-bit key (G7's 256 BYTES become 256
+    * SAMPLES — frame geometry is in samples once samples stop being
+    * bytes). */
+  val AudioFrameSamples = 256
+
+  /** G7b — frame energy over 16-BIT STEREO PCM (round-16, verdict item 5:
+    * "every real speech corpus is 16-bit PCM"). The payload is a genuine
+    * RIFF/WAV with 2-channel SIGNED 16-bit little-endian samples (left =
+    * (c−64)·257, right = (96−c)·181 per text byte — both channels swing
+    * negative, so sign extension and byte order are what the gate
+    * actually proves). The kernel runs the real chunk-walk decode
+    * ([[Codecs.decodeWav]], which validates the PCM fmt record's
+    * 16-bit/2-channel fields), then one tight pass: per-channel total
+    * energies Σl², Σr² plus the peak frame of the floor-mean DOWNMIX
+    * (l+r)//2 — the per-channel and mean-channel emissions a speech
+    * pipeline wants. Integer throughout; ties to the earliest frame.
+    * CodecsSpec cross-pins the container against the JDK AudioSystem
+    * codec in BOTH directions.
+    */
+  def audioEnergy16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fs = AudioFrameSamples
+    Tables.documents(s, d)
+      .filter(char_length(col("text")) > 0)
+      .select(col("doc_id"),
+        MediaCodecs.wav16StereoEncode(encode(col("text"), "UTF-8"), 16000)
+          .as("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, wavBytes) =>
+          val wav = Codecs.decodeWav(wavBytes)
+          require(wav.bitsPerSample == 16 && wav.channels == 2,
+            s"expected 16-bit stereo, got ${wav.bitsPerSample}-bit ${wav.channels}ch")
+          val p = wav.data
+          val n = p.length / 4
+          val nf = (n + fs - 1) / fs
+          var el = 0L; var er = 0L
+          var peakF = 0L; var peakE = -1L
+          var f = 0
+          while (f < nf) {
+            var em = 0L
+            var i = f * fs
+            val end = math.min(i + fs, n)
+            while (i < end) {
+              val l = ((p(4 * i) & 0xFF) | (p(4 * i + 1) << 8)).toShort.toInt
+              val r = ((p(4 * i + 2) & 0xFF) | (p(4 * i + 3) << 8)).toShort.toInt
+              el += l.toLong * l; er += r.toLong * r
+              val m = Math.floorDiv(l + r, 2).toLong
+              em += m * m
+              i += 1
+            }
+            if (em > peakE) { peakE = em; peakF = f }
+            f += 1
+          }
+          (id, nf.toLong, el, er, peakF, peakE)
+        }
+      }.toDF("doc_id", "n_frames", "energy_l", "energy_r",
+        "peak_frame", "peak_mono_energy")
+  }
+
+  private val audioEnergy16Sql: String = s"""
+    WITH b AS (
+      SELECT doc_id, unnest(range(1, length(text) + 1)) AS pos, text
+      FROM documents WHERE length(text) > 0),
+    sv AS (
+      SELECT doc_id, (pos - 1) // $AudioFrameSamples AS frame,
+        (ord(substring(text, pos, 1)) - 64) * 257 AS l,
+        (96 - ord(substring(text, pos, 1))) * 181 AS r
+      FROM b),
+    e AS (
+      SELECT doc_id, frame,
+        CAST(SUM(l*l) AS BIGINT) AS el, CAST(SUM(r*r) AS BIGINT) AS er,
+        CAST(SUM(((l + r) // 2) * ((l + r) // 2)) AS BIGINT) AS em
+      FROM sv GROUP BY 1, 2),
+    r AS (
+      SELECT doc_id, frame, em,
+        COUNT(*) OVER (PARTITION BY doc_id) AS nf,
+        SUM(el) OVER (PARTITION BY doc_id) AS tel,
+        SUM(er) OVER (PARTITION BY doc_id) AS ter,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY em DESC, frame) AS rn
+      FROM e)
+    SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      CAST(tel AS BIGINT) AS energy_l, CAST(ter AS BIGINT) AS energy_r,
+      CAST(frame AS BIGINT) AS peak_frame, em AS peak_mono_energy
+    FROM r WHERE rn = 1 ORDER BY doc_id"""
+
   /** G10 — SILENCE TRIMMING (VAD-style lead/tail cut): the first audio-prep
     * stage of any speech pipeline — find the leading and trailing runs of
     * quiet frames and report the kept loud span. A frame is quiet iff its
@@ -878,6 +963,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_energy" -> audioEnergy _,
+    "mm_audio_energy_16bit" -> audioEnergy16 _,
     "mm_audio_downsample" -> audioDownsample _,
     "mm_frame_dedup" -> frameDedup _,
     "mm_scene_cuts" -> sceneCuts _,
@@ -929,6 +1015,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_audio_energy" -> audioEnergySql,
+    "mm_audio_energy_16bit" -> audioEnergy16Sql,
     "mm_audio_downsample" -> audioDownsampleSql,
     "mm_frame_dedup" -> frameDedupSql,
     "mm_scene_cuts" -> sceneCutsSql,

@@ -253,6 +253,44 @@ object MediaCodecs {
   def wavFromBytes(data: Array[Byte], rate: Int): Array[Byte] =
     Codecs.encodeWav(Codecs.Wav(rate, 1, 8, data))
 
+  /** RIFF/WAVE encode, 16-BIT STEREO: each input byte c becomes one
+    * stereo sample pair — left = (c−64)·257, right = (96−c)·181, both
+    * signed little-endian shorts. The affine maps take ASCII bytes well
+    * into NEGATIVE 16-bit territory on both channels (and 257 = 0x101
+    * makes hi/lo bytes distinct), so a decoder that botched sign
+    * extension or byte order lands a different energy — that is the
+    * fixture's whole point. */
+  case class Wav16StereoFromBytes(child: Expression, rate: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(BinaryType)
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.wav16StereoFromBytes(a.asInstanceOf[Array[Byte]], rate)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.MediaCodecs.wav16StereoFromBytes($c, $rate)")
+    override protected def withNewChildInternal(c: Expression): Wav16StereoFromBytes =
+      copy(child = c)
+  }
+
+  def wav16StereoFromBytes(data: Array[Byte], rate: Int): Array[Byte] = {
+    val n = data.length
+    val out = new Array[Byte](4 * n)
+    var i = 0
+    while (i < n) {
+      val c = data(i) & 0xFF
+      val l = (c - 64) * 257
+      val r = (96 - c) * 181
+      out(4 * i) = (l & 0xFF).toByte
+      out(4 * i + 1) = ((l >> 8) & 0xFF).toByte
+      out(4 * i + 2) = (r & 0xFF).toByte
+      out(4 * i + 3) = ((r >> 8) & 0xFF).toByte
+      i += 1
+    }
+    Codecs.encodeWav(Codecs.Wav(rate, 2, 16, out))
+  }
+
   // ---------------- YUV4MPEG2 ----------------
 
   /** y4m encode: slice raw bytes into w·h-byte mono frames and wrap them in
@@ -604,6 +642,8 @@ object MediaCodecs {
     column(JpegDecode(expression(payload)))
   def wavEncode(data: Column, rate: Int): Column =
     column(WavFromBytes(expression(data), rate))
+  def wav16StereoEncode(data: Column, rate: Int): Column =
+    column(Wav16StereoFromBytes(expression(data), rate))
   def y4mEncode(data: Column, w: Int, h: Int): Column =
     column(Y4mFromBytes(expression(data), w, h))
   def y4mHashes(payload: Column, everyN: Int, wBits: Int): Column =

@@ -69,6 +69,40 @@ class CodecsSpec extends AnyFunSuite {
     assert((0 until samples.length).map(back.sample).toSeq == samples.map(_.toInt).toSeq)
   }
 
+  test("WAV 16-bit STEREO cross-codec: JDK AudioSystem reads our container, we read its") {
+    // ours → AudioSystem: format fields and every sample byte must survive
+    val data = new Array[Byte](400)
+    (0 until 100).foreach { i =>
+      val l = (i * 523 - 26000) % 32768; val r = (31000 - i * 617) % 32768
+      data(4 * i) = (l & 0xFF).toByte; data(4 * i + 1) = ((l >> 8) & 0xFF).toByte
+      data(4 * i + 2) = (r & 0xFF).toByte; data(4 * i + 3) = ((r >> 8) & 0xFF).toByte
+    }
+    val mine = Codecs.encodeWav(Wav(16000, 2, 16, data))
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(mine))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 2 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"AudioSystem parsed $fmt from our container")
+    val theirs = ais.readAllBytes()
+    assert(java.util.Arrays.equals(theirs, data),
+      "AudioSystem read different sample bytes from our 16-bit stereo WAV")
+    // AudioSystem → ours: decode the JDK writer's container
+    val srcFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), srcFmt, 100),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val dec = Codecs.decodeWav(bos.toByteArray)
+    assert(dec.sampleRate == 8000 && dec.channels == 2 && dec.bitsPerSample == 16,
+      s"parsed ${dec.sampleRate}Hz ${dec.channels}ch ${dec.bitsPerSample}-bit")
+    assert(java.util.Arrays.equals(dec.data, data),
+      "we read different sample bytes from the AudioSystem WAV")
+    // and the signed-sample accessor sign-extends (channel 0)
+    assert(dec.sample(0) == ((data(1) << 8) | (data(0) & 0xFF)).toShort.toInt)
+  }
+
   test("WAV chunk walk skips metadata chunks (odd-size pad rule) before data") {
     // canonical encode, then splice a 5-byte LIST chunk (odd → 1 pad byte)
     // between fmt and data — the 44-byte-offset assumption would mis-slice
