@@ -175,8 +175,9 @@ object PlanAudit {
     "source_jsonl_quarantine",
     // scale_curve_report::minhash_pairs@*: the audit sub-rows run the E3
     // banding device over the derived corpora — the same constant-size
-    // minhash signature buffers dedup_minhash carries
-    "scale_curve_report")
+    // minhash signature buffers dedup_minhash carries (exact sub-row
+    // device name: the interval_overlap sub-rows stay un-exempted)
+    "scale_curve_report::minhash_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")
@@ -214,13 +215,16 @@ object PlanAudit {
     // driver-assembled report keys return bounded local tables, so their
     // own plan rows are vacuous (0 scans, no codegen); their constituent
     // distributed frames are audited as explicit `key::device@scale`
-    // sub-rows (round-15 verdict item 7). Whitelists key on the part
-    // BEFORE `::` so a sub-row inherits nothing by accident and the base
-    // key's entries don't have to be duplicated per scale.
+    // sub-rows (round-15 verdict item 7). Whitelists key on the name with
+    // only the `@scale` suffix stripped — so the per-scale replicas of one
+    // device share one entry, but a sub-row NEVER inherits its base key's
+    // exemptions (round-15 ADVICE: `::interval_overlap@2x` must stay
+    // subject to every check `::minhash_pairs@2x` is exempted from).
     val audited = SparkEntry.queries.toSeq.sortBy(_._1) ++
-      graft.operators.ScaleCurve.auditFrameBuilders
+      graft.operators.ScaleCurve.auditFrameBuilders ++
+      graft.multimodal.Multimodal.mmPrepareAuditFrames
     val rows = audited.map { case (name, fn) =>
-      val wlName = name.split("::")(0)
+      val wlName = name.split("@")(0)
       try {
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.executedPlan.toString

@@ -528,6 +528,197 @@ object Multimodal {
       .distinct()
   }
 
+  /** Shard budget for the [[mmPrepare]] manifest, in cumulative pixel
+    * mass (the deterministic size proxy the oracle can replay — encoded
+    * byte size would need the oracle to run deflate). ~60–70k per image
+    * ⇒ ~15 images per shard. */
+  val MmShardPix = 1000000L
+
+  /** G13 — MULTIMODAL FLAGSHIP composite (`mm_prepare`, round-16 verdict
+    * item 3: the G-block's H13/H43 analogue). One pipeline from the blob
+    * store to training-ready shards:
+    *
+    *  1. INGEST: the A26 compacted blob table
+    *     ([[graft.operators.BeamParity.compactedBlobs]]) — binary files
+    *     compacted into scan-friendly parquet, the layout a crawl lands in.
+    *  2. DECODE BY MAGIC: each blob becomes two image entities in three
+    *     real containers — entity 2·doc is PNG / baseline JPEG / PGM by
+    *     doc residue (JPEG docs use the 16-block-constant raster the
+    *     lossy container reconstructs exactly), entity 2·doc+1 is the
+    *     brightness-shifted (+1) variant with `doc mod 6` strong pixel
+    *     edits, re-encoded in a DIFFERENT container (PNG↔PGM) — so every
+    *     planted near-dup pair is CROSS-FORMAT and the format sniff
+    *     ([[graft.plans.MediaCodecs.AnyImageDecode]]) is what makes the
+    *     pipeline one plan, not three.
+    *  3. NEAR-DUP: G8's 2-D pHash over the decoded raster (4×4 block
+    *     pool, sign vs mean) through the shared [[bandedPairs]]
+    *     banding/star-cap machinery, hamming ≤ [[PhashHamT]].
+    *  4. KEEP-BEST: connected components over the pair graph (E8's
+    *     size-adaptive device: driver union-find under
+    *     `graft.dedup.ccLocalMaxEdges`, alternating-star contraction
+    *     above), then H32's keep rule with a DECODED-quality signal —
+    *     pixel variance n·Σp²−(Σp)² (sharpness stand-in; brightness
+    *     shifts cancel, edits move it, so the winner is row-varying).
+    *  5. FEATURES + MANIFEST: per kept image the feature row (Σp, the
+    *     variance, md5 of the raster) and H27's two-pass distributed
+    *     prefix sum assigns token-budget-style shards over cumulative
+    *     pixel mass ([[MmShardPix]]) — no single-partition window.
+    *
+    * Scale shape: per-row decode/encode fused in scans; the only
+    * corpus-wide shuffles are the banding (star-capped), the CC rounds
+    * (pair-graph-sized, not corpus-sized), the keep-best window
+    * (partitioned by cluster — clusters are star-cap-bounded), and the
+    * range partition for the manifest. The oracle replays the whole
+    * pipeline from the documents text (payload bytes == text bytes, the
+    * A26 gate's own guarantee).
+    */
+  /** The composite's ENTITY frame — two decoded image entities per blob
+    * (see [[mmPrepare]] step 2), with signature, quality and feature
+    * columns. Shared by the composite and its PlanAudit sub-row builders
+    * so the audited plans ARE the composite's plans. */
+  private def mmEntityFrame(s: SparkSession, d: String): DataFrame = {
+    val g = Phash2dGrid; val bk = Phash2dBlock
+    val nPix = g * g
+    val nb = g / bk; val wBits = nb * nb
+    val nBands = PhashHamT + 1
+    val blobs = graft.operators.BeamParity.compactedBlobs(s, d)
+      .select(col("doc_id"), col("payload").cast("string").as("text"))
+      .filter(char_length(col("text")) >= 64)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val res = pmod(col("doc_id"), lit(3))
+    val payloadA = when(res === 0,
+        MediaCodecs.pngEncode(graft.plans.StrideSample.sample(col("text"), nPix), g, g, 1))
+      .when(res === 1,
+        MediaCodecs.jpegEncode(graft.plans.StrideSample.sample(col("text"), 16), g, g))
+      .otherwise(
+        MediaCodecs.ppmEncode(graft.plans.StrideSample.sample(col("text"), nPix), g, g, 1))
+    val fmtA = when(res === 0, lit("png")).when(res === 1, lit("jpeg"))
+      .otherwise(lit("pgm"))
+    val fmtB = when(res === 0, lit("pgm")).otherwise(lit("png"))
+    // variant raster: +1 brightness everywhere, +64 at `doc mod 6`
+    // deterministic positions (the G8 plant, materialized as pixels so it
+    // can be RE-ENCODED in the other container)
+    val pixB = expr(
+      s"""transform(pix_a, (x, i) -> CAST(x + 1 + (CASE WHEN
+            pmod(doc_id, $Phash2dMaxEdits) > 0 AND array_contains(
+              transform(sequence(0, CAST(pmod(doc_id, $Phash2dMaxEdits) - 1 AS INT)),
+                j -> CAST(pmod(doc_id * 131 + j * 97, $nPix) AS INT)), i)
+            THEN 64 ELSE 0 END) AS INT))""")
+    val staged = blobs
+      .withColumn("payload_a", payloadA)
+      .withColumn("pix_a",
+        slice(MediaCodecs.anyImageDecodeCol(col("payload_a")), 4, nPix))
+      .withColumn("pix_b", pixB)
+      .withColumn("payload_b", when(res === 0, MediaCodecs.ppmEncode(col("pix_b"), g, g, 1))
+        .otherwise(MediaCodecs.pngEncode(col("pix_b"), g, g, 1)))
+    val entA = staged.select((col("doc_id") * 2).as("entity_id"),
+      fmtA.as("fmt"), col("payload_a").as("payload"))
+    val entB = staged.select((col("doc_id") * 2 + 1).as("entity_id"),
+      fmtB.as("fmt"), col("payload_b").as("payload"))
+    val noPert = expr("CAST(array() AS ARRAY<BIGINT>)")
+    entA.unionByName(entB)
+      .withColumn("pix", slice(MediaCodecs.anyImageDecodeCol(col("payload")), 4, nPix))
+      .withColumn("sig",
+        graft.plans.Phash2dSig.sig(col("pix"), noPert, 0, wBits, g, bk, nBands))
+      .withColumn("sum_pix", expr("aggregate(pix, 0L, (a, x) -> a + x)"))
+      .withColumn("sum_pix2",
+        expr("aggregate(pix, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)"))
+      .withColumn("quality", lit(nPix.toLong) * col("sum_pix2") -
+        col("sum_pix") * col("sum_pix"))
+      .withColumn("pixels_md5", MediaCodecs.md5CsvCol(col("pix")))
+      .select(col("entity_id"), col("fmt"),
+        slice(col("sig"), 1, wBits / 64).as("ph"),
+        slice(col("sig"), wBits / 64 + 1, nBands).as("bvs"),
+        col("sum_pix"), col("quality"), col("pixels_md5"))
+  }
+
+  /** The composite's verified near-dup PAIR frame over an entity frame. */
+  private def mmPairFrame(s: SparkSession, ent: DataFrame): DataFrame =
+    bandedPairs(s, graft.CacheScope.scopedPersist(
+        ent.select(col("entity_id").as("doc_id"), col("ph"), col("bvs"))))
+      .withColumn("hamming",
+        expr("bit_count(element_at(pa, 1) ^ element_at(pb, 1))"))
+      .filter(col("hamming") <= PhashHamT)
+      .select(col("doc_a"), col("doc_b")).distinct()
+
+  def mmPrepare(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ent = mmEntityFrame(s, d)
+      .persist() // consumed by the banding AND the keep-best join
+    try {
+      val pairs = mmPairFrame(s, ent).persist()
+      val labels = try {
+        val nEdges = pairs.count()
+        if (nEdges <= graft.dedup.Dedup.ccLocalMaxEdges(s)) {
+          import s.implicits._
+          val e = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+          broadcast(graft.dedup.Dedup.unionFindMinLabels(e).toSeq
+            .toDF("entity_id", "cluster_id"))
+        } else {
+          // the 100 TB path: alternating-star contraction, labels parquet
+          val loc = new org.apache.hadoop.fs.Path(graft.Artifacts.scratchBase(s),
+            "graft_mm_prepare_labels_" + java.util.UUID.randomUUID().toString
+              .take(8)).toString
+          graft.dedup.Dedup.propagateMinLabels(s,
+            pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), loc)
+          s.read.parquet(loc).toDF("entity_id", "cluster_id")
+        }
+      } finally { pairs.unpersist(blocking = false); () }
+      val w = Window.partitionBy(col("cluster_id"))
+      val kept = ent.drop("ph", "bvs")
+        .join(labels, Seq("entity_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("entity_id")))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("quality").desc, col("entity_id"))))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .filter(col("rk") === 1)
+        .select(col("entity_id"), col("fmt"), col("cluster_size"),
+          col("quality"), col("sum_pix"), col("pixels_md5"))
+      // H27's two-pass prefix sum: shard by cumulative pixel mass in
+      // entity order — distributed, no single-partition window
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val sorted = kept.repartitionByRange(p, col("entity_id"))
+        .sortWithinPartitions(col("entity_id"))
+        .persist()
+      val rdd = sorted.rdd.map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      // pass 1 (eager, fills the sorted cache — after which `ent` is done)
+      val partSums = rdd
+        .mapPartitionsWithIndex { case (i, it) =>
+          Iterator.single((i, it.map(_._5).sum))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = partSums.scanLeft(0L)(_ + _)
+      val bc = s.sparkContext.broadcast(offsets)
+      val budget = MmShardPix
+      // pass 2 (lazy, reads the sorted cache): seeded running sums
+      val stamped = rdd.mapPartitionsWithIndex { case (i, it) =>
+        var cum = bc.value(i)
+        it.map { case (id, fmt, cs, q, sp, md) =>
+          val before = cum
+          cum += sp
+          (id, fmt, cs, q, sp, md, before / budget)
+        }
+      }
+      val out = s.createDataFrame(stamped).toDF("entity_id", "fmt",
+        "cluster_size", "quality", "sum_pix", "pixels_md5", "shard_id")
+      // sorted's cache serves the consumer's action, then the listener
+      // releases it (the H27 discipline — no checkpoint blocks left behind)
+      graft.CacheScope.releaseAfterUse(out, sorted)
+    } finally { ent.unpersist(blocking = true); () }
+  }
+
+  /** PlanAudit sub-row builders: the constituent DISTRIBUTED frames of
+    * the driver-assembled [[mmPrepare]] (the final stamped frame is an
+    * RDD conversion, vacuous to audit) — the REAL inner plans, built by
+    * the same code the composite runs. */
+  private[graft] val mmPrepareAuditFrames
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "mm_prepare::entities" ->
+      ((s: SparkSession, d: String) => mmEntityFrame(s, d)),
+    "mm_prepare::pairs" ->
+      ((s: SparkSession, d: String) => mmPairFrame(s, mmEntityFrame(s, d))))
+
   /** G6 — WITHIN-video duplicate-frame detection (the redundancy prune /
     * static-scene collapse every video-ingest pipeline runs before paying
     * for per-frame features): sample frames G3-style, pHash each frame
@@ -973,6 +1164,7 @@ object Multimodal {
     "mm_image_decode_png" -> imageDecodePng _,
     "mm_image_decode_jpeg" -> imageDecodeJpeg _,
     "mm_image_decode_jpeg_color" -> imageDecodeJpegColor _,
+    "mm_prepare" -> mmPrepare _,
     "mm_image_augment" -> imageAugment _,
     "mm_frame_sample" -> frameSample _,
     "mm_image_resize" -> imageResize _,
@@ -1144,6 +1336,94 @@ object Multimodal {
                        WHEN 1 THEN ${pick("gl")}
                        ELSE ${pick("bl")} END), ',')) AS pixels_md5
       FROM ag ORDER BY doc_id"""
+    },
+    // the G13 flagship oracle composes the existing CTE devices: the G2c
+    // block expansion for JPEG docs, the G8 pool/sign/pack pHash, the
+    // quadratic hamming join + recursive-CTE connected components at
+    // oracle SF (the operator bands + star-contracts instead), H32's
+    // keep-best argmax, and H27's window prefix sum for the shard ids —
+    // all replayed positionally from the text (payload bytes == text
+    // bytes is A26's own gate)
+    "mm_prepare" -> {
+      val g = Phash2dGrid; val bk = Phash2dBlock
+      val nPix = g * g; val nb = g / bk; val wBits = nb * nb
+      s"""
+      WITH RECURSIVE s AS (
+        SELECT doc_id,
+          list_transform(range($nPix), i ->
+            ord(substring(text, (i * length(text)) // $nPix + 1, 1))) AS raw1024,
+          list_transform(range(16), i ->
+            ord(substring(text, (i * length(text)) // 16 + 1, 1))) AS raw16
+        FROM documents WHERE length(text) >= 64),
+      pa AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 1 THEN
+            list_transform(range($nPix), i ->
+              raw16[(i // ${g * 8}) * 4 + ((i % $g) // 8) + 1])
+          ELSE raw1024 END AS pix,
+          CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'pgm' END AS fmt
+        FROM s),
+      pb AS (
+        SELECT doc_id,
+          list_transform(range($nPix), i -> pix[i+1] + 1 +
+            CASE WHEN doc_id % $Phash2dMaxEdits > 0 AND list_contains(
+                list_transform(range(doc_id % $Phash2dMaxEdits),
+                  j -> (doc_id * 131 + j * 97) % $nPix), i)
+              THEN 64 ELSE 0 END) AS pix,
+          CASE WHEN doc_id % 3 = 0 THEN 'pgm' ELSE 'png' END AS fmt
+        FROM pa),
+      u AS (
+        SELECT doc_id * 2 AS eid, fmt, pix FROM pa
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS eid, fmt, pix FROM pb),
+      feat AS (
+        SELECT eid, fmt, pix,
+          CAST(list_sum(pix) AS BIGINT) AS sum_pix,
+          CAST($nPix * list_sum(list_transform(pix, x -> x * x))
+            - list_sum(pix) * list_sum(pix) AS BIGINT) AS quality
+        FROM u),
+      bs AS (
+        SELECT eid,
+          list_transform(range($wBits), b ->
+            list_sum(list_transform(range(${bk * bk}), t ->
+              pix[((b // $nb) * $bk + t // $bk) * $g
+                  + (b % $nb) * $bk + (t % $bk) + 1]))) AS bsums,
+          list_sum(pix) AS tot
+        FROM u),
+      hu AS (
+        SELECT eid,
+          list_sum(list_transform(range($wBits), b ->
+            CASE WHEN bsums[b+1] * $wBits > tot
+              THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS uh
+        FROM bs),
+      ph AS (SELECT eid, ${graft.plans.MixHash.sqlToSigned("uh")} AS phash FROM hu),
+      e AS (
+        SELECT a.eid AS src, b.eid AS dst
+        FROM ph a JOIN ph b ON a.eid < b.eid
+        WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamT),
+      und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      reach(a, b) AS (
+        SELECT eid, eid FROM u
+        UNION
+        SELECT r.a, und.dst FROM reach r JOIN und ON r.b = und.src),
+      lab AS (SELECT a AS eid, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      kb AS (
+        SELECT f.eid, f.fmt, f.sum_pix, f.quality, f.pix, l.cluster_id,
+          ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+            ORDER BY f.quality DESC, f.eid) AS rk,
+          COUNT(*) OVER (PARTITION BY l.cluster_id) AS cs
+        FROM feat f JOIN lab l ON l.eid = f.eid),
+      kept AS (SELECT * FROM kb WHERE rk = 1),
+      sh AS (
+        SELECT eid, fmt, cs, quality, sum_pix, pix,
+          CAST(COALESCE(SUM(sum_pix) OVER (ORDER BY eid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // $MmShardPix AS BIGINT) AS shard_id
+        FROM kept)
+      SELECT eid AS entity_id, fmt, CAST(cs AS BIGINT) AS cluster_size,
+        quality, sum_pix,
+        md5(array_to_string(pix, ',')) AS pixels_md5, shard_id
+      FROM sh ORDER BY entity_id"""
     },
     "mm_frame_sample" -> """
       SELECT doc_id, frame_idx, md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5

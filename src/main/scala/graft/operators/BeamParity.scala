@@ -439,6 +439,28 @@ object BeamParity {
         md5(col("payload")).as("content_md5"))
   }
 
+  /** The compacted blob TABLE as a reusable source (doc_id, payload) —
+    * the G-block flagship (`mm_prepare`) ingests from here, closing the
+    * loop from a binary file store through compaction into the image
+    * pipeline. Built once per (corpus, fingerprint) like
+    * [[writeBinaryDocs]]; A26's gate separately proves the rewrite
+    * lossless against the documents oracle. */
+  private val binCompactBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  private[graft] def compactedBlobs(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.Artifacts.fingerprint(s, s"$d/documents.parquet")
+    val loc = graft.Artifacts.cachedLocation(binCompactBuilt, d, fp) { fpv =>
+      val binDir = writeBinaryDocs(s, d)
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        graft.Artifacts.scratchBase(s), s"graft_bin_blobs_${slug}_$fpv").toString
+      compactBinaryDir(s, binDir, dir, BinCompactTargetBytes)
+      dir
+    }
+    s.read.parquet(loc).select(col("doc_id"), col("payload"))
+  }
+
   /** A28 — Beam's Partition transform through the Pipe DSL: route users
     * 3 ways by id residue, reduce each output pipe independently, and
     * reassemble the per-partition counts. The A17 auto-cache makes the

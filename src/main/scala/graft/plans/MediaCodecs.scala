@@ -231,6 +231,34 @@ object MediaCodecs {
     new GenericArrayData(out)
   }
 
+  /** MAGIC-BYTE image decode dispatch: PNG (89 50), JPEG (FF D8) or
+    * netpbm (P5/P6) — the format sniff a blob-store ingest runs, since a
+    * crawled image column carries no format column. Emits the shared
+    * [w, h, maxval, pixels…] layout so every downstream raster kernel
+    * (RgbStats, resize, pHash) composes regardless of container. */
+  case class AnyImageDecode(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(BinaryType)
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.anyImageDecode(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.MediaCodecs.anyImageDecode($c)")
+    override protected def withNewChildInternal(c: Expression): AnyImageDecode =
+      copy(child = c)
+  }
+
+  def anyImageDecode(b: Array[Byte]): GenericArrayData = {
+    require(b.length >= 2, "image: payload shorter than any magic")
+    val m0 = b(0) & 0xFF; val m1 = b(1) & 0xFF
+    if (m0 == 0x89 && m1 == 'P') pngDecode(b)
+    else if (m0 == 0xFF && m1 == 0xD8) jpegDecode(b)
+    else if (m0 == 'P' && (m1 == '5' || m1 == '6')) ppmDecode(b)
+    else throw new IllegalArgumentException(
+      f"image: unrecognized magic $m0%02X $m1%02X")
+  }
+
   // ---------------- WAV ----------------
 
   /** RIFF/WAVE encode: wrap raw bytes as mono 8-bit PCM at `rate` Hz (8-bit
@@ -640,6 +668,8 @@ object MediaCodecs {
     column(JpegColorFromMcus(expression(mcuRgb), mcusX, mcusY))
   def jpegDecodeCol(payload: Column): Column =
     column(JpegDecode(expression(payload)))
+  def anyImageDecodeCol(payload: Column): Column =
+    column(AnyImageDecode(expression(payload)))
   def wavEncode(data: Column, rate: Int): Column =
     column(WavFromBytes(expression(data), rate))
   def wav16StereoEncode(data: Column, rate: Int): Column =

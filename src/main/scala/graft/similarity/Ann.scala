@@ -299,45 +299,158 @@ object Ann {
       // corpus; under sampling it re-scans the source once instead
       val assignSrc = if (sampled) full else e
       try {
-        // deterministic seeds: min-vec_id vector per residue class
-        val seedRows = e
-          .withColumn("cls", pmod(col("vec_id"), lit(IvfCells.toLong)))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("cls")).orderBy(col("vec_id"))))
-          .filter(col("rn") === 1)
-          .select(col("cls"), col("v")).collect()
-        val dim = seedRows.head.getSeq[Double](1).length
-        var cents = Array.tabulate(IvfCells) { i =>
-          // basis-vector fallback for an empty residue class (can't happen at
-          // n >= k, but keeps norms nonzero)
-          val a = new Array[Double](dim); a(i % dim) = 1.0; a
-        }
-        seedRows.foreach(r => cents(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
-        for (_ <- 1 to IvfIters) {
-          val sums = e.withColumn("cell", nearestCellCol("v", cents))
-            .groupBy(col("cell"))
-            .agg(
-              array((0 until dim).map(i =>
-                sum(round(element_at(col("v"), i + 1) * IvfScale).cast("long"))): _*).as("sv"),
-              count(lit(1)).as("cnt"))
-            .collect()
-          val next = cents.map(_.clone())  // empty-cell guard: keep old centroid
-          sums.foreach { r =>
-            val cnt = r.getLong(2)
-            next(r.getInt(0)) =
-              r.getSeq[Long](1).map(s => s.toDouble / (IvfScale * cnt)).toArray
-          }
-          cents = next
-        }
+        val cents = lloydTrain(e)
         assignSrc.withColumn("cell", nearestCellCol("v", cents))
           .write.mode("overwrite").parquet(s"$dir/corpus")
-        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("cell_id", "cv")
-          .withColumn("cn", sqrt(graft.plans.DotProduct.dot(col("cv"), col("cv"))))
-          .write.mode("overwrite").parquet(s"$dir/centroids")
+        writeCentroids(s, cents, s"$dir/centroids")
       } finally e.unpersist(blocking = true)
       dir
     }
+  }
+
+  /** Deterministic Lloyd training over a PERSISTED frame (vec_id, v):
+    * seeds = min-vec_id vector per residue class, [[IvfIters]] iterations
+    * with order-independent integer sums (the [[IvfScale]] exactness
+    * argument). Factored out of [[ivfIndexDir]] so the incremental index
+    * (F26) trains its BASE generation through the identical code. */
+  private def lloydTrain(e: DataFrame): Array[Array[Double]] = {
+    // deterministic seeds: min-vec_id vector per residue class
+    val seedRows = e
+      .withColumn("cls", pmod(col("vec_id"), lit(IvfCells.toLong)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cls")).orderBy(col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cls"), col("v")).collect()
+    val dim = seedRows.head.getSeq[Double](1).length
+    var cents = Array.tabulate(IvfCells) { i =>
+      // basis-vector fallback for an empty residue class (can't happen at
+      // n >= k, but keeps norms nonzero)
+      val a = new Array[Double](dim); a(i % dim) = 1.0; a
+    }
+    seedRows.foreach(r => cents(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
+    for (_ <- 1 to IvfIters) {
+      val sums = e.withColumn("cell", nearestCellCol("v", cents))
+        .groupBy(col("cell"))
+        .agg(
+          array((0 until dim).map(i =>
+            sum(round(element_at(col("v"), i + 1) * IvfScale).cast("long"))): _*).as("sv"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone())  // empty-cell guard: keep old centroid
+      sums.foreach { r =>
+        val cnt = r.getLong(2)
+        next(r.getInt(0)) =
+          r.getSeq[Long](1).map(s => s.toDouble / (IvfScale * cnt)).toArray
+      }
+      cents = next
+    }
+    cents
+  }
+
+  private def writeCentroids(s: SparkSession, cents: Array[Array[Double]],
+      loc: String): Unit = {
+    import s.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "cv")
+      .withColumn("cn", sqrt(graft.plans.DotProduct.dot(col("cv"), col("cv"))))
+      .write.mode("overwrite").parquet(loc)
+  }
+
+  // ------------------------------------------------------------------
+  // F26 — INCREMENTAL IVF index maintenance (round-16 verdict item 4:
+  // "the IVF/PQ artifacts are rebuild-only"). E7 gave dedup an
+  // incremental path; this gives the stored IVF index one: a later
+  // arrival batch is assigned under the STORED centroids and APPENDED as
+  // its own generation — per-batch cost tracks the batch, never the
+  // index — and the gated report is the F22 cell-balance DELTA, whose
+  // retrain flag is exactly the signal a deployment uses to decide when
+  // appending has skewed the cells enough to pay for re-training.
+  // ------------------------------------------------------------------
+
+  /** Arrival-batch split: a POWER-OF-TWO modulus so the Scala signed
+    * `pmod(splitmix64, m)` and the oracle's unsigned `h % m` agree (the
+    * F25 discipline) — 1/8 of the corpus "arrives late". */
+  val IvfIncrMod = 8
+  val IvfIncrRes = 3
+
+  /** Retrain trigger: flag a cell once appended vectors exceed this
+    * share of its postings. */
+  val IvfRetrainPermille = 300L
+
+  private def ivfDeltaPred =
+    pmod(graft.plans.MixHash.splitmix64Col(col("vec_id")),
+      lit(IvfIncrMod.toLong)) === lit(IvfIncrRes.toLong)
+
+  private val ivfIncrBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  /** The incremental index: `gen-0/corpus` (base assignment, trained on
+    * base arrivals only), `centroids` (STORED — never touched by an
+    * append), `gen-1/corpus` (the arrival batch assigned under the stored
+    * centroids). Same per-(corpus, fingerprint) build-once discipline as
+    * [[ivfIndexDir]]. */
+  private def ivfIncrDir(s: SparkSession, d: String): String = {
+    val base = s.conf.getOption("graft.ivf.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf") + "-incr"
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    graft.Artifacts.cachedLocation(ivfIncrBuilt, s"$d@$base", fp) { fpv =>
+      val dir = base + "/index-" + java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@$fpv"))
+      val full = withNorm(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("v"), col("nrm"))
+      val baseSet = graft.CacheScope.scopedPersist(full.filter(!ivfDeltaPred))
+      try {
+        val cents = lloydTrain(baseSet)
+        baseSet.withColumn("cell", nearestCellCol("v", cents))
+          .write.mode("overwrite").parquet(s"$dir/gen-0/corpus")
+        writeCentroids(s, cents, s"$dir/centroids")
+      } finally baseSet.unpersist(blocking = true)
+      // the APPEND: its input is the batch and the 16-row centroid table
+      // — the base assignment is never read, so batch cost is O(|batch|)
+      ivfAppendAssign(s, d, s"$dir/centroids")
+        .write.mode("overwrite").parquet(s"$dir/gen-1/corpus")
+      dir
+    }
+  }
+
+  /** The append step's PLAN: assign ONLY the arrival batch under the
+    * stored centroids (inlined as routing literals — the F24 device).
+    * Exposed to the spec, which pins that this plan scans embeddings
+    * once and the stored corpus never. */
+  private def ivfAppendAssign(s: SparkSession, d: String,
+      centroidsLoc: String): DataFrame = {
+    val cents = s.read.parquet(centroidsLoc).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .filter(ivfDeltaPred)
+      .withColumn("cell", nearestCellCol("v", cents))
+  }
+
+  private[graft] def ivfAppendAssignForSpec(s: SparkSession, d: String): DataFrame =
+    ivfAppendAssign(s, d, s"${ivfIncrDir(s, d)}/centroids")
+
+  /** F26's gated frame: the per-cell balance DELTA of the merged index —
+    * base/appended postings counts, the appended share, the cell's share
+    * of the whole index, and the retrain flag. Integer throughout. */
+  def ivfAppendReport(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfIncrDir(s, d)
+    def counts(gen: String, as: String) = s.read.parquet(s"$dir/$gen/corpus")
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as(as))
+    val per = counts("gen-0", "n_base")
+      .join(counts("gen-1", "n_delta"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .withColumn("n_total", col("n_base") + col("n_delta"))
+    val tot = per.agg(sum(col("n_total")).as("n_all"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_base"), col("n_delta"), col("n_total"),
+        expr("(1000 * n_delta) DIV n_total").as("delta_permille"),
+        expr("(10000 * n_total) DIV n_all").as("share_bps"),
+        expr(s"CAST(CASE WHEN (1000 * n_delta) DIV n_total > $IvfRetrainPermille " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("retrain_flag"))
   }
 
   /** Query-to-cell routing against the stored centroid table: each query's
@@ -1501,6 +1614,50 @@ object Ann {
       CAST(p.smc // p.n_vecs AS BIGINT) AS mean_cos_micro
     FROM per p, tc t ORDER BY p.cell"""
 
+  /** F26's oracle: FULL RECOMPUTE equivalence on the merged index — the
+    * splitmix chain re-derives the arrival split, Lloyd re-trains on the
+    * base subset only (same unrolled [[lloydCte]] text as F3, different
+    * source), both subsets are assigned under the final centroids via the
+    * shared [[assignCte]], and the report aggregates the union — exactly
+    * what the stored gen-0 + gen-1 artifacts hold. */
+  private def ivfAppendReportSql: String = s"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ${graft.plans.MixHash.sqlSplitmixCtes(
+      "e0", "CAST(vec_id AS HUGEINT)", Seq("vec_id"), "ivs")},
+    eb AS (
+      SELECT e0.vec_id, e0.v FROM e0 JOIN ivs ON ivs.vec_id = e0.vec_id
+      WHERE ivs.h % $IvfIncrMod <> $IvfIncrRes),
+    ed AS (
+      SELECT e0.vec_id, e0.v FROM e0 JOIN ivs ON ivs.vec_id = e0.vec_id
+      WHERE ivs.h % $IvfIncrMod = $IvfIncrRes),
+    c0 AS (
+      SELECT CAST(vec_id % $IvfCells AS INT) AS cell_id, v AS cv FROM (
+        SELECT vec_id, v, ROW_NUMBER() OVER (
+          PARTITION BY vec_id % $IvfCells ORDER BY vec_id) AS rn FROM eb) t
+      WHERE rn = 1),
+    ${lloydCte("eb", "c0", "a1", "m1", "c1")},
+    ${lloydCte("eb", "c1", "a2", "m2", "c2")},
+    ${lloydCte("eb", "c2", "a3", "m3", "c3")},
+    ${assignCte("afb", "c3", "eb")},
+    ${assignCte("afd", "c3", "ed")},
+    pb AS (SELECT cell, COUNT(*) AS n_base FROM afb GROUP BY 1),
+    pd AS (SELECT cell, COUNT(*) AS n_delta FROM afd GROUP BY 1),
+    per AS (
+      SELECT COALESCE(pb.cell, pd.cell) AS cell,
+        COALESCE(pb.n_base, 0) AS n_base, COALESCE(pd.n_delta, 0) AS n_delta,
+        COALESCE(pb.n_base, 0) + COALESCE(pd.n_delta, 0) AS n_total
+      FROM pb FULL OUTER JOIN pd ON pd.cell = pb.cell),
+    ta AS (SELECT CAST(SUM(n_total) AS BIGINT) AS n_all FROM per)
+    SELECT CAST(p.cell AS INTEGER) AS cell,
+      CAST(p.n_base AS BIGINT) AS n_base,
+      CAST(p.n_delta AS BIGINT) AS n_delta,
+      CAST(p.n_total AS BIGINT) AS n_total,
+      CAST((1000 * p.n_delta) // p.n_total AS BIGINT) AS delta_permille,
+      CAST((10000 * p.n_total) // t.n_all AS BIGINT) AS share_bps,
+      CAST(CASE WHEN (1000 * p.n_delta) // p.n_total > $IvfRetrainPermille
+        THEN 1 ELSE 0 END AS BIGINT) AS retrain_flag
+    FROM per p, ta t ORDER BY p.cell"""
+
   /** F11 — binary-code retrieval cascade (faiss IndexBinaryFlat shape):
     * sign-binarize each embedding into 64 bits packed as two 32-bit words,
     * shortlist by hamming distance over the CODES ONLY, then exact-rerank
@@ -1839,6 +1996,7 @@ object Ann {
     "ann_knn_join" -> knnJoin _,
     "ann_knn_join_recall" -> knnJoinRecall _,
     "ann_ivf_cell_report" -> ivfCellReport _,
+    "ann_ivf_append" -> ivfAppendReport _,
     "emb_pq_distortion" -> pqDistortionReport _,
     "ann_pq_topk" -> pqTopK _,
     "ann_brute_topk" -> bruteTopK _,
@@ -1934,9 +2092,10 @@ object Ann {
         FROM $m GROUP BY cell) n ON n.cell_id = p.cell_id)"""
   }
 
-  /** Full-corpus assignment of `e` under centroid CTE `cents`, emitted as
-    * CTE `name` — shared by both training chains' final step. */
-  private def assignCte(name: String, cents: String): String = s"""
+  /** Assignment of `src` under centroid CTE `cents`, emitted as CTE
+    * `name` — shared by both training chains' final step and the F26
+    * base/batch assignments. */
+  private def assignCte(name: String, cents: String, src: String = "e"): String = s"""
     $name AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cell_id AS cell,
@@ -1944,7 +2103,7 @@ object Ann {
             list_dot_product(e.v, c.cv)
               / GREATEST(sqrt(list_dot_product(c.cv, c.cv)), $minNormalSql) DESC,
             c.cell_id) AS rn
-        FROM e, $cents c) t WHERE rn = 1)"""
+        FROM $src e, $cents c) t WHERE rn = 1)"""
 
   private def ivfAssignCtes: String = s"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2184,6 +2343,7 @@ object Ann {
     "ann_knn_join" -> knnJoinSql,
     "ann_knn_join_recall" -> knnJoinRecallSql,
     "ann_ivf_cell_report" -> ivfCellReportSql,
+    "ann_ivf_append" -> ivfAppendReportSql,
     "emb_pq_distortion" -> pqDistortionSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_ivfpq_topk" -> ivfpqOracleSql,

@@ -351,6 +351,40 @@ class MultimodalSpec extends SparkSpec {
       assert(x < y && h <= Multimodal.PhashHamT)
     }
   }
+  test("G13 mm_prepare: keep decisions, cross-format pairs, shard monotonicity") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.mmPrepare(spark, sf).collect()
+      .map(r => (r.getAs[Long]("entity_id"), r.getAs[String]("fmt"),
+        r.getAs[Long]("cluster_size"), r.getAs[Long]("quality"),
+        r.getAs[Long]("sum_pix"), r.getAs[Long]("shard_id")))
+    val nDocs = graft.operators.BeamParity.compactedBlobs(spark, sf)
+      .filter(char_length(col("payload").cast("string")) >= 64).count()
+    assert(out.nonEmpty && out.length <= nDocs,
+      s"${out.length} kept of ${2 * nDocs} entities — dedup must drop at least the planted twins")
+    // every planted (2d, 2d+1) twin pair sits within the hamming radius by
+    // construction, so at most one of each pair survives
+    val kept = out.map(_._1).toSet
+    kept.foreach { e =>
+      val twin = if (e % 2 == 0) e + 1 else e - 1
+      assert(!kept.contains(twin), s"both twins $e/$twin kept")
+    }
+    // all three containers appear among kept representatives (the format
+    // sniff really dispatched three ways)
+    val fmts = out.map(_._2).toSet
+    assert(fmts == Set("png", "jpeg", "pgm"), s"kept formats: $fmts")
+    // cluster sizes cover the twins (>= 2 somewhere), quality nonnegative
+    assert(out.forall(_._3 >= 1) && out.exists(_._3 >= 2))
+    assert(out.forall(_._4 >= 0L))
+    // shard ids: nondecreasing in entity order, and they match the prefix
+    // sum of sum_pix under the budget
+    val byId = out.sortBy(_._1)
+    var cum = 0L
+    byId.foreach { case (e, _, _, _, sp, sh) =>
+      assert(sh == cum / Multimodal.MmShardPix, s"entity $e shard $sh != ${cum / Multimodal.MmShardPix}")
+      cum += sp
+    }
+  }
+
   test("G9 scene cuts fire only at the scene boundary and somewhere in the corpus") {
     val res = Multimodal.sceneCuts(spark, sf).collect()
     assert(res.nonEmpty)

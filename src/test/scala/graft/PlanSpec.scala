@@ -150,6 +150,30 @@ class PlanSpec extends SparkSpec {
     assert(mine.toSeq == f3.toSeq, "knn join diverges from F3 on the F3 query set")
   }
 
+  test("F26: the append step's plan touches only the arrival batch, never the stored corpus") {
+    import graft.similarity.Ann
+    val df = Ann.ivfAppendAssignForSpec(spark, sf)
+    val p = plan(df)
+    // ONE parquet scan — the embeddings source filtered to the batch; the
+    // stored gen-0 assignment is never read (per-batch cost is O(|batch|))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("gen-0"), p)
+    // routing is centroid literals, not a join against the index
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // the batch really is the split's residue class (~1/8 of the corpus)
+    val n = graft.operators.Tables.embeddings(spark, sf).count()
+    val nd = df.count()
+    assert(nd > 0 && nd < n / 4, s"$nd of $n rows in the arrival batch")
+    // merged report reconciles: totals cover every vector exactly once,
+    // and per-cell n_base+n_delta equals a full re-assignment under the
+    // same stored centroids
+    val rep = Ann.ivfAppendReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.map(_._4).sum == n, "report totals must cover the corpus")
+    assert(rep.forall { case (_, b, dl, t) => b + dl == t })
+    assert(rep.map(_._3).sum == nd, "delta postings must equal the batch")
+  }
+
   test("F25: sampled kNN-join recall reconciles hit-by-hit with brute ∩ F24") {
     import graft.similarity.Ann
     val rep = Ann.knnJoinRecall(spark, sf).collect()
