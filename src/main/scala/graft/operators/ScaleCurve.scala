@@ -134,35 +134,40 @@ object ScaleCurve {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (k, sd, scaledEvents(s, d, k))
     }
-    perScale.foreach(_._2.count())
-    val futs = perScale.map { case (k, sd, se) =>
-      val docAggF = Future(sd.agg(count(lit(1)),
-        sum(length(col("text")).cast("long")),
-        sum(wsTokens(col("text")).cast("long"))).head())
-      val dupsF = Future(sd.groupBy(col("text")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).agg(coalesce(sum(col("c") - 1), lit(0L)))
-        .head().getLong(0))
-      val pairsF = Future(graft.dedup.Dedup.minhashPairsOf(s, sd).count())
-      val evF = Future(se.count())
-      val overlapF = Future(Signals.intervalOverlapPairsOf(s, se).count())
-      (k, docAggF, dupsF, pairsF, evF, overlapF)
-    }
-    val rows = futs.flatMap { case (k, docAggF, dupsF, pairsF, evF, overlapF) =>
-      val docAgg = Await.result(docAggF, Duration.Inf)
-      val (nDocs, nChars, nToks) =
-        (docAgg.getLong(0), docAgg.getLong(1), docAgg.getLong(2))
-      val nDups = Await.result(dupsF, Duration.Inf)
-      val nPairs = Await.result(pairsF, Duration.Inf)
-      val nEv = Await.result(evF, Duration.Inf)
-      val nOverlap = Await.result(overlapF, Duration.Inf)
-      Seq(
-        ("corpus_scaled", k.toLong, nBase, nDocs, nChars),
-        ("text_tokens", k.toLong, nDocs, nToks, nChars),
-        ("dedup_exact", k.toLong, nDocs, nDups, 0L),
-        ("dedup_minhash", k.toLong, nDocs, nPairs, 0L),
-        ("interval_overlap", k.toLong, nEv, nOverlap, 0L))
-    }
-    perScale.foreach(_._2.unpersist(blocking = true))
+    // try/finally around the whole fan-out (round-15 ADVICE): if any
+    // concurrent action throws, Await rethrows — without the finally every
+    // persisted per-scale frame would leak (sibling futures may still be
+    // running Spark jobs, but unpersist is safe concurrently)
+    val rows = try {
+      perScale.foreach(_._2.count())
+      val futs = perScale.map { case (k, sd, se) =>
+        val docAggF = Future(sd.agg(count(lit(1)),
+          sum(length(col("text")).cast("long")),
+          sum(wsTokens(col("text")).cast("long"))).head())
+        val dupsF = Future(sd.groupBy(col("text")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(coalesce(sum(col("c") - 1), lit(0L)))
+          .head().getLong(0))
+        val pairsF = Future(graft.dedup.Dedup.minhashPairsOf(s, sd).count())
+        val evF = Future(se.count())
+        val overlapF = Future(Signals.intervalOverlapPairsOf(s, se).count())
+        (k, docAggF, dupsF, pairsF, evF, overlapF)
+      }
+      futs.flatMap { case (k, docAggF, dupsF, pairsF, evF, overlapF) =>
+        val docAgg = Await.result(docAggF, Duration.Inf)
+        val (nDocs, nChars, nToks) =
+          (docAgg.getLong(0), docAgg.getLong(1), docAgg.getLong(2))
+        val nDups = Await.result(dupsF, Duration.Inf)
+        val nPairs = Await.result(pairsF, Duration.Inf)
+        val nEv = Await.result(evF, Duration.Inf)
+        val nOverlap = Await.result(overlapF, Duration.Inf)
+        Seq(
+          ("corpus_scaled", k.toLong, nBase, nDocs, nChars),
+          ("text_tokens", k.toLong, nDocs, nToks, nChars),
+          ("dedup_exact", k.toLong, nDocs, nDups, 0L),
+          ("dedup_minhash", k.toLong, nDocs, nPairs, 0L),
+          ("interval_overlap", k.toLong, nEv, nOverlap, 0L))
+      }
+    } finally perScale.foreach(_._2.unpersist(blocking = true))
     rows.toDF("key", "scale", "n_input", "n_output", "input_chars")
   }
 

@@ -796,6 +796,29 @@ object Streams {
     * would restart at batch 0. Gate: the C4/C30 oracle text UNCHANGED —
     * recovery must be invisible in the result.
     */
+  /** One C37 phase: the sessionizeTws query over whatever parquet slices
+    * sit in `in`, parquet file sink + checkpoint, AvailableNow. Shared by
+    * the gated key and the mid-batch-crash spec so the recovery property
+    * is pinned on the SAME query. Returns the processed batch ids. */
+  private[graft] def recoveryPhase(s: SparkSession, in: String, ckpt: String,
+      out: String): Seq[Long] = withStateParts(s) {
+    import s.implicits._
+    val src = s.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+      .parquet(s"$in/*.parquet")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        lit(0.0).as("value")).as[Ev]
+    val q = sessionizeTws(src)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    q.recentProgress.toSeq.map(_.batchId)
+  }
+
+  /** Spec accessor: the C37 fixture location (read-only). */
+  private[graft] def recoveryFixtureDirForSpec(s: SparkSession, d: String): String =
+    recoveryFixtureDir(s, d)
+
   def streamingRestartRecovery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fix = recoveryFixtureDir(s, d)
@@ -814,18 +837,7 @@ object Streams {
         fs, new org.apache.hadoop.fs.Path(fix, name),
         fs, new org.apache.hadoop.fs.Path(in, name), false, hconf); ()
     }
-    def runPhase(): Seq[Long] = withStateParts(s) {
-      val src = s.readStream.schema("user_id BIGINT, ts TIMESTAMP")
-        .parquet(s"$in/*.parquet")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          lit(0.0).as("value")).as[Ev]
-      val q = sessionizeTws(src)
-        .writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
-      q.recentProgress.toSeq.map(_.batchId)
-    }
+    def runPhase(): Seq[Long] = recoveryPhase(s, in.toString, ckpt, out)
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val saved = s.conf.getOption(provKey)
     s.conf.set(provKey,

@@ -461,6 +461,68 @@ class StreamingSpec extends SparkSpec {
     fs.delete(base, true); ()
   }
 
+  test("C37: restart from a PARTIALLY committed batch — the file sink's commit log dedups the replay") {
+    val fix = Streams.recoveryFixtureDirForSpec(spark, sf)
+    val base = new org.apache.hadoop.fs.Path(
+      graft.Artifacts.scratchBase(spark), "graft_recov_crash_spec")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = base.getFileSystem(hconf)
+    fs.delete(base, true)
+    val in = new org.apache.hadoop.fs.Path(base, "in"); fs.mkdirs(in)
+    val ckpt = new org.apache.hadoop.fs.Path(base, "ckpt").toString
+    val out = new org.apache.hadoop.fs.Path(base, "out").toString
+    def arrive(name: String): Unit = {
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(fix, name),
+        fs, new org.apache.hadoop.fs.Path(in, name), false, hconf); ()
+    }
+    def rows() = spark.read.parquet(out)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      arrive("half0.parquet")
+      val p1 = Streams.recoveryPhase(spark, in.toString, ckpt, out)
+      assert(p1.nonEmpty, "phase 1 processed no batch")
+      val afterPhase1 = rows()
+      assert(afterPhase1.nonEmpty, "phase 1 must commit some closed sessions")
+      // CRASH INJECTION: the sink committed the last batch (its
+      // _spark_metadata entry exists) but the CHECKPOINT commit is gone —
+      // exactly the window a crash between sink-commit and
+      // checkpoint-commit leaves behind. The restart must REPLAY that
+      // batch, and the file sink's commit log must swallow the duplicate.
+      val lastBatch = p1.max
+      val commitFile = new org.apache.hadoop.fs.Path(s"$ckpt/commits/$lastBatch")
+      assert(fs.exists(commitFile), "precondition: checkpoint commit entry present")
+      fs.delete(commitFile, false)
+      val p2 = Streams.recoveryPhase(spark, in.toString, ckpt, out)
+      assert(p2.contains(lastBatch), s"restart did not replay batch $lastBatch: $p2")
+      // zero duplication: the COMMITTED view (the _spark_metadata-filtered
+      // read) is unchanged — at-least-once upgraded to exactly-once by the
+      // sink's batchId-keyed log, the property a deployment actually needs
+      assert(rows() == afterPhase1,
+        "replay duplicated rows past the sink's commit log")
+      // and the pipeline keeps going on top of the recovered state
+      arrive("half1.parquet")
+      val p3 = Streams.recoveryPhase(spark, in.toString, ckpt, out)
+      assert(p3.nonEmpty && p3.max > lastBatch, s"phase 3 ids: $p3")
+      val finalRows = rows()
+      assert(finalRows.size > afterPhase1.size &&
+        afterPhase1.forall(finalRows.contains),
+        "phase-1 sessions must survive unchanged under the final view")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      fs.delete(base, true); ()
+    }
+  }
+
   test("C38: buckets >> delta keys — touched buckets ~ |delta|, write parallelism tracks the delta") {
     // the regime the design exists for: a minute-grain delta against a
     // wide snapshot must rewrite ~|delta-keys| buckets, not all of them
