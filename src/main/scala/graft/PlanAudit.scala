@@ -65,6 +65,9 @@ object PlanAudit {
     // ann_ivf_cell_report: the 1-row corpus total over k per-cell partials
     // — the combine_global shape
     "ann_ivf_cell_report",
+    // ann_ivf_append: the same 1-row n_all reduce over the 16 per-cell
+    // rows of the merged-index report — the combine_global shape
+    "ann_ivf_append",
     // corpus_pack_report: the 1-row audit over per-pack partials —
     // combine_global over the H5 frame
     "corpus_pack_report",

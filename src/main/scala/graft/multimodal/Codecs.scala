@@ -580,13 +580,16 @@ object Codecs extends Serializable {
   }
 
   // ------------------------------------------------------------------
-  // JPEG (ITU-T T.81, baseline sequential DCT, grayscale). The DECODER
-  // is general for 8-bit single-component baseline streams: marker walk
+  // JPEG (ITU-T T.81, baseline sequential DCT). The DECODER is general
+  // for 8-bit baseline streams, grayscale OR 3-component YCbCr with
+  // per-axis sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0): marker walk
   // (APPn/COM skipped, DQT/DHT/DRI parsed, SOF0 required — progressive
   // SOF2 etc. rejected), canonical Huffman decode with FF00 unstuffing
-  // and RSTn handling, dezigzag, dequantize, separable double IDCT,
-  // level shift + clamp. The ENCODER emits DC-ONLY streams from
-  // 8×8-block-constant rasters: a constant block has a single DC
+  // and RSTn handling across interleaved MCUs with per-component DC
+  // predictors, dezigzag, dequantize, separable double IDCT, level
+  // shift + clamp, replication chroma upsample, BT.601 fixed-point
+  // color transform. The ENCODERS emit DC-ONLY streams from
+  // block-constant rasters: a constant block has a single DC
   // coefficient (8·(c−128) under T.81 normalization), so with an
   // all-ones quantization table ANY spec-compliant decoder reconstructs
   // the constant exactly after rounding — a lossy container with an
