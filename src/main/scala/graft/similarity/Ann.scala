@@ -453,6 +453,116 @@ object Ann {
           "THEN 1 ELSE 0 END AS BIGINT)").as("retrain_flag"))
   }
 
+  // ------------------------------------------------------------------
+  // F27 — INCREMENTAL PQ codes maintenance (the PQ half of round-16
+  // verdict item 4: "the IVF/PQ artifacts are rebuild-only" — F26 gives
+  // the IVF assignment an append path; this gives the PQ CODES one).
+  // The arrival batch is ENCODED under the STORED codebook (trained on
+  // base arrivals only) and appended as its own codes generation; the
+  // gated report is the F23 distortion table SPLIT base-vs-appended,
+  // whose drift column is the PQ retrain signal: newly-arrived data
+  // quantizing systematically worse under the frozen codebook is
+  // exactly when a deployment re-trains.
+  // ------------------------------------------------------------------
+
+  /** Retrain trigger: flag a subspace once the appended batch's mean
+    * squared error exceeds the base's by this factor (permille). */
+  val PqDriftRetrainPermille = 1200L
+
+  private val pqIncrBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  /** The incremental PQ artifact: `codebook` (trained on base arrivals —
+    * never touched by an append), `gen-0/codes` (base encoding),
+    * `gen-1/codes` (the arrival batch encoded under the stored
+    * codebook). Same arrival split as F26 ([[ivfDeltaPred]]) so the two
+    * incremental paths describe ONE ingest story. */
+  private def pqIncrDir(s: SparkSession, d: String): String = {
+    val base = s.conf.getOption("graft.pq.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-pq") + "-incr"
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    graft.Artifacts.cachedLocation(pqIncrBuilt, s"$d@$base", fp) { fpv =>
+      val dir = base + "/pq-incr-" + java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@$fpv"))
+      val ev = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val svb = graft.CacheScope.scopedPersist(
+        subVectors(ev.filter(!ivfDeltaPred)))
+      try {
+        val cents = pqTrain(svb)
+        val ci2 = pqCi2(cents)
+        pqCodesFrame(svb, cents, ci2)
+          .write.mode("overwrite").parquet(s"$dir/gen-0/codes")
+        writePqCodebook(s, cents, ci2, s"$dir/codebook")
+      } finally svb.unpersist(blocking = true)
+      // the APPEND: encode ONLY the arrival batch under the stored
+      // codebook — gen-0 is never read, so batch cost is O(|batch|)
+      pqAppendEncode(s, d, s"$dir/codebook")
+        .write.mode("overwrite").parquet(s"$dir/gen-1/codes")
+      dir
+    }
+  }
+
+  /** The append step's PLAN: encode ONLY the arrival batch under the
+    * stored codebook (512 rows, collected and inlined). Exposed to the
+    * spec, which pins one embeddings scan and zero index reads. */
+  private def pqAppendEncode(s: SparkSession, d: String,
+      cbLoc: String): DataFrame = {
+    val rows = s.read.parquet(cbLoc).collect()
+    val cents = Array.ofDim[Array[Double]](PqSubs, PqK)
+    val ci2 = Array.ofDim[Long](PqSubs, PqK)
+    rows.foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      ci2(r.getInt(0))(r.getInt(1)) = r.getLong(3)
+    }
+    val evd = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .filter(ivfDeltaPred)
+    pqCodesFrame(subVectors(evd), cents, ci2)
+  }
+
+  private[graft] def pqAppendEncodeForSpec(s: SparkSession, d: String): DataFrame =
+    pqAppendEncode(s, d, s"${pqIncrDir(s, d)}/codebook")
+
+  /** F27's gated frame: F23's distortion table split base-vs-appended —
+    * per subspace the postings counts, both mean squared errors on the
+    * 2^20 grid, the drift (appended MSE as permille of base MSE), and
+    * the retrain flag. Distortion arithmetic is F23's exact expression
+    * over the STORED codes + codebook. */
+  def pqAppendReport(s: SparkSession, d: String): DataFrame = {
+    val dir = pqIncrDir(s, d)
+    val cb = s.read.parquet(s"$dir/codebook")
+    val ev = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    def mse(gen: String, nAs: String, mseAs: String): DataFrame = {
+      val assigned = s.read.parquet(s"$dir/$gen/codes")
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cell")))
+      subVectors(ev).join(assigned, Seq("vec_id", "sub"))
+        .join(broadcast(cb), Seq("sub", "cell"))
+        .withColumn("se", round((
+          graft.plans.DotProduct.dot(col("sv"), col("sv")) -
+            lit(2.0) * graft.plans.DotProduct.dot(col("sv"), col("cv")) +
+            graft.plans.DotProduct.dot(col("cv"), col("cv"))) * lit(PqScale))
+          .cast("long"))
+        .groupBy(col("sub"))
+        .agg(count(lit(1)).as(nAs), sum(col("se")).as("ssum"))
+        .select(col("sub"), col(nAs),
+          expr(s"ssum DIV $nAs").as(mseAs))
+    }
+    mse("gen-0", "n_base", "mse_base_units")
+      .join(mse("gen-1", "n_delta", "mse_delta_units"), Seq("sub"))
+      .select(col("sub"), col("n_base"), col("n_delta"),
+        col("mse_base_units"), col("mse_delta_units"),
+        expr("(1000 * mse_delta_units) DIV greatest(mse_base_units, 1L)")
+          .as("drift_permille"),
+        expr(s"CAST(CASE WHEN (1000 * mse_delta_units) DIV " +
+          s"greatest(mse_base_units, 1L) > $PqDriftRetrainPermille " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("retrain_flag"))
+  }
+
   /** Query-to-cell routing against the stored centroid table: each query's
     * `nprobe` highest-cosine cells. Factored so F3 (nprobe=2), the F15
     * IVFPQ cascade, and the F16 recall-curve sweep share ONE routing
@@ -924,59 +1034,84 @@ object Ann {
       // synchronously once both tables are written
       val sv = graft.CacheScope.scopedPersist(subVectors(ev))
       try {
-        // deterministic seeds: min-vec_id subvector per (sub, residue class)
-        val seedRows = sv
-          .withColumn("cls", pmod(col("vec_id"), lit(PqK.toLong)))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("sub"), col("cls")).orderBy(col("vec_id"))))
-          .filter(col("rn") === 1)
-          .select(col("sub"), col("cls"), col("sv")).collect()
-        // the SQL oracle has no seed fallback for an empty residue class, so
-        // a sub-PqK corpus must fail LOUDLY here rather than as a confusing
-        // cross-engine parity mismatch downstream
-        require(seedRows.length == PqSubs * PqK,
-          s"PQ training needs >= $PqK vectors (every vec_id % $PqK residue " +
-            s"class non-empty); got ${seedRows.length}/${PqSubs * PqK} seeds")
-        var cents = Array.ofDim[Array[Double]](PqSubs, PqK)
-        seedRows.foreach(r =>
-          cents(r.getInt(0))(r.getLong(1).toInt) = r.getSeq[Double](2).toArray)
-        for (_ <- 1 to PqIters) {
-          val sums = assignPqCells(s, sv, cents)
-            .groupBy(col("sub"), col("cell"))
-            .agg(
-              array((0 until PqSubDim).map(i =>
-                sum(round(element_at(col("sv"), i + 1) * IvfScale).cast("long"))): _*).as("sm"),
-              count(lit(1)).as("cnt"))
-            .collect()
-          val next = cents.map(_.map(_.clone()))
-          sums.foreach { r =>
-            val cnt = r.getLong(3)
-            next(r.getInt(0))(r.getInt(1)) =
-              r.getSeq[Long](2).map(x => x.toDouble / (IvfScale * cnt)).toArray
-          }
-          cents = next
-        }
-        // fixed-point codeword squared norms (HALF_UP away-from-zero, the
-        // SQL round semantics — NOT Scala math.round, which rounds negative
-        // halves toward +inf; ci2 is non-negative but the rule is uniform)
-        val ci2 = cents.map(_.map(c => BigDecimal(c.map(x => x * x).sum * PqScale)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
-        val ci2Arr = array(ci2.flatten.toIndexedSeq.map(lit): _*)
-        assignPqCells(s, sv, cents)
-          .groupBy(col("vec_id"))
-          .agg(expr("transform(array_sort(collect_list(struct(sub, cell))), " +
-            "x -> x.cell)").as("codes"))
-          .withColumn("n2i", (0 until PqSubs).map(j =>
-            element_at(ci2Arr, lit(j * PqK + 1) + element_at(col("codes"), j + 1)))
-            .reduce(_ + _))
+        val cents = pqTrain(sv)
+        val ci2 = pqCi2(cents)
+        pqCodesFrame(sv, cents, ci2)
           .write.mode("overwrite").parquet(s"$dir/codes")
-        (for (j <- 0 until PqSubs; i <- 0 until PqK)
-          yield (j, i, cents(j)(i).toSeq, ci2(j)(i)))
-          .toDF("sub", "cell", "cv", "ci2")
-          .write.mode("overwrite").parquet(s"$dir/codebook")
+        writePqCodebook(s, cents, ci2, s"$dir/codebook")
         dir
       } finally sv.unpersist(blocking = true)
     }
+  }
+
+  /** Deterministic per-subspace Lloyd over a PERSISTED subvector frame —
+    * factored out of [[pqIndexDir]] so the incremental PQ artifact (F27)
+    * trains its base codebook through the identical code. */
+  private def pqTrain(sv: DataFrame): Array[Array[Array[Double]]] = {
+    // deterministic seeds: min-vec_id subvector per (sub, residue class)
+    val seedRows = sv
+      .withColumn("cls", pmod(col("vec_id"), lit(PqK.toLong)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sub"), col("cls")).orderBy(col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("sub"), col("cls"), col("sv")).collect()
+    // the SQL oracle has no seed fallback for an empty residue class, so
+    // a sub-PqK corpus must fail LOUDLY here rather than as a confusing
+    // cross-engine parity mismatch downstream
+    require(seedRows.length == PqSubs * PqK,
+      s"PQ training needs >= $PqK vectors (every vec_id % $PqK residue " +
+        s"class non-empty); got ${seedRows.length}/${PqSubs * PqK} seeds")
+    var cents = Array.ofDim[Array[Double]](PqSubs, PqK)
+    seedRows.foreach(r =>
+      cents(r.getInt(0))(r.getLong(1).toInt) = r.getSeq[Double](2).toArray)
+    for (_ <- 1 to PqIters) {
+      val sums = assignPqCells(sv.sparkSession, sv, cents)
+        .groupBy(col("sub"), col("cell"))
+        .agg(
+          array((0 until PqSubDim).map(i =>
+            sum(round(element_at(col("sv"), i + 1) * IvfScale).cast("long"))): _*).as("sm"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val cnt = r.getLong(3)
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Long](2).map(x => x.toDouble / (IvfScale * cnt)).toArray
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Fixed-point codeword squared norms (HALF_UP away-from-zero, the
+    * SQL round semantics — NOT Scala math.round, which rounds negative
+    * halves toward +inf; ci2 is non-negative but the rule is uniform). */
+  private def pqCi2(cents: Array[Array[Array[Double]]]): Array[Array[Long]] =
+    cents.map(_.map(c => BigDecimal(c.map(x => x * x).sum * PqScale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+
+  /** ENCODE a subvector frame under a codebook: (vec_id, codes, n2i) —
+    * the one coding definition shared by the full build and the F27
+    * arrival-batch append. */
+  private def pqCodesFrame(sv: DataFrame, cents: Array[Array[Array[Double]]],
+      ci2: Array[Array[Long]]): DataFrame = {
+    val ci2Arr = array(ci2.flatten.toIndexedSeq.map(lit): _*)
+    assignPqCells(sv.sparkSession, sv, cents)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cell))), " +
+        "x -> x.cell)").as("codes"))
+      .withColumn("n2i", (0 until PqSubs).map(j =>
+        element_at(ci2Arr, lit(j * PqK + 1) + element_at(col("codes"), j + 1)))
+        .reduce(_ + _))
+  }
+
+  private def writePqCodebook(s: SparkSession, cents: Array[Array[Array[Double]]],
+      ci2: Array[Array[Long]], loc: String): Unit = {
+    import s.implicits._
+    (for (j <- 0 until PqSubs; i <- 0 until PqK)
+      yield (j, i, cents(j)(i).toSeq, ci2(j)(i)))
+      .toDF("sub", "cell", "cv", "ci2")
+      .write.mode("overwrite").parquet(loc)
   }
 
   /** F23 — PQ DISTORTION report (round-13; the codebook-health sibling of
@@ -1028,6 +1163,66 @@ object Ann {
       CAST(SUM(se) // COUNT(*) AS BIGINT) AS mse_units,
       CAST(MAX(se) AS BIGINT) AS max_se_units
     FROM se GROUP BY 1 ORDER BY 1"""
+
+  /** F27 oracle: the same splitmix residue split as F26, the F23 PQ
+    * training chain run on the BASE partition only (`e` is rebound to the
+    * base split, so [[pqChainCtes]] replays codebook + base codes
+    * verbatim), the arrival batch assigned under that frozen codebook,
+    * and the F23 distortion expression per generation. */
+  private def pqAppendReportSql: String = s"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ${graft.plans.MixHash.sqlSplitmixCtes(
+      "e0", "CAST(vec_id AS HUGEINT)", Seq("vec_id"), "pvs")},
+    e AS (
+      SELECT e0.vec_id, e0.v FROM e0 JOIN pvs ON pvs.vec_id = e0.vec_id
+      WHERE pvs.h % $IvfIncrMod <> $IvfIncrRes),
+    ed AS (
+      SELECT e0.vec_id, e0.v FROM e0 JOIN pvs ON pvs.vec_id = e0.vec_id
+      WHERE pvs.h % $IvfIncrMod = $IvfIncrRes),
+    ${pqChainCtes("")},
+    dsv AS (
+      SELECT vec_id, CAST(j AS INT) AS sub,
+        v[CAST(j * $PqSubDim + 1 AS INT) : CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
+      FROM ed, (SELECT unnest(range($PqSubs)) AS j)),
+    dpaf AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT t.vec_id, t.sub, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+            list_dot_product(c.cv, c.cv) - 2 * list_dot_product(t.sv, c.cv),
+            c.cell) AS rn
+        FROM dsv t JOIN c2 c ON c.sub = t.sub) x WHERE rn = 1),
+    seb AS (
+      SELECT a.sub,
+        CAST(ROUND((list_dot_product(t.sv, t.sv)
+            - 2 * list_dot_product(t.sv, c.cv)
+            + list_dot_product(c.cv, c.cv)) * 1048576.0) AS BIGINT) AS se
+      FROM paf a
+      JOIN sv t ON t.vec_id = a.vec_id AND t.sub = a.sub
+      JOIN cb c ON c.sub = a.sub AND c.cell = a.cell),
+    sed AS (
+      SELECT a.sub,
+        CAST(ROUND((list_dot_product(t.sv, t.sv)
+            - 2 * list_dot_product(t.sv, c.cv)
+            + list_dot_product(c.cv, c.cv)) * 1048576.0) AS BIGINT) AS se
+      FROM dpaf a
+      JOIN dsv t ON t.vec_id = a.vec_id AND t.sub = a.sub
+      JOIN cb c ON c.sub = a.sub AND c.cell = a.cell),
+    mb AS (
+      SELECT sub, COUNT(*) AS n_base,
+        CAST(SUM(se) // COUNT(*) AS BIGINT) AS mse_base_units
+      FROM seb GROUP BY 1),
+    md AS (
+      SELECT sub, COUNT(*) AS n_delta,
+        CAST(SUM(se) // COUNT(*) AS BIGINT) AS mse_delta_units
+      FROM sed GROUP BY 1)
+    SELECT CAST(b.sub AS INTEGER) AS sub, b.n_base, d.n_delta,
+      b.mse_base_units, d.mse_delta_units,
+      CAST((1000 * d.mse_delta_units) // GREATEST(b.mse_base_units, 1)
+        AS BIGINT) AS drift_permille,
+      CAST(CASE WHEN (1000 * d.mse_delta_units) // GREATEST(b.mse_base_units, 1)
+          > $PqDriftRetrainPermille
+        THEN 1 ELSE 0 END AS BIGINT) AS retrain_flag
+    FROM mb b JOIN md d ON d.sub = b.sub ORDER BY 1"""
 
   /** Per-query fixed-point ADC tables against the stored codebook:
     * (qid, dt[PqSubs*PqK], qn) — shared by F10 and the F15 IVFPQ cascade
@@ -1997,6 +2192,7 @@ object Ann {
     "ann_knn_join_recall" -> knnJoinRecall _,
     "ann_ivf_cell_report" -> ivfCellReport _,
     "ann_ivf_append" -> ivfAppendReport _,
+    "ann_pq_append" -> pqAppendReport _,
     "emb_pq_distortion" -> pqDistortionReport _,
     "ann_pq_topk" -> pqTopK _,
     "ann_brute_topk" -> bruteTopK _,
@@ -2185,7 +2381,7 @@ object Ann {
     * References only `e`/`en`, which the caller defines. Ends in
     * `${p}codes` (vec_id, codes, n2i) and `${p}dtab` (qid, dt).
     */
-  private def pqChainCtes(p: String): String = {
+  private def pqChainCtes(p: String, src: String = "e"): String = {
     def lloyd(cp: String, a: String, m: String, cn: String): String = s"""
     $a AS (
       SELECT vec_id, sub, sv, cell FROM (
@@ -2209,7 +2405,7 @@ object Ann {
     s"""${p}sv AS (
       SELECT vec_id, CAST(j AS INT) AS sub,
         v[CAST(j * $PqSubDim + 1 AS INT) : CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
-      FROM e, (SELECT unnest(range($PqSubs)) AS j)),
+      FROM $src, (SELECT unnest(range($PqSubs)) AS j)),
     ${p}c0 AS (
       SELECT sub, CAST(vec_id % $PqK AS INT) AS cell, sv AS cv FROM (
         SELECT sub, vec_id, sv, ROW_NUMBER() OVER (
@@ -2344,6 +2540,7 @@ object Ann {
     "ann_knn_join_recall" -> knnJoinRecallSql,
     "ann_ivf_cell_report" -> ivfCellReportSql,
     "ann_ivf_append" -> ivfAppendReportSql,
+    "ann_pq_append" -> pqAppendReportSql,
     "emb_pq_distortion" -> pqDistortionSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_ivfpq_topk" -> ivfpqOracleSql,

@@ -174,6 +174,34 @@ class PlanSpec extends SparkSpec {
     assert(rep.map(_._3).sum == nd, "delta postings must equal the batch")
   }
 
+  test("F27: the PQ append encodes only the arrival batch under the stored codebook") {
+    import graft.similarity.Ann
+    val df = Ann.pqAppendEncodeForSpec(spark, sf)
+    val p = plan(df)
+    // ONE parquet scan — the embeddings source filtered to the batch; the
+    // stored gen-0 codes are never read (per-batch cost is O(|batch|)),
+    // and the codebook arrives as collected literals, not a parquet join
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("gen-0"), p)
+    // the batch really is the split's residue class (~1/8 of the corpus)
+    val n = graft.operators.Tables.embeddings(spark, sf).count()
+    val nd = df.count()
+    assert(nd > 0 && nd < n / 4, s"$nd of $n rows in the arrival batch")
+    // report reconciles: every vector is coded in exactly one generation,
+    // so per-subspace base+delta counts cover the corpus exactly once
+    val rep = Ann.pqAppendReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rep.length == Ann.PqSubs, s"${rep.length} subspaces")
+    assert(rep.forall { case (_, b, dl, _, _, _, _) => b + dl == n },
+      "per-subspace generations must cover the corpus")
+    // drift arithmetic is internally consistent with the retrain rule
+    assert(rep.forall { case (_, _, _, mb, md, dr, fl) =>
+      dr == (1000L * md) / math.max(mb, 1L) &&
+        fl == (if (dr > Ann.PqDriftRetrainPermille) 1L else 0L)
+    })
+  }
+
   test("F25: sampled kNN-join recall reconciles hit-by-hit with brute ∩ F24") {
     import graft.similarity.Ann
     val rep = Ann.knnJoinRecall(spark, sf).collect()
