@@ -1364,6 +1364,108 @@ object Ann {
     int8Rerank(s, d, cand, Nil, TopK)
   }
 
+  // ------------------------------------------------------------------
+  // F28 — the incremental IVFPQ SERVES (round-16; the closure of the
+  // rebuild-only gap F26/F27 opened): queries run against the MERGED
+  // generation store — gen-0 postings (base-trained) plus the gen-1
+  // postings the two O(|batch|) append paths produced — through the
+  // SAME routing/ADC/rerank cascade as F15. No artifact is rebuilt and
+  // no generation is compacted: the query unions generations, which is
+  // exactly how an LSM-shaped index serves between compactions. The
+  // gate proves end-to-end that appended vectors are RETRIEVABLE (they
+  // appear as neighbors) and that base results are undisturbed, which
+  // is the property a deployment actually needs from incremental
+  // maintenance — the F26/F27 reports only prove the artifacts' shape.
+  // ------------------------------------------------------------------
+
+  private val ivfpqIncrBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  /** The generation store: `gen-0/postings` = base PQ codes joined to the
+    * base IVF assignment (both trained on base arrivals only, F26/F27's
+    * artifacts), `gen-1/postings` = the arrival batch's appended codes
+    * joined to its appended assignment — each `partitionBy(cell)` so a
+    * query batch still prunes to its routed cells' directories within
+    * EVERY generation. */
+  private def ivfpqIncrDir(s: SparkSession, d: String): String = {
+    val base = s.conf.getOption("graft.ivfpq.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivfpq") + "-incr"
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    graft.Artifacts.cachedLocation(ivfpqIncrBuilt, s"$d@$base", fp) { fpv =>
+      val dir = base + "/ivfpq-incr-" + java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@$fpv"))
+      val cells0 = s.read.parquet(s"${ivfIncrDir(s, d)}/gen-0/corpus")
+        .select(col("vec_id"), col("cell"))
+      s.read.parquet(s"${pqIncrDir(s, d)}/gen-0/codes")
+        .join(cells0, "vec_id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/gen-0/postings")
+      // the APPEND: compose the two O(|batch|) append plans — the batch
+      // routed under the stored centroids and encoded under the stored
+      // codebook; neither base artifact is read
+      ivfpqAppendPostings(s, d).write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/gen-1/postings")
+      dir
+    }
+  }
+
+  /** The append step's PLAN: the arrival batch's postings rows from the
+    * stored routing literals (F26's device) joined to its codes under
+    * the collected codebook (F27's device) — two batch-filtered
+    * embeddings scans, zero index reads. Exposed to the spec. */
+  private def ivfpqAppendPostings(s: SparkSession, d: String): DataFrame =
+    pqAppendEncode(s, d, s"${pqIncrDir(s, d)}/codebook")
+      .join(ivfAppendAssign(s, d, s"${ivfIncrDir(s, d)}/centroids")
+        .select(col("vec_id"), col("cell")), "vec_id")
+
+  private[graft] def ivfpqAppendPostingsForSpec(s: SparkSession, d: String): DataFrame =
+    ivfpqAppendPostings(s, d)
+
+  /** F28's gated frame: F15's cascade (routing → per-cell ADC shortlist
+    * through the bounded-heap device → exact rerank, shared definitions)
+    * served from the merged generation store under the STORED incr
+    * centroids/codebook. Output (qid, nid, rank, rcos) like F15. */
+  def ivfpqAppendTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ivfDir = ivfIncrDir(s, d)
+    val pqDir = pqIncrDir(s, d)
+    val pdir = ivfpqIncrDir(s, d)
+    // routing: the full query block (base AND appended queries) routes
+    // under the stored incremental centroids — queries×nprobe rows
+    val full = withNorm(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val routedRows = ivfRouted(full, s.read.parquet(s"$ivfDir/centroids"),
+        IvfPqNprobe)
+      .select(col("qid"), col("qcell")).collect()
+    val cellsOf = routedRows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getInt(1)).toSet }
+    val probeCells = routedRows.map(_.getInt(1)).distinct.toSeq
+    // ADC tables against the STORED incremental codebook
+    val qarr = pqQueryTables(s, d, pqDir)
+      .select(col("qid"), col("dt"), col("qn"))
+      .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
+      .map(q => (q._1, q._2, q._3, cellsOf(q._1)))
+    // postings scan: BOTH generations, isin-pruned to the probed cells'
+    // directories — the merged store is a union, never a rewrite
+    val postings = s.read.parquet(s"$pdir/gen-0/postings")
+      .unionByName(s.read.parquet(s"$pdir/gen-1/postings"))
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("codes"), col("n2i"), col("cell").cast("int"))
+      .as[(Long, Array[Int], Long, Int)]
+    val partials = heapShortlist[(Long, Array[Int], Long, Int),
+        (Long, Array[Long], Double, Set[Int])](
+      postings, qarr, _._1, _._1,
+      (q, c) => adcScore(q._2, q._3, c._2, c._3),
+      RerankCand, desc = true,
+      admit = (q, c) => q._4.contains(c._4))
+    val cand = partials
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))))
+      .filter(col("crank") <= RerankCand)
+      .select(col("qid"), col("nid"))
+    int8Rerank(s, d, cand, Nil, TopK)
+  }
+
   /** F16 — the recall CURVE (round-11 verdict item 3: F14 reports one
     * operating point; the deployment decision needs recall vs scanned
     * fraction across nprobe). One row per nprobe in [[RecallCurveNprobes]]:
@@ -2179,6 +2281,7 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_topk" -> ivfpqTopK _,
+    "ann_ivfpq_append" -> ivfpqAppendTopK _,
     "ann_matryoshka_recall" -> matryoshkaRecall _,
     "emb_gram_matrix" -> embGramMatrix _,
     "ann_recall_curve" -> annRecallCurve _,
@@ -2496,6 +2599,79 @@ object Ann {
       WHERE crank <= $RerankCand)
     $rerankTailSql"""
 
+  /** F28's oracle: the F15 cascade replayed against a FULL RECOMPUTE of
+    * the merged generation store — IVF chain and PQ chain trained on the
+    * base split only (the F26/F27 CTE devices), both generations'
+    * assignments/codes unioned, the full query block routed and
+    * ADC-scored under the base-trained artifacts, exact rerank. */
+  private def ivfpqAppendOracleSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    ${graft.plans.MixHash.sqlSplitmixCtes(
+      "e", "CAST(vec_id AS HUGEINT)", Seq("vec_id"), "pvs")},
+    eb AS (
+      SELECT e.vec_id, e.v FROM e JOIN pvs ON pvs.vec_id = e.vec_id
+      WHERE pvs.h % $IvfIncrMod <> $IvfIncrRes),
+    ed AS (
+      SELECT e.vec_id, e.v FROM e JOIN pvs ON pvs.vec_id = e.vec_id
+      WHERE pvs.h % $IvfIncrMod = $IvfIncrRes),
+    c0 AS (
+      SELECT CAST(vec_id % $IvfCells AS INT) AS cell_id, v AS cv FROM (
+        SELECT vec_id, v, ROW_NUMBER() OVER (
+          PARTITION BY vec_id % $IvfCells ORDER BY vec_id) AS rn FROM eb) t
+      WHERE rn = 1),
+    ${lloydCte("eb", "c0", "a1", "m1", "c1")},
+    ${lloydCte("eb", "c1", "a2", "m2", "c2")},
+    ${lloydCte("eb", "c2", "a3", "m3", "c3")},
+    ${assignCte("afb", "c3", "eb")},
+    ${assignCte("afd", "c3", "ed")},
+    afu AS (SELECT * FROM afb UNION ALL SELECT * FROM afd),
+    $ivfCwCte,
+    ${ivfProbeCtes(IvfPqNprobe, "_ip", af = "afu")},
+    ${pqChainCtes("q", "eb")},
+    dsv AS (
+      SELECT vec_id, CAST(j AS INT) AS sub,
+        v[CAST(j * $PqSubDim + 1 AS INT) : CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
+      FROM ed, (SELECT unnest(range($PqSubs)) AS j)),
+    dpaf AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT t.vec_id, t.sub, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+            list_dot_product(c.cv, c.cv) - 2 * list_dot_product(t.sv, c.cv),
+            c.cell) AS rn
+        FROM dsv t JOIN qc2 c ON c.sub = t.sub) x WHERE rn = 1),
+    dcodes AS (
+      SELECT a.vec_id, list(a.cell ORDER BY a.sub) AS codes, SUM(b.ci2) AS n2i
+      FROM dpaf a JOIN qcb b ON b.sub = a.sub AND b.cell = a.cell
+      GROUP BY a.vec_id),
+    allcodes AS (
+      SELECT * FROM qcodes UNION ALL SELECT * FROM dcodes),
+    fsv AS (
+      SELECT vec_id, CAST(j AS INT) AS sub,
+        v[CAST(j * $PqSubDim + 1 AS INT) : CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
+      FROM e, (SELECT unnest(range($PqSubs)) AS j)
+      WHERE vec_id < $NumQueries),
+    fdtab AS (
+      SELECT t.vec_id AS qid,
+        list(CAST(round(list_dot_product(t.sv, c.cv) * 1048576.0) AS BIGINT)
+             ORDER BY t.sub, c.cell) AS dt
+      FROM fsv t JOIN qcb c ON c.sub = t.sub
+      GROUP BY t.vec_id),
+    adc AS (
+      SELECT q.qid, n.vec_id AS nid,
+        ROUND((($adcTermsSql) / 1048576.0)
+          / (qn.nrm * sqrt(n.n2i / 1048576.0)), 6) AS adc
+      FROM fdtab q
+      JOIN en qn ON qn.vec_id = q.qid
+      JOIN cand_ip ci ON ci.qid = q.qid
+      JOIN allcodes n ON n.vec_id = ci.nid),
+    cand AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY adc DESC, nid) AS crank FROM adc) t
+      WHERE crank <= $RerankCand)
+    $rerankTailSql"""
+
   /** F16's oracle: brute reference once, then per-nprobe probe chains
     * (shared generators) aggregated to one row each. */
   private def recallCurveSql: String = {
@@ -2544,6 +2720,7 @@ object Ann {
     "emb_pq_distortion" -> pqDistortionSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_ivfpq_topk" -> ivfpqOracleSql,
+    "ann_ivfpq_append" -> ivfpqAppendOracleSql,
     "ann_matryoshka_recall" -> matryoshkaRecallSql,
     "emb_gram_matrix" -> embGramMatrixSql,
     "ann_recall_curve" -> recallCurveSql,

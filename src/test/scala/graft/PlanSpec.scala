@@ -202,6 +202,29 @@ class PlanSpec extends SparkSpec {
     })
   }
 
+  test("F28: the merged generation store serves appended vectors without a rebuild") {
+    import graft.similarity.Ann
+    // the composed append plan: two batch-filtered embeddings scans
+    // (routing + encoding), zero reads of any base artifact
+    val ap = plan(Ann.ivfpqAppendPostingsForSpec(spark, sf))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(ap).length == 2, ap)
+    assert(!ap.contains("gen-0"), ap)
+    // the query path returns a full top-k per query and RETRIEVES
+    // appended vectors: the arrival batch is ~1/8 of the corpus, so the
+    // merged neighbor lists must surface appended nids
+    val res = Ann.ivfpqAppendTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val perQ = res.groupBy(_._1)
+    assert(perQ.size == Ann.NumQueries.toInt, s"${perQ.size} queries")
+    assert(perQ.values.forall(_.map(_._3).sorted.toSeq == (1 to Ann.TopK)),
+      "each query must return ranks 1..k")
+    val deltaIds = graft.operators.Tables.embeddings(spark, sf)
+      .filter(pmod(graft.plans.MixHash.splitmix64Col(col("vec_id")), lit(8L)) === lit(3L))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val apNids = res.count(t => deltaIds.contains(t._2))
+    assert(apNids > 0, "appended vectors must be retrievable from the merged store")
+  }
+
   test("F25: sampled kNN-join recall reconciles hit-by-hit with brute ∩ F24") {
     import graft.similarity.Ann
     val rep = Ann.knnJoinRecall(spark, sf).collect()
