@@ -1426,10 +1426,21 @@ object Ann {
     * served from the merged generation store under the STORED incr
     * centroids/codebook. Output (qid, nid, rank, rcos) like F15. */
   def ivfpqAppendTopK(s: SparkSession, d: String): DataFrame = {
+    val pdir = ivfpqIncrDir(s, d)
+    ivfpqIncrServe(s, d,
+      s.read.parquet(s"$pdir/gen-0/postings")
+        .unionByName(s.read.parquet(s"$pdir/gen-1/postings")))
+  }
+
+  /** The one incremental-store serve definition — F15's cascade over a
+    * caller-supplied postings frame (F28's generation union, F29's
+    * tombstone-filtered union, F30's manifest-resolved compacted store),
+    * routed/encoded under the STORED incremental centroids/codebook. */
+  private def ivfpqIncrServe(s: SparkSession, d: String,
+      postingsIn: DataFrame): DataFrame = {
     import s.implicits._
     val ivfDir = ivfIncrDir(s, d)
     val pqDir = pqIncrDir(s, d)
-    val pdir = ivfpqIncrDir(s, d)
     // routing: the full query block (base AND appended queries) routes
     // under the stored incremental centroids — queries×nprobe rows
     val full = withNorm(Tables.embeddings(s, d))
@@ -1445,10 +1456,9 @@ object Ann {
       .select(col("qid"), col("dt"), col("qn"))
       .as[(Long, Array[Long], Double)].collect().sortBy(_._1)
       .map(q => (q._1, q._2, q._3, cellsOf(q._1)))
-    // postings scan: BOTH generations, isin-pruned to the probed cells'
-    // directories — the merged store is a union, never a rewrite
-    val postings = s.read.parquet(s"$pdir/gen-0/postings")
-      .unionByName(s.read.parquet(s"$pdir/gen-1/postings"))
+    // postings scan: isin-pruned to the probed cells' directories —
+    // the merged store is a union, never a rewrite
+    val postings = postingsIn
       .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("codes"), col("n2i"), col("cell").cast("int"))
       .as[(Long, Array[Int], Long, Int)]
@@ -1464,6 +1474,150 @@ object Ann {
       .filter(col("crank") <= RerankCand)
       .select(col("qid"), col("nid"))
     int8Rerank(s, d, cand, Nil, TopK)
+  }
+
+  // ------------------------------------------------------------------
+  // F29/F30 — the rest of the index LIFECYCLE: deletes and compaction.
+  // Deletes land as a persisted tombstone log (O(|deletes|) — the base
+  // generation is immutable, exactly why LSM stores tombstone instead
+  // of rewriting); the serve path (F29) anti-joins the broadcast log.
+  // Compaction (F30) is the C38 manifest discipline applied to the ANN
+  // store: ONLY cells whose dirty fraction (dead + appended rows) pays
+  // the rewrite get merged live postings written; every other cell is
+  // carried by reference to the immutable generation store. A 100 TB
+  // deployment compacts a few hot cells per cycle, never the index.
+  // ------------------------------------------------------------------
+
+  /** Delete feed: a second deterministic splitmix residue class
+    * (mod-16 = 10 ⇒ mod-8 = 2 ≠ [[IvfIncrRes]], so every delete hits the
+    * IMMUTABLE base generation — the case tombstones exist for). */
+  val DeleteMod = 16
+  val DeleteRes = 10
+
+  /** Compaction trigger: a cell pays the rewrite once its dead + appended
+    * rows exceed this fraction (permille) of its postings. */
+  val CompactPermille = 185L
+
+  private def deletePred =
+    pmod(graft.plans.MixHash.splitmix64Col(col("vec_id")),
+      lit(DeleteMod.toLong)) === lit(DeleteRes.toLong)
+
+  private val lifecycleBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  /** The lifecycle artifact over the (immutable) F28 generation store:
+    * `tombstones` (the persisted delete log), `cells/cell=K` (merged LIVE
+    * postings for the cells compaction selected), `_MANIFEST` (every cell
+    * → `new` or `ref`). Built once per corpus fingerprint. */
+  private def lifecycleDir(s: SparkSession, d: String): String = {
+    val base = s.conf.getOption("graft.ivfpq.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivfpq") + "-lc"
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    graft.Artifacts.cachedLocation(lifecycleBuilt, s"$d@$base", fp) { fpv =>
+      val dir = base + "/lc-" + java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@$fpv"))
+      val store = ivfpqIncrDir(s, d)
+      // the delete log: O(|deletes|), never a base rewrite
+      Tables.embeddings(s, d).select(col("vec_id")).filter(deletePred)
+        .write.mode("overwrite").parquet(s"$dir/tombstones")
+      // compaction decision: per-cell dirty stats off the STORED
+      // generations + log (16 cells — a driver-sized frame)
+      val stats = lifecycleStats(s, s"$dir/tombstones", store).collect()
+      val flagged = stats.filter(_.getLong(6) == 1L).map(_.getInt(0)).toSeq
+      // merged live postings for the flagged cells ONLY — the rewrite
+      // cost tracks the dirty set, not the index
+      val tomb = s.read.parquet(s"$dir/tombstones")
+      s.read.parquet(s"$store/gen-0/postings")
+        .unionByName(s.read.parquet(s"$store/gen-1/postings"))
+        .filter(col("cell").isin(flagged: _*))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_MANIFEST"), true)
+      try {
+        val flaggedSet = flagged.toSet
+        stats.map(_.getInt(0)).sorted.foreach { c =>
+          val kind = if (flaggedSet(c)) "new" else "ref"
+          out.write(s"$c\t$kind\n".getBytes("UTF-8"))
+        }
+      } finally out.close()
+      dir
+    }
+  }
+
+  /** The shared dirty-stats frame: per cell, generation row counts, dead
+    * rows (tombstoned — all in gen-0 by the residue construction, but
+    * counted against BOTH generations so the arithmetic stays honest if
+    * the feed ever overlaps), live rows, the dirty fraction, and the
+    * compact flag. Integer throughout. */
+  private def lifecycleStats(s: SparkSession, tombLoc: String,
+      store: String): DataFrame = {
+    val tomb = s.read.parquet(tombLoc)
+    def counts(gen: String, as: String, deadAs: String) =
+      s.read.parquet(s"$store/$gen/postings")
+        .join(broadcast(tomb.withColumn("dead", lit(1L))), Seq("vec_id"), "left")
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as(as), sum(coalesce(col("dead"), lit(0L))).as(deadAs))
+    counts("gen-0", "n_gen0", "d0")
+      .join(counts("gen-1", "n_gen1", "d1"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_gen0"), lit(0L)).as("n_gen0"),
+        coalesce(col("n_gen1"), lit(0L)).as("n_gen1"),
+        (coalesce(col("d0"), lit(0L)) + coalesce(col("d1"), lit(0L))).as("n_dead"))
+      .withColumn("n_live", col("n_gen0") + col("n_gen1") - col("n_dead"))
+      .withColumn("dirty_permille",
+        expr("(1000 * (n_dead + n_gen1)) DIV (n_gen0 + n_gen1)"))
+      .withColumn("compact_flag",
+        expr(s"CAST(CASE WHEN dirty_permille > $CompactPermille " +
+          "THEN 1 ELSE 0 END AS BIGINT)"))
+  }
+
+  private[graft] def lifecycleDirForSpec(s: SparkSession, d: String): String =
+    lifecycleDir(s, d)
+
+  /** F29's gated frame: the F28 cascade with the tombstone log applied —
+    * deleted vectors stop being retrievable the moment the O(|deletes|)
+    * log lands, with zero index rewrite. */
+  def ivfpqDeleteTopK(s: SparkSession, d: String): DataFrame = {
+    val pdir = ivfpqIncrDir(s, d)
+    val tomb = s.read.parquet(s"${lifecycleDir(s, d)}/tombstones")
+    ivfpqIncrServe(s, d,
+      s.read.parquet(s"$pdir/gen-0/postings")
+        .unionByName(s.read.parquet(s"$pdir/gen-1/postings"))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+  }
+
+  /** F30's gated frame: the compaction report — the per-cell dirty stats
+    * the manifest decisions were made from, off the STORED artifacts. */
+  def ivfpqCompactReport(s: SparkSession, d: String): DataFrame = {
+    val lc = lifecycleDir(s, d)
+    lifecycleStats(s, s"$lc/tombstones", ivfpqIncrDir(s, d))
+  }
+
+  /** The post-compaction serve frame, resolved THROUGH the manifest:
+    * `new` cells read the merged live dirs (tombstones already applied),
+    * `ref` cells read the immutable generations under the log — exposed
+    * to the spec, which pins serve equivalence with [[ivfpqDeleteTopK]]. */
+  private[graft] def compactedServeForSpec(s: SparkSession, d: String): DataFrame = {
+    val lc = lifecycleDir(s, d)
+    val store = ivfpqIncrDir(s, d)
+    val fs = new org.apache.hadoop.fs.Path(lc)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(lc, "_MANIFEST"))
+    val lines = try scala.io.Source.fromInputStream(in).getLines().toList
+      finally in.close()
+    val kinds = lines.map { l => val a = l.split('\t'); (a(0).toInt, a(1)) }
+    val newCells = kinds.collect { case (c, "new") => c }
+    val refCells = kinds.collect { case (c, "ref") => c }
+    val tomb = s.read.parquet(s"$lc/tombstones")
+    val refPart = s.read.parquet(s"$store/gen-0/postings")
+      .unionByName(s.read.parquet(s"$store/gen-1/postings"))
+      .filter(col("cell").isin(refCells: _*))
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val newPart = s.read.parquet(s"$lc/cells")
+      .filter(col("cell").isin(newCells: _*))
+    ivfpqIncrServe(s, d, refPart.unionByName(newPart))
   }
 
   /** F16 — the recall CURVE (round-11 verdict item 3: F14 reports one
@@ -2282,6 +2436,8 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_topk" -> ivfpqTopK _,
     "ann_ivfpq_append" -> ivfpqAppendTopK _,
+    "ann_ivfpq_delete" -> ivfpqDeleteTopK _,
+    "ann_ivfpq_compact" -> ivfpqCompactReport _,
     "ann_matryoshka_recall" -> matryoshkaRecall _,
     "emb_gram_matrix" -> embGramMatrix _,
     "ann_recall_curve" -> annRecallCurve _,
@@ -2604,7 +2760,13 @@ object Ann {
     * base split only (the F26/F27 CTE devices), both generations'
     * assignments/codes unioned, the full query block routed and
     * ADC-scored under the base-trained artifacts, exact rerank. */
-  private def ivfpqAppendOracleSql: String = s"""
+  private def ivfpqAppendOracleSql: String = ivfpqIncrOracleSql(withDeletes = false)
+
+  /** F29's oracle: F28's, with candidates restricted to LIVE ids (the
+    * delete residue class removed — the tombstone anti-join's replay). */
+  private def ivfpqDeleteOracleSql: String = ivfpqIncrOracleSql(withDeletes = true)
+
+  private def ivfpqIncrOracleSql(withDeletes: Boolean): String = s"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     ${graft.plans.MixHash.sqlSplitmixCtes(
@@ -2646,6 +2808,12 @@ object Ann {
       GROUP BY a.vec_id),
     allcodes AS (
       SELECT * FROM qcodes UNION ALL SELECT * FROM dcodes),
+    livecodes AS (${
+      if (withDeletes) s"""
+      SELECT a.vec_id, a.codes, a.n2i FROM allcodes a
+      JOIN pvs p ON p.vec_id = a.vec_id
+      WHERE p.h % $DeleteMod <> $DeleteRes"""
+      else "\n      SELECT * FROM allcodes"}),
     fsv AS (
       SELECT vec_id, CAST(j AS INT) AS sub,
         v[CAST(j * $PqSubDim + 1 AS INT) : CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
@@ -2664,13 +2832,61 @@ object Ann {
       FROM fdtab q
       JOIN en qn ON qn.vec_id = q.qid
       JOIN cand_ip ci ON ci.qid = q.qid
-      JOIN allcodes n ON n.vec_id = ci.nid),
+      JOIN livecodes n ON n.vec_id = ci.nid),
     cand AS (
       SELECT qid, nid FROM (
         SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
           ORDER BY adc DESC, nid) AS crank FROM adc) t
       WHERE crank <= $RerankCand)
     $rerankTailSql"""
+
+  /** F30's oracle: the per-cell dirty stats recomputed from scratch —
+    * the base-trained IVF chain, both generations' assignments, and the
+    * delete residue counted per cell. */
+  private def ivfpqCompactOracleSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ${graft.plans.MixHash.sqlSplitmixCtes(
+      "e", "CAST(vec_id AS HUGEINT)", Seq("vec_id"), "pvs")},
+    eb AS (
+      SELECT e.vec_id, e.v FROM e JOIN pvs ON pvs.vec_id = e.vec_id
+      WHERE pvs.h % $IvfIncrMod <> $IvfIncrRes),
+    ed AS (
+      SELECT e.vec_id, e.v FROM e JOIN pvs ON pvs.vec_id = e.vec_id
+      WHERE pvs.h % $IvfIncrMod = $IvfIncrRes),
+    c0 AS (
+      SELECT CAST(vec_id % $IvfCells AS INT) AS cell_id, v AS cv FROM (
+        SELECT vec_id, v, ROW_NUMBER() OVER (
+          PARTITION BY vec_id % $IvfCells ORDER BY vec_id) AS rn FROM eb) t
+      WHERE rn = 1),
+    ${lloydCte("eb", "c0", "a1", "m1", "c1")},
+    ${lloydCte("eb", "c1", "a2", "m2", "c2")},
+    ${lloydCte("eb", "c2", "a3", "m3", "c3")},
+    ${assignCte("afb", "c3", "eb")},
+    ${assignCte("afd", "c3", "ed")},
+    gb AS (
+      SELECT a.cell, COUNT(*) AS n_gen0,
+        SUM(CASE WHEN p.h % $DeleteMod = $DeleteRes THEN 1 ELSE 0 END) AS d0
+      FROM afb a JOIN pvs p ON p.vec_id = a.vec_id GROUP BY 1),
+    gd AS (
+      SELECT a.cell, COUNT(*) AS n_gen1,
+        SUM(CASE WHEN p.h % $DeleteMod = $DeleteRes THEN 1 ELSE 0 END) AS d1
+      FROM afd a JOIN pvs p ON p.vec_id = a.vec_id GROUP BY 1),
+    per AS (
+      SELECT COALESCE(gb.cell, gd.cell) AS cell,
+        COALESCE(gb.n_gen0, 0) AS n_gen0, COALESCE(gd.n_gen1, 0) AS n_gen1,
+        COALESCE(gb.d0, 0) + COALESCE(gd.d1, 0) AS n_dead
+      FROM gb FULL OUTER JOIN gd ON gd.cell = gb.cell)
+    SELECT CAST(cell AS INTEGER) AS cell,
+      CAST(n_gen0 AS BIGINT) AS n_gen0,
+      CAST(n_gen1 AS BIGINT) AS n_gen1,
+      CAST(n_dead AS BIGINT) AS n_dead,
+      CAST(n_gen0 + n_gen1 - n_dead AS BIGINT) AS n_live,
+      CAST((1000 * (n_dead + n_gen1)) // (n_gen0 + n_gen1) AS BIGINT)
+        AS dirty_permille,
+      CAST(CASE WHEN (1000 * (n_dead + n_gen1)) // (n_gen0 + n_gen1)
+          > $CompactPermille
+        THEN 1 ELSE 0 END AS BIGINT) AS compact_flag
+    FROM per ORDER BY cell"""
 
   /** F16's oracle: brute reference once, then per-nprobe probe chains
     * (shared generators) aggregated to one row each. */
@@ -2721,6 +2937,8 @@ object Ann {
     "ann_pq_topk" -> pqOracleSql,
     "ann_ivfpq_topk" -> ivfpqOracleSql,
     "ann_ivfpq_append" -> ivfpqAppendOracleSql,
+    "ann_ivfpq_delete" -> ivfpqDeleteOracleSql,
+    "ann_ivfpq_compact" -> ivfpqCompactOracleSql,
     "ann_matryoshka_recall" -> matryoshkaRecallSql,
     "emb_gram_matrix" -> embGramMatrixSql,
     "ann_recall_curve" -> recallCurveSql,

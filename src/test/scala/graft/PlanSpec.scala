@@ -225,6 +225,59 @@ class PlanSpec extends SparkSpec {
     assert(apNids > 0, "appended vectors must be retrievable from the merged store")
   }
 
+  test("F29: tombstoned vectors stop being retrievable, with zero index rewrite") {
+    import graft.similarity.Ann
+    val deadIds = graft.operators.Tables.embeddings(spark, sf)
+      .filter(pmod(graft.plans.MixHash.splitmix64Col(col("vec_id")),
+        lit(Ann.DeleteMod.toLong)) === lit(Ann.DeleteRes.toLong))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(deadIds.nonEmpty, "the delete feed must be non-empty at this scale")
+    val res = Ann.ivfpqDeleteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the serve is complete AND clean: full top-k per query, and no
+    // deleted vector ever surfaces as a neighbor
+    val perQ = res.groupBy(_._1)
+    assert(perQ.size == Ann.NumQueries.toInt)
+    assert(perQ.values.forall(_.map(_._3).sorted.toSeq == (1 to Ann.TopK)))
+    assert(!res.exists(t => deadIds.contains(t._2)),
+      "a tombstoned vector surfaced as a neighbor")
+  }
+
+  test("F30: compaction rewrites only dirty cells; the manifest-resolved store serves identically") {
+    import graft.similarity.Ann
+    val rep = Ann.ivfpqCompactReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // the decision rule is the report's own arithmetic, and BOTH regimes
+    // exist at this scale — compaction that flags everything (or nothing)
+    // would prove nothing about selectivity
+    assert(rep.forall { case (_, g0, g1, dead, live, dirty, fl) =>
+      live == g0 + g1 - dead &&
+        dirty == (1000L * (dead + g1)) / (g0 + g1) &&
+        fl == (if (dirty > Ann.CompactPermille) 1L else 0L)
+    })
+    val flagged = rep.filter(_._7 == 1L).map(_._1).toSet
+    assert(flagged.nonEmpty && flagged.size < rep.length,
+      s"${flagged.size}/${rep.length} cells flagged — need both regimes")
+    // the cells/ directory holds ONLY the flagged cells' merged postings
+    val lc = Ann.lifecycleDirForSpec(spark, sf)
+    val cellDirs = new java.io.File(s"$lc/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName.drop(5).toInt).toSet
+    assert(cellDirs == flagged,
+      s"compacted dirs $cellDirs must be exactly the flagged cells $flagged")
+    // serve equivalence: resolving THROUGH the manifest (new dirs for
+    // flagged cells, immutable generations + tombstones for the rest)
+    // returns bit-identical neighbors to the tombstone-filtered serve
+    val viaManifest = Ann.compactedServeForSpec(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val direct = Ann.ivfpqDeleteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(viaManifest.toSeq == direct.toSeq,
+      "post-compaction serve must equal the tombstone-filtered serve")
+  }
+
   test("F25: sampled kNN-join recall reconciles hit-by-hit with brute ∩ F24") {
     import graft.similarity.Ann
     val rep = Ann.knnJoinRecall(spark, sf).collect()
