@@ -215,6 +215,25 @@ object Ann {
     */
   val IvfCells = 16
   val IvfIters = 3
+
+  /** The cell count is a CONF, `graft.ivf.cells`, because it is the knob
+    * the IVF win rides on (the C38 bucket-count lesson applied to the
+    * index): a probe touches nprobe/k of the corpus, so k must grow with
+    * the corpus — the usual sizing is k ≈ √n (⇒ ~10k cells at 10^8
+    * vectors, ~300k at 10^11), at which point routing is still one
+    * broadcast k-row table but the probed fraction is 10^-4, not the 1/8
+    * the gate-scale default (16) scans. The default stays 16 so the
+    * DuckDB oracles (which unroll the training chain at [[IvfCells]])
+    * replay the gates; every artifact location is VERSIONED by k, so a
+    * conf change builds a fresh index rather than corrupting a stored
+    * layout, and [[IvfScaleSpec]] runs the cells ≫ nprobe regime
+    * end-to-end. Downstream of training, every path is k-agnostic: the
+    * routing/probe plans read the stored k-row centroid table. */
+  private[graft] def ivfCellsConf(s: SparkSession): Int = {
+    val k = s.conf.getOption("graft.ivf.cells").map(_.toInt).getOrElse(IvfCells)
+    require(k > 0, s"graft.ivf.cells must be positive, got $k")
+    k
+  }
   /** Centroid accumulation runs in FIXED-POINT: components are rounded to
     * 1/2^24 and summed as longs. Integer addition is order-independent, so
     * the centroids — and therefore every assignment and probe decision — are
@@ -264,7 +283,8 @@ object Ann {
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf")
     val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
     val maxTrainKey = s.conf.getOption("graft.ann.trainSampleRows").getOrElse("")
-    graft.Artifacts.cachedLocation(ivfBuilt, s"$d@$base@$maxTrainKey", fp) { fpv =>
+    val kCells = ivfCellsConf(s)
+    graft.Artifacts.cachedLocation(ivfBuilt, s"$d@$base@$maxTrainKey@k$kCells", fp) { fpv =>
       import s.implicits._
       // the on-disk slug carries everything the cache key carries (dataset,
       // training-sample conf, AND input fingerprint): distinct entries
@@ -272,7 +292,7 @@ object Ann {
       // a rebuild overwriting the previous generation in place would break
       // lazily-held readers of it
       val dir = base + "/index-" + java.lang.Long.toHexString(
-        graft.plans.MixHash.polyHash(s"$d@$maxTrainKey@$fpv"))
+        graft.plans.MixHash.polyHash(s"$d@$maxTrainKey@k$kCells@$fpv"))
       val full = withNorm(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"), col("nrm"))
       // SAMPLED TRAINING (SURVEY §5's 100 TB path, now code): above
@@ -314,15 +334,16 @@ object Ann {
     * argument). Factored out of [[ivfIndexDir]] so the incremental index
     * (F26) trains its BASE generation through the identical code. */
   private def lloydTrain(e: DataFrame): Array[Array[Double]] = {
+    val k = ivfCellsConf(e.sparkSession)
     // deterministic seeds: min-vec_id vector per residue class
     val seedRows = e
-      .withColumn("cls", pmod(col("vec_id"), lit(IvfCells.toLong)))
+      .withColumn("cls", pmod(col("vec_id"), lit(k.toLong)))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cls")).orderBy(col("vec_id"))))
       .filter(col("rn") === 1)
       .select(col("cls"), col("v")).collect()
     val dim = seedRows.head.getSeq[Double](1).length
-    var cents = Array.tabulate(IvfCells) { i =>
+    var cents = Array.tabulate(k) { i =>
       // basis-vector fallback for an empty residue class (can't happen at
       // n >= k, but keeps norms nonzero)
       val a = new Array[Double](dim); a(i % dim) = 1.0; a
@@ -393,9 +414,10 @@ object Ann {
     val base = s.conf.getOption("graft.ivf.dir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf") + "-incr"
     val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
-    graft.Artifacts.cachedLocation(ivfIncrBuilt, s"$d@$base", fp) { fpv =>
+    val kCells = ivfCellsConf(s)
+    graft.Artifacts.cachedLocation(ivfIncrBuilt, s"$d@$base@k$kCells", fp) { fpv =>
       val dir = base + "/index-" + java.lang.Long.toHexString(
-        graft.plans.MixHash.polyHash(s"$d@$fpv"))
+        graft.plans.MixHash.polyHash(s"$d@k$kCells@$fpv"))
       val full = withNorm(Tables.embeddings(s, d))
         .select(col("vec_id"), col("v"), col("nrm"))
       val baseSet = graft.CacheScope.scopedPersist(full.filter(!ivfDeltaPred))
@@ -592,6 +614,11 @@ object Ann {
 
   def ivfTopK(s: SparkSession, d: String): DataFrame =
     rankTopK(ivfCandsAt(s, d, 2))
+
+  private[graft] def ivfIndexDirForSpec(s: SparkSession, d: String): String =
+    ivfIndexDir(s, d)
+  private[graft] def ivfCandsForSpec(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = ivfCandsAt(s, d, nprobe)
 
   /** F4 — symmetric int8 quantization, the storage/transport format every
     * large ANN deployment ships vectors in (4x smaller than float32, SIMD
@@ -1312,9 +1339,10 @@ object Ann {
     val base = s.conf.getOption("graft.ivfpq.dir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivfpq")
     val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
-    graft.Artifacts.cachedLocation(ivfpqBuilt, s"$d@$base", fp) { fpv =>
+    val kCells = ivfCellsConf(s)
+    graft.Artifacts.cachedLocation(ivfpqBuilt, s"$d@$base@k$kCells", fp) { fpv =>
       val dir = base + "/ivfpq-" + java.lang.Long.toHexString(
-        graft.plans.MixHash.polyHash(s"$d@$fpv"))
+        graft.plans.MixHash.polyHash(s"$d@k$kCells@$fpv"))
       val cells = s.read.parquet(s"${ivfIndexDir(s, d)}/corpus")
         .select(col("vec_id"), col("cell"))
       s.read.parquet(s"${pqIndexDir(s, d)}/codes")
@@ -1391,9 +1419,10 @@ object Ann {
     val base = s.conf.getOption("graft.ivfpq.dir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivfpq") + "-incr"
     val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
-    graft.Artifacts.cachedLocation(ivfpqIncrBuilt, s"$d@$base", fp) { fpv =>
+    val kCells = ivfCellsConf(s)
+    graft.Artifacts.cachedLocation(ivfpqIncrBuilt, s"$d@$base@k$kCells", fp) { fpv =>
       val dir = base + "/ivfpq-incr-" + java.lang.Long.toHexString(
-        graft.plans.MixHash.polyHash(s"$d@$fpv"))
+        graft.plans.MixHash.polyHash(s"$d@k$kCells@$fpv"))
       val cells0 = s.read.parquet(s"${ivfIncrDir(s, d)}/gen-0/corpus")
         .select(col("vec_id"), col("cell"))
       s.read.parquet(s"${pqIncrDir(s, d)}/gen-0/codes")
@@ -1513,9 +1542,10 @@ object Ann {
     val base = s.conf.getOption("graft.ivfpq.dir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivfpq") + "-lc"
     val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
-    graft.Artifacts.cachedLocation(lifecycleBuilt, s"$d@$base", fp) { fpv =>
+    val kCells = ivfCellsConf(s)
+    graft.Artifacts.cachedLocation(lifecycleBuilt, s"$d@$base@k$kCells", fp) { fpv =>
       val dir = base + "/lc-" + java.lang.Long.toHexString(
-        graft.plans.MixHash.polyHash(s"$d@$fpv"))
+        graft.plans.MixHash.polyHash(s"$d@k$kCells@$fpv"))
       val store = ivfpqIncrDir(s, d)
       // the delete log: O(|deletes|), never a base rewrite
       Tables.embeddings(s, d).select(col("vec_id")).filter(deletePred)
@@ -1615,9 +1645,13 @@ object Ann {
       .unionByName(s.read.parquet(s"$store/gen-1/postings"))
       .filter(col("cell").isin(refCells: _*))
       .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-    val newPart = s.read.parquet(s"$lc/cells")
-      .filter(col("cell").isin(newCells: _*))
-    ivfpqIncrServe(s, d, refPart.unionByName(newPart))
+    // a fully-clean store compacts nothing — cells/ then has no parquet
+    // footers to infer a schema from, so only read it when cells exist
+    val merged =
+      if (newCells.isEmpty) refPart
+      else refPart.unionByName(
+        s.read.parquet(s"$lc/cells").filter(col("cell").isin(newCells: _*)))
+    ivfpqIncrServe(s, d, merged)
   }
 
   /** F16 — the recall CURVE (round-11 verdict item 3: F14 reports one
