@@ -531,6 +531,19 @@ object Ann {
     * spec, which pins one embeddings scan and zero index reads. */
   private def pqAppendEncode(s: SparkSession, d: String,
       cbLoc: String): DataFrame = {
+    val (cents, ci2) = readPqCodebookArrays(s, cbLoc)
+    val evd = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .filter(ivfDeltaPred)
+    pqCodesFrame(subVectors(evd), cents, ci2)
+  }
+
+  /** The stored codebook collected back into the in-memory shape the
+    * encode kernels take — shared by the F27 batch append and the C39
+    * streaming ingest (collected ONCE, closure-captured per stream). */
+  private def readPqCodebookArrays(s: SparkSession, cbLoc: String)
+      : (Array[Array[Array[Double]]], Array[Array[Long]]) = {
     val rows = s.read.parquet(cbLoc).collect()
     val cents = Array.ofDim[Array[Double]](PqSubs, PqK)
     val ci2 = Array.ofDim[Long](PqSubs, PqK)
@@ -538,11 +551,7 @@ object Ann {
       cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
       ci2(r.getInt(0))(r.getInt(1)) = r.getLong(3)
     }
-    val evd = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .filter(ivfDeltaPred)
-    pqCodesFrame(subVectors(evd), cents, ci2)
+    (cents, ci2)
   }
 
   private[graft] def pqAppendEncodeForSpec(s: SparkSession, d: String): DataFrame =
@@ -1654,6 +1663,157 @@ object Ann {
     ivfpqIncrServe(s, d, merged)
   }
 
+  // ------------------------------------------------------------------
+  // C39 — STREAMING index ingest: in production the arrival feed is a
+  // STREAM, not the one synthetic batch F26-F28 model — each micro-batch
+  // must become its own generation with O(|batch|) work, exactly-once
+  // under checkpoint replay, and the result must serve identically to
+  // the batch append. Structured Streaming file source → foreachBatch
+  // encodes + routes the batch under the STORED artifacts (collected
+  // once, closure-captured) and writes `gen-s<batchId>/postings`; the
+  // deterministic per-generation overwrite makes a replayed batch a
+  // no-op. Per-batch files stay unpartitioned-by-cell on purpose: a
+  // micro-batch is small, and folding the accumulated small files into
+  // the cell-partitioned layout is COMPACTION's job (F30).
+  // ------------------------------------------------------------------
+
+  /** The arrival stream fixture: the F26 delta class sliced into 4 files
+    * by the mod-32 refinement of the mod-8 residue (3, 11, 19, 27 — all
+    * ≡ 3 mod 8, power-of-two moduli so signed pmod == unsigned %), with
+    * staggered mtimes so the file source's batch order is pinned. */
+  private val ingestFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  private[graft] val IngestResidues: Seq[Long] = Seq(3L, 11L, 19L, 27L)
+
+  private def ingestFixtureDir(s: SparkSession, d: String): String = {
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    graft.Artifacts.cachedLocation(ingestFixtureBuilt, d, fp) { fpv =>
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val dir = new org.apache.hadoop.fs.Path(
+        graft.Artifacts.scratchBase(s), s"graft_annstream_fix_${slug}_$fpv")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true); fs.mkdirs(dir)
+      val t0 = System.currentTimeMillis()
+      IngestResidues.zipWithIndex.foreach { case (res, j) =>
+        val batch = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .filter(pmod(graft.plans.MixHash.splitmix64Col(col("vec_id")),
+            lit(32L)) === lit(res))
+        val staging = new org.apache.hadoop.fs.Path(dir, s"_stage_arr$j")
+        batch.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging)
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+        val target = new org.apache.hadoop.fs.Path(dir, s"arr$j.parquet")
+        fs.rename(part, target)
+        fs.delete(staging, true)
+        fs.setTimes(target, t0 - (IngestResidues.length - j) * 60000L, -1); ()
+      }
+      dir.toString
+    }
+  }
+
+  private val ingestBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.Artifacts.Built]()
+
+  /** The streamed generation store: runs the AvailableNow ingest once per
+    * (JVM, corpus fingerprint, k) over the fixture feed. */
+  private def ingestDir(s: SparkSession, d: String): String = {
+    val base = s.conf.getOption("graft.ivfpq.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivfpq") + "-stream"
+    val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
+    val kCells = ivfCellsConf(s)
+    graft.Artifacts.cachedLocation(ingestBuilt, s"$d@$base@k$kCells", fp) { fpv =>
+      val dir = base + "/ingest-" + java.lang.Long.toHexString(
+        graft.plans.MixHash.polyHash(s"$d@k$kCells@$fpv"))
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true); fs.mkdirs(p)
+      runIngestStream(s, d, dir)
+      dir
+    }
+  }
+
+  /** One ingest run: stream the fixture feed, one file per micro-batch,
+    * each batch encoded + routed under the stored artifacts and written
+    * as its own generation. Factored out of [[ingestDir]] so the replay
+    * spec can re-run it against a doctored checkpoint. */
+  private[graft] def runIngestStream(s: SparkSession, d: String,
+      dir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val fix = ingestFixtureDir(s, d)
+    val (cb, ci2) = readPqCodebookArrays(s, s"${pqIncrDir(s, d)}/codebook")
+    val cents = s.read.parquet(s"${ivfIncrDir(s, d)}/centroids").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val q = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$fix/*.parquet")
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val batch = b.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        val enc = pqCodesFrame(subVectors(batch), cb, ci2)
+        val routed = batch
+          .withColumn("cell", nearestCellCol("v", cents))
+          .select(col("vec_id"), col("cell"))
+        // deterministic per-generation overwrite: a checkpoint replay of
+        // batch N rewrites gen-sN with identical content — exactly-once
+        // by idempotence, the file-sink-free foreachBatch discipline
+        enc.join(routed, "vec_id")
+          .write.mode("overwrite").parquet(s"$dir/gen-s$id/postings"); ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  private[graft] def ingestDirForSpec(s: SparkSession, d: String): String =
+    ingestDir(s, d)
+
+  /** The streamed generations, unioned — shared by the gated report and
+    * the spec's serve-equivalence pin. */
+  private[graft] def streamedPostings(s: SparkSession, d: String): DataFrame = {
+    val dir = ingestDir(s, d)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("gen-s")).map(_.toString).sorted
+    require(gens.nonEmpty, s"no streamed generations under $dir")
+    gens.map(g => s.read.parquet(s"$g/postings")).reduce(_.unionByName(_))
+  }
+
+  /** The F28 cascade over base + STREAMED generations — the spec pins it
+    * bit-identical to the batch append's serve ([[ivfpqAppendTopK]]). */
+  private[graft] def streamedServeForSpec(s: SparkSession, d: String): DataFrame =
+    ivfpqIncrServe(s, d,
+      s.read.parquet(s"${ivfpqIncrDir(s, d)}/gen-0/postings")
+        .unionByName(streamedPostings(s, d)))
+
+  /** C39's gated frame: per-cell postings balance of the streamed store —
+    * base generation vs everything the stream appended. Content-wise the
+    * stream must land exactly the F26 delta (its 4 sub-batches partition
+    * the mod-8 class), so the oracle recomputes from the splitmix splits;
+    * any batching/encode/routing bug in the streaming path breaks the
+    * hash. The streaming-only guarantees (per-generation isolation,
+    * replay idempotence, serve equivalence with the batch append) are
+    * spec-pinned — the C37/C38 division of labor. */
+  def streamingIndexIngest(s: SparkSession, d: String): DataFrame = {
+    val base = s.read.parquet(s"${ivfpqIncrDir(s, d)}/gen-0/postings")
+    def counts(df: DataFrame, as: String) = df
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as(as))
+    counts(base, "n_base")
+      .join(counts(streamedPostings(s, d), "n_streamed"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_streamed"), lit(0L)).as("n_streamed"))
+      .withColumn("n_total", col("n_base") + col("n_streamed"))
+      .withColumn("streamed_permille",
+        expr("(1000 * n_streamed) DIV n_total"))
+  }
+
   /** F16 — the recall CURVE (round-11 verdict item 3: F14 reports one
     * operating point; the deployment decision needs recall vs scanned
     * fraction across nprobe). One row per nprobe in [[RecallCurveNprobes]]:
@@ -2472,6 +2632,7 @@ object Ann {
     "ann_ivfpq_append" -> ivfpqAppendTopK _,
     "ann_ivfpq_delete" -> ivfpqDeleteTopK _,
     "ann_ivfpq_compact" -> ivfpqCompactReport _,
+    "streaming_index_ingest" -> streamingIndexIngest _,
     "ann_matryoshka_recall" -> matryoshkaRecall _,
     "emb_gram_matrix" -> embGramMatrix _,
     "ann_recall_curve" -> annRecallCurve _,
@@ -2922,6 +3083,42 @@ object Ann {
         THEN 1 ELSE 0 END AS BIGINT) AS compact_flag
     FROM per ORDER BY cell"""
 
+  /** C39's oracle: the streamed store's per-cell balance recomputed from
+    * the splitmix splits — the 4 sub-batch residues partition the mod-8
+    * arrival class exactly, so the streamed union must equal the batch
+    * delta assignment. */
+  private def streamingIndexIngestSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ${graft.plans.MixHash.sqlSplitmixCtes(
+      "e", "CAST(vec_id AS HUGEINT)", Seq("vec_id"), "pvs")},
+    eb AS (
+      SELECT e.vec_id, e.v FROM e JOIN pvs ON pvs.vec_id = e.vec_id
+      WHERE pvs.h % $IvfIncrMod <> $IvfIncrRes),
+    ed AS (
+      SELECT e.vec_id, e.v FROM e JOIN pvs ON pvs.vec_id = e.vec_id
+      WHERE pvs.h % $IvfIncrMod = $IvfIncrRes),
+    c0 AS (
+      SELECT CAST(vec_id % $IvfCells AS INT) AS cell_id, v AS cv FROM (
+        SELECT vec_id, v, ROW_NUMBER() OVER (
+          PARTITION BY vec_id % $IvfCells ORDER BY vec_id) AS rn FROM eb) t
+      WHERE rn = 1),
+    ${lloydCte("eb", "c0", "a1", "m1", "c1")},
+    ${lloydCte("eb", "c1", "a2", "m2", "c2")},
+    ${lloydCte("eb", "c2", "a3", "m3", "c3")},
+    ${assignCte("afb", "c3", "eb")},
+    ${assignCte("afd", "c3", "ed")},
+    gb AS (SELECT cell, COUNT(*) AS n_base FROM afb GROUP BY 1),
+    gd AS (SELECT cell, COUNT(*) AS n_streamed FROM afd GROUP BY 1)
+    SELECT CAST(COALESCE(gb.cell, gd.cell) AS INTEGER) AS cell,
+      CAST(COALESCE(gb.n_base, 0) AS BIGINT) AS n_base,
+      CAST(COALESCE(gd.n_streamed, 0) AS BIGINT) AS n_streamed,
+      CAST(COALESCE(gb.n_base, 0) + COALESCE(gd.n_streamed, 0) AS BIGINT)
+        AS n_total,
+      CAST((1000 * COALESCE(gd.n_streamed, 0))
+        // (COALESCE(gb.n_base, 0) + COALESCE(gd.n_streamed, 0)) AS BIGINT)
+        AS streamed_permille
+    FROM gb FULL OUTER JOIN gd ON gd.cell = gb.cell ORDER BY 1"""
+
   /** F16's oracle: brute reference once, then per-nprobe probe chains
     * (shared generators) aggregated to one row each. */
   private def recallCurveSql: String = {
@@ -2973,6 +3170,7 @@ object Ann {
     "ann_ivfpq_append" -> ivfpqAppendOracleSql,
     "ann_ivfpq_delete" -> ivfpqDeleteOracleSql,
     "ann_ivfpq_compact" -> ivfpqCompactOracleSql,
+    "streaming_index_ingest" -> streamingIndexIngestSql,
     "ann_matryoshka_recall" -> matryoshkaRecallSql,
     "emb_gram_matrix" -> embGramMatrixSql,
     "ann_recall_curve" -> recallCurveSql,

@@ -278,6 +278,46 @@ class PlanSpec extends SparkSpec {
       "post-compaction serve must equal the tombstone-filtered serve")
   }
 
+  test("C39: streamed generations isolate per batch, replay is a no-op, serve equals the batch append") {
+    import graft.similarity.Ann
+    val dir = Ann.ingestDirForSpec(spark, sf)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one generation per micro-batch, and the multiset of generation
+    // sizes equals the multiset of fixture sub-batch sizes — each batch
+    // landed as its own isolated generation, whatever the arrival order
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("gen-s")).map(_.toString)
+    assert(gens.length == Ann.IngestResidues.length, gens.mkString(","))
+    val genCounts = gens.map(g =>
+      spark.read.parquet(s"$g/postings").count()).sorted.toSeq
+    val classCounts = Ann.IngestResidues.map(r =>
+      graft.operators.Tables.embeddings(spark, sf)
+        .filter(pmod(graft.plans.MixHash.splitmix64Col(col("vec_id")),
+          lit(32L)) === lit(r)).count()).sorted
+    assert(genCounts == classCounts,
+      s"generation sizes $genCounts != sub-batch sizes $classCounts")
+    // serve equivalence: the streamed store answers queries bit-identically
+    // to the one-shot batch append (the 4 sub-batches partition the delta)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(key(Ann.streamedServeForSpec(spark, sf)) ==
+      key(Ann.ivfpqAppendTopK(spark, sf)),
+      "streamed store must serve identically to the batch append")
+    // crash replay: drop the last commit (the crash window between sink
+    // write and checkpoint commit), restart — the replayed batch's
+    // deterministic overwrite makes it a no-op
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/ckpt/commits"))
+      .map(_.getPath).filter(!_.getName.startsWith("."))
+      .sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    fs.delete(commits.last, false)
+    Ann.runIngestStream(spark, sf, dir)
+    val after = gens.map(g => spark.read.parquet(s"$g/postings").count()).sorted.toSeq
+    assert(after == classCounts, "replay must not duplicate or lose rows")
+  }
+
   test("F25: sampled kNN-join recall reconciles hit-by-hit with brute ∩ F24") {
     import graft.similarity.Ann
     val rep = Ann.knnJoinRecall(spark, sf).collect()
