@@ -739,7 +739,47 @@ object TextAnalysis {
            ELSE 'very_difficult' END AS band
     FROM sc ORDER BY doc_id"""
 
+  /** D18 — feature-hashing vectorizer (the "hashing trick", Weinberger et
+    * al. 2009; sklearn HashingVectorizer): every document becomes a sparse
+    * integer vector with NO trained vocabulary — dim = hash(word) mod D,
+    * contribution ±1 by an independent hash bit (the signed variant that
+    * keeps E[v·v'] unbiased under collisions). This is the CHEAP embedding
+    * a pipeline reaches for before a model exists: it feeds the F-block's
+    * cosine machinery (dedup, ANN) at the cost of one scan — and because
+    * the whole vector is integer COUNTS, the gate is hash-exact with no
+    * float anywhere. One explode → codegen'd PolyHash → map-side-combined
+    * (doc, dim) sum; output ≤ D rows per doc (sparse: zero sums dropped),
+    * so the result is corpus-linear with a tiny constant at any scale.
+    * Dim count and the sign bit share the splitmix-mixed hash: dim = low 5
+    * bits (power-of-two modulus — signed pmod == unsigned %), sign = bit 6
+    * (disjoint from the dim bits, so sign is independent of dim). */
+  val HashEmbedDims = 32
+
+  def textHashEmbed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
+      .withColumn("h", graft.plans.MixHash.polyHashCol(col("w")))
+      .groupBy(col("doc_id"),
+        pmod(col("h"), lit(HashEmbedDims.toLong)).cast("int").as("dim"))
+      .agg(sum(lit(1L) - lit(2L) *
+        shiftright(col("h"), 6).bitwiseAND(lit(1L))).as("v"))
+      .filter(col("v") =!= 0L)
+
+  private def textHashEmbedSql: String = s"""
+    WITH tk AS (
+      SELECT doc_id, unnest(list_filter(str_split(lower(text), ' '),
+        x -> x <> '')) AS w
+      FROM documents),
+    ${graft.plans.MixHash.sqlMixedCtes("tk", "w", Seq("doc_id"), "hh")}
+    SELECT doc_id, CAST(h % $HashEmbedDims AS INTEGER) AS dim,
+      CAST(SUM(1 - 2 * CAST((h // 64) % 2 AS BIGINT)) AS BIGINT) AS v
+    FROM hh GROUP BY 1, 2
+    HAVING SUM(1 - 2 * CAST((h // 64) % 2 AS BIGINT)) <> 0
+    ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hash_embed" -> textHashEmbed _,
     "text_readability" -> textReadability _,
     "text_normalize_unicode" -> textNormalizeUnicode _,
     "text_keyphrases" -> textKeyphrases _,
@@ -759,6 +799,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_hash_embed" -> textHashEmbedSql,
     "text_readability" -> textReadabilitySql,
     "text_normalize_unicode" -> textNormalizeUnicodeSql,
     "text_keyphrases" -> textKeyphrasesSql,

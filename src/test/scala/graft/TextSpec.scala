@@ -180,4 +180,34 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("band")).distinct.length > 1)
   }
 
+  test("D18 hash-embed: sparse integer vectors that reconstruct from the token stream") {
+    val df = TextAnalysis.textHashEmbed(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // sparse and bounded: at most D rows per doc, dims in [0, D), no zeros
+    val perDoc = rows.groupBy(_._1)
+    assert(perDoc.values.forall(_.length <= TextAnalysis.HashEmbedDims))
+    assert(rows.forall(t => t._2 >= 0 && t._2 < TextAnalysis.HashEmbedDims && t._3 != 0L))
+    // reconstruction: for a sample of docs, replay the hashing trick
+    // token-by-token locally and compare the full vector
+    val sample = perDoc.keys.toSeq.sorted.take(5)
+    val texts = graft.operators.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(sample: _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    sample.foreach { id =>
+      val v = new Array[Long](TextAnalysis.HashEmbedDims)
+      texts(id).toLowerCase.split(" ").filter(_.nonEmpty).foreach { w =>
+        val h = graft.plans.MixHash.polyHash(w)
+        val dim = java.lang.Math.floorMod(h, TextAnalysis.HashEmbedDims.toLong).toInt
+        v(dim) += 1L - 2L * ((h >> 6) & 1L)
+      }
+      val got = perDoc(id).map(t => (t._2, t._3)).sortBy(_._1).toSeq
+      val want = v.zipWithIndex.collect { case (x, j) if x != 0 => (j, x) }.toSeq
+      assert(got == want, s"doc $id: $got != $want")
+    }
+    // both signs occur across the corpus (the sign hash is live)
+    assert(rows.exists(_._3 > 0) && rows.exists(_._3 < 0))
+  }
+
 }
