@@ -1533,8 +1533,21 @@ object Ann {
   val DeleteRes = 10
 
   /** Compaction trigger: a cell pays the rewrite once its dead + appended
-    * rows exceed this fraction (permille) of its postings. */
+    * rows exceed this fraction (permille) of its postings. A CONF
+    * (`graft.ann.compactPermille`, default 185 — the gate point where the
+    * sf0.01/sf0.001 corpora split into both regimes) because the
+    * threshold is the compaction COST knob: a deployment tunes it to its
+    * write-amplification budget, and a mid-stream change must re-decide
+    * flags in a fresh lifecycle dir (the location is versioned by it),
+    * never mutate a committed manifest. */
   val CompactPermille = 185L
+
+  private[graft] def compactPermilleConf(s: SparkSession): Long = {
+    val t = s.conf.getOption("graft.ann.compactPermille").map(_.toLong)
+      .getOrElse(CompactPermille)
+    require(t >= 0, s"graft.ann.compactPermille must be non-negative, got $t")
+    t
+  }
 
   private def deletePred =
     pmod(graft.plans.MixHash.splitmix64Col(col("vec_id")),
@@ -1552,9 +1565,10 @@ object Ann {
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivfpq") + "-lc"
     val fp = graft.Artifacts.fingerprint(s, s"$d/embeddings.parquet")
     val kCells = ivfCellsConf(s)
-    graft.Artifacts.cachedLocation(lifecycleBuilt, s"$d@$base@k$kCells", fp) { fpv =>
+    val thr = compactPermilleConf(s)
+    graft.Artifacts.cachedLocation(lifecycleBuilt, s"$d@$base@k$kCells@t$thr", fp) { fpv =>
       val dir = base + "/lc-" + java.lang.Long.toHexString(
-        graft.plans.MixHash.polyHash(s"$d@k$kCells@$fpv"))
+        graft.plans.MixHash.polyHash(s"$d@k$kCells@t$thr@$fpv"))
       val store = ivfpqIncrDir(s, d)
       // the delete log: O(|deletes|), never a base rewrite
       Tables.embeddings(s, d).select(col("vec_id")).filter(deletePred)
@@ -1608,7 +1622,7 @@ object Ann {
       .withColumn("dirty_permille",
         expr("(1000 * (n_dead + n_gen1)) DIV (n_gen0 + n_gen1)"))
       .withColumn("compact_flag",
-        expr(s"CAST(CASE WHEN dirty_permille > $CompactPermille " +
+        expr(s"CAST(CASE WHEN dirty_permille > ${compactPermilleConf(s)} " +
           "THEN 1 ELSE 0 END AS BIGINT)"))
   }
 
