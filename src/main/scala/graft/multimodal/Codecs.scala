@@ -235,6 +235,182 @@ object Codecs extends Serializable {
   }
 
   // ------------------------------------------------------------------
+  // Compressed-audio WAV: G.711 µ-law (wFormatTag 7 — every telephony
+  // corpus) and IMA ADPCM (wFormatTag 0x11 — the classic 4-bit adaptive
+  // codec in RIFF toolchains). Same chunk-walk discipline as decodeWav;
+  // compressed fmt records carry cbSize (+ wSamplesPerBlock for ADPCM)
+  // and a `fact` chunk with the decoded frame count, which the decoders
+  // validate. Reference: RIFF WAVE spec / G.711; IMA ADPCM per the 1992
+  // IMA Recommended Practices (step/index tables below).
+  // ------------------------------------------------------------------
+
+  /** CCITT G.711 µ-law expansion table: byte → 16-bit linear sample
+    * (range ±32124). */
+  val MulawTable: Array[Int] = Array.tabulate(256) { b =>
+    val u = (~b) & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** IMA ADPCM step-size table (89 entries). */
+  val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** IMA ADPCM index-adjust table (16 entries, one per nibble). */
+  val AdpcmIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble step: (pred, idx) → (pred', idx'), emitting
+    * pred'. Shared by [[decodeWavAdpcm]] and the spec's independent
+    * replay. */
+  def adpcmStep(pred: Int, idx: Int, n: Int): (Int, Int) = {
+    val step = AdpcmStepTable(idx)
+    var diff = step >> 3
+    if ((n & 4) != 0) diff += step
+    if ((n & 2) != 0) diff += step >> 1
+    if ((n & 1) != 0) diff += step >> 2
+    val p0 = if ((n & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, idx + AdpcmIndexTable(n)))
+    (p, i)
+  }
+
+  final case class CodedWav(sampleRate: Int, formatTag: Int, blockAlign: Int,
+      samplesPerBlock: Int, nSamples: Int, data: Array[Byte])
+
+  /** RIFF writer for the compressed tags: 18-byte fmt (+2 extension
+    * bytes carrying wSamplesPerBlock for ADPCM) and a `fact` chunk with
+    * the decoded frame count — the layout real encoders emit. Mono. */
+  def encodeWavCoded(w: CodedWav): Array[Byte] = {
+    require(w.formatTag == 7 || w.formatTag == 0x11,
+      s"coded wav encoder handles tags 7/0x11, got ${w.formatTag}")
+    val bits = if (w.formatTag == 7) 8 else 4
+    val cb = if (w.formatTag == 0x11) 2 else 0
+    val fmtSize = 18 + cb
+    val pad = w.data.length & 1
+    val out = new Array[Byte](12 + 8 + fmtSize + 12 + 8 + w.data.length + pad)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    u32le(out.length - 8, out, 4)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    u32le(fmtSize, out, 16)
+    u16le(w.formatTag, out, 20)
+    u16le(1, out, 22)                         // mono
+    u32le(w.sampleRate, out, 24)
+    // average byte rate: blocks/sec × blockAlign (exact for ADPCM; for
+    // µ-law blockAlign is 1 so this is just the sample rate)
+    u32le((w.sampleRate.toLong * w.blockAlign / w.samplesPerBlock).toInt, out, 28)
+    u16le(w.blockAlign, out, 32)
+    u16le(bits, out, 34)
+    u16le(cb, out, 36)
+    if (cb == 2) u16le(w.samplesPerBlock, out, 38)
+    var pos = 20 + fmtSize
+    out(pos) = 'f'; out(pos + 1) = 'a'; out(pos + 2) = 'c'; out(pos + 3) = 't'
+    u32le(4, out, pos + 4)
+    u32le(w.nSamples, out, pos + 8)
+    pos += 12
+    out(pos) = 'd'; out(pos + 1) = 'a'; out(pos + 2) = 't'; out(pos + 3) = 'a'
+    u32le(w.data.length, out, pos + 4)
+    System.arraycopy(w.data, 0, out, pos + 8, w.data.length)
+    out
+  }
+
+  /** Chunk walk for a compressed-format WAV: validates the expected tag,
+    * returns (rate, blockAlign, samplesPerBlock, factSamples, data). */
+  private def walkCoded(b: Array[Byte], wantTag: Int): (Int, Int, Int, Int, Array[Byte]) = {
+    require(b.length >= 12, "wav: shorter than a RIFF header")
+    require(fourcc(b, 0) == "RIFF", s"wav: bad magic '${fourcc(b, 0)}'")
+    require(fourcc(b, 8) == "WAVE", s"wav: RIFF form is '${fourcc(b, 8)}', not WAVE")
+    val riffEnd = math.min(b.length.toLong, 8L + readU32le(b, 4)).toInt
+    var pos = 12
+    var rate = -1; var blockAlign = -1; var spb = -1; var fact = -1
+    var data: Array[Byte] = null
+    while (pos + 8 <= riffEnd) {
+      val id = fourcc(b, pos)
+      val size = readU32le(b, pos + 4)
+      require(size <= riffEnd - pos - 8,
+        s"wav: chunk '$id' size $size overruns the file")
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"wav: fmt chunk too small ($size)")
+          val tag = readU16le(b, body)
+          require(tag == wantTag, s"wav: format tag $tag, expected $wantTag")
+          require(readU16le(b, body + 2) == 1, "wav: coded decoders are mono-only")
+          rate = readU32le(b, body + 4).toInt
+          blockAlign = readU16le(b, body + 12)
+          spb =
+            if (wantTag == 0x11) {
+              require(size >= 20, s"wav: ADPCM fmt lacks the extension ($size)")
+              readU16le(b, body + 18)
+            } else 1
+        case "fact" =>
+          require(size >= 4, "wav: fact chunk too small")
+          fact = readU32le(b, body).toInt
+        case "data" =>
+          data = java.util.Arrays.copyOfRange(b, body, body + size.toInt)
+        case _ => ()
+      }
+      pos = body + size.toInt + (size.toInt & 1)
+    }
+    require(rate > 0, "wav: no fmt chunk")
+    require(data != null, "wav: no data chunk")
+    (rate, blockAlign, spb, fact, data)
+  }
+
+  /** µ-law WAV → 16-bit linear samples (table expansion per byte). */
+  def decodeWavMulaw(b: Array[Byte]): Array[Int] = {
+    val (_, _, _, fact, data) = walkCoded(b, 7)
+    if (fact >= 0) require(fact == data.length,
+      s"wav: fact says $fact frames, data has ${data.length}")
+    data.map(x => MulawTable(x & 0xFF))
+  }
+
+  /** IMA ADPCM WAV → 16-bit linear samples: per block, the 4-byte header
+    * seeds (predictor, step index) and emits the first sample; each data
+    * byte then carries two nibbles, LOW first. */
+  def decodeWavAdpcm(b: Array[Byte]): Array[Int] = {
+    val (_, blockAlign, spb, fact, data) = walkCoded(b, 0x11)
+    require(blockAlign > 4, s"wav: ADPCM block align $blockAlign")
+    require(spb == 1 + (blockAlign - 4) * 2,
+      s"wav: samplesPerBlock $spb inconsistent with block align $blockAlign")
+    require(data.length % blockAlign == 0,
+      s"wav: data ${data.length} not a multiple of block align $blockAlign")
+    val nBlocks = data.length / blockAlign
+    if (fact >= 0) require(fact == nBlocks * spb,
+      s"wav: fact says $fact frames, blocks decode to ${nBlocks * spb}")
+    val out = new Array[Int](nBlocks * spb)
+    var w = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * blockAlign
+      var pred = ((data(base) & 0xFF) | ((data(base + 1) & 0xFF) << 8)).toShort.toInt
+      var idx = data(base + 2) & 0xFF
+      require(idx <= 88, s"wav: ADPCM step index $idx out of range")
+      out(w) = pred; w += 1
+      var k = 4
+      while (k < blockAlign) {
+        val byte = data(base + k) & 0xFF
+        val (p1, i1) = adpcmStep(pred, idx, byte & 0x0F)
+        out(w) = p1; w += 1
+        val (p2, i2) = adpcmStep(p1, i1, (byte >> 4) & 0x0F)
+        out(w) = p2; w += 1
+        pred = p2; idx = i2
+        k += 1
+      }
+      blk += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
   // YUV4MPEG2. Header line 'YUV4MPEG2 <params>\n' with space-separated
   // W/H/F/I/A/C parameters; each frame is 'FRAME<params>\n' + raster
   // bytes (Cmono → w·h luma bytes; the only colorspace this mono video

@@ -988,6 +988,144 @@ object Multimodal {
       CAST(frame AS BIGINT) AS peak_frame, em AS peak_mono_energy
     FROM r WHERE rn = 1 ORDER BY doc_id"""
 
+  /** G7c — G.711 µ-LAW decode (wFormatTag 7; round-16 stretch — after
+    * 8-bit and 16-bit PCM, the first COMPRESSED audio format, and the one
+    * every telephony corpus ships in): the payload is a genuine coded-WAV
+    * container (18-byte fmt record, `fact` frame count, µ-law data) whose
+    * stream bytes are the text bytes; the kernel runs the compressed-tag
+    * chunk walk ([[Codecs.decodeWavMulaw]] — validates tag/fact) and
+    * expands through the CCITT table to signed 16-bit linear (±32124),
+    * then one tight pass: energy Σs², position checksum Σs·(i+1) (changes
+    * if any sample changes value OR position), min/max (negatives — the
+    * expansion's sign segment — are what the hash proves). Oracle replays
+    * the 256-entry table positionally; CodecsSpec cross-pins the table
+    * against the JDK AudioSystem ULAW codec for all 256 bytes. */
+  def audioDecodeMulaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(char_length(col("text")) > 0)
+      .select(col("doc_id"),
+        MediaCodecs.wavMulawEncode(encode(col("text"), "UTF-8"), 8000)
+          .as("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, wavBytes) =>
+          val p = Codecs.decodeWavMulaw(wavBytes)
+          var energy = 0L; var checksum = 0L
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var i = 0
+          while (i < p.length) {
+            val v = p(i)
+            energy += v.toLong * v
+            checksum += v.toLong * (i + 1)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          (id, p.length.toLong, energy, checksum, mn.toLong, mx.toLong)
+        }
+      }.toDF("doc_id", "n_samples", "energy", "checksum",
+        "min_sample", "max_sample")
+  }
+
+  private def mulawTableSql: String =
+    graft.multimodal.Codecs.MulawTable.mkString("[", ",", "]")
+
+  private def audioDecodeMulawSql: String = s"""
+    WITH b AS (
+      SELECT doc_id, unnest(range(1, length(text) + 1)) AS pos, text
+      FROM documents WHERE length(text) > 0),
+    sv AS (
+      SELECT doc_id, pos,
+        ($mulawTableSql)[ord(substring(text, pos, 1)) + 1] AS v
+      FROM b)
+    SELECT doc_id, COUNT(*) AS n_samples,
+      CAST(SUM(v * v) AS BIGINT) AS energy,
+      CAST(SUM(v * pos) AS BIGINT) AS checksum,
+      CAST(MIN(v) AS BIGINT) AS min_sample,
+      CAST(MAX(v) AS BIGINT) AS max_sample
+    FROM sv GROUP BY doc_id ORDER BY doc_id"""
+
+  /** G7d — IMA ADPCM decode (wFormatTag 0x11; round-16 stretch — the
+    * classic 4-bit ADAPTIVE codec in RIFF toolchains, and the first
+    * decoder here whose output depends on RUNNING STATE, not a per-byte
+    * table): the payload is a genuine block-structured coded WAV (fmt
+    * extension carrying wSamplesPerBlock, `fact`, 12-byte blocks — each
+    * block's 4-byte header seeds predictor/step-index and emits the first
+    * sample, then 16 nibbles low-first step the (pred, idx) recurrence
+    * through the 89-entry step table with clamping). The kernel is the
+    * real block decode ([[Codecs.decodeWavAdpcm]], shared
+    * [[Codecs.adpcmStep]]); the report is the same energy/position-
+    * checksum pair as G7c, which a wrong step table, nibble order, clamp,
+    * or index adjust all break. The oracle replays the recurrence
+    * honestly: a 16-deep RECURSIVE CTE folds (pred, idx) per (doc, block)
+    * over the nibble stream — a full recompute, not a fixture shortcut. */
+  def audioDecodeAdpcm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(char_length(col("text")) >= MediaCodecs.AdpcmGroupBytes)
+      .select(col("doc_id"),
+        MediaCodecs.wavAdpcmEncode(encode(col("text"), "UTF-8"), 8000)
+          .as("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, wavBytes) =>
+          val p = Codecs.decodeWavAdpcm(wavBytes)
+          var energy = 0L; var checksum = 0L
+          var i = 0
+          while (i < p.length) {
+            val v = p(i).toLong
+            energy += v * v
+            checksum += v * (i + 1)
+            i += 1
+          }
+          (id, (p.length / MediaCodecs.AdpcmSamplesPerBlock).toLong,
+            p.length.toLong, energy, checksum)
+        }
+      }.toDF("doc_id", "n_blocks", "n_samples", "energy", "checksum")
+  }
+
+  private def audioDecodeAdpcmSql: String = {
+    val steps = graft.multimodal.Codecs.AdpcmStepTable.mkString("[", ",", "]")
+    val idxT = graft.multimodal.Codecs.AdpcmIndexTable.mkString("[", ",", "]")
+    val g = graft.plans.MediaCodecs.AdpcmGroupBytes
+    val spb = graft.plans.MediaCodecs.AdpcmSamplesPerBlock
+    s"""
+    WITH RECURSIVE b0 AS (
+      SELECT doc_id, length(text) // $g AS nblk, text
+      FROM documents WHERE length(text) >= $g),
+    hdr AS (
+      SELECT doc_id, blk,
+        (ord(substring(text, CAST(blk * $g + 1 AS INT), 1)) - 128) * 256 AS pred0,
+        ord(substring(text, CAST(blk * $g + 2 AS INT), 1)) % 89 AS idx0,
+        flatten(list_transform(range(8), k -> [
+          ord(substring(text, CAST(blk * $g + 3 + k AS INT), 1)) % 16,
+          ord(substring(text, CAST(blk * $g + 3 + k AS INT), 1)) // 16]))
+          AS nibs
+      FROM (SELECT doc_id, unnest(range(nblk)) AS blk, text FROM b0)),
+    rec AS (
+      SELECT doc_id, blk, 0 AS j, pred0 AS pred, idx0 AS idx FROM hdr
+      UNION ALL
+      SELECT doc_id, blk, j + 1 AS j,
+        GREATEST(-32768, LEAST(32767,
+          pred + CASE WHEN (n & 8) <> 0 THEN -diff ELSE diff END)) AS pred,
+        GREATEST(0, LEAST(88, idx + ($idxT)[n + 1])) AS idx
+      FROM (
+        SELECT doc_id, blk, j, pred, idx, n,
+          st // 8 + CASE WHEN (n & 4) <> 0 THEN st ELSE 0 END
+            + CASE WHEN (n & 2) <> 0 THEN st // 2 ELSE 0 END
+            + CASE WHEN (n & 1) <> 0 THEN st // 4 ELSE 0 END AS diff
+        FROM (
+          SELECT r.doc_id, r.blk, r.j, r.pred, r.idx,
+            h.nibs[r.j + 1] AS n, ($steps)[r.idx + 1] AS st
+          FROM rec r JOIN hdr h ON h.doc_id = r.doc_id AND h.blk = r.blk
+          WHERE r.j < 16) t1) t2)
+    SELECT r.doc_id, b0.nblk AS n_blocks, COUNT(*) AS n_samples,
+      CAST(SUM(CAST(r.pred AS BIGINT) * r.pred) AS BIGINT) AS energy,
+      CAST(SUM(CAST(r.pred AS BIGINT) * (r.blk * $spb + r.j + 1)) AS BIGINT)
+        AS checksum
+    FROM rec r JOIN b0 ON b0.doc_id = r.doc_id
+    GROUP BY r.doc_id, b0.nblk ORDER BY r.doc_id"""
+  }
+
   /** G10 — SILENCE TRIMMING (VAD-style lead/tail cut): the first audio-prep
     * stage of any speech pipeline — find the leading and trailing runs of
     * quiet frames and report the kept loud span. A frame is quiet iff its
@@ -1155,6 +1293,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_energy" -> audioEnergy _,
     "mm_audio_energy_16bit" -> audioEnergy16 _,
+    "mm_audio_decode_mulaw" -> audioDecodeMulaw _,
+    "mm_audio_decode_adpcm" -> audioDecodeAdpcm _,
     "mm_audio_downsample" -> audioDownsample _,
     "mm_frame_dedup" -> frameDedup _,
     "mm_scene_cuts" -> sceneCuts _,
@@ -1208,6 +1348,8 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_audio_energy" -> audioEnergySql,
     "mm_audio_energy_16bit" -> audioEnergy16Sql,
+    "mm_audio_decode_mulaw" -> audioDecodeMulawSql,
+    "mm_audio_decode_adpcm" -> audioDecodeAdpcmSql,
     "mm_audio_downsample" -> audioDownsampleSql,
     "mm_frame_dedup" -> frameDedupSql,
     "mm_scene_cuts" -> sceneCutsSql,

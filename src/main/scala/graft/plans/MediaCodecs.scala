@@ -281,6 +281,69 @@ object MediaCodecs {
   def wavFromBytes(data: Array[Byte], rate: Int): Array[Byte] =
     Codecs.encodeWav(Codecs.Wav(rate, 1, 8, data))
 
+  /** µ-law (G.711, wFormatTag 7) container: the input bytes ARE the
+    * µ-law stream — a synthetic "telephony recording" whose decoded
+    * samples are the expansion table applied positionally. */
+  case class WavMulawFromBytes(child: Expression, rate: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(BinaryType)
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.wavMulawFromBytes(a.asInstanceOf[Array[Byte]], rate)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.MediaCodecs.wavMulawFromBytes($c, $rate)")
+    override protected def withNewChildInternal(c: Expression): WavMulawFromBytes =
+      copy(child = c)
+  }
+
+  def wavMulawFromBytes(data: Array[Byte], rate: Int): Array[Byte] =
+    Codecs.encodeWavCoded(Codecs.CodedWav(rate, 7, 1, 1, data.length, data))
+
+  /** IMA ADPCM (wFormatTag 0x11) container: every 10 input bytes become
+    * one 12-byte block — bytes 0/1 seed the header (predictor
+    * (b0−128)·256, a full-range signed 16-bit seed; step index b1 mod
+    * 89), bytes 2..9 are the 16 nibbles. Input is truncated to whole
+    * blocks (callers filter length ≥ [[MediaCodecs.AdpcmGroupBytes]]). */
+  case class WavAdpcmFromBytes(child: Expression, rate: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(BinaryType)
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.wavAdpcmFromBytes(a.asInstanceOf[Array[Byte]], rate)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.MediaCodecs.wavAdpcmFromBytes($c, $rate)")
+    override protected def withNewChildInternal(c: Expression): WavAdpcmFromBytes =
+      copy(child = c)
+  }
+
+  val AdpcmGroupBytes = 10      // input bytes consumed per block
+  val AdpcmBlockAlign = 12      // 4-byte header + 8 nibble bytes
+  val AdpcmSamplesPerBlock = 17 // header sample + 16 nibbles
+
+  def wavAdpcmFromBytes(data: Array[Byte], rate: Int): Array[Byte] = {
+    val nBlocks = data.length / AdpcmGroupBytes
+    require(nBlocks >= 1, s"ADPCM fixture needs >= $AdpcmGroupBytes bytes")
+    val out = new Array[Byte](nBlocks * AdpcmBlockAlign)
+    var b = 0
+    while (b < nBlocks) {
+      val in = b * AdpcmGroupBytes
+      val o = b * AdpcmBlockAlign
+      val pred = ((data(in) & 0xFF) - 128) * 256
+      out(o) = (pred & 0xFF).toByte
+      out(o + 1) = ((pred >> 8) & 0xFF).toByte
+      out(o + 2) = ((data(in + 1) & 0xFF) % 89).toByte
+      out(o + 3) = 0
+      System.arraycopy(data, in + 2, out, o + 4, 8)
+      b += 1
+    }
+    Codecs.encodeWavCoded(Codecs.CodedWav(rate, 0x11, AdpcmBlockAlign,
+      AdpcmSamplesPerBlock, nBlocks * AdpcmSamplesPerBlock, out))
+  }
+
   /** RIFF/WAVE encode, 16-BIT STEREO: each input byte c becomes one
     * stereo sample pair — left = (c−64)·257, right = (96−c)·181, both
     * signed little-endian shorts. The affine maps take ASCII bytes well
@@ -674,6 +737,10 @@ object MediaCodecs {
     column(WavFromBytes(expression(data), rate))
   def wav16StereoEncode(data: Column, rate: Int): Column =
     column(Wav16StereoFromBytes(expression(data), rate))
+  def wavMulawEncode(data: Column, rate: Int): Column =
+    column(WavMulawFromBytes(expression(data), rate))
+  def wavAdpcmEncode(data: Column, rate: Int): Column =
+    column(WavAdpcmFromBytes(expression(data), rate))
   def y4mEncode(data: Column, w: Int, h: Int): Column =
     column(Y4mFromBytes(expression(data), w, h))
   def y4mHashes(payload: Column, everyN: Int, wBits: Int): Column =

@@ -450,4 +450,83 @@ class CodecsSpec extends AnyFunSuite {
     idatBad(raw.length - 13) = (idatBad(raw.length - 13) ^ 0x40).toByte
     intercept[Exception](Codecs.decodePng(idatBad))
   }
+
+  test("µ-law table matches the JDK AudioSystem ULAW codec for ALL 256 bytes") {
+    import javax.sound.sampled._
+    val ulawBytes = Array.tabulate[Byte](256)(_.toByte)
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(ulawBytes),
+      new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false),
+      256)
+    val pcm = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false),
+      src)
+    val out = pcm.readAllBytes()
+    assert(out.length == 512)
+    (0 until 256).foreach { b =>
+      val jdk = ((out(2 * b) & 0xFF) | (out(2 * b + 1) << 8)).toShort.toInt
+      assert(jdk == Codecs.MulawTable(b),
+        s"byte $b: jdk $jdk vs table ${Codecs.MulawTable(b)}")
+    }
+  }
+
+  test("µ-law WAV: container round-trip, fact validation, full-range expansion") {
+    val data = Array.tabulate[Byte](256)(_.toByte)
+    val wav = Codecs.encodeWavCoded(Codecs.CodedWav(8000, 7, 1, 1, 256, data))
+    val dec = Codecs.decodeWavMulaw(wav)
+    assert(dec.length == 256)
+    assert(dec.min == -32124 && dec.max == 32124, "full µ-law range")
+    // a lying fact chunk must be rejected (offset 20+fmtSize+8 = 46)
+    val bad = wav.clone(); bad(46) = (bad(46) ^ 1).toByte
+    intercept[Exception](Codecs.decodeWavMulaw(bad))
+    // the PCM walk must refuse the compressed tag, and vice versa
+    intercept[Exception](Codecs.decodeWav(wav))
+    intercept[Exception](Codecs.decodeWavMulaw(
+      Codecs.encodeWav(Codecs.Wav(8000, 1, 8, data))))
+  }
+
+  test("IMA ADPCM decode matches an independent from-the-tables simulation") {
+    // an independent replay: same published tables, recurrence written
+    // fresh here (catches a transcription slip in the shared adpcmStep)
+    val steps = Codecs.AdpcmStepTable
+    val it = Codecs.AdpcmIndexTable
+    def sim(pred0: Int, idx0: Int, nibs: Seq[Int]): Seq[Int] = {
+      var p = pred0; var ix = idx0
+      pred0 +: nibs.map { n =>
+        val st = steps(ix)
+        var d = st / 8
+        if ((n & 4) != 0) d += st
+        if ((n & 2) != 0) d += st / 2
+        if ((n & 1) != 0) d += st / 4
+        p = math.max(-32768, math.min(32767, if ((n & 8) != 0) p - d else p + d))
+        ix = math.max(0, math.min(88, ix + it(n)))
+        p
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    (0 until 20).foreach { _ =>
+      val payload = Array.fill[Byte](10 * (1 + rnd.nextInt(5)))(rnd.nextInt(256).toByte)
+      val wav = graft.plans.MediaCodecs.wavAdpcmFromBytes(payload, 8000)
+      val dec = Codecs.decodeWavAdpcm(wav)
+      val want = (0 until payload.length / 10).flatMap { b =>
+        val pred0 = ((payload(10 * b) & 0xFF) - 128) * 256
+        val idx0 = (payload(10 * b + 1) & 0xFF) % 89
+        val nibs = (2 until 10).flatMap { k =>
+          val x = payload(10 * b + k) & 0xFF
+          Seq(x & 0xF, (x >> 4) & 0xF)
+        }
+        sim(pred0, idx0, nibs)
+      }
+      assert(dec.toSeq == want, "decode diverges from the independent simulation")
+    }
+    // clamping is reachable: a max-step block driven upward must pin at 32767
+    val hot = Array[Byte](-1, 88.toByte, 0x77, 0x77, 0x77, 0x77, 0x77, 0x77, 0x77, 0x77)
+    val hotDec = Codecs.decodeWavAdpcm(graft.plans.MediaCodecs.wavAdpcmFromBytes(hot, 8000))
+    assert(hotDec.contains(32767), "positive clamp never engaged")
+    // a corrupted step index (>88) must be rejected by the block decoder
+    val wav = graft.plans.MediaCodecs.wavAdpcmFromBytes(hot, 8000)
+    val dataAt = wav.length - 12 * 1 + 2 // header idx byte of the only block
+    val bad = wav.clone(); bad(dataAt) = 120.toByte
+    intercept[Exception](Codecs.decodeWavAdpcm(bad))
+  }
 }
