@@ -928,7 +928,10 @@ object Codecs extends Serializable {
     * [[yccToRgb]]∘[[rgbToYcc]] image the oracle replays positionally.
     * Strict: channels must be 3, dims multiples of the MCU edge, every
     * MCU constant. */
-  def encodeJpegMcuConstantColor(r: Raster, sh: Int, sv: Int): Array[Byte] = {
+  /** Validate the MCU-constant construction and return one YCbCr triple
+    * per MCU — shared by the baseline and progressive color fixture
+    * encoders. */
+  private def mcuConstantYcc(r: Raster, sh: Int, sv: Int): Array[(Int, Int, Int)] = {
     require(r.channels == 3, s"jpeg color fixture encoder needs RGB, got ${r.channels}")
     require(r.maxval == 255, s"jpeg 8-bit samples are 0..255, got maxval ${r.maxval}")
     require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2, s"sampling ${sh}x$sv outside 1-2")
@@ -936,8 +939,8 @@ object Codecs extends Serializable {
     require(r.width % mw == 0 && r.height % mh == 0,
       s"jpeg color fixture dims must be multiples of ${mw}x$mh, got ${r.width}x${r.height}")
     require(r.pixels.length == r.width * r.height * 3, "pixel count mismatch")
-    val mX = r.width / mw; val mY = r.height / mh
-    val mcuYcc = Array.tabulate(mY * mX) { mi =>
+    val mX = r.width / mw
+    Array.tabulate((r.height / mh) * mX) { mi =>
       val my = mi / mX; val mx = mi % mX
       val base = (my * mh * r.width + mx * mw) * 3
       val r0 = r.pixels(base); val g0 = r.pixels(base + 1); val b0 = r.pixels(base + 2)
@@ -954,6 +957,10 @@ object Codecs extends Serializable {
       }
       rgbToYcc(r0, g0, b0)
     }
+  }
+
+  def encodeJpegMcuConstantColor(r: Raster, sh: Int, sv: Int): Array[Byte] = {
+    val mcuYcc = mcuConstantYcc(r, sh, sv)
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
     def seg(m: Int, body: Array[Byte]): Unit = {
@@ -998,6 +1005,97 @@ object Codecs extends Serializable {
       putBlock(2, cr)
     }
     out.write(wtr.flush())
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE variant of [[encodeJpegMcuConstantColor]]: the same
+    * MCU-constant YCbCr construction behind SOF2 and a REAL five-scan
+    * progression — interleaved first DC scan at Al=1 (diffs in the
+    * shifted domain), interleaved DC refinement (Ah=1 — one raw bit per
+    * block), then one AC scan per component covering band 1..63 with a
+    * single EOBn run spanning every block. Exactly invertible: DC
+    * reconstructs as ((dc>>1)<<1)|(dc&1) == dc (a two's-complement
+    * identity, negative DCs included) and every AC is zero, so ANY
+    * conformant progressive decoder renders the identical
+    * [[yccToRgb]]∘[[rgbToYcc]] image the baseline fixture carries —
+    * while the CONTAINER exercises the G.1.2 machinery (successive
+    * approximation, per-scan table selection, EOBRUN, non-interleaved
+    * subsampled grids). */
+  def encodeJpegProgressiveMcuConstantColor(r: Raster, sh: Int, sv: Int): Array[Byte] = {
+    val mcuYcc = mcuConstantYcc(r, sh, sv)
+    val mX = r.width / (8 * sh); val mY = r.height / (8 * sv)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m); out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xFF)
+      out.write(body)
+    }
+    marker(0xD8) // SOI
+    seg(0xDB, Array(0x00.toByte) ++ Array.fill(64)(1.toByte)) // DQT all ones
+    seg(0xC2, Array[Byte](8, // SOF2 progressive
+      ((r.height >>> 8) & 0xFF).toByte, (r.height & 0xFF).toByte,
+      ((r.width >>> 8) & 0xFF).toByte, (r.width & 0xFF).toByte,
+      3,
+      1, ((sh << 4) | sv).toByte, 0,
+      2, 0x11, 0,
+      3, 0x11, 0))
+    seg(0xC4, Array(0x00.toByte) ++ DcBits.map(_.toByte) ++ DcVals.map(_.toByte))
+    // AC table: the 15 EOBn symbols r<<4 (r = 0..14), all at length 4
+    val eobnBits = Array(0, 0, 0, 15) ++ Array.fill(12)(0)
+    val eobnVals = Array.tabulate(15)(_ << 4)
+    seg(0xC4, Array(0x10.toByte) ++ eobnBits.map(_.toByte) ++ eobnVals.map(_.toByte))
+    val dcCodes = huffCodes(DcBits, DcVals)
+    val acCodes = huffCodes(eobnBits, eobnVals)
+    def dc(v: Int): Int = 8 * (v - 128)
+    // scan 1: interleaved DC first, Al = 1 — diff coding of (dc >> 1)
+    seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01))
+    val w1 = new BitWriter
+    val prevDc = new Array[Int](3)
+    def putDcDiff(w: BitWriter, ci: Int, shifted: Int): Unit = {
+      var diff = shifted - prevDc(ci)
+      prevDc(ci) = shifted
+      val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, clen) = dcCodes(cat)
+      w.put(code, clen)
+      if (cat > 0) {
+        if (diff < 0) diff += (1 << cat) - 1 // T.81 F.1.2.1 extend
+        w.put(diff & ((1 << cat) - 1), cat)
+      }
+    }
+    mcuYcc.foreach { case (yv, cb, cr) =>
+      var i = 0
+      while (i < sh * sv) { putDcDiff(w1, 0, dc(yv) >> 1); i += 1 }
+      putDcDiff(w1, 1, dc(cb) >> 1)
+      putDcDiff(w1, 2, dc(cr) >> 1)
+    }
+    out.write(w1.flush())
+    // scan 2: interleaved DC refinement, Ah = 1, Al = 0 — raw bit dc & 1
+    seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10))
+    val w2 = new BitWriter
+    mcuYcc.foreach { case (yv, cb, cr) =>
+      var i = 0
+      while (i < sh * sv) { w2.put(dc(yv) & 1, 1); i += 1 }
+      w2.put(dc(cb) & 1, 1)
+      w2.put(dc(cr) & 1, 1)
+    }
+    out.write(w2.flush())
+    // scans 3-5: one per component, band 1..63, all-zero via one EOBn
+    // run spanning the component's whole (non-interleaved) block grid
+    val nBlocks = Array(mX * sh * mY * sv, mX * mY, mX * mY)
+    var ci = 0
+    while (ci < 3) {
+      seg(0xDA, Array[Byte](1, (ci + 1).toByte, 0x00, 1, 63, 0))
+      val wa = new BitWriter
+      val n = nBlocks(ci)
+      require(n < (1 << 15), s"EOBn caps at 32767 blocks, got $n")
+      val rr = 31 - Integer.numberOfLeadingZeros(n)
+      val (code, clen) = acCodes(rr << 4)
+      wa.put(code, clen)
+      if (rr > 0) wa.put(n - (1 << rr), rr)
+      out.write(wa.flush())
+      ci += 1
+    }
     marker(0xD9) // EOI
     out.toByteArray
   }
@@ -1116,6 +1214,47 @@ object Codecs extends Serializable {
     * 16-bit fixed point. Strict: wrong magic, progressive/extended SOF,
     * non-interleaved multi-scan files, undeclared tables, or truncated
     * entropy data throw. */
+  /** Plane assembly shared by the baseline scan tail and the progressive
+    * EOI render: grayscale copy, or chroma upsample + BT.601 inverse. */
+  private def assemblePixels(w: Int, h: Int, comps: Array[JComp],
+      planes: Array[Array[Int]], planeW: Array[Int],
+      hmax: Int, vmax: Int): Array[Int] =
+    if (comps.length == 1) {
+      val pixels = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          pixels(y * w + x) = planes(0)(y * planeW(0) + x)
+          x += 1
+        }
+        y += 1
+      }
+      pixels
+    } else {
+      val pixels = new Array[Int](w * h * 3)
+      val h0 = comps(0).hs; val v0 = comps(0).vs
+      val h1 = comps(1).hs; val v1 = comps(1).vs
+      val h2 = comps(2).hs; val v2 = comps(2).vs
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = planes(0)((y * v0 / vmax) * planeW(0) + x * h0 / hmax)
+          val cb = planes(1)((y * v1 / vmax) * planeW(1) + x * h1 / hmax)
+          val cr = planes(2)((y * v2 / vmax) * planeW(2) + x * h2 / hmax)
+          val cbb = cb - 128; val crr = cr - 128
+          val o = (y * w + x) * 3
+          pixels(o) = clamp8(yy + fix16(91881 * crr))
+          pixels(o + 1) = clamp8(yy - fix16(22554 * cbb + 46802 * crr))
+          pixels(o + 2) = clamp8(yy + fix16(116130 * cbb))
+          x += 1
+        }
+        y += 1
+      }
+      pixels
+    }
+
   def decodeJpeg(b: Array[Byte]): Raster = {
     require(b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8,
       "jpeg: bad SOI")
@@ -1128,13 +1267,70 @@ object Codecs extends Serializable {
     var restartInterval = 0
     var pixels: Array[Int] = null
     var outChannels = 1
+    // progressive state: per-component coefficient planes in ZIGZAG order
+    // (blocksW×blocksH blocks padded to the MCU grid, 64 ints each),
+    // accumulated across scans and rendered at EOI
+    var progressive = false
+    var coefs: Array[Array[Int]] = null
+    var sawScan = false
+    var scanAdvanced = false
     def u16(off: Int): Int = ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+    def hmax = comps.map(_.hs).max
+    def vmax = comps.map(_.vs).max
+    def mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    def mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // padded (MCU-grid) block dims — the coefficient plane layout
+    def gridW(ci: Int) = mcusX * comps(ci).hs
+    def gridH(ci: Int) = mcusY * comps(ci).vs
+    // the component's TRUE block dims (non-interleaved scans walk these)
+    def trueW(ci: Int) =
+      ((w * comps(ci).hs + hmax - 1) / hmax + 7) / 8
+    def trueH(ci: Int) =
+      ((h * comps(ci).vs + vmax - 1) / vmax + 7) / 8
     while (pos + 1 < b.length && pixels == null) {
       require((b(pos) & 0xFF) == 0xFF, f"jpeg: expected marker at byte $pos")
       val m = b(pos + 1) & 0xFF
       pos += 2
       m match {
-        case 0xD9 => throw new IllegalArgumentException("jpeg: EOI before SOS")
+        case 0xD9 =>
+          if (progressive && sawScan) {
+            // end of the progressive stream: dequantize + IDCT every
+            // accumulated block, then the same plane-assembly tail as
+            // baseline
+            val ns = comps.length
+            val planeW = Array.tabulate(ns)(ci => gridW(ci) * 8)
+            val planes = Array.tabulate(ns)(ci =>
+              new Array[Int](planeW(ci) * gridH(ci) * 8))
+            var ci = 0
+            while (ci < ns) {
+              val qt = quant.getOrElse(comps(ci).tq,
+                throw new IllegalArgumentException(
+                  s"jpeg: undeclared quant table ${comps(ci).tq}"))
+              val bw = gridW(ci)
+              var bi = 0
+              while (bi < bw * gridH(ci)) {
+                val off = bi * 64
+                val nat = new Array[Int](64)
+                var k = 0
+                while (k < 64) { nat(ZigZag(k)) = coefs(ci)(off + k); k += 1 }
+                val blk = idct8x8(nat, qt)
+                val py0 = (bi / bw) * 8; val px0 = (bi % bw) * 8
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    planes(ci)((py0 + y) * planeW(ci) + px0 + x) = blk(y * 8 + x)
+                    x += 1
+                  }
+                  y += 1
+                }
+                bi += 1
+              }
+              ci += 1
+            }
+            pixels = assemblePixels(w, h, comps, planes, planeW, hmax, vmax)
+            if (ns == 3) outChannels = 3
+          } else throw new IllegalArgumentException("jpeg: EOI before SOS")
         case mm if mm >= 0xD0 && mm <= 0xD7 => // stray RST outside a scan
           throw new IllegalArgumentException("jpeg: RST outside entropy data")
         case 0x01 => // TEM, parameterless
@@ -1163,7 +1359,8 @@ object Codecs extends Serializable {
                 if (tc == 0) huffDc(th) = t else huffAc(th) = t
                 p += 17 + n
               }
-            case 0xC0 => // SOF0 baseline
+            case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+              progressive = m == 0xC2
               require((b(pos + 2) & 0xFF) == 8, "jpeg: only 8-bit precision")
               h = u16(pos + 3); w = u16(pos + 5)
               // dims validated BEFORE any size arithmetic: adversarial SOF
@@ -1183,12 +1380,12 @@ object Codecs extends Serializable {
               }
               if (nc == 1) require(comps(0).hs == 1 && comps(0).vs == 1,
                 "jpeg: subsampled single component")
-            case sof if Set(0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            case sof if Set(0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF).contains(sof) =>
               throw new IllegalArgumentException(
-                f"jpeg: non-baseline SOF$sof%02X not supported")
+                f"jpeg: SOF$sof%02X not supported (baseline/progressive only)")
             case 0xDD => restartInterval = u16(pos + 2)
-            case 0xDA => // SOS → entropy-coded scan (interleaved)
+            case 0xDA if !progressive => // SOS → entropy-coded scan (interleaved)
               require(comps != null, "jpeg: SOS before SOF0")
               val ns = b(pos + 2) & 0xFF
               require(ns == comps.length,
@@ -1281,43 +1478,195 @@ object Codecs extends Serializable {
               // trailing EOI (possibly after pad bits)
               require(pos + 1 < b.length && (b(pos) & 0xFF) == 0xFF &&
                 (b(pos + 1) & 0xFF) == 0xD9, "jpeg: missing EOI after scan")
-              if (ns == 1) {
-                pixels = new Array[Int](w * h)
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    pixels(y * w + x) = planes(0)(y * planeW(0) + x)
-                    x += 1
+              pixels = assemblePixels(w, h, comps, planes, planeW, hmax, vmax)
+              if (ns == 3) outChannels = 3
+            case 0xDA => // progressive scan: accumulate coefficients
+              require(comps != null, "jpeg: SOS before SOF")
+              if (coefs == null)
+                coefs = Array.tabulate(comps.length)(ci =>
+                  new Array[Int](gridW(ci) * gridH(ci) * 64))
+              val ns = b(pos + 2) & 0xFF
+              require(ns >= 1 && ns <= comps.length, s"jpeg: scan over $ns components")
+              val scanCi = new Array[Int](ns)
+              val dcSel = new Array[Int](ns)
+              val acSel = new Array[Int](ns)
+              var j = 0
+              while (j < ns) {
+                val cs = b(pos + 3 + 2 * j) & 0xFF
+                val ci = comps.indexWhere(_.id == cs)
+                require(ci >= 0, s"jpeg: scan component $cs not in frame")
+                scanCi(j) = ci
+                val tt = b(pos + 4 + 2 * j) & 0xFF
+                dcSel(j) = (tt >> 4) & 0xF; acSel(j) = tt & 0xF
+                j += 1
+              }
+              val ss = b(pos + 3 + 2 * ns) & 0xFF
+              val se = b(pos + 4 + 2 * ns) & 0xFF
+              val ahal = b(pos + 5 + 2 * ns) & 0xFF
+              val ah = (ahal >> 4) & 0xF; val al = ahal & 0xF
+              val br = new BitReader(b, pos + len)
+              var eobrun = 0
+              // correction-bit application: set the p1 magnitude bit if it
+              // is not already set (sign-aware — T.81 G.1.2.3)
+              def refit(c: Int, p1: Int, m1: Int): Int =
+                if ((c & p1) != 0) c else if (c >= 0) c + p1 else c + m1
+              if (ss == 0) {
+                require(se == 0, "jpeg: progressive DC scan with Se != 0")
+                val dcT = Array.tabulate(ns)(j2 =>
+                  if (ah == 0) huffDc.getOrElse(dcSel(j2),
+                    throw new IllegalArgumentException(
+                      s"jpeg: undeclared DC table ${dcSel(j2)}"))
+                  else null)
+                val prevDc = new Array[Int](ns)
+                var sinceRst = 0
+                def rst(): Unit =
+                  if (restartInterval > 0 && sinceRst == restartInterval) {
+                    br.resetForRst()
+                    require(br.pos + 1 < b.length && (b(br.pos) & 0xFF) == 0xFF &&
+                      ((b(br.pos + 1) & 0xFF) & 0xF8) == 0xD0,
+                      "jpeg: expected RST marker at restart interval")
+                    br.pos += 2; java.util.Arrays.fill(prevDc, 0); sinceRst = 0
                   }
-                  y += 1
+                def dcUnit(j2: Int, off: Int): Unit =
+                  if (ah == 0) {
+                    // first DC scan: baseline diff coding in the Al-shifted
+                    // domain, stored back at magnitude (<< Al)
+                    val cat = dcT(j2).decode(br)
+                    require(cat <= 11, s"jpeg: DC category $cat out of range")
+                    prevDc(j2) += extend(br.bits(cat), cat)
+                    coefs(scanCi(j2))(off) = prevDc(j2) << al
+                  } else if (br.bit() == 1)
+                    // DC refinement: one raw bit per block, OR-ed in
+                    coefs(scanCi(j2))(off) |= 1 << al
+                if (ns == 1) {
+                  val ci = scanCi(0)
+                  val bw = trueW(ci); val gw = gridW(ci)
+                  var i = 0
+                  while (i < bw * trueH(ci)) {
+                    rst()
+                    dcUnit(0, ((i / bw) * gw + (i % bw)) * 64)
+                    sinceRst += 1; i += 1
+                  }
+                } else {
+                  var mcu = 0
+                  while (mcu < mcusX * mcusY) {
+                    rst()
+                    val my = mcu / mcusX; val mx = mcu % mcusX
+                    var j2 = 0
+                    while (j2 < ns) {
+                      val c = comps(scanCi(j2)); val gw = gridW(scanCi(j2))
+                      var vb = 0
+                      while (vb < c.vs) {
+                        var hb = 0
+                        while (hb < c.hs) {
+                          dcUnit(j2, ((my * c.vs + vb) * gw + mx * c.hs + hb) * 64)
+                          hb += 1
+                        }
+                        vb += 1
+                      }
+                      j2 += 1
+                    }
+                    sinceRst += 1; mcu += 1
+                  }
                 }
               } else {
-                outChannels = 3
-                pixels = new Array[Int](w * h * 3)
-                val h0 = comps(0).hs; val v0 = comps(0).vs
-                val h1 = comps(1).hs; val v1 = comps(1).vs
-                val h2 = comps(2).hs; val v2 = comps(2).vs
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val yy = planes(0)((y * v0 / vmax) * planeW(0) + x * h0 / hmax)
-                    val cb = planes(1)((y * v1 / vmax) * planeW(1) + x * h1 / hmax)
-                    val cr = planes(2)((y * v2 / vmax) * planeW(2) + x * h2 / hmax)
-                    val cbb = cb - 128; val crr = cr - 128
-                    val o = (y * w + x) * 3
-                    pixels(o) = clamp8(yy + fix16(91881 * crr))
-                    pixels(o + 1) = clamp8(yy - fix16(22554 * cbb + 46802 * crr))
-                    pixels(o + 2) = clamp8(yy + fix16(116130 * cbb))
-                    x += 1
+                require(ns == 1, "jpeg: progressive AC scan must be non-interleaved")
+                require(ss >= 1 && se >= ss && se <= 63, s"jpeg: bad band $ss..$se")
+                val acT = huffAc.getOrElse(acSel(0),
+                  throw new IllegalArgumentException(
+                    s"jpeg: undeclared AC table ${acSel(0)}"))
+                val ci = scanCi(0)
+                val cf = coefs(ci)
+                val bw = trueW(ci); val gw = gridW(ci)
+                val p1 = 1 << al; val m1 = -1 << al
+                var i = 0; var sinceRst = 0
+                while (i < bw * trueH(ci)) {
+                  if (restartInterval > 0 && sinceRst == restartInterval) {
+                    br.resetForRst()
+                    require(br.pos + 1 < b.length && (b(br.pos) & 0xFF) == 0xFF &&
+                      ((b(br.pos + 1) & 0xFF) & 0xF8) == 0xD0,
+                      "jpeg: expected RST marker at restart interval")
+                    br.pos += 2; eobrun = 0; sinceRst = 0
                   }
-                  y += 1
+                  val off = ((i / bw) * gw + (i % bw)) * 64
+                  if (ah == 0) {
+                    // first scan of this band: runs, EOBRUN, values << Al
+                    if (eobrun > 0) eobrun -= 1
+                    else {
+                      var k = ss
+                      while (k <= se) {
+                        val rs = acT.decode(br)
+                        val run = (rs >> 4) & 0xF; val sz = rs & 0xF
+                        if (sz == 0) {
+                          if (run == 15) k += 16 // ZRL
+                          else {
+                            eobrun = (1 << run) - 1
+                            if (run > 0) eobrun += br.bits(run)
+                            k = 64
+                          }
+                        } else {
+                          k += run
+                          require(k <= se, "jpeg: AC run overflows band")
+                          cf(off + k) = extend(br.bits(sz), sz) << al
+                          k += 1
+                        }
+                      }
+                    }
+                  } else {
+                    // band refinement (T.81 G.1.2.3): new ±1·2^Al coefs
+                    // interleave with correction bits on nonzero history
+                    var k = ss
+                    if (eobrun == 0) {
+                      var done = false
+                      while (k <= se && !done) {
+                        val rs = acT.decode(br)
+                        var run = (rs >> 4) & 0xF; val sz = rs & 0xF
+                        var newVal = 0
+                        if (sz != 0) {
+                          require(sz == 1, "jpeg: refinement size must be 1")
+                          newVal = if (br.bit() == 1) p1 else m1
+                        } else if (run != 15) {
+                          // EOBRUN here COUNTS the current block: its
+                          // remaining band still receives correction bits
+                          // in the tail below before the run decrements
+                          eobrun = 1 << run
+                          if (run > 0) eobrun += br.bits(run)
+                          done = true
+                        }
+                        if (!done) {
+                          var placed = false
+                          while (k <= se && !placed) {
+                            val c = cf(off + k)
+                            if (c != 0) {
+                              if (br.bit() == 1) cf(off + k) = refit(c, p1, m1)
+                            } else if (run == 0) {
+                              if (sz != 0) cf(off + k) = newVal
+                              placed = true
+                            } else run -= 1
+                            k += 1
+                          }
+                        }
+                      }
+                    }
+                    if (eobrun > 0) {
+                      while (k <= se) {
+                        val c = cf(off + k)
+                        if (c != 0 && br.bit() == 1) cf(off + k) = refit(c, p1, m1)
+                        k += 1
+                      }
+                      eobrun -= 1
+                    }
+                  }
+                  sinceRst += 1; i += 1
                 }
               }
+              sawScan = true
+              pos = br.pos
+              scanAdvanced = true
             case _ => // APPn / COM / other ancillary: length-skipped
           }
-          if (pixels == null) pos += len
+          if (pixels == null && !scanAdvanced) pos += len
+          scanAdvanced = false
       }
     }
     require(pixels != null, "jpeg: no scan decoded")

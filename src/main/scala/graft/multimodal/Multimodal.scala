@@ -201,7 +201,29 @@ object Multimodal {
     * against the JDK ImageIO color codec both directions. (Reference
     * ParDo map, transform_evaluators.py:29.)
     */
-  def imageDecodeJpegColor(s: SparkSession, d: String): DataFrame = {
+  def imageDecodeJpegColor(s: SparkSession, d: String): DataFrame =
+    jpegColorKey(s, d, progressive = false)
+
+  /** G2e — PROGRESSIVE color JPEG (round-16 stretch; after baseline color,
+    * the other SOF a real crawl serves in volume): the same MCU-constant
+    * construction rides a REAL five-scan SOF2 progression — interleaved
+    * successive-approximation DC (Al=1), interleaved DC refinement (one
+    * raw bit per block), and per-component band-1..63 AC scans carried by
+    * a single EOBn run each — through the multi-scan coefficient-
+    * accumulating decode path ([[graft.multimodal.Codecs.decodeJpeg]],
+    * SOF2 branch: per-scan Ss/Se/Ah/Al, non-interleaved subsampled block
+    * grids, EOBRUN, render at EOI). The construction is exactly
+    * invertible (DC reassembles as ((dc>>1)<<1)|(dc&1); ACs zero), so the
+    * gate hashes the same positional yccToRgb∘rgbToYcc replay as G2d —
+    * through a genuinely different container and decode path. CodecsSpec
+    * pins progressive==baseline equality, ImageIO reading our SOF2
+    * stream, and our decode of ImageIO's own progressive scan scripts
+    * (DC+AC successive approximation, spectral bands, EOBRUN/ZRL). */
+  def imageDecodeJpegProg(s: SparkSession, d: String): DataFrame =
+    jpegColorKey(s, d, progressive = true)
+
+  private def jpegColorKey(s: SparkSession, d: String,
+      progressive: Boolean): DataFrame = {
     val mcus = JpegColorMcus * JpegColorMcus
     val edge = JpegColorMcus * 16
     val nPix = edge * edge
@@ -209,9 +231,14 @@ object Multimodal {
       .filter(char_length(col("text")) > 0)
       // same scan-width note as [[imagePayload]]
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-      .select(col("doc_id"), MediaCodecs.jpegColorEncode(
-        graft.plans.StrideSample.sample(col("text"), 3 * mcus),
-        JpegColorMcus, JpegColorMcus).as("payload"))
+      .select(col("doc_id"), (if (progressive)
+        MediaCodecs.jpegProgEncode(
+          graft.plans.StrideSample.sample(col("text"), 3 * mcus),
+          JpegColorMcus, JpegColorMcus)
+      else
+        MediaCodecs.jpegColorEncode(
+          graft.plans.StrideSample.sample(col("text"), 3 * mcus),
+          JpegColorMcus, JpegColorMcus)).as("payload"))
     val dec = MediaCodecs.jpegDecodeCol(col("payload"))
     def chanSum(c: Int, name: String) = aggregate(
       transform(sequence(lit(0), lit(nPix - 1)),
@@ -1304,6 +1331,7 @@ object Multimodal {
     "mm_image_decode_png" -> imageDecodePng _,
     "mm_image_decode_jpeg" -> imageDecodeJpeg _,
     "mm_image_decode_jpeg_color" -> imageDecodeJpegColor _,
+    "mm_image_decode_jpeg_prog" -> imageDecodeJpegProg _,
     "mm_prepare" -> mmPrepare _,
     "mm_image_augment" -> imageAugment _,
     "mm_frame_sample" -> frameSample _,
@@ -1344,6 +1372,48 @@ object Multimodal {
       ON a.doc_id = b.doc_id AND a.frame_idx < b.frame_idx
     WHERE bit_count(xor(a.ph, b.ph)) <= $PhashHamT
     ORDER BY a.doc_id, frame_a, frame_b"""
+
+  private def jpegColorOracleSql: String = {
+    val g = JpegColorMcus
+    val mcus = g * g
+    val edge = g * 16
+    val n3 = edge * edge * 3
+    val pixPerMcu = 16 * 16
+    def pick(l: String) =
+      s"$l[(((i // 3) // $edge) // 16) * $g + (((i // 3) % $edge) // 16) + 1]"
+    s"""
+      WITH s AS (
+        SELECT doc_id, list_transform(range(${3 * mcus}), i ->
+          ord(substring(text, (i * length(text)) // ${3 * mcus} + 1, 1))) AS raw
+        FROM documents WHERE length(text) > 0),
+      mc AS (SELECT doc_id, unnest(range($mcus)) AS mi, raw FROM s),
+      c0 AS (SELECT doc_id, mi,
+          raw[3*mi+1] AS r0, raw[3*mi+2] AS g0, raw[3*mi+3] AS b0 FROM mc),
+      yc AS (SELECT doc_id, mi,
+          (19595*r0 + 38470*g0 + 7471*b0 + 32768) // 65536 AS yv,
+          CAST(floor((-11059*r0 - 21709*g0 + 32768*b0 + 32768) / 65536.0) AS BIGINT) AS cbd,
+          CAST(floor((32768*r0 - 27439*g0 - 5329*b0 + 32768) / 65536.0) AS BIGINT) AS crd
+        FROM c0),
+      rgb AS (SELECT doc_id, mi,
+          greatest(0, least(255, yv + CAST(floor((91881*crd + 32768) / 65536.0) AS BIGINT))) AS rr,
+          greatest(0, least(255, yv - CAST(floor((22554*cbd + 46802*crd + 32768) / 65536.0) AS BIGINT))) AS gg,
+          greatest(0, least(255, yv + CAST(floor((116130*cbd + 32768) / 65536.0) AS BIGINT))) AS bb
+        FROM yc),
+      ag AS (SELECT doc_id,
+          list(rr ORDER BY mi) AS rl, list(gg ORDER BY mi) AS gl,
+          list(bb ORDER BY mi) AS bl
+        FROM rgb GROUP BY doc_id)
+      SELECT doc_id,
+        CAST($edge AS INTEGER) AS width, CAST($edge AS INTEGER) AS height,
+        CAST($pixPerMcu * list_sum(rl) AS BIGINT) AS sum_r,
+        CAST($pixPerMcu * list_sum(gl) AS BIGINT) AS sum_g,
+        CAST($pixPerMcu * list_sum(bl) AS BIGINT) AS sum_b,
+        md5(array_to_string(list_transform(range($n3), i ->
+          CASE (i % 3) WHEN 0 THEN ${pick("rl")}
+                       WHEN 1 THEN ${pick("gl")}
+                       ELSE ${pick("bl")} END), ',')) AS pixels_md5
+      FROM ag ORDER BY doc_id"""
+  }
 
   val oracles: Map[String, String] = Map(
     "mm_audio_energy" -> audioEnergySql,
@@ -1438,47 +1508,12 @@ object Multimodal {
     // the Spark side must huffman-decode the interleaved 4:2:0 scan,
     // IDCT, upsample and color-transform the genuine stream to land the
     // same hash
-    "mm_image_decode_jpeg_color" -> {
-      val g = JpegColorMcus
-      val mcus = g * g
-      val edge = g * 16
-      val n3 = edge * edge * 3
-      val pixPerMcu = 16 * 16
-      def pick(l: String) =
-        s"$l[(((i // 3) // $edge) // 16) * $g + (((i // 3) % $edge) // 16) + 1]"
-      s"""
-      WITH s AS (
-        SELECT doc_id, list_transform(range(${3 * mcus}), i ->
-          ord(substring(text, (i * length(text)) // ${3 * mcus} + 1, 1))) AS raw
-        FROM documents WHERE length(text) > 0),
-      mc AS (SELECT doc_id, unnest(range($mcus)) AS mi, raw FROM s),
-      c0 AS (SELECT doc_id, mi,
-          raw[3*mi+1] AS r0, raw[3*mi+2] AS g0, raw[3*mi+3] AS b0 FROM mc),
-      yc AS (SELECT doc_id, mi,
-          (19595*r0 + 38470*g0 + 7471*b0 + 32768) // 65536 AS yv,
-          CAST(floor((-11059*r0 - 21709*g0 + 32768*b0 + 32768) / 65536.0) AS BIGINT) AS cbd,
-          CAST(floor((32768*r0 - 27439*g0 - 5329*b0 + 32768) / 65536.0) AS BIGINT) AS crd
-        FROM c0),
-      rgb AS (SELECT doc_id, mi,
-          greatest(0, least(255, yv + CAST(floor((91881*crd + 32768) / 65536.0) AS BIGINT))) AS rr,
-          greatest(0, least(255, yv - CAST(floor((22554*cbd + 46802*crd + 32768) / 65536.0) AS BIGINT))) AS gg,
-          greatest(0, least(255, yv + CAST(floor((116130*cbd + 32768) / 65536.0) AS BIGINT))) AS bb
-        FROM yc),
-      ag AS (SELECT doc_id,
-          list(rr ORDER BY mi) AS rl, list(gg ORDER BY mi) AS gl,
-          list(bb ORDER BY mi) AS bl
-        FROM rgb GROUP BY doc_id)
-      SELECT doc_id,
-        CAST($edge AS INTEGER) AS width, CAST($edge AS INTEGER) AS height,
-        CAST($pixPerMcu * list_sum(rl) AS BIGINT) AS sum_r,
-        CAST($pixPerMcu * list_sum(gl) AS BIGINT) AS sum_g,
-        CAST($pixPerMcu * list_sum(bl) AS BIGINT) AS sum_b,
-        md5(array_to_string(list_transform(range($n3), i ->
-          CASE (i % 3) WHEN 0 THEN ${pick("rl")}
-                       WHEN 1 THEN ${pick("gl")}
-                       ELSE ${pick("bl")} END), ',')) AS pixels_md5
-      FROM ag ORDER BY doc_id"""
-    },
+    "mm_image_decode_jpeg_color" -> jpegColorOracleSql,
+    // the PROGRESSIVE container decodes to the byte-identical image (the
+    // construction is exactly invertible under both SOFs), so the oracle
+    // IS G2d's — what differs is the Spark-side decode path the hash
+    // exercises (SOF2 multi-scan coefficient accumulation)
+    "mm_image_decode_jpeg_prog" -> jpegColorOracleSql,
     // the G13 flagship oracle composes the existing CTE devices: the G2c
     // block expansion for JPEG docs, the G8 pool/sign/pack pHash, the
     // quadratic hamming join + recursive-CTE connected components at

@@ -191,7 +191,10 @@ object MediaCodecs {
       copy(child = c)
   }
 
-  def jpegColorFromMcus(mcuRgb: ArrayData, mcusX: Int, mcusY: Int): Array[Byte] = {
+  def jpegColorFromMcus(mcuRgb: ArrayData, mcusX: Int, mcusY: Int): Array[Byte] =
+    Codecs.encodeJpegMcuConstantColor(mcuRaster(mcuRgb, mcusX, mcusY), 2, 2)
+
+  private def mcuRaster(mcuRgb: ArrayData, mcusX: Int, mcusY: Int): Codecs.Raster = {
     val w = mcusX * 16; val h = mcusY * 16
     val px = new Array[Int](w * h * 3)
     var i = 0
@@ -203,8 +206,31 @@ object MediaCodecs {
       px(3 * i + 2) = mcuRgb.getInt(3 * m + 2)
       i += 1
     }
-    Codecs.encodeJpegMcuConstantColor(Codecs.Raster(w, h, 3, 255, px), 2, 2)
+    Codecs.Raster(w, h, 3, 255, px)
   }
+
+  /** PROGRESSIVE color JPEG encode: the same MCU-constant raster behind
+    * SOF2 and a real five-scan progression (successive-approximation DC,
+    * DC refinement, per-component EOBn AC scans) —
+    * [[graft.multimodal.Codecs.encodeJpegProgressiveMcuConstantColor]],
+    * so the decoded image is byte-identical to the baseline fixture's. */
+  case class JpegProgFromMcus(child: Expression, mcusX: Int, mcusY: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def inputTypes: Seq[ColumnBridge.AbstractType] =
+      Seq(ArrayType(IntegerType))
+    override def nullSafeEval(a: Any): Any =
+      MediaCodecs.jpegProgFromMcus(a.asInstanceOf[ArrayData], mcusX, mcusY)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.MediaCodecs.jpegProgFromMcus($c, $mcusX, $mcusY)")
+    override protected def withNewChildInternal(c: Expression): JpegProgFromMcus =
+      copy(child = c)
+  }
+
+  def jpegProgFromMcus(mcuRgb: ArrayData, mcusX: Int, mcusY: Int): Array[Byte] =
+    Codecs.encodeJpegProgressiveMcuConstantColor(mcuRaster(mcuRgb, mcusX, mcusY), 2, 2)
 
   /** JPEG DECODE: full baseline parse — marker walk, canonical Huffman
     * decode with FF00 unstuffing, dezigzag, dequantize, IDCT, level
@@ -729,6 +755,8 @@ object MediaCodecs {
     column(JpegFromBlocks(expression(blocks), w, h))
   def jpegColorEncode(mcuRgb: Column, mcusX: Int, mcusY: Int): Column =
     column(JpegColorFromMcus(expression(mcuRgb), mcusX, mcusY))
+  def jpegProgEncode(mcuRgb: Column, mcusX: Int, mcusY: Int): Column =
+    column(JpegProgFromMcus(expression(mcuRgb), mcusX, mcusY))
   def jpegDecodeCol(payload: Column): Column =
     column(JpegDecode(expression(payload)))
   def anyImageDecodeCol(payload: Column): Column =

@@ -451,6 +451,130 @@ class CodecsSpec extends AnyFunSuite {
     intercept[Exception](Codecs.decodePng(idatBad))
   }
 
+  test("PROGRESSIVE JPEG: decodes the JDK ImageIO progressive encoder within the band") {
+    // ImageIO MODE_DEFAULT emits a real multi-scan progression (DC first +
+    // refinement, banded AC scans with successive approximation, EOBRUN,
+    // ZRL) — the full G.1.2 surface — over a non-constant image; our
+    // decode must match ImageIO's own read of the same bytes within the
+    // ±1 IDCT conformance band
+    def roundTrip(w: Int, h: Int, gray: Boolean, q: Float): Unit = {
+      // color uses LUMA-varying / chroma-uniform content (R=G=B): the
+      // JDK renders subsampled chroma through libjpeg-style triangular
+      // ("fancy") upsampling while we implement JFIF simple replication —
+      // both conformant, divergent only when subsampled chroma VARIES.
+      // Uniform chroma makes the pin upsample-filter-independent while
+      // still driving the chroma scans (DC + AC table selection + EOBRUN
+      // on the subsampled grid) with real entropy data; varying-chroma
+      // coefficient correctness is pinned by the progressive==baseline
+      // equality test below, whose MCU-constant construction is exact.
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val v = (x * 7 + y * 13 + (x * y) % 31) % 256
+          if (gray) img.getRaster.setSample(x, y, 0, v)
+          else img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      // really progressive: SOF2 present, SOF0 absent
+      def hasMarker(mk: Int) = bytes.sliding(2).exists(s =>
+        (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == mk)
+      assert(hasMarker(0xC2) && !hasMarker(0xC0), "ImageIO did not write SOF2")
+      val mine = Codecs.decodeJpeg(bytes)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(mine.width == w && mine.height == h)
+      assert(mine.channels == (if (gray) 1 else 3))
+      var maxDiff = 0
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          if (gray) {
+            val d = math.abs(mine.pixels(y * w + x) - ref.getRaster.getSample(x, y, 0))
+            maxDiff = math.max(maxDiff, d)
+          } else {
+            val rgb = ref.getRGB(x, y)
+            val o = (y * w + x) * 3
+            maxDiff = math.max(maxDiff, math.abs(mine.pixels(o) - ((rgb >> 16) & 0xFF)))
+            maxDiff = math.max(maxDiff, math.abs(mine.pixels(o + 1) - ((rgb >> 8) & 0xFF)))
+            maxDiff = math.max(maxDiff, math.abs(mine.pixels(o + 2) - (rgb & 0xFF)))
+          }
+        }
+      }
+      assert(maxDiff <= 2,
+        s"progressive decode diverges by $maxDiff (${w}x$h gray=$gray q=$q)")
+    }
+    roundTrip(40, 24, gray = true, 0.92f)
+    roundTrip(33, 17, gray = true, 0.5f)   // non-MCU-aligned dims
+    roundTrip(48, 32, gray = false, 0.9f)  // color: subsampled chroma scans
+    roundTrip(35, 21, gray = false, 0.75f)
+  }
+
+  test("PROGRESSIVE fixture == BASELINE fixture: identical decoded image, SOF2 container") {
+    // the MCU-constant construction renders identically through the
+    // five-scan progression (DC Al=1 + refinement + per-comp EOBn AC
+    // scans) and the one-scan baseline — including negative/odd DCs,
+    // whose ((dc>>1)<<1)|(dc&1) reassembly is what the refinement proves
+    val rgbs = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255),
+      (0, 0, 0), (17, 200, 99), (128, 128, 128), (250, 10, 130))
+    for ((sh, sv) <- Seq((1, 1), (2, 2), (2, 1))) {
+      val mw = 8 * sh; val mh = 8 * sv
+      val mX = 4; val mY = 2
+      val w = mX * mw; val h = mY * mh
+      val px = new Array[Int](w * h * 3)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val (r, g, b) = rgbs(((y / mh) * mX + x / mw) % rgbs.length)
+          val o = (y * w + x) * 3
+          px(o) = r; px(o + 1) = g; px(o + 2) = b
+        }
+      }
+      val raster = Codecs.Raster(w, h, 3, 255, px)
+      val prog = Codecs.encodeJpegProgressiveMcuConstantColor(raster, sh, sv)
+      val base = Codecs.encodeJpegMcuConstantColor(raster, sh, sv)
+      // really a different container: SOF2 vs SOF0
+      def hasMarker(bs: Array[Byte], mk: Int) = bs.sliding(2).exists(s =>
+        (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == mk)
+      assert(hasMarker(prog, 0xC2) && !hasMarker(prog, 0xC0))
+      val dp = Codecs.decodeJpeg(prog)
+      val db = Codecs.decodeJpeg(base)
+      assert(dp.width == w && dp.height == h && dp.channels == 3)
+      assert(dp.pixels.toSeq == db.pixels.toSeq,
+        s"progressive and baseline decodes diverge at ${sh}x$sv")
+      // and the JDK reads our progressive stream to the same image — on
+      // MCU INTERIORS when chroma is subsampled (the upsampling filter is
+      // unspecified by T.81 and the JDK's triangular one mixes MCUs at
+      // borders; same discipline as the baseline 4:2:0 pin above)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+      var maxDiff = 0
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val interior = (sh == 1 || (x % mw >= mw / 4 && x % mw < mw * 3 / 4)) &&
+            (sv == 1 || (y % mh >= mh / 4 && y % mh < mh * 3 / 4))
+          if (interior) {
+            val rgb = ref.getRGB(x, y)
+            val o = (y * w + x) * 3
+            maxDiff = math.max(maxDiff, Seq(
+              math.abs(dp.pixels(o) - ((rgb >> 16) & 0xFF)),
+              math.abs(dp.pixels(o + 1) - ((rgb >> 8) & 0xFF)),
+              math.abs(dp.pixels(o + 2) - (rgb & 0xFF))).max)
+          }
+        }
+      }
+      assert(maxDiff <= 2, s"ImageIO diverges by $maxDiff on our progressive ${sh}x$sv stream")
+    }
+  }
+
   test("µ-law table matches the JDK AudioSystem ULAW codec for ALL 256 bytes") {
     import javax.sound.sampled._
     val ulawBytes = Array.tabulate[Byte](256)(_.toByte)
