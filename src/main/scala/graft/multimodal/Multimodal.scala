@@ -1153,6 +1153,99 @@ object Multimodal {
     GROUP BY r.doc_id, b0.nblk ORDER BY r.doc_id"""
   }
 
+  /** G14 — fixed-point SPECTRAL band energies (round-16 stretch; the
+    * featurization step between raw samples and any speech model — what
+    * an MFCC front-end computes before the mel warp): per 64-sample
+    * frame, the DFT power c²+s² at four bin frequencies (1, 2, 4, 8
+    * cycles/frame), correlated against 2^14-scaled integer cos/sin
+    * tables. The tables are computed ONCE in Scala ([[SpectrumCosTab]])
+    * and INLINED into both the decode kernel and the SQL oracle as the
+    * same literals, so every product and sum is exact integer arithmetic
+    * — no engine ever calls its own libm. Payload is the G7 container
+    * (real [[Codecs.decodeWav]] chunk walk first); report = per (doc,
+    * bin): total power over full frames, the peak frame (earliest tie)
+    * and its power — 4 rows/doc, corpus-linear. */
+  val SpectrumFrame = 64
+  val SpectrumBins: Seq[Int] = Seq(1, 2, 4, 8)
+  val SpectrumScale = 1 << 14
+
+  private[graft] lazy val SpectrumCosTab: Array[Array[Long]] =
+    SpectrumBins.toArray.map(k => Array.tabulate(SpectrumFrame)(n =>
+      math.round(math.cos(2.0 * math.Pi * k * n / SpectrumFrame) * SpectrumScale)))
+  private[graft] lazy val SpectrumSinTab: Array[Array[Long]] =
+    SpectrumBins.toArray.map(k => Array.tabulate(SpectrumFrame)(n =>
+      math.round(math.sin(2.0 * math.Pi * k * n / SpectrumFrame) * SpectrumScale)))
+
+  def audioSpectrum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fr = SpectrumFrame
+    val ct = SpectrumCosTab; val st = SpectrumSinTab
+    Tables.documents(s, d)
+      .filter(char_length(col("text")) >= fr)
+      .select(col("doc_id"),
+        MediaCodecs.wavEncode(encode(col("text"), "UTF-8"), 8000).as("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.flatMap { case (id, wavBytes) =>
+          val p = Codecs.decodeWav(wavBytes).data
+          val nf = p.length / fr
+          SpectrumBins.indices.map { bi =>
+            var powerSum = 0L
+            var peakF = 0L; var peakP = -1L
+            var f = 0
+            while (f < nf) {
+              var c = 0L; var sA = 0L
+              var n = 0
+              while (n < fr) {
+                val v = ((p(f * fr + n) & 0xFF) - 128).toLong
+                c += v * ct(bi)(n)
+                sA += v * st(bi)(n)
+                n += 1
+              }
+              val pw = c * c + sA * sA
+              powerSum += pw
+              if (pw > peakP) { peakP = pw; peakF = f }
+              f += 1
+            }
+            (id, SpectrumBins(bi).toLong, powerSum, peakF, peakP)
+          }
+        }
+      }.toDF("doc_id", "bin", "power_sum", "peak_frame", "peak_power")
+  }
+
+  private def audioSpectrumSql: String = {
+    val fr = SpectrumFrame
+    val perBin = SpectrumBins.zipWithIndex.map { case (k, bi) =>
+      val ctl = SpectrumCosTab(bi).mkString("[", ",", "]")
+      val stl = SpectrumSinTab(bi).mkString("[", ",", "]")
+      s"""
+      SELECT doc_id, CAST($k AS BIGINT) AS bin, frame,
+        SUM(v * ($ctl)[n + 1]) AS c, SUM(v * ($stl)[n + 1]) AS s
+      FROM sv GROUP BY doc_id, frame"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH b AS (
+      SELECT doc_id, unnest(range(1, (length(text) // $fr) * $fr + 1)) AS pos, text
+      FROM documents WHERE length(text) >= $fr),
+    sv AS (
+      SELECT doc_id, (pos - 1) // $fr AS frame, (pos - 1) % $fr AS n,
+        ord(substring(text, pos, 1)) - 128 AS v
+      FROM b),
+    fb AS ($perBin),
+    pw AS (
+      SELECT doc_id, bin, frame,
+        CAST(c * c + s * s AS BIGINT) AS pw
+      FROM fb),
+    r AS (
+      SELECT doc_id, bin, frame, pw,
+        SUM(pw) OVER (PARTITION BY doc_id, bin) AS tot,
+        ROW_NUMBER() OVER (PARTITION BY doc_id, bin
+          ORDER BY pw DESC, frame) AS rn
+      FROM pw)
+    SELECT doc_id, bin, CAST(tot AS BIGINT) AS power_sum,
+      CAST(frame AS BIGINT) AS peak_frame, pw AS peak_power
+    FROM r WHERE rn = 1 ORDER BY doc_id, bin"""
+  }
+
   /** G10 — SILENCE TRIMMING (VAD-style lead/tail cut): the first audio-prep
     * stage of any speech pipeline — find the leading and trailing runs of
     * quiet frames and report the kept loud span. A frame is quiet iff its
@@ -1322,6 +1415,7 @@ object Multimodal {
     "mm_audio_energy_16bit" -> audioEnergy16 _,
     "mm_audio_decode_mulaw" -> audioDecodeMulaw _,
     "mm_audio_decode_adpcm" -> audioDecodeAdpcm _,
+    "mm_audio_spectrum" -> audioSpectrum _,
     "mm_audio_downsample" -> audioDownsample _,
     "mm_frame_dedup" -> frameDedup _,
     "mm_scene_cuts" -> sceneCuts _,
@@ -1420,6 +1514,7 @@ object Multimodal {
     "mm_audio_energy_16bit" -> audioEnergy16Sql,
     "mm_audio_decode_mulaw" -> audioDecodeMulawSql,
     "mm_audio_decode_adpcm" -> audioDecodeAdpcmSql,
+    "mm_audio_spectrum" -> audioSpectrumSql,
     "mm_audio_downsample" -> audioDownsampleSql,
     "mm_frame_dedup" -> frameDedupSql,
     "mm_scene_cuts" -> sceneCutsSql,

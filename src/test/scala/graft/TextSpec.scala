@@ -210,4 +210,43 @@ class TextSpec extends SparkSpec {
     assert(rows.exists(_._3 > 0) && rows.exists(_._3 < 0))
   }
 
+  test("G14 spectrum: bins reconstruct from a local integer replay and discriminate") {
+    import graft.multimodal.Multimodal
+    val rows = Multimodal.audioSpectrum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val perDoc = rows.groupBy(_._1)
+    assert(perDoc.values.forall(_.length == Multimodal.SpectrumBins.length))
+    // bins discriminate on this corpus (a vacuous all-equal gate proves nothing)
+    assert(perDoc.values.exists(rs => rs.map(_._3).distinct.length > 1))
+    // local replay for a sample of docs: same tables, fresh loop
+    val fr = Multimodal.SpectrumFrame
+    val sample = perDoc.keys.toSeq.sorted.take(3)
+    val texts = graft.operators.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(sample: _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    sample.foreach { id =>
+      val bytes = texts(id).getBytes("UTF-8")
+      val nf = bytes.length / fr
+      Multimodal.SpectrumBins.zipWithIndex.foreach { case (k, bi) =>
+        var tot = 0L; var pkF = 0L; var pkP = -1L
+        (0 until nf).foreach { f =>
+          var c = 0L; var sA = 0L
+          (0 until fr).foreach { n =>
+            val v = ((bytes(f * fr + n) & 0xFF) - 128).toLong
+            c += v * Multimodal.SpectrumCosTab(bi)(n)
+            sA += v * Multimodal.SpectrumSinTab(bi)(n)
+          }
+          val pw = c * c + sA * sA
+          tot += pw
+          if (pw > pkP) { pkP = pw; pkF = f }
+        }
+        val got = rows.find(t => t._1 == id && t._2 == k).get
+        assert((got._3, got._4, got._5) == ((tot, pkF, pkP)),
+          s"doc $id bin $k diverges from the local replay")
+      }
+    }
+  }
+
 }
