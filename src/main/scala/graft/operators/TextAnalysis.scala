@@ -527,7 +527,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"), lower(col("w0")).as("w"))
       .filter(!col("w").isin(RakeStop: _*))
     // gaps-and-islands: consecutive non-stop positions share a run id;
-    // long runs chunk into RakeMaxLen-word phrases (grp carries the chunk)
+    // long runs chunk into RakeMaxLen-word phrases (grp carries the chunk).
+    // plen rides along as a THIRD window over the same doc-partitioned flow
+    // (all three windows cluster by doc_id, one exchange) instead of the
+    // former groupBy-then-self-join — the phrase string is assembled later
+    // in the scoring aggregate from the identical (pos, w) rows, so the
+    // whole phrase-stats pass needs one scan and zero phrase joins.
     val isl = tok
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
@@ -536,15 +541,12 @@ object TextAnalysis {
         Window.partitionBy(col("doc_id"), col("run")).orderBy(col("pos"))))
       .withColumn("grp",
         concat_ws("#", col("run"), ((col("cix") - 1) / RakeMaxLen).cast("long")))
-      .select(col("doc_id"), col("pos"), col("w"), col("grp"))
-    val phrases = isl.groupBy(col("doc_id"), col("grp"))
-      .agg(
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(pos, w))), x -> x.w)")).as("phrase"),
-        count(lit(1)).as("plen"))
-    // per-doc word stats over phrase words: freq + degree -> fixed-point score
-    val pw = isl.join(phrases.select(col("doc_id"), col("grp"), col("plen")),
-      Seq("doc_id", "grp"))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
+      .select(col("doc_id"), col("pos"), col("w"), col("grp"), col("plen"))
+    // token-level rows feed BOTH the word-stats aggregate and the scoring
+    // join: persist once for the intra-query reuse (scope-released)
+    val pw = graft.CacheScope.scopedPersist(isl)
     val ws = pw.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
       .withColumn("iscore",
@@ -552,16 +554,18 @@ object TextAnalysis {
           .cast("long"))
     val scored = pw.join(ws, Seq("doc_id", "w"))
       .groupBy(col("doc_id"), col("grp"))
-      .agg(sum(col("iscore")).as("iscore"))
-      .join(phrases, Seq("doc_id", "grp"))
+      .agg(sum(col("iscore")).as("iscore"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, w))), x -> x.w)")).as("phrase"))
       .select(col("doc_id"), col("phrase"), col("iscore")).distinct()
-    scored
+    val out = scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("iscore").desc, col("phrase"))))
       .filter(col("rank") <= RakeTopK)
       .select(col("doc_id"), col("rank"), col("phrase"),
         round(col("iscore") / lit(1048576.0), 6).as("score"))
+    graft.CacheScope.releaseAfterUse(out, pw)
   }
 
   val textKeyphrasesSql: String = {
