@@ -101,12 +101,17 @@ object CorpusSpans {
           .isin(AnchorNibbles: _*))
     val spans = anchors.select(col("doc_id"), col("i"), col("n"),
       concat_ws(" ", slice(col("ws"), col("i") + 1, lit(SpanWords))).as("span"))
-    val firsts = spans
+    // the anchored-span explode feeds the first-occurrence aggregate AND
+    // the marking join AND (via marked) two downstream consumers: persist
+    // it once (r17, guide §2.4) — the min-struct aggregate keeps its
+    // map-side combine, but the explode no longer recomputes per branch
+    val spansP = graft.CacheScope.scopedPersist(spans)
+    val firsts = spansP
       .groupBy(col("span"))
       .agg(min(struct(col("doc_id"), col("i"))).as("first"))
-    val marked = spans.join(firsts, "span")
+    val marked = graft.CacheScope.scopedPersist(spansP.join(firsts, "span")
       .withColumn("is_dup",
-        struct(col("doc_id"), col("i")) =!= col("first"))
+        struct(col("doc_id"), col("i")) =!= col("first")))
     val perDoc = marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"))
@@ -115,13 +120,14 @@ object CorpusSpans {
         explode(sequence(col("i"), least(col("i") + SpanWords, col("n")) - 1)).as("j"))
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_words"))
-    docs.select(col("doc_id"), col("n").cast("long").as("n_words"))
+    val out = docs.select(col("doc_id"), col("n").cast("long").as("n_words"))
       .join(perDoc, Seq("doc_id"), "left")
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+    graft.CacheScope.releaseAfterUse(out, spansP, marked)
   }
 
   val spanDedupAnchorSql: String = s"""

@@ -51,8 +51,11 @@ object Skew {
       implicit s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = s.sparkContext.broadcast(bf)
-    val might = udf((k: Long) => bc.value.mightContainLong(k))
-    fact.filter(col(factKey).isNotNull && might(col(factKey)))
+    // native codegen probe (r17): the former Scala udf was a per-row boxed
+    // closure that broke whole-stage-codegen fusion at the scan — the probe
+    // now compiles into the scan→filter stage (same filter bits, same rows)
+    fact.filter(col(factKey).isNotNull &&
+        graft.plans.BloomProbe.mightContainLong(col(factKey), bc))
       .join(dim, col(factKey) === col(dimKey), "left_semi")
   }
 

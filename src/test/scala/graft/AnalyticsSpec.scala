@@ -63,6 +63,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept < fact.count(), "bloom filter pruned nothing")
   }
 
+  test("native bloom probe: bit-identical to the filter, fused into codegen") {
+    import org.apache.spark.sql.functions.col
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bf = dim.stat.bloomFilter("c_custkey", 1000000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val fact = Tables.events(spark, sf).select(col("user_id"))
+    // (1) the codegen expression returns exactly the filter's bits per key
+    val probed = fact
+      .withColumn("m", graft.plans.BloomProbe.mightContainLong(col("user_id"), bc))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    probed.foreach { case (k, m) =>
+      assert(m == bf.mightContainLong(k), s"probe diverged from filter at $k")
+    }
+    // (2) the probe compiles into the scan's WholeStageCodegen stage: no
+    // interpreted Scala-UDF node survives in the executed filter plan
+    val filtered = fact.filter(
+      graft.plans.BloomProbe.mightContainLong(col("user_id"), bc))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"probe did not stay native:\n$plan")
+    // the `*(n)` prefix on the Filter node IS the whole-stage-codegen marker
+    assert(plan.linesIterator.exists(l =>
+      l.trim.matches("""\*\(\d+\) Filter .*bloommightcontainlong.*""")),
+      s"scan+probe not fused into a WholeStageCodegen stage:\n$plan")
+    // (3) null keys stay null-intolerant (filter drops them, no NPE)
+    import SparkSpecBase.spark.implicits._
+    val withNull = Seq[Option[Long]](Some(1L), None, Some(2L)).toDF("user_id")
+    val out = withNull.filter(
+      graft.plans.BloomProbe.mightContainLong(col("user_id"), bc)).collect()
+    assert(out.forall(!_.isNullAt(0)))
+  }
+
   test("window_ntile buckets every order into 4 near-equal quartiles per priority") {
     val df = Analytics.windowNtile(spark, sf)
     val rows = df.collect()
