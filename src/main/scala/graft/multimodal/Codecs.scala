@@ -640,7 +640,13 @@ object Codecs extends Serializable {
     var y = 0
     while (y < r.height) {
       var i = 0
-      while (i < stride) { raw(i) = r.pixels(y * stride + i).toByte; i += 1 }
+      while (i < stride) {
+        val v = r.pixels(y * stride + i)
+        // same loud range contract as encodePpm: .toByte would silently
+        // wrap an out-of-range sample into a different decoded image
+        require(v >= 0 && v <= 255, s"pixel ${y * stride + i} value $v out of [0,255]")
+        raw(i) = v.toByte; i += 1
+      }
       val ft = y % 5
       filtered((stride + 1) * y) = ft.toByte
       val f = pngFilterRow(ft, raw, prior, bpp)

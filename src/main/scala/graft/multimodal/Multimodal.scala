@@ -624,13 +624,18 @@ object Multimodal {
     val fmtB = when(res === 0, lit("pgm")).otherwise(lit("png"))
     // variant raster: +1 brightness everywhere, +64 at `doc mod 6`
     // deterministic positions (the G8 plant, materialized as pixels so it
-    // can be RE-ENCODED in the other container)
+    // can be RE-ENCODED in the other container). The plant wraps mod 256
+    // (mirrored in the oracle's pb CTE): without it a source pixel ≥ 191
+    // would leave byte range — encodePpm throws and encodePng used to wrap
+    // silently, diverging from the unwrapped oracle (round-16 ADVICE).
+    // Identity on this corpus (ASCII text ⇒ pix_a ≤ 126), so the gate hash
+    // is unchanged; arbitrary bytes now agree across engines by definition.
     val pixB = expr(
-      s"""transform(pix_a, (x, i) -> CAST(x + 1 + (CASE WHEN
+      s"""transform(pix_a, (x, i) -> CAST(pmod(x + 1 + (CASE WHEN
             pmod(doc_id, $Phash2dMaxEdits) > 0 AND array_contains(
               transform(sequence(0, CAST(pmod(doc_id, $Phash2dMaxEdits) - 1 AS INT)),
                 j -> CAST(pmod(doc_id * 131 + j * 97, $nPix) AS INT)), i)
-            THEN 64 ELSE 0 END) AS INT))""")
+            THEN 64 ELSE 0 END), 256) AS INT))""")
     val staged = blobs
       .withColumn("payload_a", payloadA)
       .withColumn("pix_a",
@@ -1637,11 +1642,11 @@ object Multimodal {
         FROM s),
       pb AS (
         SELECT doc_id,
-          list_transform(range($nPix), i -> pix[i+1] + 1 +
+          list_transform(range($nPix), i -> (pix[i+1] + 1 +
             CASE WHEN doc_id % $Phash2dMaxEdits > 0 AND list_contains(
                 list_transform(range(doc_id % $Phash2dMaxEdits),
                   j -> (doc_id * 131 + j * 97) % $nPix), i)
-              THEN 64 ELSE 0 END) AS pix,
+              THEN 64 ELSE 0 END) % 256) AS pix,
           CASE WHEN doc_id % 3 = 0 THEN 'pgm' ELSE 'png' END AS fmt
         FROM pa),
       u AS (

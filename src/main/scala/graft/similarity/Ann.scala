@@ -1792,8 +1792,12 @@ object Ann {
     val dir = ingestDir(s, d)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // numeric on the batch-id suffix (round-16 ADVICE): a lexicographic
+    // sort orders gen-s10 before gen-s2 past 9 micro-batches — harmless to
+    // the order-insensitive union, but the sort should mean what it says
     val gens = fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.startsWith("gen-s")).map(_.toString).sorted
+      .filter(_.getName.startsWith("gen-s"))
+      .sortBy(_.getName.stripPrefix("gen-s").toLong).map(_.toString)
     require(gens.nonEmpty, s"no streamed generations under $dir")
     gens.map(g => s.read.parquet(s"$g/postings")).reduce(_.unionByName(_))
   }

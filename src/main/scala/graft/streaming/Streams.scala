@@ -1014,11 +1014,32 @@ object Streams {
     // alone can't detect a replay from a restored/rolled-back checkpoint
     // (batches commit in order, so one high-water mark suffices)
     val lastF = new org.apache.hadoop.fs.Path(snapP, "_LAST_BATCH")
+    // the marker carries the owning streaming QUERY id next to the
+    // high-water mark (round-16 ADVICE): a checkpoint replay arrives from
+    // the SAME query (queryId is persisted in the checkpoint, stable
+    // across restarts) and must no-op; a batch below the mark from a
+    // DIFFERENT query is a fresh stream pointed at an existing snapshot —
+    // silently no-op'ing its batches 0..last would serve stale data, so
+    // fail loudly instead. Detached (non-streaming) applies — the spec's
+    // replay path — carry a fixed token and keep the same-owner no-op.
+    val qid = Option(s.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("detached")
     if (fs.exists(lastF)) {
       val in = fs.open(lastF)
-      val last = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      val parts = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      if (batchId <= last) return // already committed (possibly swept)
+      val (last, owner) = parts.split(",", 2) match {
+        case Array(l, o) => (l.toLong, o)
+        case Array(l) => (l.toLong, qid) // legacy marker: same-owner skip
+      }
+      if (batchId <= last) {
+        require(owner == qid, s"batch $batchId arrived below the committed " +
+          s"high-water mark $last from streaming query $qid, but the snapshot " +
+          s"belongs to $owner — refusing to silently no-op a fresh stream " +
+          "over an existing snapshot (restart the original checkpoint, or " +
+          "point the new stream at a fresh snapshot dir)")
+        return // same-query replay of an already-committed (possibly swept) batch
+      }
     }
     val nBuckets = cdcBucketCount(s, snapP, fs)
     val bkt = pmod(hash(col("o_custkey")), lit(nBuckets))
@@ -1081,7 +1102,7 @@ object Streams {
       // rename and this write is covered by the fs.exists(gen) guard —
       // gen-N is the newest generation and is never sweep-eligible)
       val lout = fs.create(lastF, true)
-      try lout.write(batchId.toString.getBytes("UTF-8")) finally lout.close()
+      try lout.write(s"$batchId,$qid".getBytes("UTF-8")) finally lout.close()
       // retention sweep: drop bucket dirs the new manifest superseded and
       // generations with no referenced bucket left (a replay can only be
       // of THIS batch, whose gen dir is kept whole)
