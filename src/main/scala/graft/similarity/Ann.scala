@@ -1913,40 +1913,62 @@ object Ann {
     val e = withNorm(Tables.embeddings(s, d))
       .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     val qarr = e.filter(_._1 < NumQueries).collect().sortBy(_._1)
-    val bq = s.sparkContext.broadcast(qarr)
     val brute = graft.CacheScope.scopedPersist(
       bruteTopK(s, d).select(col("qid"), col("nid")))
-    val sweeps = MatryoshkaDims.map { dims =>
-      def pdot(a: Array[Double], b: Array[Double], n: Int): Double = {
-        var acc = 0.0; var i = 0
-        while (i < n) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      val partials = heapShortlist[(Long, Array[Double]), (Long, Array[Double])](
-        e, bq.value, _._1, _._1,
-        (q, c) => {
-          // a vector whose first `dims` components are all zero has no
-          // defined cosine on the prefix — score it 0.0 instead of letting
-          // 0/0 = NaN blow up BigDecimal (the fixture has no zero prefixes,
-          // so the gate hash is unchanged; this guards crafted inputs)
-          val den = math.sqrt(pdot(q._2, q._2, dims)) *
-            math.sqrt(pdot(c._2, c._2, dims))
-          if (den == 0.0) 0.0
-          else BigDecimal(pdot(q._2, c._2, dims) / den)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        },
-        TopK, desc = true)
-      val topd = partials
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("nid")).withColumn("hit", lit(1L))
-      brute.join(topd, Seq("qid", "nid"), "left")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(lit(dims).as("n_dims"), col("n_hits"),
-          expr(s"(10000 * n_hits) DIV (${NumQueries}L * $TopK)").as("recall_bps"))
+    // ALL truncation widths in ONE corpus pass (r17, guide §2.4): the four
+    // per-dims sweeps each re-deserialized the full embedding dataset and
+    // ran their own shortlist stage; fusing them as (dims·stride + qid)
+    // synthetic queries computes the identical per-(dims, qid) bounded
+    // heaps — same prefix-cosine scores, same (score desc, nid) order,
+    // same self-exclusion via `admit` (the encoded qid never equals a nid,
+    // so the built-in guard is inert) — against one scan. The per-row
+    // inner loop is |dims|·|queries| wide, exactly the work the four
+    // passes did in aggregate.
+    val stride = 1000000L // ≫ any vec_id; dims·stride + qid is collision-free
+    val fused: Array[(Long, Array[Double])] = MatryoshkaDims.toArray.flatMap(
+      dims => qarr.map { case (qid, v) => (dims * stride + qid, v) })
+    def pdot(a: Array[Double], b: Array[Double], n: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
     }
-    graft.CacheScope.releaseAfterUse(sweeps.reduce(_ unionByName _), brute)
+    // one fused stage needs the full compute width by itself (the four
+    // concurrent sweeps used to multiply the scan's few input splits):
+    // spread the corpus across the session's shuffle width first — a ~MB
+    // shuffle that unlocks 32-way parallelism for the heap kernel
+    val eWide = e.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val partials = heapShortlist[(Long, Array[Double]), (Long, Array[Double])](
+      eWide, fused, _._1, _._1,
+      (q, c) => {
+        val dims = (q._1 / stride).toInt
+        // a vector whose first `dims` components are all zero has no
+        // defined cosine on the prefix — score it 0.0 instead of letting
+        // 0/0 = NaN blow up BigDecimal (the fixture has no zero prefixes,
+        // so the gate hash is unchanged; this guards crafted inputs)
+        val den = math.sqrt(pdot(q._2, q._2, dims)) *
+          math.sqrt(pdot(c._2, c._2, dims))
+        if (den == 0.0) 0.0
+        else BigDecimal(pdot(q._2, c._2, dims) / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      },
+      TopK, desc = true,
+      admit = (q, c) => c._1 != q._1 % stride)
+    val topd = partials
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))))
+      .filter(col("rank") <= TopK)
+      .select(expr(s"CAST(qid DIV ${stride}L AS INT)").as("n_dims"),
+        expr(s"qid % ${stride}L").as("qid"), col("nid"))
+    val hitCounts = brute.join(topd, Seq("qid", "nid"))
+      .groupBy(col("n_dims")).agg(count(lit(1)).as("n_hits"))
+    // a dims row must survive even at zero hits (the old per-sweep
+    // left-join aggregate emitted 0)
+    val out = MatryoshkaDims.map(_.toInt).toDF("n_dims")
+      .join(hitCounts, Seq("n_dims"), "left")
+      .select(col("n_dims"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(10000 * coalesce(n_hits, 0L)) DIV (${NumQueries}L * $TopK)")
+          .as("recall_bps"))
+    graft.CacheScope.releaseAfterUse(out, brute)
   }
 
   private def matryoshkaRecallSql: String = {

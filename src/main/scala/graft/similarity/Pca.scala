@@ -273,40 +273,54 @@ object Pca {
         (id, out)
       }
     val qarr = er.filter(_._1 < Ann.NumQueries).collect().sortBy(_._1)
-    val bq = s.sparkContext.broadcast(qarr)
     val brute = graft.CacheScope.scopedPersist(
       Ann.bruteTopK(s, d).select(col("qid"), col("nid")))
-    val sweeps = RecallDims.map { dims =>
-      def pdot(a: Array[Double], b: Array[Double], n: Int): Double = {
-        var acc = 0.0; var i = 0
-        while (i < n) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      val partials = Ann.heapShortlist[(Long, Array[Double]), (Long, Array[Double])](
-        er, bq.value, _._1, _._1,
-        (q, c) => {
-          // zero rotated prefixes have no defined cosine — score 0.0 (the
-          // F17 guard; top eigendirections make this unreachable on real
-          // fixtures, crafted inputs stay crash-free)
-          val den = math.sqrt(pdot(q._2, q._2, dims)) *
-            math.sqrt(pdot(c._2, c._2, dims))
-          if (den == 0.0) 0.0
-          else BigDecimal(pdot(q._2, c._2, dims) / den)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        },
-        Ann.TopK, desc = true)
-      val topd = partials
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))))
-        .filter(col("rank") <= Ann.TopK)
-        .select(col("qid"), col("nid")).withColumn("hit", lit(1L))
-      brute.join(topd, Seq("qid", "nid"), "left")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(lit(dims).as("n_dims"), col("n_hits"),
-          expr(s"(10000 * n_hits) DIV (${Ann.NumQueries}L * ${Ann.TopK})")
-            .as("recall_bps"))
+    // ALL eigenbasis widths in ONE rotated-corpus pass (r17 — the F17
+    // fusion applied to its eigenbasis twin): the three per-dims sweeps
+    // each re-ran the full rotation kernel over the corpus; encoding the
+    // width into the synthetic query id computes the identical per-(dims,
+    // qid) bounded heaps against one pass. Self-exclusion moves to `admit`
+    // (the encoded qid never equals a nid, so the built-in guard is inert).
+    val stride = 1000000L // ≫ any vec_id; dims·stride + qid is collision-free
+    val fused: Array[(Long, Array[Double])] = RecallDims.toArray.flatMap(
+      dims => qarr.map { case (qid, v) => (dims * stride + qid, v) })
+    def pdot(a: Array[Double], b: Array[Double], n: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
     }
-    graft.CacheScope.releaseAfterUse(sweeps.reduce(_ unionByName _), brute)
+    // spread the rotated corpus across the session's shuffle width: the
+    // fused single stage must carry the full compute width by itself
+    val erWide = er.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val partials = Ann.heapShortlist[(Long, Array[Double]), (Long, Array[Double])](
+      erWide, fused, _._1, _._1,
+      (q, c) => {
+        val dims = (q._1 / stride).toInt
+        // zero rotated prefixes have no defined cosine — score 0.0 (the
+        // F17 guard; top eigendirections make this unreachable on real
+        // fixtures, crafted inputs stay crash-free)
+        val den = math.sqrt(pdot(q._2, q._2, dims)) *
+          math.sqrt(pdot(c._2, c._2, dims))
+        if (den == 0.0) 0.0
+        else BigDecimal(pdot(q._2, c._2, dims) / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      },
+      Ann.TopK, desc = true,
+      admit = (q, c) => c._1 != q._1 % stride)
+    val topd = partials
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))))
+      .filter(col("rank") <= Ann.TopK)
+      .select(expr(s"CAST(qid DIV ${stride}L AS INT)").as("n_dims"),
+        expr(s"qid % ${stride}L").as("qid"), col("nid"))
+    val hitCounts = brute.join(topd, Seq("qid", "nid"))
+      .groupBy(col("n_dims")).agg(count(lit(1)).as("n_hits"))
+    val out = RecallDims.map(_.toInt).toDF("n_dims")
+      .join(hitCounts, Seq("n_dims"), "left")
+      .select(col("n_dims"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(10000 * coalesce(n_hits, 0L)) DIV (${Ann.NumQueries}L * ${Ann.TopK})")
+          .as("recall_bps"))
+    graft.CacheScope.releaseAfterUse(out, brute)
   }
 
   // ------------------------------------------------------------------
