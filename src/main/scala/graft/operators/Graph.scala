@@ -87,8 +87,69 @@ object Graph {
     s.conf.getOption("graft.graph.broadcastMaxNodes")
       .map(_.toLong).getOrElse(1000000L)
 
+  /** Edge-count ceiling for running the PageRank fixed point entirely on
+    * the driver (`graft.graph.localMaxEdges`, default 1M ≈ 16 MB of edge
+    * longs — the ccLocalMaxEdges discipline applied to the rank loop).
+    * Below it, five rounds of [broadcast-build job + contribution
+    * aggregate + rank join] collapse into one edge collect plus in-memory
+    * arithmetic that replays the distributed plan's numerics EXACTLY:
+    * per-edge contributions through [[graft.plans.ScaledLong.scale]]
+    * (dsum's unit conversion), integer unit sums (order-free, and far
+    * below int128 territory at driver-local sizes), the same
+    * double-division read-out, and the same HALF_UP 6 dp rounding Spark's
+    * `round` applies — GraphSpec pins local ≡ distributed row-for-row.
+    * Above the ceiling (web scale) the distributed loop runs unchanged.
+    */
+  private[graft] def localMaxEdges(s: SparkSession): Long =
+    s.conf.getOption("graft.graph.localMaxEdges")
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** Driver-local replica of the distributed rank loop's arithmetic —
+    * shared by [[pageRank]]'s small-graph path. */
+  private[graft] def pageRankLocal(
+      edges: Array[(Long, Long)]): Array[(Long, Double)] = {
+    val deg = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (a, _) =>
+      deg.merge(a, 1L, (x, y) => x + y); ()
+    }
+    var pr = new java.util.HashMap[Long, Double]()
+    deg.keySet().forEach(n => pr.put(n, 1.0))
+    var it = 0
+    while (it < PrIters) {
+      val units = new java.util.HashMap[Long, Long]()
+      edges.foreach { case (a, b) =>
+        units.merge(b,
+          graft.plans.ScaledLong.scale(pr.get(a) / deg.get(a), 10000.0),
+          (x, y) => x + y); ()
+      }
+      val next = new java.util.HashMap[Long, Double]()
+      deg.keySet().forEach { n =>
+        val inSum = units.getOrDefault(n, 0L).toDouble / 10000.0
+        next.put(n, BigDecimal((1 - PrDamping) + PrDamping * inSum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      pr = next
+      it += 1
+    }
+    val out = new Array[(Long, Double)](pr.size())
+    var i = 0
+    pr.forEach { (n, p) => out(i) = (n, p); i += 1 }
+    out
+  }
+
   def pageRank(s: SparkSession, d: String): DataFrame = {
     val raw = edges(s, d)
+    val nEdges = raw.count() // stored-artifact scan, bounded metadata job
+    if (nEdges <= localMaxEdges(s)) {
+      import s.implicits._
+      val e = raw.select(col("src"), col("dst"))
+        .as[(Long, Long)].collect()
+      return pageRankLocal(e).toSeq.toDF("node", "pr")
+    }
+    pageRankDistributed(s, raw)
+  }
+
+  private[graft] def pageRankDistributed(s: SparkSession, raw: DataFrame): DataFrame = {
     val deg = raw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // degree-annotated edges persisted ONCE: the five rounds re-read this,
     // not the scan ⋈ deg derivation

@@ -133,6 +133,22 @@ class TpchMoreSpec extends SparkSpec {
       assert(again(r.getAs[Long]("node")) == r.getAs[Double]("pr")))
   }
 
+  test("pagerank: the driver-local fixed point is bit-identical to the distributed loop") {
+    // the r17 small-graph path replays dsum's unit arithmetic in memory;
+    // force the distributed loop via the conf and compare row-for-row —
+    // every per-round rounding and unit conversion must agree exactly
+    val local = graft.operators.Graph.pageRank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Double]("pr"))).toMap
+    spark.conf.set("graft.graph.localMaxEdges", "0")
+    try {
+      val dist = graft.operators.Graph.pageRank(spark, sf).collect()
+        .map(r => (r.getAs[Long]("node"), r.getAs[Double]("pr"))).toMap
+      assert(dist.keySet == local.keySet, "node sets diverge")
+      val bad = dist.collect { case (n, p) if local(n) != p => (n, p, local(n)) }
+      assert(bad.isEmpty, s"ranks diverge (dist, local): ${bad.take(5)}")
+    } finally spark.conf.unset("graft.graph.localMaxEdges")
+  }
+
   test("graph_triangles equals a local brute force; orientation caps outdegree at sqrt(2m)") {
     val got = graft.operators.Graph.graphTriangles(spark, sf).collect()
       .map(r => r.getAs[Long]("partkey") -> r.getAs[Long]("n_triangles")).toMap
