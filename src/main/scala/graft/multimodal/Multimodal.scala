@@ -608,20 +608,9 @@ object Multimodal {
     val nPix = g * g
     val nb = g / bk; val wBits = nb * nb
     val nBands = PhashHamT + 1
-    // the ≤5 edit positions of the variant plant are a per-ROW array,
-    // computed BELOW the repartition so projection collapse cannot inline
-    // the transform(sequence(...)) back into the per-pixel lambda that
-    // consumes it (the Phash2dSig lesson: a collapsed projection
-    // re-evaluates per reference — here per pixel, 1024x per row)
-    val editsExpr = expr(
-      s"""CASE WHEN pmod(doc_id, $Phash2dMaxEdits) > 0 THEN
-            transform(sequence(0, CAST(pmod(doc_id, $Phash2dMaxEdits) - 1 AS INT)),
-              j -> CAST(pmod(doc_id * 131 + j * 97, $nPix) AS INT))
-          ELSE CAST(array() AS ARRAY<INT>) END""")
     val blobs = graft.operators.BeamParity.compactedBlobs(s, d)
       .select(col("doc_id"), col("payload").cast("string").as("text"))
       .filter(char_length(col("text")) >= 64)
-      .withColumn("__edits", editsExpr)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
     val res = pmod(col("doc_id"), lit(3))
     val payloadA = when(res === 0,
@@ -641,19 +630,17 @@ object Multimodal {
     // silently, diverging from the unwrapped oracle (round-16 ADVICE).
     // Identity on this corpus (ASCII text ⇒ pix_a ≤ 126), so the gate hash
     // is unchanged; arbitrary bytes now agree across engines by definition.
-    // per-pixel plant consumes the hoisted per-row edit array (an empty
-    // array matches nothing, so the pmod(doc_id, 6) = 0 docs are
-    // arithmetic-identical to the inline form)
     val pixB = expr(
-      s"""transform(pix_a, (x, i) -> CAST(pmod(x + 1 +
-            (CASE WHEN array_contains(__edits, i) THEN 64 ELSE 0 END),
-            256) AS INT))""")
+      s"""transform(pix_a, (x, i) -> CAST(pmod(x + 1 + (CASE WHEN
+            pmod(doc_id, $Phash2dMaxEdits) > 0 AND array_contains(
+              transform(sequence(0, CAST(pmod(doc_id, $Phash2dMaxEdits) - 1 AS INT)),
+                j -> CAST(pmod(doc_id * 131 + j * 97, $nPix) AS INT)), i)
+            THEN 64 ELSE 0 END), 256) AS INT))""")
     val staged = blobs
       .withColumn("payload_a", payloadA)
       .withColumn("pix_a",
         slice(MediaCodecs.anyImageDecodeCol(col("payload_a")), 4, nPix))
       .withColumn("pix_b", pixB)
-      .drop("__edits")
       .withColumn("payload_b", when(res === 0, MediaCodecs.ppmEncode(col("pix_b"), g, g, 1))
         .otherwise(MediaCodecs.pngEncode(col("pix_b"), g, g, 1)))
     val entA = staged.select((col("doc_id") * 2).as("entity_id"),
