@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through RAW (no "[info] "/"[error] "
+// log-prefixing): the driver's bench harness parses Bench's final stdout line
+// as JSON, and sbt's default LoggedOutput decoration has voided that parse
+// every round through r17 (`parsed: null` in each BENCH_rNN.json).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // No "[success] Total time: ..." footer after a task: the driver's bench
 // harness parses the LAST stdout line as JSON, and the footer landing after
 // Bench's headline line has voided the tail parse three rounds running.
@@ -34,3 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Optional scratch redirect (r17 verdict item 7 — the checkpoint/state-store
+// root experiment): point the JVM temp root (streaming temp checkpoints,
+// spark.local.dir spill/shuffle scratch) at e.g. a RAM-backed dir. Default
+// is the stock java.io.tmpdir so the driver's bench is unchanged unless the
+// environment opts in.
+javaOptions ++= sys.env.get("SPARK_GRAFT_TMPDIR")
+  .map(t => s"-Djava.io.tmpdir=$t").toSeq

@@ -70,7 +70,19 @@ object Dedup {
     // consuming action (CacheScope)
     val docs = graft.CacheScope.scopedPersist(withShingles(Tables.documents(s, d))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")))
-    val postings = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    // the index/placement path shuffles 8-byte polyHash LONGS, not ~24-byte
+    // shingle strings (r18, guide §2.3 "shuffle keys and metadata instead of
+    // payloads"): the df window, the per-doc rank window and the prefix
+    // self-join only need a CONSISTENT total order and equality — any
+    // injective relabeling of shingles preserves df counts and PPJoin's
+    // prefix theorem, and the candidate set stays a superset of the true
+    // pairs. Verification below still intersects the exact STRING arrays,
+    // so the verified output is identical for any hash (a 2^-64 collision
+    // could only add/remove a candidate, never change a verified pair).
+    val postings = docs
+      .select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), col("sz"),
+        graft.plans.MixHash.polyHashCol(col("sh")).as("h"))
     // per-shingle document frequency as a COUNT WINDOW over the shingle: one
     // shuffle + an in-partition sort, entirely inside whole-stage codegen's
     // spill-safe operators. (Round 2 fused this into a TypedImperativeAggregate
@@ -87,15 +99,15 @@ object Dedup {
     // shingles — a deliberate precision trade every df-capped similarity
     // index makes. No-op at test SFs (max df 25 at sf0.1).
     val withDf = postings
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= MaxShingleDf)
     val ranked = withDf
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
     val prefix = graft.CacheScope.scopedPersist(
       ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
-        .select(col("doc_id"), col("sh")))
-    val cand = prefix.as("a").join(prefix.as("b"), col("a.sh") === col("b.sh")
+        .select(col("doc_id"), col("h")))
+    val cand = prefix.as("a").join(prefix.as("b"), col("a.h") === col("b.h")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -141,16 +153,21 @@ object Dedup {
     val batch = graft.CacheScope.scopedPersist(
       withShingles(Tables.documents(s, d).filter(isNewExpr))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")))
+    // batch side joins/ranks on the polyHash LONG, mirroring the stored
+    // index's keying (see jaccardCore's rationale — the placement path
+    // never needs the string, only equality and a consistent order)
     val bpost = batch
       .select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-      .join(oldDf, Seq("sh"), "left")
+      .select(col("doc_id"), col("sz"),
+        graft.plans.MixHash.polyHashCol(col("sh")).as("h"))
+      .join(oldDf, Seq("h"), "left")
       .filter(col("df").isNull || col("df") <= MaxShingleDf)
     val ranked = bpost.withColumn("rk", row_number().over(
       Window.partitionBy(col("doc_id"))
-        .orderBy(coalesce(col("df"), lit(Long.MaxValue)), col("sh"))))
+        .orderBy(coalesce(col("df"), lit(Long.MaxValue)), col("h"))))
     val bprefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
-      .select(col("doc_id"), col("sh"))
-    val cand = bprefix.as("a").join(oldPrefix.as("b"), col("a.sh") === col("b.sh"))
+      .select(col("doc_id"), col("h"))
+    val cand = bprefix.as("a").join(oldPrefix.as("b"), col("a.h") === col("b.h"))
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
       .distinct()
     val matched = cand
@@ -179,9 +196,12 @@ object Dedup {
   private def ensureIncrementalIndex(
       s: SparkSession, d: String, isOld: Column): (DataFrame, DataFrame, DataFrame) = {
     val slug = dirSlug(d)
-    val prefixTbl = s"graft_incr_prefix_$slug"
-    val dfTbl = s"graft_incr_df_$slug"
-    val arrTbl = s"graft_incr_arr_$slug"
+    // "..h" names: the r18 index keys postings on the polyHash long (schema
+    // change) — fresh identifiers so a warehouse left by an older build can
+    // never serve the string-keyed layout to this code
+    val prefixTbl = s"graft_incr_prefixh_$slug"
+    val dfTbl = s"graft_incr_dfh_$slug"
+    val arrTbl = s"graft_incr_arrh_$slug"
     val names = Seq(prefixTbl, dfTbl, arrTbl)
     // amortized across batches BY DESIGN, but never across a corpus
     // regeneration: the fingerprint ledger (in-JVM, with the persisted
@@ -195,27 +215,30 @@ object Dedup {
       val old = withShingles(Tables.documents(s, d).filter(isOld))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
         .persist()
-      val postings = old.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+      val postings = old
+        .select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+        .select(col("doc_id"), col("sz"),
+          graft.plans.MixHash.polyHashCol(col("sh")).as("h"))
       // same window-df + rank shape as E2 (see jaccardPairs for the rationale
-      // vs the round-2 object-aggregate form)
+      // vs the round-2 object-aggregate form), keyed on the polyHash long
       val withDf = postings
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       val kept = withDf.filter(col("df") <= MaxShingleDf)
       val ranked = kept.withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
-        .select(col("sh"), col("doc_id"))
-        .repartition(nb, col("sh"))
+        .select(col("h"), col("doc_id"))
+        .repartition(nb, col("h"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(nb, "sh").sortBy("sh").saveAsTable(prefixTbl)
+        .bucketBy(nb, "h").sortBy("h").saveAsTable(prefixTbl)
       // FULL df table (capped shingles included): the batch side must
       // distinguish corpus-hot shingles (dropped, as the corpus side dropped
       // them) from corpus-unseen ones (ranked last but kept)
-      withDf.select(col("sh"), col("df")).groupBy(col("sh"))
+      withDf.select(col("h"), col("df")).groupBy(col("h"))
         .agg(max(col("df")).as("df"))
-        .repartition(nb, col("sh"))
+        .repartition(nb, col("h"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(nb, "sh").sortBy("sh").saveAsTable(dfTbl)
+        .bucketBy(nb, "h").sortBy("h").saveAsTable(dfTbl)
       old.select(col("doc_id"), col("shingles"), col("sz"))
         .repartition(nb, col("doc_id"))
         .write.mode("overwrite").format("parquet")

@@ -65,9 +65,20 @@ object Multimodal {
     * filtered — a zero-length text has no sampleable pixels (both engines
     * drop those rows).
     */
+  /** Spread a narrow scan across the session's shuffle width before an
+    * expensive per-row projection — GUARDED (r17 verdict item 6): when the
+    * input already has at least that many partitions (the 100 TB case,
+    * where the scan has thousands of splits) the round-robin shuffle would
+    * move every payload byte for nothing, so it is skipped.
+    */
+  private[graft] def spreadScan(s: SparkSession, df: DataFrame): DataFrame = {
+    val w = s.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < w) df.repartition(w) else df
+  }
+
   private def imagePayload(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .filter(char_length(col("text")) > 0)
+    spreadScan(s, Tables.documents(s, d)
+      .filter(char_length(col("text")) > 0))
       // the sf corpus ships documents as ONE parquet row group → one scan
       // partition, which serializes the heavy per-row media work (decode +
       // transforms ran single-threaded: mm_image_augment 3.4 s at sf0.1,
@@ -75,7 +86,6 @@ object Multimodal {
       // across the session's shuffle width BEFORE the expensive projection
       // — the same plan a real deployment wants when media payloads sit in
       // few huge objects and per-row decode dominates the scan.
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), MediaCodecs.ppmEncode(
         graft.plans.StrideSample.sample(col("text"), ImgGrid * ImgGrid * ImgChannels),
         ImgGrid, ImgGrid, ImgChannels).as("payload"))
@@ -120,11 +130,10 @@ object Multimodal {
     */
   def imageDecodePng(s: SparkSession, d: String): DataFrame = {
     val n = ImgGrid * ImgGrid * ImgChannels
-    val payload = Tables.documents(s, d)
-      .filter(char_length(col("text")) > 0)
+    val payload = spreadScan(s, Tables.documents(s, d)
+      .filter(char_length(col("text")) > 0))
       // same scan-width note as [[imagePayload]]: spread rows before the
       // expensive per-row encode+decode projection
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), MediaCodecs.pngEncode(
         graft.plans.StrideSample.sample(col("text"), n),
         ImgGrid, ImgGrid, ImgChannels).as("payload"))
@@ -161,10 +170,9 @@ object Multimodal {
   def imageDecodeJpeg(s: SparkSession, d: String): DataFrame = {
     val blocks = JpegGridBlocks * JpegGridBlocks
     val edge = JpegGridBlocks * 8
-    val payload = Tables.documents(s, d)
-      .filter(char_length(col("text")) > 0)
+    val payload = spreadScan(s, Tables.documents(s, d)
+      .filter(char_length(col("text")) > 0))
       // same scan-width note as [[imagePayload]]
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), MediaCodecs.jpegEncode(
         graft.plans.StrideSample.sample(col("text"), blocks), edge, edge)
         .as("payload"))
@@ -227,10 +235,9 @@ object Multimodal {
     val mcus = JpegColorMcus * JpegColorMcus
     val edge = JpegColorMcus * 16
     val nPix = edge * edge
-    val payload = Tables.documents(s, d)
-      .filter(char_length(col("text")) > 0)
+    val payload = spreadScan(s, Tables.documents(s, d)
+      .filter(char_length(col("text")) > 0))
       // same scan-width note as [[imagePayload]]
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), (if (progressive)
         MediaCodecs.jpegProgEncode(
           graft.plans.StrideSample.sample(col("text"), 3 * mcus),
@@ -460,6 +467,17 @@ object Multimodal {
     // every bucket collision (at saturated-band scale that is the
     // difference between shuffling matches and shuffling ~n²/2^bandwidth
     // rows)
+    if (wBits == 64) {
+      // single-word signature rides the banding as ONE plain long (see
+      // mmPairFrame) — bandedPairs never interprets `ph`
+      return bandedPairs(s, graft.CacheScope.scopedPersist(
+          phashFrame(s, d, wBits).select(col("doc_id"),
+            element_at(col("ph"), 1).as("ph"), col("bvs"))))
+        .withColumn("hamming", expr("bit_count(pa ^ pb)"))
+        .filter(col("hamming") <= PhashHamT)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .distinct()
+    }
     val hamming = (0 until wBits / 64)
       .map(w => expr(
         s"bit_count(element_at(pa, ${w + 1}) ^ element_at(pb, ${w + 1}))"))
@@ -547,9 +565,11 @@ object Multimodal {
     phash2dFrame(s, d).select(col("doc_id"), col("ph"))
 
   def phash2dDedup(s: SparkSession, d: String): DataFrame = {
-    val hamming = expr("bit_count(element_at(pa, 1) ^ element_at(pb, 1))")
-    bandedPairs(s, graft.CacheScope.scopedPersist(phash2dFrame(s, d)))
-      .withColumn("hamming", hamming)
+    // 64-bit signature as ONE long through the banding (see mmPairFrame)
+    bandedPairs(s, graft.CacheScope.scopedPersist(
+        phash2dFrame(s, d).select(col("doc_id"),
+          element_at(col("ph"), 1).as("ph"), col("bvs"))))
+      .withColumn("hamming", expr("bit_count(pa ^ pb)"))
       .filter(col("hamming") <= PhashHamT)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
@@ -608,10 +628,9 @@ object Multimodal {
     val nPix = g * g
     val nb = g / bk; val wBits = nb * nb
     val nBands = PhashHamT + 1
-    val blobs = graft.operators.BeamParity.compactedBlobs(s, d)
+    val blobs = spreadScan(s, graft.operators.BeamParity.compactedBlobs(s, d)
       .select(col("doc_id"), col("payload").cast("string").as("text"))
-      .filter(char_length(col("text")) >= 64)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .filter(char_length(col("text")) >= 64))
     val res = pmod(col("doc_id"), lit(3))
     val payloadA = when(res === 0,
         MediaCodecs.pngEncode(graft.plans.StrideSample.sample(col("text"), nPix), g, g, 1))
@@ -664,12 +683,17 @@ object Multimodal {
         col("sum_pix"), col("quality"), col("pixels_md5"))
   }
 
-  /** The composite's verified near-dup PAIR frame over an entity frame. */
+  /** The composite's verified near-dup PAIR frame over an entity frame.
+    * The 64-bit signature rides the banding as ONE plain long (r18, guide
+    * §2.3 narrower types): [[bandedPairs]] never interprets `ph`, so
+    * dropping the 1-element array wrapper shrinks every candidate row and
+    * the hamming verify becomes a bare long xor — no element_at/null
+    * checks in the 9.6M-row candidate loop. */
   private def mmPairFrame(s: SparkSession, ent: DataFrame): DataFrame =
     bandedPairs(s, graft.CacheScope.scopedPersist(
-        ent.select(col("entity_id").as("doc_id"), col("ph"), col("bvs"))))
-      .withColumn("hamming",
-        expr("bit_count(element_at(pa, 1) ^ element_at(pb, 1))"))
+        ent.select(col("entity_id").as("doc_id"),
+          element_at(col("ph"), 1).as("ph"), col("bvs"))))
+      .withColumn("hamming", expr("bit_count(pa ^ pb)"))
       .filter(col("hamming") <= PhashHamT)
       .select(col("doc_a"), col("doc_b")).distinct()
 

@@ -114,11 +114,18 @@ object Ann {
       corpus: Dataset[C], queries: Array[Q],
       qidOf: Q => Long, nidOf: C => Long, score: (Q, C) => Double,
       r: Int, desc: Boolean,
-      admit: (Q, C) => Boolean = (_: Q, _: C) => true): DataFrame = {
+      admit: (Q, C) => Boolean = (_: Q, _: C) => true,
+      selfExclude: Boolean = true): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(queries)
     val (qf, nf, sf, rr, dd, af) = (qidOf, nidOf, score, r, desc, admit)
+    // selfExclude=false callers encode sweep parameters into SYNTHETIC query
+    // ids (F17/F20b): comparing a real corpus nid against an encoded id is
+    // meaningless, and at scale it silently drops the one corpus vector
+    // whose vec_id happens to equal an encoded id (r17 verdict item 1) —
+    // those callers express their real exclusion rule through `admit`.
+    val se = selfExclude
     corpus.mapPartitions[(Long, Long, Double)] { (it: Iterator[C]) =>
       val qs = bc.value
       // worst element on top of the normalized (desc negates) key order
@@ -130,7 +137,7 @@ object Ann {
         var i = 0
         while (i < qs.length) {
           val q = qs(i)
-          if (nid != qf(q) && af(q, c)) {
+          if ((!se || nid != qf(q)) && af(q, c)) {
             // + 0.0 collapses -0.0 to 0.0 so TotalOrdering agrees with the
             // spec-pinned Spark window form (which treats them equal, ties
             // on nid); NaN scores have no defined rank in either form
@@ -1846,8 +1853,8 @@ object Ann {
   val RecallCurveNprobes: Seq[Int] = Seq(1, 2, 4, 8)
 
   def annRecallCurve(s: SparkSession, d: String): DataFrame = {
-    val brute = graft.CacheScope.scopedPersist(
-      bruteTopK(s, d).select(col("qid"), col("nid")))
+    // single consumer below (the hits join) — no persist needed
+    val brute = bruteTopK(s, d).select(col("qid"), col("nid"))
     // ONE probe at max nprobe, candidates tagged with the probe rank of
     // the cell that produced them (each corpus vector lives in exactly
     // one cell, so `crank <= np` recovers the np-sweep's candidate set
@@ -1873,23 +1880,41 @@ object Ann {
           col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
         .withColumn("rcos", round(dotCol("qv", "v") / (col("qn") * col("nrm")), 6))
         .select(col("qid"), col("vec_id").as("nid"), col("rcos"), col("crank")))
-    val sweeps = RecallCurveNprobes.map { np =>
-      val c = cands.filter(col("crank") <= np)
-      val ranked = rankTopK(c.drop("crank")).select(col("qid"), col("nid"))
-        .withColumn("hit", lit(1L))
-      val hits = brute.join(ranked, Seq("qid", "nid"), "left")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      val scanned = c.agg(count(lit(1)).as("n_scanned"))
-      hits.crossJoin(scanned)
-        .select(lit(np).as("nprobe"), col("n_hits"),
-          expr(s"(10000 * n_hits) DIV (${NumQueries}L * $TopK)").as("recall_bps"),
-          col("n_scanned"))
-    }
+    // ALL four sweeps in ONE rank window (r18, guide §2.4 — r17 verdict
+    // item 5): the candidate sets are NESTED in crank (crank<=1 ⊂ crank<=2
+    // ⊂ …), so a row's row_number inside the np-sweep's set equals the
+    // running count of crank<=np rows under the SAME total (rcos desc, nid)
+    // order the old per-sweep rankTopK used — one window computes every
+    // sweep's ranks, one brute join + one grouped aggregate replace the 4
+    // rank windows + 4 joins + 8 scalar aggregates of the union form.
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rcos").desc, col("nid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = cands.select(
+      Seq(col("qid"), col("nid"), col("crank")) ++
+        RecallCurveNprobes.map(np =>
+          sum(when(col("crank") <= np, 1L).otherwise(0L)).over(w)
+            .as(s"rk_$np")): _*)
+    val hitCols = RecallCurveNprobes.map(np =>
+      sum(when(col("crank") <= np && col(s"rk_$np") <= TopK, 1L).otherwise(0L))
+        .as(s"h_$np"))
+    val hits = brute.join(flagged, Seq("qid", "nid"), "left")
+      .agg(hitCols.head, hitCols.tail: _*)
+    val scanCols = RecallCurveNprobes.map(np =>
+      sum(when(col("crank") <= np, 1L).otherwise(0L)).as(s"s_$np"))
+    val scanned = cands.agg(scanCols.head, scanCols.tail: _*)
     val total = withNorm(Tables.embeddings(s, d)).count() - 1  // pair space per query
-    val out = sweeps.reduce(_ unionByName _)
+    val stackArgs = RecallCurveNprobes
+      .map(np => s"$np, h_$np, s_$np").mkString(", ")
+    val out = hits.crossJoin(scanned)
+      .select(expr(s"stack(${RecallCurveNprobes.size}, $stackArgs) " +
+        "AS (nprobe, n_hits, n_scanned)"))
+      .select(col("nprobe"), col("n_hits"),
+        expr(s"(10000 * n_hits) DIV (${NumQueries}L * $TopK)").as("recall_bps"),
+        col("n_scanned"))
       .withColumn("scanned_bps",
         expr(s"(10000 * n_scanned) DIV (${NumQueries}L * ${total}L)"))
-    graft.CacheScope.releaseAfterUse(out, brute, cands)
+    graft.CacheScope.releaseAfterUse(out, cands)
   }
 
   /** F17 — MATRYOSHKA truncation-recall report (round-12; Kusupati et al.
@@ -1920,11 +1945,18 @@ object Ann {
     // ran their own shortlist stage; fusing them as (dims·stride + qid)
     // synthetic queries computes the identical per-(dims, qid) bounded
     // heaps — same prefix-cosine scores, same (score desc, nid) order,
-    // same self-exclusion via `admit` (the encoded qid never equals a nid,
-    // so the built-in guard is inert) — against one scan. The per-row
+    // self-exclusion expressed ONLY through `admit` (selfExclude=false;
+    // the built-in nid-vs-qid compare is off) — against one scan. The per-row
     // inner loop is |dims|·|queries| wide, exactly the work the four
     // passes did in aggregate.
-    val stride = 1000000L // ≫ any vec_id; dims·stride + qid is collision-free
+    // stride only needs to exceed every QUERY id (qid < NumQueries, tiny),
+    // so (dims·stride + qid) decodes uniquely at any corpus size; corpus
+    // vec_ids never meet the encoded ids because selfExclude=false below
+    // turns off the built-in nid-vs-encoded-qid compare (r17 verdict item 1
+    // — the old guard silently dropped the corpus vector whose vec_id
+    // equalled dims·stride + qid once the corpus outgrew the stride)
+    val stride = 1000000L
+    require(NumQueries < stride, "matryoshka stride must exceed every qid")
     val fused: Array[(Long, Array[Double])] = MatryoshkaDims.toArray.flatMap(
       dims => qarr.map { case (qid, v) => (dims * stride + qid, v) })
     def pdot(a: Array[Double], b: Array[Double], n: Int): Double = {
@@ -1935,8 +1967,12 @@ object Ann {
     // one fused stage needs the full compute width by itself (the four
     // concurrent sweeps used to multiply the scan's few input splits):
     // spread the corpus across the session's shuffle width first — a ~MB
-    // shuffle that unlocks 32-way parallelism for the heap kernel
-    val eWide = e.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    // shuffle that unlocks 32-way parallelism for the heap kernel. Guarded
+    // (r17 verdict item 6): at scale the scan already has more splits than
+    // the session width and the shuffle would be a full-corpus round trip
+    // bought for nothing.
+    val shufW = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val eWide = if (e.rdd.getNumPartitions < shufW) e.repartition(shufW) else e
     val partials = heapShortlist[(Long, Array[Double]), (Long, Array[Double])](
       eWide, fused, _._1, _._1,
       (q, c) => {
@@ -1952,7 +1988,7 @@ object Ann {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       },
       TopK, desc = true,
-      admit = (q, c) => c._1 != q._1 % stride)
+      admit = (q, c) => c._1 != q._1 % stride, selfExclude = false)
     val topd = partials
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))))

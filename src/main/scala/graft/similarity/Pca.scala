@@ -279,9 +279,13 @@ object Pca {
     // fusion applied to its eigenbasis twin): the three per-dims sweeps
     // each re-ran the full rotation kernel over the corpus; encoding the
     // width into the synthetic query id computes the identical per-(dims,
-    // qid) bounded heaps against one pass. Self-exclusion moves to `admit`
-    // (the encoded qid never equals a nid, so the built-in guard is inert).
-    val stride = 1000000L // ≫ any vec_id; dims·stride + qid is collision-free
+    // qid) bounded heaps against one pass. Self-exclusion lives ONLY in
+    // `admit` (selfExclude=false — the built-in compare is off).
+    // stride only needs to exceed every QUERY id (selfExclude=false below
+    // keeps corpus vec_ids out of the encoded-id compare entirely — the
+    // F17 fix, r17 verdict item 1)
+    val stride = 1000000L
+    require(Ann.NumQueries < stride, "pca stride must exceed every qid")
     val fused: Array[(Long, Array[Double])] = RecallDims.toArray.flatMap(
       dims => qarr.map { case (qid, v) => (dims * stride + qid, v) })
     def pdot(a: Array[Double], b: Array[Double], n: Int): Double = {
@@ -290,8 +294,11 @@ object Pca {
       acc
     }
     // spread the rotated corpus across the session's shuffle width: the
-    // fused single stage must carry the full compute width by itself
-    val erWide = er.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    // fused single stage must carry the full compute width by itself.
+    // Guarded (r17 verdict item 6): skip the shuffle when the input is
+    // already at least that wide.
+    val shufW = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val erWide = if (er.rdd.getNumPartitions < shufW) er.repartition(shufW) else er
     val partials = Ann.heapShortlist[(Long, Array[Double]), (Long, Array[Double])](
       erWide, fused, _._1, _._1,
       (q, c) => {
@@ -306,7 +313,7 @@ object Pca {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       },
       Ann.TopK, desc = true,
-      admit = (q, c) => c._1 != q._1 % stride)
+      admit = (q, c) => c._1 != q._1 % stride, selfExclude = false)
     val topd = partials
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))))

@@ -1030,7 +1030,15 @@ object Streams {
         finally in.close()
       val (last, owner) = parts.split(",", 2) match {
         case Array(l, o) => (l.toLong, o)
-        case Array(l) => (l.toLong, qid) // legacy marker: same-owner skip
+        case Array(l) =>
+          // legacy ownerless marker interpreted as same-owner (migration
+          // tradeoff, round-17 ADVICE): make the silent takeover of a
+          // pre-upgrade snapshot at least visible
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"legacy _LAST_BATCH marker (no owner field) under $snapP " +
+              s"treated as owned by query $qid; batches <= $l will no-op " +
+              "until one new batch rewrites the marker")
+          (l.toLong, qid)
       }
       if (batchId <= last) {
         require(owner == qid, s"batch $batchId arrived below the committed " +

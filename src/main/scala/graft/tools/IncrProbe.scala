@@ -34,8 +34,8 @@ object IncrProbe {
     // index scan alone — slug-exact names, never a prefix guess (another
     // corpus's index in the same warehouse must not be what gets timed)
     val slug = graft.dedup.Dedup.dirSlug(d)
-    Seq(s"graft_incr_prefix_$slug", s"graft_incr_df_$slug",
-        s"graft_incr_arr_$slug").foreach { tbl =>
+    Seq(s"graft_incr_prefixh_$slug", s"graft_incr_dfh_$slug",
+        s"graft_incr_arrh_$slug").foreach { tbl =>
       time(s"scan $tbl")(spark.table(tbl)
         .write.format("noop").mode("overwrite").save())
     }

@@ -197,20 +197,22 @@ object PerfLab {
           .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
         time("e7-batch-shingle")(batch)
         val slug = sfDir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-        val oldDf = spark.table(s"graft_incr_df_$slug")
-        val oldPrefix = spark.table(s"graft_incr_prefix_$slug")
-        val oldArrs = spark.table(s"graft_incr_arr_$slug")
+        val oldDf = spark.table(s"graft_incr_dfh_$slug")
+        val oldPrefix = spark.table(s"graft_incr_prefixh_$slug")
+        val oldArrs = spark.table(s"graft_incr_arrh_$slug")
         val bpost = batch.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-          .join(oldDf, Seq("sh"), "left")
+          .select(col("doc_id"), col("sz"),
+            graft.plans.MixHash.polyHashCol(col("sh")).as("h"))
+          .join(oldDf, Seq("h"), "left")
           .filter(col("df").isNull || col("df") <= Dedup.MaxShingleDf)
         time("e7-bpost-dfjoin")(bpost)
         val ranked = bpost.withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id"))
-            .orderBy(coalesce(col("df"), lit(Long.MaxValue)), col("sh"))))
+            .orderBy(coalesce(col("df"), lit(Long.MaxValue)), col("h"))))
         val bprefix = ranked.filter(col("rk") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
-          .select(col("doc_id"), col("sh"))
+          .select(col("doc_id"), col("h"))
         time("e7-bprefix")(bprefix)
-        val cand = bprefix.as("a").join(oldPrefix.as("b"), col("a.sh") === col("b.sh"))
+        val cand = bprefix.as("a").join(oldPrefix.as("b"), col("a.h") === col("b.h"))
           .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
           .distinct()
         time("e7-cand")(cand)

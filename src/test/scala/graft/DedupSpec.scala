@@ -399,7 +399,7 @@ class DedupSpec extends SparkSpec {
 
   test("incremental dedup scans the persisted corpus index and skips rebuilds") {
     val slug = sf.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-    val tbls = Seq("prefix", "df", "arr").map(k => s"graft_incr_${k}_$slug")
+    val tbls = Seq("prefixh", "dfh", "arrh").map(k => s"graft_incr_${k}_$slug")
     tbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     val r1 = Dedup.incrementalNew(spark, sf).collect().map(_.getLong(0)).toSet
     assert(tbls.forall(spark.catalog.tableExists), "index tables not materialized")
